@@ -1,0 +1,4 @@
+"""Query-registration modules. Importing this package registers every
+implemented query + oracle pair into :mod:`..registry`."""
+
+from . import reference  # noqa: F401
