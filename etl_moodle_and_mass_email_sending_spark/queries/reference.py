@@ -8,8 +8,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text
-from ..plans import moodle
+from ..plans import mailer, moodle
 from ..registry import register
+from ..sources import csv_variants
 
 # --------------------------------------------------------------------------
 # ref_roster_normalize — flagship: full Pipeline-A derivation (F-str1..11,
@@ -99,5 +100,198 @@ register(
     WITH t AS (SELECT c_custkey, {_PICK_RAW_SQL} AS raw_email FROM customer)
     SELECT c_custkey, raw_email, {text.sql_pick_email('raw_email')} AS picked
     FROM t
+    """,
+)
+
+# --------------------------------------------------------------------------
+# ref_mail_variant_* — F1–F4 schema-variant dispatch + P4 blank-email filter
+# (reference app.py:277–315), driven through synthetic recipient frames
+# derived from the roster so every branch (fallbacks, blank rows) executes.
+# --------------------------------------------------------------------------
+
+
+def _variant_old_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = moodle.roster_from_customer(spark, sf_dir)
+    return r.select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("  ")).otherwise(
+            F.col("email")
+        ).alias("email"),
+        F.concat(F.col("firstname"), F.lit(" "), F.col("lastname")).alias("nombre"),
+        F.concat(F.lit("  "), F.col("username")).alias("usuario"),
+        F.col("password").alias("contrasena"),
+    )
+
+
+_VARIANT_OLD_INPUT_SQL = f"""
+    WITH roster AS ({moodle.roster_sql()})
+    SELECT CASE WHEN c_custkey % 11 = 0 THEN '  ' ELSE email END AS email,
+           firstname || ' ' || lastname AS nombre,
+           '  ' || username AS usuario,
+           password AS contrasena
+    FROM roster
+"""
+
+register(
+    "ref_mail_variant_old",
+    lambda spark, sf_dir: csv_variants.normalize_recipients(
+        _variant_old_input(spark, sf_dir)
+    ),
+    csv_variants.sql_normalize_old(_VARIANT_OLD_INPUT_SQL),
+)
+
+
+def _variant_moodle_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = moodle.roster_from_customer(spark, sf_dir)
+    blank_names = F.col("c_custkey") % 7 == 0
+    return r.select(
+        F.col("email"),
+        F.col("username"),
+        F.col("password"),
+        F.when(blank_names, F.lit("")).otherwise(F.col("firstname")).alias(
+            "firstname"
+        ),
+        F.when(blank_names, F.lit(" ")).otherwise(F.col("lastname")).alias(
+            "lastname"
+        ),
+    )
+
+
+_VARIANT_MOODLE_INPUT_SQL = f"""
+    WITH roster AS ({moodle.roster_sql()})
+    SELECT email, username, password,
+           CASE WHEN c_custkey % 7 = 0 THEN '' ELSE firstname END AS firstname,
+           CASE WHEN c_custkey % 7 = 0 THEN ' ' ELSE lastname END AS lastname
+    FROM roster
+"""
+
+register(
+    "ref_mail_variant_moodle",
+    lambda spark, sf_dir: csv_variants.normalize_recipients(
+        _variant_moodle_input(spark, sf_dir)
+    ),
+    csv_variants.sql_normalize_moodle(_VARIANT_MOODLE_INPUT_SQL),
+)
+
+
+def _variant_fallback_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = moodle.roster_from_customer(spark, sf_dir)
+    return r.select(
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("")).otherwise(
+            F.col("email")
+        ).alias("email"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("password"))
+        .alias("password"),
+    )
+
+
+_VARIANT_FALLBACK_INPUT_SQL = f"""
+    WITH roster AS ({moodle.roster_sql()})
+    SELECT CASE WHEN c_custkey % 13 = 0 THEN '' ELSE email END AS email,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE password END AS password
+    FROM roster
+"""
+
+register(
+    "ref_mail_variant_fallback",
+    lambda spark, sf_dir: csv_variants.normalize_recipients(
+        _variant_fallback_input(spark, sf_dir)
+    ),
+    csv_variants.sql_normalize_fallback(
+        _VARIANT_FALLBACK_INPUT_SQL, present={"email", "password"}
+    ),
+)
+
+# --------------------------------------------------------------------------
+# ref_template_render — F-str12: compiled subject/preheader/plain/html per
+# row (reference app.py:342–359) over canonicalized recipients.
+# --------------------------------------------------------------------------
+
+_COURSE = "Analitica de Datos I"
+_AULA = "https://aula.example.org/"
+
+register(
+    "ref_template_render",
+    lambda spark, sf_dir: mailer.render_messages(
+        csv_variants.normalize_recipients(_variant_moodle_input(spark, sf_dir)),
+        course_name=_COURSE,
+        aula_url=_AULA,
+    ),
+    mailer.sql_render_messages(
+        csv_variants.sql_normalize_moodle(_VARIANT_MOODLE_INPUT_SQL),
+        course_name=_COURSE,
+        aula_url=_AULA,
+    ),
+)
+
+# --------------------------------------------------------------------------
+# ref_password_patterns — F-str11 pattern compiler with a multi-hole
+# pattern (placeholders {username} {year} {rut} {email}, app.py:34–36,
+# 214–222).
+# --------------------------------------------------------------------------
+
+_PWPARAMS = moodle.MoodleParams(
+    password_pattern="{rut}:{username}@{year}", password_year=2031
+)
+
+register(
+    "ref_password_patterns",
+    lambda spark, sf_dir: moodle.roster_from_customer(spark, sf_dir, _PWPARAMS),
+    moodle.roster_sql(_PWPARAMS),
+)
+
+# --------------------------------------------------------------------------
+# ref_preview_limit — P7 (first 8 cols) + A3 (50-row limit) preview,
+# reference app.py:754–787; deterministic via explicit sort key.
+# --------------------------------------------------------------------------
+
+
+def _preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = moodle.roster_from_customer(spark, sf_dir)
+    return r.orderBy("c_custkey").limit(50).select(r.columns[:8])
+
+
+register(
+    "ref_preview_limit",
+    _preview,
+    f"""
+    WITH roster AS ({moodle.roster_sql()})
+    SELECT c_custkey, username, password, firstname, lastname, email,
+           profile_field_rut, type1
+    FROM roster ORDER BY c_custkey LIMIT 50
+    """,
+)
+
+# --------------------------------------------------------------------------
+# ref_send_counter — A2 running counter + countdown (reference
+# app.py:334–339) with the input order made explicit (sort by email).
+# --------------------------------------------------------------------------
+
+
+def _send_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    users = csv_variants.normalize_recipients(
+        _variant_moodle_input(spark, sf_dir)
+    )
+    w = Window.orderBy("email")
+    total = F.count("*").over(Window.partitionBy())
+    return users.select(
+        F.row_number().over(w).cast("bigint").alias("idx"),
+        F.col("email"),
+        (total - F.row_number().over(w)).cast("bigint").alias("remaining"),
+    )
+
+
+register(
+    "ref_send_counter",
+    _send_counter,
+    f"""
+    WITH users AS ({csv_variants.sql_normalize_moodle(_VARIANT_MOODLE_INPUT_SQL)})
+    SELECT CAST(row_number() OVER (ORDER BY email) AS BIGINT) AS idx,
+           email,
+           CAST(count(*) OVER () - row_number() OVER (ORDER BY email) AS BIGINT)
+             AS remaining
+    FROM users
     """,
 )

@@ -1,0 +1,108 @@
+"""SMTP sink behavior (K2–K5, reference app.py:328–377): dry-run receipts,
+injected-failure retry accounting, idempotence ledger, CSV sink contract."""
+
+from __future__ import annotations
+
+import os
+
+
+def _messages(spark, n=6):
+    from etl_moodle_and_mass_email_sending_spark.plans import mailer
+
+    rows = [
+        (f"user{i}@x.cl", f"Nombre{i}", f"user{i}", f"pw{i}") for i in range(n)
+    ]
+    users = spark.createDataFrame(
+        rows, "email string, nombre string, usuario string, contrasena string"
+    )
+    return mailer.render_messages(users, "Curso X", "https://aula.example.org/")
+
+
+def test_dry_run_receipts(spark):
+    from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+        SmtpConfig,
+        send_all,
+    )
+
+    receipts = send_all(_messages(spark), SmtpConfig(dry_run=True)).collect()
+    assert len(receipts) == 6
+    by_idx = sorted(receipts, key=lambda r: r["idx"])
+    assert [r["idx"] for r in by_idx] == list(range(1, 7))
+    # countdown semantics (app.py:339): remaining = total - idx
+    assert [r["remaining"] for r in by_idx] == [5, 4, 3, 2, 1, 0]
+    assert all(r["status"] == "SENT" and r["attempts"] == 1 for r in receipts)
+
+
+def test_retry_accounting(spark):
+    from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+        SmtpConfig,
+        send_all,
+    )
+
+    receipts = {
+        r["email"]: r
+        for r in send_all(
+            _messages(spark),
+            SmtpConfig(dry_run=True, max_retries=3),
+            fail_spec={"user2@x.cl": 2},
+        ).collect()
+    }
+    # transient failure → succeeds on 3rd attempt (app.py:363–372)
+    assert receipts["user2@x.cl"]["status"] == "SENT"
+    assert receipts["user2@x.cl"]["attempts"] == 3
+    assert receipts["user0@x.cl"]["attempts"] == 1
+
+
+def test_permanent_failure_marks_failed(spark):
+    from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+        SmtpConfig,
+        send_all,
+    )
+
+    receipts = {
+        r["email"]: r
+        for r in send_all(
+            _messages(spark),
+            SmtpConfig(dry_run=True, max_retries=3),
+            fail_spec={"user3@x.cl": -1},
+        ).collect()
+    }
+    # after MAX_RETRIES the row is FAILED and skipped (app.py:374–375)
+    assert receipts["user3@x.cl"]["status"] == "FAILED"
+    assert receipts["user3@x.cl"]["attempts"] == 3
+    assert receipts["user3@x.cl"]["error"] == "injected failure"
+    assert sum(1 for r in receipts.values() if r["status"] == "SENT") == 5
+
+
+def test_idempotence_ledger(spark):
+    """Re-run with a receipt ledger → already-sent recipients excluded
+    (effectively-once; SURVEY.md §4.1 fault-tolerance note)."""
+    from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+        SmtpConfig,
+        send_all,
+    )
+
+    ledger = spark.createDataFrame(
+        [("user0@x.cl",), ("user1@x.cl",)], "email string"
+    )
+    receipts = send_all(
+        _messages(spark), SmtpConfig(dry_run=True), already_sent=ledger
+    ).collect()
+    emails = {r["email"] for r in receipts}
+    assert emails == {f"user{i}@x.cl" for i in range(2, 6)}
+    # idx re-stamped 1..4 over the remaining set
+    assert sorted(r["idx"] for r in receipts) == [1, 2, 3, 4]
+
+
+def test_csv_single_file_sink(spark, tmp_path):
+    from etl_moodle_and_mass_email_sending_spark.sinks.csv_single import (
+        write_csv_single,
+    )
+
+    out = str(tmp_path / "moodle.csv")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "username string, type1 int")
+    write_csv_single(df, out)
+    assert os.path.isfile(out)
+    lines = open(out, encoding="utf-8").read().strip().splitlines()
+    assert lines[0] == "username,type1"
+    assert sorted(lines[1:]) == ["a,1", "b,2"]

@@ -1,0 +1,123 @@
+"""Header promotion (P1/P2) and variant dispatch (F1–F4) through real files
+— the reference's actual input contracts (FIXTURES.md §1, §3)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def participants_csv(tmp_path):
+    # 3 junk rows, header at row index 3 (with the infamous trailing space
+    # in "Nombres "), data from row 4 — FIXTURES.md §1 / app.py:236–238.
+    lines = [
+        "Listado de participantes,,,,",
+        ",,,,",
+        "Generado: 2026-01-01,,,,",
+        'Rut (con punto y con guión),Nombres ,Apellidos,Correo electrónico,ExtraCol1',
+        '11.111.111-1,maría josé,o\'higgins del río,mj@x.cl,z1',
+        "22.222.222-2,pedro,soto,pedro@y.cl ; otro@z.cl,z2",
+        ",sin rut,perez,x@y.cl,z3",
+        "33.333.333-3,,lopez,y@z.cl,z4",
+    ]
+    p = tmp_path / "participants.csv"
+    p.write_text("\n".join(lines), encoding="utf-8")
+    return str(p)
+
+
+def test_header_promotion_and_pipeline(spark, participants_csv):
+    from etl_moodle_and_mass_email_sending_spark.plans.moodle import (
+        MoodleParams,
+        normalize_to_moodle,
+    )
+    from etl_moodle_and_mass_email_sending_spark.sources.excel import (
+        read_participants_csv,
+        rename_participant_columns,
+    )
+
+    raw = read_participants_csv(spark, participants_csv)
+    assert raw.columns[:4] == [
+        "Rut (con punto y con guión)",
+        "Nombres ",
+        "Apellidos",
+        "Correo electrónico",
+    ]
+    df = rename_participant_columns(raw)
+    out = normalize_to_moodle(df, MoodleParams(course_field="C1"))
+    rows = {r["username"]: r.asDict() for r in out.collect()}
+    # null-rut and null-nombres rows dropped (app.py:247)
+    assert len(rows) == 2
+    assert rows["mariaohigginsde"]["firstname"] == "María"
+    assert rows["mariaohigginsde"]["password"] == "mariaohigginsde2025"
+    assert rows["pedrosoto"]["email"] == "pedro@y.cl"
+    assert rows["pedrosoto"]["profile_field_rut"] == "22.222.222-2"
+    # extra sheet columns carried without breaking the pipeline
+    assert "ExtraCol1" in df.columns
+
+
+def test_header_promotion_duplicate_headers(spark, tmp_path):
+    p = tmp_path / "dup.csv"
+    p.write_text("j,,,\nj,,,\nj,,,\ncol,col,,x\na,b,c,d\n", encoding="utf-8")
+    from etl_moodle_and_mass_email_sending_spark.sources.excel import (
+        read_participants_csv,
+    )
+
+    df = read_participants_csv(spark, str(p))
+    assert df.columns == ["col", "col_2", "_c2", "x"]
+    assert df.collect()[0]["col_2"] == "b"
+
+
+@pytest.mark.parametrize(
+    "header,expected",
+    [
+        ("email,usuario,nombre,contrasena", "old"),
+        ("Email,Username,Password,firstname,lastname", "moodle"),
+        ("email,password", "fallback"),
+        ("email", "fallback"),
+    ],
+)
+def test_variant_detection(spark, header, expected):
+    from etl_moodle_and_mass_email_sending_spark.sources.csv_variants import (
+        detect_variant,
+    )
+
+    df = spark.createDataFrame(
+        [tuple("x" for _ in header.split(","))], header.split(",")
+    )
+    assert detect_variant(df) == expected
+
+
+def test_fallback_coalesce_from_file(spark, tmp_path):
+    """Reference app.py:302–306: usuario ← usuario|username|local-part,
+    contrasena ← contrasena|password|''; blank-email rows dropped."""
+    p = tmp_path / "mail.csv"
+    p.write_text(
+        "email,password\nana@x.cl,s3cret\n,skipme\nbob@y.cl,\n",
+        encoding="utf-8",
+    )
+    from etl_moodle_and_mass_email_sending_spark.sources.csv_variants import (
+        normalize_recipients,
+    )
+    from etl_moodle_and_mass_email_sending_spark.sources.readers import (
+        read_csv_all_string,
+    )
+
+    out = normalize_recipients(read_csv_all_string(spark, str(p)))
+    rows = {r["email"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"ana@x.cl", "bob@y.cl"}
+    assert rows["ana@x.cl"] == {
+        "email": "ana@x.cl",
+        "nombre": "Ana",
+        "usuario": "ana",
+        "contrasena": "s3cret",
+    }
+    assert rows["bob@y.cl"]["contrasena"] == ""
+
+
+def test_missing_file_guard(spark):
+    from etl_moodle_and_mass_email_sending_spark.sources.readers import (
+        read_csv_all_string,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        read_csv_all_string(spark, "/nonexistent/x.csv")
