@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Testdata events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and convert in catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow for any pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dim tables (region/nation/supplier) must broadcast.
