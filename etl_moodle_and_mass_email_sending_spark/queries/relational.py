@@ -134,7 +134,7 @@ def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dims = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(F.col("r_name") == "REGION_0")), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "AFRICA")), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "n_name")
     )
     revenue = F.sum(
@@ -157,7 +157,7 @@ _Q5_SQL = """
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'REGION_0'
+    WHERE r_name = 'AFRICA'
     GROUP BY n_name
 """
 

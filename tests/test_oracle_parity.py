@@ -50,6 +50,9 @@ def test_query_matches_oracle(spark, duck, name):
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    # a 0-row match is a trivial pass — every registered query must
+    # actually exercise its operator on the testbed data
+    assert len(srows) > 0, f"{name}: query returns no rows (trivial match)"
     sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
     mism = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
     assert sset == dset, f"{name}: first value mismatches: {mism}"
