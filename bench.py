@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced through a noop sink (full computation, no I/O cost)
+after a warm-up of the session. Times are per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-parity pipeline
+    "ref_roster_normalize",
+    "ref_template_render",
+    # relational
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "rel_top_orders_per_customer",
+    "rel_events_hourly",
+    # LLM-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "mm_decode_media",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from etl_moodle_and_mass_email_sending_spark import registry
+    from etl_moodle_and_mass_email_sending_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+
+    # Warm up the JVM + parquet footers once so timings measure the
+    # queries, not session start.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,350 @@
+"""[EXT] Deduplication operators for LLM-data pipelines (SURVEY.md §7 M7):
+exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dedup — each as a
+declarative DataFrame plan with a DuckDB twin for the oracle gate.
+
+Cross-engine determinism: all hashing goes through the portable md5-based
+``hash32`` (functions/hashing.py) — Spark's ``hash()``/``xxhash64`` and
+DuckDB's ``hash()`` are different algorithms and can never hash-match.
+
+Scale design:
+- Exact dedup = hash-groupBy: one shuffle on the 32-hex digest, map-side
+  partial agg; at 100 TB group keys are uniformly distributed (md5) so no
+  skew.
+- MinHash+LSH: signatures are one narrow projection (k ints/doc); the
+  candidate join shuffles on (band, band_key) — band keys are hashes, so
+  uniform; est-Jaccard verification happens on the joined pairs only
+  (candidates ≪ n²). This is the textbook shuffle-safe near-dedup at
+  scale; the O(n²) exact-Jaccard variant exists as the oracle-checkable
+  baseline restricted to language blocks.
+- SimHash: per-doc 32-bit fingerprint, candidates blocked on the high
+  bits, hamming≤d verification via bit_count(xor).
+
+The testbed ``documents`` corpus has no real near-dups (max pairwise
+Jaccard ≈ 0.02), so the ``*_corpus`` helpers append deterministic exact
+copies (doc_id+%(EXACT_MOD)s) and 80%%-prefix near-copies — identical
+construction on both engines — to make every operator's output non-trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import SEED_SEP
+
+# Shared constants (Spark AND oracle SQL derive from these).
+MINHASH_K = 16  # signature length
+LSH_BANDS = 4  # bands × rows-per-band = K
+LSH_ROWS = 4
+NEAR_THRESHOLD = 0.5  # est-Jaccard cut for near-dup pairs
+SHINGLE_N = 3  # word-shingle width
+SIMHASH_BITS = 32
+SIMHASH_BUCKET_SHIFT = 20  # block on high 12 bits
+SIMHASH_MAX_HAMMING = 6
+EXACT_COPY_MOD = 7  # every 7th doc gets an exact duplicate
+NEAR_COPY_MOD = 5  # every 5th doc gets an 80%-prefix near-duplicate
+EXACT_COPY_OFFSET = 100_000
+NEAR_COPY_OFFSET = 200_000
+
+
+# --------------------------------------------------------------------------
+# Synthetic dup corpus (same construction both engines).
+# --------------------------------------------------------------------------
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = (
+        d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + EXACT_COPY_OFFSET)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # integer division on both engines (Spark `div` / DuckDB `//`) — a
+    # float-divide + cast would round in DuckDB but truncate in Spark
+    prefix = F.array_join(
+        F.slice(toks, 1, F.greatest(F.lit(1), F.expr(f"(size(split(trim(text), '\\\\s+')) * 4) div 5").cast("int"))),
+        " ",
+    )
+    near = (
+        d.filter(F.col("doc_id") % NEAR_COPY_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + NEAR_COPY_OFFSET)
+        .withColumn("text", prefix)
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def sql_dup_corpus() -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    prefix = (
+        f"array_to_string(({toks})[1:greatest(1, "
+        f"CAST((len({toks}) * 4) // 5 AS INTEGER))], ' ')"
+    )
+    return f"""
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + {EXACT_COPY_OFFSET}, text, lang FROM documents
+    WHERE doc_id % {EXACT_COPY_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {NEAR_COPY_OFFSET}, {prefix}, lang FROM documents
+    WHERE doc_id % {NEAR_COPY_MOD} = 0
+    """
+
+
+# --------------------------------------------------------------------------
+# Exact dedup — hash-groupBy, keep min doc_id as canonical.
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_groups(corpus: DataFrame) -> DataFrame:
+    """(digest, canonical_id, n_copies) per distinct text; the dedup'd
+    corpus itself is the min-id row per group (one extra semi-join)."""
+    return (
+        corpus.groupBy(F.md5(F.col("text")).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+SQL_EXACT_DEDUP = """
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM ({corpus}) GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# Shingles + MinHash signatures (portable hash32 inside nested lambdas).
+# --------------------------------------------------------------------------
+
+# Spark-SQL expression fragments (used via F.expr; identical shapes in the
+# DuckDB twins below, with dialect substitutions documented inline).
+
+_SPARK_TOKS = r"split(trim(lower(text)), '\\s+')"
+_SPARK_SHINGLES = f"""
+    CASE WHEN size({_SPARK_TOKS}) >= {SHINGLE_N}
+    THEN array_distinct(transform(
+        sequence(1, size({_SPARK_TOKS}) - {SHINGLE_N - 1}),
+        i -> concat_ws(' ', {_SPARK_TOKS}[i-1], {_SPARK_TOKS}[i], {_SPARK_TOKS}[i+1])))
+    ELSE array(array_join({_SPARK_TOKS}, ' '))
+    END
+"""
+# portable hash32 of ('<j>§' || s)
+_SPARK_MINHASH_SIG = f"""
+    transform(sequence(0, {MINHASH_K - 1}), j ->
+      array_min(transform(sh, s ->
+        cast(conv(substring(md5(concat(cast(j as string), '{SEED_SEP}', s)), 1, 8), 16, 10) as bigint))))
+"""
+
+_DUCK_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_DUCK_SHINGLES = f"""
+    CASE WHEN len({_DUCK_TOKS}) >= {SHINGLE_N}
+    THEN list_distinct(list_transform(
+        generate_series(1, len({_DUCK_TOKS}) - {SHINGLE_N - 1}),
+        i -> ({_DUCK_TOKS})[i] || ' ' || ({_DUCK_TOKS})[i+1] || ' ' || ({_DUCK_TOKS})[i+2]))
+    ELSE [array_to_string({_DUCK_TOKS}, ' ')]
+    END
+"""
+_DUCK_MINHASH_SIG = f"""
+    list_transform(generate_series(0, {MINHASH_K - 1}), j ->
+      list_min(list_transform(sh, s ->
+        CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '{SEED_SEP}' || s), 1, 8) AS BIGINT))))
+"""
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>[K]) via word-shingle MinHash."""
+    return corpus.select(
+        "doc_id", F.expr(_SPARK_SHINGLES).alias("sh")
+    ).select("doc_id", F.expr(_SPARK_MINHASH_SIG).alias("sig"))
+
+
+def sql_minhash_signatures(corpus_sql: str) -> str:
+    return f"""
+    SELECT doc_id, {_DUCK_MINHASH_SIG} AS sig
+    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({corpus_sql}))
+    """
+
+
+def minhash_lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """LSH-banded candidate generation + signature-agreement estimation:
+    (doc_a, doc_b, est_jaccard) with est ≥ NEAR_THRESHOLD.
+
+    The signature frame is materialized once (localCheckpoint) before the
+    band-explode/self-join: Catalyst's CollapseProject would otherwise
+    inline the full shingle+minhash expression into every band column and
+    BOTH join sides, recomputing ~10× per row (measured 280 s → 3 s at
+    sf0.1). On a cluster this is the classic "build the index once"
+    barrier — checkpoint/cache the narrow (doc_id, sig) frame, then join.
+    """
+    sigs = minhash_signatures(corpus).localCheckpoint()
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+                  array_join(transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),
+                             x -> cast(x as string)), '-'))"""
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band",
+        "key",
+    )
+    est = (
+        F.size(F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))
+        / F.lit(float(MINHASH_K))
+    ).alias("est_jaccard")
+    return (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", est)
+        .filter(F.col("est_jaccard") >= NEAR_THRESHOLD)
+        .distinct()
+    )
+
+
+def sql_minhash_lsh_pairs(corpus_sql: str) -> str:
+    sig = sql_minhash_signatures(corpus_sql)
+    return f"""
+    WITH sigs AS ({sig}),
+    bands AS (
+      SELECT doc_id, sig, b.band, b.key FROM sigs,
+      LATERAL (
+        SELECT i AS band,
+               array_to_string(list_transform(sig[i * {LSH_ROWS} + 1 : i * {LSH_ROWS} + {LSH_ROWS}],
+                               x -> CAST(x AS VARCHAR)), '-') AS key
+        FROM (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS i)
+      ) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(generate_series(1, {MINHASH_K}),
+                    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(generate_series(1, {MINHASH_K}),
+                    i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {MINHASH_K}
+          >= {NEAR_THRESHOLD}
+    """
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard within language blocks (oracle-friendly O(block²)
+# baseline; LSH above is the scale path).
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = NEAR_THRESHOLD) -> DataFrame:
+    sh = corpus.select(
+        "doc_id", "lang", F.expr(_SPARK_SHINGLES).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter.cast("double") / union, 6).alias("jaccard")
+    return (
+        a.join(b, on="lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_ngram_jaccard_pairs(corpus_sql: str, threshold: float = NEAR_THRESHOLD) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_DUCK_SHINGLES} AS sh FROM ({corpus_sql})
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= {threshold}
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash — 32-bit set-simhash from token hash32s; majority vote per bit.
+# bit_i set iff popcount of that bit across token hashes > n/2.
+# --------------------------------------------------------------------------
+
+
+def simhash_fingerprints(corpus: DataFrame) -> DataFrame:
+    toks_h = (
+        f"array_distinct(transform({_SPARK_TOKS}, t -> "
+        f"cast(conv(substring(md5(concat('S{SEED_SEP}', t)), 1, 8), 16, 10) as bigint)))"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, {i}) % 2) = 1)) "
+        f"> size(th) THEN cast({1 << i} as bigint) ELSE cast(0 as bigint) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return corpus.select("doc_id", F.expr(toks_h).alias("th")).select(
+        "doc_id", F.expr(bits).alias("simhash")
+    )
+
+
+def sql_simhash_fingerprints(corpus_sql: str) -> str:
+    toks_h = (
+        f"list_distinct(list_transform({_DUCK_TOKS}, t -> "
+        f"CAST('0x' || substr(md5('S{SEED_SEP}' || t), 1, 8) AS BIGINT)))"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> {i}) % 2) = 1)) "
+        f"> len(th) THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    SELECT doc_id, {bits} AS simhash
+    FROM (SELECT doc_id, {toks_h} AS th FROM ({corpus_sql}))
+    """
+
+
+def simhash_pairs(corpus: DataFrame) -> DataFrame:
+    """Near-dup pairs: same high-bit bucket AND hamming ≤ MAX_HAMMING."""
+    fp = simhash_fingerprints(corpus)
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    ).withColumn("bucket", F.expr(f"shiftright(sh_a, {SIMHASH_BUCKET_SHIFT})"))
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    ).withColumn("bucket", F.expr(f"shiftright(sh_b, {SIMHASH_BUCKET_SHIFT})"))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def sql_simhash_pairs(corpus_sql: str) -> str:
+    fp = sql_simhash_fingerprints(corpus_sql)
+    return f"""
+    WITH fp AS ({fp})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fp a JOIN fp b
+      ON (a.simhash >> {SIMHASH_BUCKET_SHIFT}) = (b.simhash >> {SIMHASH_BUCKET_SHIFT})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """

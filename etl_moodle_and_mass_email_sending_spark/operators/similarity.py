@@ -1,0 +1,227 @@
+"""[EXT] Similarity search over embedding columns (SURVEY.md §7 M7):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the scale path.
+
+Numeric parity: cosine is computed with the SAME formula shape on both
+engines — dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) over float→double
+casts, then rounded to 6 places before ranking (both engines fold the
+array sequentially, so the raw doubles already agree; rounding removes
+any residual last-ulp risk). Ties rank by vec_id.
+
+Scale design:
+- Brute force is O(Q·N): fine when Q (the query batch) is small —
+  broadcast the Q side, never the corpus. The corpus scan stays
+  partition-parallel with no shuffle.
+- LSH: H random-hyperplane sign bits → 2^H buckets; candidates only
+  within a bucket → O(Q·N/2^H) expected. Hyperplane coefficients are
+  derived from the portable hash32 (deterministic, no stored model),
+  identical in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import SEED_SEP
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 form the query batch
+LSH_PLANES = 8  # sign bits → 256 buckets
+DIM = 64
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+
+
+def _spark_cosine(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+        "label",
+    )
+
+
+_DUCK_VECTORS = "SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings"
+
+
+def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-K neighbors for each query vector (vec_id < N_QUERIES),
+    self-match excluded."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_topk_bruteforce() -> str:
+    cos = _duck_cosine("q.vec", "v.vec")
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec FROM v WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, v.vec_id, {cos} AS cosine
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH buckets: plane p coefficient for dim d =
+# hash32('p·§·d') mapped to [-1, 1); bucket = sign-bit string.
+# --------------------------------------------------------------------------
+
+
+def _spark_bucket(vec: str) -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        coef = (
+            f"transform(sequence(0, {DIM - 1}), d -> "
+            f"(cast(conv(substring(md5(concat('{p}{SEED_SEP}', cast(d as string))), 1, 8), 16, 10) as bigint) % 2000 - 1000) / 1000.0)"
+        )
+        proj = _DOT.format(a=vec, b=coef)
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _duck_bucket(vec: str) -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        coef = (
+            f"list_transform(generate_series(0, {DIM - 1}), d -> "
+            f"(CAST('0x' || substr(md5('{p}{SEED_SEP}' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2000 - 1000) / 1000.0)"
+        )
+        proj = f"list_dot_product({vec}, {coef})"
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)")
+    return "(" + " || ".join(bits) + ")"
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) for every vector — the LSH index itself."""
+    v = _vectors(spark, sf_dir)
+    return v.select("vec_id", F.expr(_spark_bucket("vec")).alias("bucket"))
+
+
+def sql_ann_lsh_buckets() -> str:
+    return f"""
+    SELECT vec_id, {_duck_bucket('vec')} AS bucket FROM ({_DUCK_VECTORS})
+    """
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-K: exact cosine ranking restricted to the query's
+    LSH bucket."""
+    v = _vectors(spark, sf_dir)
+    bucketed = v.withColumn("bucket", F.expr(_spark_bucket("vec")))
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        "bucket",
+    )
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        bucketed.join(F.broadcast(q), on="bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_ann_lsh_topk() -> str:
+    cos = _duck_cosine("q.vec", "v.vec")
+    return f"""
+    WITH v AS (SELECT vec_id, vec, {_duck_bucket('vec')} AS bucket
+               FROM ({_DUCK_VECTORS})),
+    q AS (SELECT vec_id AS query_id, vec, bucket FROM v
+          WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, v.vec_id, {cos} AS cosine
+      FROM v JOIN q ON v.bucket = q.bucket WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs within a label block with cosine ≥
+    0.99 over a corpus extended with exact/scaled copies (the raw random
+    testbed vectors have no near-dups)."""
+    v = _vectors(spark, sf_dir)
+    copies = (
+        v.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr("transform(vec, x -> x * 2.0)").alias("vec"),
+            "label",
+        )
+    )
+    allv = v.unionByName(copies)
+    a = allv.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "label"
+    )
+    b = allv.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "label"
+    )
+    cos = F.expr(_spark_cosine("va", "vb")).alias("cosine")
+    return (
+        a.join(b, on="label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos)
+        .filter(F.col("cosine") >= 0.99)
+    )
+
+
+def sql_embedding_near_dup_pairs() -> str:
+    cos = _duck_cosine("a.vec", "b.vec")
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    allv AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(vec, x -> x * 2.0), label
+      FROM base WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+    FROM allv a JOIN allv b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= 0.99
+    """

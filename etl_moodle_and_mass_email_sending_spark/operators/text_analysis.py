@@ -1,0 +1,180 @@
+"""[EXT] Text analysis for LLM-data pipelines (SURVEY.md §7 M7):
+language-ID (stopword-hit heuristic), quality scoring, token statistics,
+and document fingerprinting (min-k hash sketch) — all pure column
+expressions (codegen'd, scan-rate) with DuckDB twins.
+
+Why column expressions and not a Python UDF: these run over every document
+of a 100 TB corpus; a row-at-a-time UDF would cap throughput at Python
+speed. The regex/array built-ins below stay JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import SEED_SEP
+
+# Tiny built-in stopword lists (shared constants for both engines).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "with", "on"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+}
+PUNCT_CLASS = r"[.,;:!?]"  # explicit class — Java and RE2 agree on it
+FINGERPRINT_K = 4
+
+_SPARK_TOKS = r"split(trim(lower(text)), '\\s+')"
+_DUCK_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def _spark_hits(lang: str) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+    return f"size(filter({_SPARK_TOKS}, t -> array_contains({arr}, t)))"
+
+
+def _duck_hits(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+    return f"len(list_filter({_DUCK_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_N_TOKS_SPARK = f"CASE WHEN trim(text) = '' THEN 0 ELSE size({_SPARK_TOKS}) END"
+_N_TOKS_DUCK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKS}) END"
+
+
+def token_stats(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_measured, avg_token_len, punct_count)."""
+    n_toks = F.expr(_N_TOKS_SPARK)
+    punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), PUNCT_CLASS, "")
+    )
+    return corpus.select(
+        "doc_id",
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        F.round(
+            F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
+            .cast("double")
+            / F.greatest(n_toks, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        punct.cast("bigint").alias("punct_count"),
+    )
+
+
+def sql_token_stats(corpus_sql: str) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST({_N_TOKS_DUCK} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           round(CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS DOUBLE)
+                 / greatest({_N_TOKS_DUCK}, 1), 6) AS avg_token_len,
+           CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)
+             AS punct_count
+    FROM ({corpus_sql})
+    """
+
+
+def lang_id(corpus: DataFrame) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-break en > es > de.
+    (Simple n-gram-free heuristic; the point is the columnar plumbing.)"""
+    en, es, de = (F.expr(_spark_hits(lg)) for lg in ("en", "es", "de"))
+    pred = (
+        F.when((en >= es) & (en >= de), F.lit("en"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return corpus.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        en.cast("bigint").alias("hits_en"),
+        es.cast("bigint").alias("hits_es"),
+        de.cast("bigint").alias("hits_de"),
+        pred.alias("lang_pred"),
+    )
+
+
+def sql_lang_id(corpus_sql: str) -> str:
+    en, es, de = (_duck_hits(lg) for lg in ("en", "es", "de"))
+    return f"""
+    SELECT doc_id, lang AS lang_declared,
+           CAST({en} AS BIGINT) AS hits_en,
+           CAST({es} AS BIGINT) AS hits_es,
+           CAST({de} AS BIGINT) AS hits_de,
+           CASE WHEN {en} >= {es} AND {en} >= {de} THEN 'en'
+                WHEN {es} >= {de} THEN 'es' ELSE 'de' END AS lang_pred
+    FROM ({corpus_sql})
+    """
+
+
+def quality_score(corpus: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    punctuation sanity (weights are shared constants)."""
+    n_toks = F.expr(_N_TOKS_SPARK)
+    hits = F.expr(_spark_hits("en"))
+    punct_ratio = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    len_ok = (n_toks >= 10) & (n_toks <= 1000)
+    stop_ratio = hits.cast("double") / F.greatest(n_toks, F.lit(1))
+    score = F.round(
+        F.when(len_ok, 0.4).otherwise(0.0)
+        + F.least(stop_ratio * 4, F.lit(0.4))
+        + F.when(punct_ratio <= 0.1, 0.2).otherwise(0.0),
+        6,
+    )
+    return corpus.select(
+        "doc_id",
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def sql_quality_score(corpus_sql: str) -> str:
+    hits = _duck_hits("en")
+    punct_ratio = (
+        f"CAST(length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS DOUBLE)"
+        f" / greatest(length(text), 1)"
+    )
+    stop_ratio = f"CAST({hits} AS DOUBLE) / greatest({_N_TOKS_DUCK}, 1)"
+    return f"""
+    SELECT doc_id,
+           CAST({_N_TOKS_DUCK} AS BIGINT) AS n_tokens,
+           round({stop_ratio}, 6) AS stopword_ratio,
+           round({punct_ratio}, 6) AS punct_ratio,
+           round((CASE WHEN {_N_TOKS_DUCK} BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END)
+                 + least({stop_ratio} * 4, 0.4)
+                 + (CASE WHEN {punct_ratio} <= 0.1 THEN 0.2 ELSE 0.0 END), 6) AS quality
+    FROM ({corpus_sql})
+    """
+
+
+def fingerprints(corpus: DataFrame) -> DataFrame:
+    """Min-k document sketch: the K smallest portable token hashes, joined
+    into one string key — a compact containment fingerprint (winnowing
+    lite). Identical docs → identical fingerprints."""
+    toks_h = (
+        f"array_sort(array_distinct(transform({_SPARK_TOKS}, t -> "
+        f"cast(conv(substring(md5(concat('F{SEED_SEP}', t)), 1, 8), 16, 10) as bigint))))"
+    )
+    fp = (
+        f"array_join(transform(slice({toks_h}, 1, {FINGERPRINT_K}), "
+        f"x -> cast(x as string)), '-')"
+    )
+    return corpus.select("doc_id", F.expr(fp).alias("fingerprint"))
+
+
+def sql_fingerprints(corpus_sql: str) -> str:
+    toks_h = (
+        f"list_sort(list_distinct(list_transform({_DUCK_TOKS}, t -> "
+        f"CAST('0x' || substr(md5('F{SEED_SEP}' || t), 1, 8) AS BIGINT))))"
+    )
+    fp = (
+        f"array_to_string(list_transform(({toks_h})[1:{FINGERPRINT_K}], "
+        f"x -> CAST(x AS VARCHAR)), '-')"
+    )
+    return f"SELECT doc_id, {fp} AS fingerprint FROM ({corpus_sql})"

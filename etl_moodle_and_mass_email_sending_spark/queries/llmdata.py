@@ -1,0 +1,97 @@
+"""[EXT] M7 — LLM-data-pipeline query registrations: dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force and
+LSH-bucketed ANN), text analysis, and multimodal decode."""
+
+from __future__ import annotations
+
+from ..operators import dedup, multimodal, similarity, text_analysis
+from ..registry import register
+
+_CORPUS_SQL = dedup.sql_dup_corpus()
+
+register(
+    "dedup_exact",
+    lambda spark, sf_dir: dedup.exact_dedup_groups(dedup.dup_corpus(spark, sf_dir)),
+    f"""
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM ({_CORPUS_SQL}) GROUP BY md5(text)
+    """,
+)
+
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf_dir: dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir)),
+    dedup.sql_minhash_lsh_pairs(_CORPUS_SQL),
+)
+
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf_dir: dedup.ngram_jaccard_pairs(dedup.dup_corpus(spark, sf_dir)),
+    dedup.sql_ngram_jaccard_pairs(_CORPUS_SQL),
+)
+
+register(
+    "dedup_simhash",
+    lambda spark, sf_dir: dedup.simhash_pairs(dedup.dup_corpus(spark, sf_dir)),
+    dedup.sql_simhash_pairs(_CORPUS_SQL),
+)
+
+register(
+    "sim_topk_bruteforce",
+    similarity.topk_bruteforce,
+    similarity.sql_topk_bruteforce(),
+)
+
+register(
+    "sim_ann_lsh_topk",
+    similarity.ann_lsh_topk,
+    similarity.sql_ann_lsh_topk(),
+)
+
+register(
+    "sim_embedding_near_dup",
+    similarity.embedding_near_dup_pairs,
+    similarity.sql_embedding_near_dup_pairs(),
+)
+
+_DOCS_SQL = "SELECT doc_id, text, lang FROM documents"
+
+
+def _docs(spark, sf_dir):
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+
+register(
+    "text_token_stats",
+    lambda spark, sf_dir: text_analysis.token_stats(_docs(spark, sf_dir)),
+    text_analysis.sql_token_stats(_DOCS_SQL),
+)
+
+register(
+    "text_lang_id",
+    lambda spark, sf_dir: text_analysis.lang_id(_docs(spark, sf_dir)),
+    text_analysis.sql_lang_id(_DOCS_SQL),
+)
+
+register(
+    "text_quality_score",
+    lambda spark, sf_dir: text_analysis.quality_score(_docs(spark, sf_dir)),
+    text_analysis.sql_quality_score(_DOCS_SQL),
+)
+
+register(
+    "text_fingerprint",
+    lambda spark, sf_dir: text_analysis.fingerprints(_docs(spark, sf_dir)),
+    text_analysis.sql_fingerprints(_DOCS_SQL),
+)
+
+register(
+    "mm_decode_media",
+    lambda spark, sf_dir: multimodal.decode_media(
+        multimodal.media_table(spark, sf_dir), engine="fake"
+    ),
+    multimodal.sql_decode_media(),
+)

@@ -1,0 +1,127 @@
+"""Semantic checks for the LLM-data operators (beyond oracle parity):
+known duplicates must actually be found, ANN must agree with brute force
+on identical vectors, stub decode must raise where codecs would plug in."""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMALL
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    groups = dedup.exact_dedup_groups(corpus)
+    dup_groups = groups.filter("n_copies > 1").collect()
+    # every 7th doc got an exact copy → those groups have n_copies == 2
+    assert len(dup_groups) > 0
+    assert all(g["n_copies"] == 2 for g in dup_groups)
+    # canonical id is always the original (min) id
+    assert all(g["canonical_id"] < dedup.EXACT_COPY_OFFSET for g in dup_groups)
+
+
+def test_minhash_catches_exact_and_near_copies(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(corpus).collect()
+    }
+    assert pairs, "no near-dup pairs found"
+    exact = {
+        k: v
+        for k, v in pairs.items()
+        if k[0] < dedup.EXACT_COPY_OFFSET
+        and k[1] == k[0] + dedup.EXACT_COPY_OFFSET
+    }
+    near = {
+        k: v
+        for k, v in pairs.items()
+        if k[0] < dedup.EXACT_COPY_OFFSET
+        and k[1] == k[0] + dedup.NEAR_COPY_OFFSET
+    }
+    assert exact and all(v == 1.0 for v in exact.values())
+    assert near, "80%-prefix copies should collide in at least one band"
+    assert all(v >= dedup.NEAR_THRESHOLD for v in near.values())
+
+
+def test_simhash_hamming_zero_for_exact_copies(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(corpus).collect()
+    }
+    exact = {
+        k: v
+        for k, v in pairs.items()
+        if k[0] < dedup.EXACT_COPY_OFFSET
+        and k[1] == k[0] + dedup.EXACT_COPY_OFFSET
+    }
+    assert exact and all(v == 0 for v in exact.values())
+
+
+def test_ann_matches_bruteforce_within_bucket(spark):
+    """For each query, ANN's top hits are a subset of brute-force ordering
+    restricted to the bucket — and the planted identical vector (if the
+    query has one) is always found by brute force at rank 1 with cos 1."""
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    bf = similarity.topk_bruteforce(spark, SF_SMALL).collect()
+    ann = similarity.ann_lsh_topk(spark, SF_SMALL).collect()
+    assert len(bf) == similarity.N_QUERIES * similarity.TOP_K
+    assert len(ann) > 0
+    bf_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in bf}
+    ann_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in ann}
+    # cosine values agree wherever both report the pair
+    for k in set(bf_cos) & set(ann_cos):
+        assert bf_cos[k] == ann_cos[k]
+
+
+def test_embedding_near_dup_finds_scaled_copies(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    pairs = similarity.embedding_near_dup_pairs(spark, SF_SMALL).collect()
+    planted = [r for r in pairs if r["vec_b"] - r["vec_a"] == 100000]
+    assert planted and all(r["cosine"] == 1.0 for r in planted)
+
+
+def test_multimodal_real_engine_raises(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, SF_SMALL).limit(2)
+    decoded = multimodal.decode_media(media, engine="real")
+    with pytest.raises(Exception, match="NotImplementedError|no media codecs"):
+        decoded.collect()
+
+
+def test_multimodal_fake_decode_types(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import multimodal
+
+    rows = multimodal.decode_media(
+        multimodal.media_table(spark, SF_SMALL)
+    ).collect()
+    assert all(r["payload_len"] == 16 * multimodal.PAYLOAD_REPEAT for r in rows)
+    for r in rows:
+        if r["media_type"] == "image":
+            assert r["width"] is not None and r["duration_ms"] is None
+        elif r["media_type"] == "audio":
+            assert r["width"] is None and r["duration_ms"] is not None
+        else:
+            assert r["n_frames"] is not None
+
+
+def test_lang_id_mostly_english(spark):
+    """Testbed docs are English word salads — the heuristic should call
+    the bulk of them 'en' regardless of the synthetic lang label."""
+    from etl_moodle_and_mass_email_sending_spark.operators import text_analysis
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "lang")
+    out = text_analysis.lang_id(docs).collect()
+    en = sum(1 for r in out if r["lang_pred"] == "en")
+    assert en / len(out) > 0.5
