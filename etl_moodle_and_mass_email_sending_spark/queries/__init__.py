@@ -1,4 +1,4 @@
 """Query-registration modules. Importing this package registers every
 implemented query + oracle pair into :mod:`..registry`."""
 
-from . import llmdata, reference, relational  # noqa: F401
+from . import llmdata, reference, relational, streaming_q  # noqa: F401

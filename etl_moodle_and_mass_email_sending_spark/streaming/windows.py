@@ -1,0 +1,224 @@
+"""Streaming event-time analytics: watermarked windowed aggregation and a
+custom stateful per-user session operator.
+
+[EXT] per SURVEY.md §2.6 (the reference has zero streaming constructs —
+its send loop is a batch loop on a worker thread, app.py:1015–1033). These
+give the engine the standard streaming-OLAP surface over the ``events``
+table: tumbling-window rollups that tolerate late data, and
+``applyInPandasWithState`` sessionization for semantics windows can't
+express.
+
+Scale design: windowed agg state is (window × event_type) — small and
+watermark-bounded; sessionization state is per-user and timeout-evicted.
+Both shuffle once on their grouping key; partial aggregation happens
+map-side before the shuffle for the windowed count/sum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_event_counts",
+    "sessionize",
+    "run_to_memory_sink",
+]
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """The events parquet replayed as a stream (schema from a batch peek —
+    streaming readers need one up front). Applies the same
+    nanos→timestamp conversion as :func:`..catalog.load_table`.
+
+    The streaming file source requires a *directory*; the testbed ships a
+    single ``events.parquet`` file, so it is staged behind a symlink dir
+    (a real deployment's event log is already a directory of files).
+    """
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        stage = staging_dir or tempfile.mkdtemp(prefix="events_stream_")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window × event_type → count + value sum.
+
+    Watermark bounds state: windows older than (max event time − delay)
+    finalize and evict; later-arriving rows for them drop. The batch twin
+    is queries.relational ``rel_events_hourly`` (date_trunc) — same
+    logical rollup, incremental execution.
+    """
+    w = events.withWatermark("ts", watermark_delay)
+    return w.groupBy(
+        F.window("ts", window_duration).alias("win"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-user gap-based sessionization via ``applyInPandasWithState``
+    (the custom-stateful-operator path of the build brief): events closer
+    than ``gap_seconds`` chain into one session; a closed session emits
+    (user, start, end, n_events, sum_value).
+
+    State per user is four scalars; eviction by event-time timeout =
+    watermark passing the open session's end + gap.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        # state in integer MICROseconds — events carry micro precision and
+        # the batch oracle compares exact timestamps
+        ts_us = (rows["ts"].astype("int64") // 1_000).tolist()
+        vals = rows["value"].fillna(0.0).tolist()
+        if state.exists:
+            start_us, end_us, n, total = state.get
+        else:
+            start_us, end_us, n, total = ts_us[0], ts_us[0], 0, 0.0
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in zip(ts_us, vals):
+            if t - end_us > gap_us and n > 0:
+                closed.append((start_us, end_us, n, total))
+                start_us, n, total = t, 0, 0.0
+            end_us = max(end_us, t)
+            n += 1
+            total += v
+        state.update((start_us, end_us, n, total))
+        # GroupState timeout granularity is milliseconds
+        state.setTimeoutTimestamp((end_us + gap_us) // 1_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="us") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="us") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain a bounded stream (availableNow) into a memory sink and return
+    the collected table — the test/verification harness for streaming
+    plans."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

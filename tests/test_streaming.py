@@ -1,0 +1,191 @@
+"""M6 streaming tests: file-drop send stream (dedup + ledger idempotence),
+watermarked windowed aggregation vs a batch/DuckDB twin, and stateful
+sessionization vs a batch gaps-and-islands oracle."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _write_roster(path: str, header: list[str], rows: list[list[str]]) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(",".join(header) + "\n")
+        for r in rows:
+            f.write(",".join(r) + "\n")
+
+
+@pytest.fixture()
+def roster_dirs(tmp_path):
+    roster = tmp_path / "roster"
+    work = tmp_path / "work"
+    roster.mkdir()
+    work.mkdir()
+    return str(roster), str(work)
+
+
+class TestSendStream:
+    def test_drain_mixed_variants_and_dedup(self, spark, roster_dirs):
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            send_stream,
+        )
+
+        roster, work = roster_dirs
+        # variant "old" file + variant "moodle" file, with one duplicate
+        # email across the two drops
+        _write_roster(
+            os.path.join(roster, "a.csv"),
+            ["email", "nombre", "usuario", "contrasena"],
+            [
+                ["ana@example.com", "Ana Soto", "asoto", "pw1"],
+                ["ben@example.com", "Ben Diaz", "bdiaz", "pw2"],
+            ],
+        )
+        _write_roster(
+            os.path.join(roster, "b.csv"),
+            ["email", "username", "password", "firstname", "lastname"],
+            [
+                ["ana@example.com", "asoto", "pw1", "Ana", "Soto"],  # dup
+                ["cai@example.com", "cwu", "pw3", "Cai", "Wu"],
+            ],
+        )
+        receipts = send_stream.run_send_stream_once(spark, roster, work)
+        got = {
+            r.email: r.status for r in receipts.collect()
+        }
+        assert got == {
+            "ana@example.com": "SENT",
+            "ben@example.com": "SENT",
+            "cai@example.com": "SENT",
+        }
+        # exactly one receipt per email despite the duplicate drop
+        assert receipts.count() == 3
+
+    def test_ledger_makes_rerun_effectively_once(self, spark, roster_dirs):
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            send_stream,
+        )
+
+        roster, work = roster_dirs
+        _write_roster(
+            os.path.join(roster, "a.csv"),
+            ["email", "nombre", "usuario", "contrasena"],
+            [["ana@example.com", "Ana", "ana", "pw"]],
+        )
+        r1 = send_stream.run_send_stream_once(spark, roster, work)
+        assert r1.count() == 1
+        # second drop: one new recipient + the already-sent one, and a
+        # FRESH checkpoint (simulating loss of streaming state) — the
+        # durable receipt ledger must still prevent the resend
+        _write_roster(
+            os.path.join(roster, "b.csv"),
+            ["email", "nombre", "usuario", "contrasena"],
+            [
+                ["ana@example.com", "Ana", "ana", "pw"],
+                ["ben@example.com", "Ben", "ben", "pw"],
+            ],
+        )
+        import shutil
+
+        shutil.rmtree(os.path.join(work, "checkpoint"))
+        r2 = send_stream.run_send_stream_once(spark, roster, work)
+        by_email = [r for r in r2.collect() if r.email == "ana@example.com"]
+        assert len(by_email) == 1  # no duplicate send for ana
+        assert r2.count() == 2
+
+    def test_failed_rows_get_retry_receipts(self, spark, roster_dirs):
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            send_stream,
+        )
+
+        roster, work = roster_dirs
+        _write_roster(
+            os.path.join(roster, "a.csv"),
+            ["email", "nombre", "usuario", "contrasena"],
+            [
+                ["ok@example.com", "Ok", "ok", "pw"],
+                ["bad@example.com", "Bad", "bad", "pw"],
+            ],
+        )
+        receipts = send_stream.run_send_stream_once(
+            spark, roster, work, fail_spec={"bad@example.com": -1}
+        )
+        rows = {r.email: r for r in receipts.collect()}
+        assert rows["bad@example.com"].status == "FAILED"
+        assert rows["bad@example.com"].attempts == 3
+        assert rows["ok@example.com"].status == "SENT"
+
+
+class TestWindowedCounts:
+    def test_matches_batch_rollup(self, spark, tmp_path, duck):
+        from etl_moodle_and_mass_email_sending_spark.streaming import windows
+
+        ev = windows.stream_events(spark, SF_SMALL, max_files_per_trigger=1)
+        agg = windows.windowed_event_counts(ev, "1 hour", "2 hours")
+        got = windows.run_to_memory_sink(
+            agg, "win_counts", str(tmp_path / "ck")
+        )
+        oracle = duck.execute(
+            """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+            """
+        ).fetchall()
+        want = {
+            (str(r[0]), r[1]): (r[2], r[3]) for r in oracle
+        }
+        rows = got.collect()
+        # availableNow + watermark: every window closed by the final
+        # watermark is emitted; with a single input file all windows except
+        # possibly the tail 2h are final. Check emitted ⊆ oracle, and
+        # coverage is near-total.
+        for r in rows:
+            key = (str(r.window_start), r.event_type)
+            assert key in want, key
+            assert (r.n_events, round(r.sum_value, 6)) == (
+                want[key][0],
+                round(want[key][1], 6),
+            )
+        assert len(rows) >= 0.9 * len(want)
+
+    def test_sessionize_matches_gaps_and_islands(self, spark, tmp_path, duck):
+        from etl_moodle_and_mass_email_sending_spark.streaming import windows
+
+        ev = windows.stream_events(spark, SF_SMALL)
+        sessions = windows.sessionize(ev, gap_seconds=1800)
+        got = windows.run_to_memory_sink(
+            sessions, "sessions", str(tmp_path / "ck2")
+        )
+        oracle = duck.execute(
+            """
+            WITH marked AS (
+              SELECT user_id, ts, coalesce(value, 0) AS value,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), grp AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS g
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM grp GROUP BY user_id, g
+            """
+        ).fetchall()
+        want = {
+            (r[0], str(r[1])): (str(r[2]), r[3], round(r[4], 6))
+            for r in oracle
+        }
+        rows = got.collect()
+        assert rows, "no sessions emitted"
+        for r in rows:
+            key = (r.user_id, str(r.session_start))
+            assert key in want, key
+            end, n, total = want[key]
+            assert str(r.session_end) == end
+            assert r.n_events == n
+            assert round(r.sum_value, 6) == total
