@@ -131,11 +131,50 @@ _SPARK_SHINGLES = f"""
     ELSE array(array_join({_SPARK_TOKS}, ' '))
     END
 """
-# portable hash32 of ('<j>§' || s)
+# Universal-hash MinHash: ONE portable md5 per shingle, then K affine
+# transforms h_j(x) = (a_j·x + b_j) mod p. The naive alternative — K
+# md5 calls per shingle — measured 151 s at sf0.1 vs ~10 s for this form;
+# at 100 TB the md5 count is the dominant CPU term, so it must be 1/shingle.
+# Bounds: x < 2^32, a_j,b_j < 2^31 ⇒ a·x+b < 2^63−1 (no bigint overflow
+# under Spark ANSI mode); DuckDB twin computes in HUGEINT and casts back.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _mh_params() -> list[tuple[int, int]]:
+    return [
+        (
+            ((2654435761 * (j + 1)) % 2147483647) | 1,
+            (1013904223 * (j + 1) + 12345) % 2147483647,
+        )
+        for j in range(MINHASH_K)
+    ]
+
+
+# Each pipeline stage is bound through a 1-element transform() lambda —
+# `transform(array(X), v -> body)[0]` — so the stage is evaluated exactly
+# once even after Catalyst CollapseProject merges the projections (without
+# the binding, sh_h's md5 pass inlines into all K array_min calls).
+_SPARK_SHINGLES_OF_TK = f"""
+    CASE WHEN size(tk) >= {SHINGLE_N}
+    THEN array_distinct(transform(
+        sequence(1, size(tk) - {SHINGLE_N - 1}),
+        i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1])))
+    ELSE array(array_join(tk, ' '))
+    END
+"""
+_SPARK_MINS = ", ".join(
+    f"array_min(transform(sh_h, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    for a, b in _mh_params()
+)
 _SPARK_MINHASH_SIG = f"""
-    transform(sequence(0, {MINHASH_K - 1}), j ->
-      array_min(transform(sh, s ->
-        cast(conv(substring(md5(concat(cast(j as string), '{SEED_SEP}', s)), 1, 8), 16, 10) as bigint))))
+    transform(array(split(trim(lower(text)), '\\\\s+')), tk ->
+      transform(array({_SPARK_SHINGLES_OF_TK}), sh ->
+        transform(array(transform(sh, s ->
+            cast(conv(substring(md5(concat('M{SEED_SEP}', s)), 1, 8), 16, 10) as bigint))),
+          sh_h -> array({_SPARK_MINS})
+        )[0]
+      )[0]
+    )[0]
 """
 
 _DUCK_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -147,24 +186,31 @@ _DUCK_SHINGLES = f"""
     ELSE [array_to_string({_DUCK_TOKS}, ' ')]
     END
 """
-_DUCK_MINHASH_SIG = f"""
-    list_transform(generate_series(0, {MINHASH_K - 1}), j ->
-      list_min(list_transform(sh, s ->
-        CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '{SEED_SEP}' || s), 1, 8) AS BIGINT))))
+_DUCK_SHINGLE_HASH = f"""
+    list_transform(sh, s ->
+      CAST('0x' || substr(md5('M{SEED_SEP}' || s), 1, 8) AS BIGINT))
 """
+_DUCK_MINHASH_SIG = (
+    "["
+    + ", ".join(
+        f"CAST(list_min(list_transform(sh_h, h -> "
+        f"(CAST({a} AS HUGEINT) * h + {b}) % {MINHASH_PRIME})) AS BIGINT)"
+        for a, b in _mh_params()
+    )
+    + "]"
+)
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, sig: array<bigint>[K]) via word-shingle MinHash."""
-    return corpus.select(
-        "doc_id", F.expr(_SPARK_SHINGLES).alias("sh")
-    ).select("doc_id", F.expr(_SPARK_MINHASH_SIG).alias("sig"))
+    return corpus.select("doc_id", F.expr(_SPARK_MINHASH_SIG).alias("sig"))
 
 
 def sql_minhash_signatures(corpus_sql: str) -> str:
     return f"""
     SELECT doc_id, {_DUCK_MINHASH_SIG} AS sig
-    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({corpus_sql}))
+    FROM (SELECT doc_id, {_DUCK_SHINGLE_HASH} AS sh_h
+          FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({corpus_sql})))
     """
 
 
