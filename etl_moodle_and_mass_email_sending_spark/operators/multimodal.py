@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -114,6 +116,191 @@ def _decode_batches(engine: str):
 def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
     """Arrow-batched decode of the payload column → typed metadata."""
     return media.mapInPandas(_decode_batches(engine), DECODED_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Feature extraction — fixed-width numeric vector per payload.
+# --------------------------------------------------------------------------
+
+N_FEATURES = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, engine: str = "fake") -> DataFrame:
+    """Arrow-batched feature extraction: payload → fixed-width
+    ``array<double>`` (the embedding-ish representation a downstream
+    similarity join consumes). The fake engine averages 16-byte strides —
+    where a real extractor (CLIP / mel-spectrogram pooling / frame CNN)
+    would plug in with the SAME schema, so downstream plans don't change.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if engine == "real":
+                    raise NotImplementedError(
+                        "no media models in this environment; plug the "
+                        "real extractor here, keep FEATURES_SCHEMA"
+                    )
+                b = bytes(row.payload)
+                stride = max(1, len(b) // N_FEATURES)
+                feats = [
+                    round(
+                        sum(b[i * stride : (i + 1) * stride])
+                        / float(stride),
+                        6,
+                    )
+                    for i in range(N_FEATURES)
+                ]
+                out.append((int(row.doc_id), row.media_type, feats))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FEATURES_SCHEMA]
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sql_extract_features() -> str:
+    """Oracle twin: same strided byte-average over the hex payload."""
+    stride = PAYLOAD_REPEAT * 16 // N_FEATURES  # bytes per stride
+    feats = ", ".join(
+        f"""round(list_sum(list_transform(generate_series(1, {stride}),
+              b -> CAST('0x' || substr(payload_hex, {i * stride * 2} + (b - 1) * 2 + 1, 2) AS INTEGER)))
+            / {float(stride)}, 6)"""
+        for i in range(N_FEATURES)
+    )
+    return f"""
+    SELECT doc_id, media_type, [{feats}] AS features
+    FROM ({SQL_MEDIA_TABLE})
+    """
+
+
+# --------------------------------------------------------------------------
+# Resize — payload→payload transform keeping the binary plumbing real.
+# --------------------------------------------------------------------------
+
+RESIZE_W, RESIZE_H = 64, 64
+RESIZE_REPEAT = 4  # fake resized payload = 4 × 16 md5 bytes
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload_hex", StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H,
+    engine: str = "fake",
+) -> DataFrame:
+    """Image rows → resized payloads (fake: md5 of hex payload + target
+    geometry, repeated — deterministic bytes standing in for the resampled
+    pixel buffer; a real engine calls Pillow here). Output payload is
+    returned hex-encoded so the oracle can hash-compare values."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "image":
+                    continue
+                if engine == "real":
+                    raise NotImplementedError(
+                        "plug Pillow resize here, keep RESIZED_SCHEMA"
+                    )
+                hexstr = bytes(row.payload).hex()
+                digest = hashlib.md5(
+                    f"{hexstr}_{width}x{height}".encode()
+                ).hexdigest()
+                out.append(
+                    (int(row.doc_id), width, height, digest * RESIZE_REPEAT)
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sql_resize_images(width: int = RESIZE_W, height: int = RESIZE_H) -> str:
+    return f"""
+    SELECT doc_id, {width} AS width, {height} AS height,
+           repeat(md5(payload_hex || '_{width}x{height}'), {RESIZE_REPEAT})
+             AS payload_hex
+    FROM ({SQL_MEDIA_TABLE}) WHERE media_type = 'image'
+    """
+
+
+# --------------------------------------------------------------------------
+# Frame sampling — one input video row fans out to N frame rows.
+# --------------------------------------------------------------------------
+
+FRAME_BYTES = 16
+MAX_FRAMES = 4
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_hex", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 1, max_frames: int = MAX_FRAMES,
+    engine: str = "fake",
+) -> DataFrame:
+    """Video rows → sampled frame rows (a mapInPandas fan-out: one input
+    row yields several output rows — the Spark shape of ffmpeg frame
+    extraction). Fake frames are FRAME_BYTES-wide payload slices; a real
+    engine decodes with pyav here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "video":
+                    continue
+                if engine == "real":
+                    raise NotImplementedError(
+                        "plug pyav frame decode here, keep FRAMES_SCHEMA"
+                    )
+                b = bytes(row.payload)
+                n_slots = len(b) // FRAME_BYTES
+                for k, i in enumerate(range(0, n_slots, every_n)):
+                    if k >= max_frames:
+                        break
+                    frame = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    out.append((int(row.doc_id), i, frame.hex()))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def sql_sample_frames(every_n: int = 1, max_frames: int = MAX_FRAMES) -> str:
+    n_slots = PAYLOAD_REPEAT * 16 // FRAME_BYTES
+    return f"""
+    SELECT m.doc_id,
+           CAST(i AS INTEGER) AS frame_index,
+           substr(m.payload_hex, i * {FRAME_BYTES * 2} + 1, {FRAME_BYTES * 2})
+             AS frame_hex
+    FROM ({SQL_MEDIA_TABLE}) m,
+         LATERAL (SELECT unnest(generate_series(0, {n_slots - 1}, {every_n})) AS i) g
+    WHERE m.media_type = 'video'
+      AND (i / {every_n}) < {max_frames}
+    """
 
 
 def _le16(hexcol: str, byte_off: int) -> str:

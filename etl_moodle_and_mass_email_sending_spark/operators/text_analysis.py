@@ -43,15 +43,32 @@ _N_TOKS_SPARK = f"CASE WHEN trim(text) = '' THEN 0 ELSE size({_SPARK_TOKS}) END"
 _N_TOKS_DUCK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_DUCK_TOKS}) END"
 
 
+# BPE-ish pre-tokenizer (GPT-2-style segmentation, RE2/Java-portable: no
+# lookaheads): a token is an optionally space-prefixed letter run, digit
+# run, or other-symbol run. Counts approximate LLM token budgets far
+# better than whitespace splitting on punctuation-dense text.
+_BPE_RX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def token_stats(corpus: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_chars_measured, avg_token_len, punct_count)."""
+    """(doc_id, n_tokens, n_bpe_tokens, n_chars_measured, avg_token_len,
+    punct_count) — whitespace + BPE-ish token counting."""
     n_toks = F.expr(_N_TOKS_SPARK)
     punct = F.length(F.col("text")) - F.length(
         F.regexp_replace(F.col("text"), PUNCT_CLASS, "")
     )
+    bpe = F.size(
+        # Spark SQL string literals eat single backslashes — double them
+        F.expr(
+            "regexp_extract_all(text, '"
+            + _BPE_RX.replace("\\", "\\\\")
+            + "', 0)"
+        )
+    )
     return corpus.select(
         "doc_id",
         n_toks.cast("bigint").alias("n_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars_measured"),
         F.round(
             F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", ""))
@@ -67,6 +84,8 @@ def sql_token_stats(corpus_sql: str) -> str:
     return f"""
     SELECT doc_id,
            CAST({_N_TOKS_DUCK} AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT)
+             AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_measured,
            round(CAST(length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) AS DOUBLE)
                  / greatest({_N_TOKS_DUCK}, 1), 6) AS avg_token_len,

@@ -95,3 +95,27 @@ register(
     ),
     multimodal.sql_decode_media(),
 )
+
+register(
+    "mm_extract_features",
+    lambda spark, sf_dir: multimodal.extract_features(
+        multimodal.media_table(spark, sf_dir), engine="fake"
+    ),
+    multimodal.sql_extract_features(),
+)
+
+register(
+    "mm_resize_images",
+    lambda spark, sf_dir: multimodal.resize_images(
+        multimodal.media_table(spark, sf_dir), engine="fake"
+    ),
+    multimodal.sql_resize_images(),
+)
+
+register(
+    "mm_sample_frames",
+    lambda spark, sf_dir: multimodal.sample_frames(
+        multimodal.media_table(spark, sf_dir), every_n=2, engine="fake"
+    ),
+    multimodal.sql_sample_frames(every_n=2),
+)
