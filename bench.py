@@ -26,6 +26,7 @@ HEADLINE = [
     "rel_q5_region_revenue",
     "rel_top_orders_per_customer",
     "rel_events_hourly",
+    "rel_sessionize",
     # LLM-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -34,7 +35,9 @@ HEADLINE = [
     "sim_ann_lsh_topk",
     "text_token_stats",
     "text_quality_score",
+    "text_fingerprint",
     "mm_decode_media",
+    "mm_extract_features",
 ]
 
 

@@ -295,3 +295,52 @@ register(
     FROM users
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# P1 — positional header promotion exercised as a driver-gate query: a
+# header-displaced "sheet" (3 junk rows, header at row 3, data from row 4 —
+# reference app.py:236–238) synthesized from customer, pushed through
+# promote_header, so the zipWithIndex promotion path itself is oracle-gated.
+# --------------------------------------------------------------------------
+
+
+def _header_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.excel import promote_header
+
+    c = load_table(spark, sf_dir, "customer")
+    data = c.select(
+        F.col("c_custkey").cast("string").alias("v0"),
+        F.col("c_name").alias("v1"),
+        F.col("c_mktsegment").alias("v2"),
+        (F.row_number().over(Window.orderBy("c_custkey")) + 3).alias("_pos"),
+    )
+    head = spark.createDataFrame(
+        [
+            ("junk a", "junk b", "junk c", 0),
+            ("", None, "x", 1),
+            ("junk", "junk", "junk", 2),
+            ("custkey", "name", "mktsegment", 3),
+        ],
+        schema=data.schema,
+    )
+    raw = (
+        head.unionByName(data)
+        .orderBy("_pos")
+        .coalesce(1)
+        .drop("_pos")
+    )
+    return promote_header(raw, header_row=3, data_start=4)
+
+
+register(
+    "ref_header_promotion",
+    _header_promotion,
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS custkey, c_name AS name,
+           c_mktsegment AS mktsegment
+    FROM customer
+    """,
+)
