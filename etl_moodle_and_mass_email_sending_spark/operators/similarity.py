@@ -182,6 +182,107 @@ def sql_ann_lsh_topk() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer = deterministic seed centroids (the
+# first N_CENTROIDS corpus vectors — a k-means run would produce better
+# centroids but needs iterations; seeding keeps both engines identical),
+# inverted lists = cluster assignment, search = exact cosine within the
+# query's NPROBE closest clusters.
+#
+# Scale: assignment is one broadcast of C centroid vectors against the
+# corpus scan (no shuffle of the big side); the search join shuffles only
+# on cluster id; raising C keeps per-list size ~constant as N grows —
+# the standard IVF recall/cost dial.
+# --------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+NPROBE = 2
+
+
+def _centroids(v: DataFrame) -> DataFrame:
+    return v.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+
+
+def ivf_assign(v: DataFrame, cent: DataFrame, n_best: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_best`` nearest centroids by cosine."""
+    cos = F.expr(_spark_cosine("vec", "cvec")).alias("ccos")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "vec", "cid", cos)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_best)
+        .drop("ccos", "crank")
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: exact top-K restricted to the query's NPROBE inverted
+    lists (query_id, vec_id, cosine, rank)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    cent = _centroids(v)
+    corpus = ivf_assign(v, cent, n_best=1)
+    probes = ivf_assign(
+        v.filter(F.col("vec_id") < N_QUERIES), cent, n_best=NPROBE
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cid"
+    )
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        corpus.join(probes, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim)
+        .distinct()  # a (q, v) pair can meet in two probed lists
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _duck_ivf_assign(src: str, n_best: int) -> str:
+    cos = _duck_cosine("s.vec", "c.cvec")
+    return f"""
+      SELECT vec_id, vec, cid FROM (
+        SELECT s.vec_id, s.vec, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY {cos} DESC, c.cid) AS crank
+        FROM ({src}) s CROSS JOIN cent c
+      ) WHERE crank <= {n_best}
+    """
+
+
+def sql_ivf_topk() -> str:
+    cos = _duck_cosine("q.qvec", "v.vec")
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
+             WHERE vec_id < {N_CENTROIDS}),
+    corpus AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
+    probes AS (
+      SELECT vec_id AS query_id, vec AS qvec, cid FROM (
+        {_duck_ivf_assign(f"SELECT vec_id, vec FROM base WHERE vec_id < {N_QUERIES}", NPROBE)}
+      )
+    ),
+    sims AS (
+      SELECT DISTINCT q.query_id, v.vec_id, {cos} AS cosine
+      FROM corpus v JOIN probes q ON v.cid = q.cid
+      WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs within a label block with cosine ≥
     0.99 over a corpus extended with exact/scaled copies (the raw random

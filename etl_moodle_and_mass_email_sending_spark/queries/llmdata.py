@@ -50,6 +50,12 @@ register(
 )
 
 register(
+    "sim_ivf_topk",
+    similarity.ivf_topk,
+    similarity.sql_ivf_topk(),
+)
+
+register(
     "sim_embedding_near_dup",
     similarity.embedding_near_dup_pairs,
     similarity.sql_embedding_near_dup_pairs(),
