@@ -51,9 +51,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = registry.queries()
 
-    # Warm up the JVM + parquet footers once so timings measure the
-    # queries, not session start.
+    # Warm up the JVM, parquet footers, AND the Arrow/Python-worker pool
+    # once so timings measure the queries, not session/worker start.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for t in ("documents", "embeddings", "events", "customer", "nation"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    import pandas as pd  # noqa: F401
+
+    warm = spark.range(64).repartition(4)
+    warm.mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     total = 0.0
