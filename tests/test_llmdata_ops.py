@@ -125,3 +125,46 @@ def test_lang_id_mostly_english(spark):
     out = text_analysis.lang_id(docs).collect()
     en = sum(1 for r in out if r["lang_pred"] == "en")
     assert en / len(out) > 0.5
+
+
+class TestMultimodalPlumbing:
+    """Stub contract + fan-out shape of the media operators (the oracle
+    parity test covers values; these cover the Spark plumbing)."""
+
+    def test_real_engine_raises_at_plug_point(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        media = multimodal.media_table(spark, SF_SMALL)
+        with pytest.raises(Exception) as exc:
+            multimodal.decode_media(media, engine="real").collect()
+        assert "NotImplementedError" in str(exc.value) or isinstance(
+            exc.value, NotImplementedError
+        )
+
+    def test_frame_sample_fanout_shape(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        media = multimodal.media_table(spark, SF_SMALL)
+        n_videos = media.filter("media_type = 'video'").count()
+        frames = multimodal.sample_frames(media, every_n=2)
+        rows = frames.collect()
+        # every_n=2 over 8 slots capped at MAX_FRAMES → 4 frames per video
+        assert len(rows) == n_videos * 4
+        assert {r.frame_index for r in rows} == {0, 2, 4, 6}
+        assert all(len(r.frame_hex) == 32 for r in rows)
+
+    def test_features_fixed_width(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        media = multimodal.media_table(spark, SF_SMALL)
+        feats = multimodal.extract_features(media).collect()
+        assert all(len(r.features) == multimodal.N_FEATURES for r in feats)
+        assert all(
+            0.0 <= v <= 255.0 for r in feats for v in r.features
+        )
