@@ -293,9 +293,11 @@ def sql_minhash_lsh_pairs(corpus_sql: str) -> str:
 
 
 def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = NEAR_THRESHOLD) -> DataFrame:
+    # materialize shingle sets once before the self-join (same barrier
+    # rationale as simhash_pairs / minhash_lsh_pairs)
     sh = corpus.select(
         "doc_id", "lang", F.expr(_SPARK_SHINGLES).alias("sh")
-    )
+    ).localCheckpoint()
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("sh").alias("sh_a")
     )
