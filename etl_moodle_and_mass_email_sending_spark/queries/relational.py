@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_tables
 from ..registry import register
 
 
@@ -407,5 +407,62 @@ register(
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
     FROM events GROUP BY event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_semi_anti — semi/anti join coverage: per market segment, how many
+# customers have an URGENT order (semi) and how many have no orders at all
+# (anti). At scale: both are shuffle joins on custkey that never widen the
+# row (semi/anti keep only the left side); Catalyst plans ExistenceJoin.
+# --------------------------------------------------------------------------
+
+
+def _semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    with_urgent = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_urgent"))
+    )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .join(with_urgent, on="c_mktsegment", how="left")
+        .join(without_orders, on="c_mktsegment", how="left")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
+            F.coalesce("n_without_orders", F.lit(0)).alias(
+                "n_without_orders"
+            ),
+        )
+    )
+
+
+register(
+    "rel_semi_anti",
+    _semi_anti,
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           coalesce(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT') THEN 1 END), 0)
+             AS n_with_urgent,
+           coalesce(sum(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             THEN 1 END), 0) AS n_without_orders
+    FROM customer c GROUP BY c_mktsegment
     """,
 )
