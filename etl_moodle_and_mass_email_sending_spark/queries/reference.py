@@ -344,3 +344,37 @@ register(
     FROM customer
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# ref_duplicate_usernames — the reference's own unimplemented roadmap item
+# ("validaciones previas de duplicidad", README.md:72–74; SURVEY.md §2.6
+# notes duplicate usernames are NOT detected in the reference). Here it's
+# a first-class query: username collisions after normalization, with the
+# colliding source rows listed — groupBy(username) having count > 1.
+# --------------------------------------------------------------------------
+
+
+def _duplicate_usernames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roster = moodle.roster_from_customer(spark, sf_dir)
+    return (
+        roster.groupBy("username")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("c_custkey").alias("first_custkey"),
+            F.max("c_custkey").alias("last_custkey"),
+        )
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+register(
+    "ref_duplicate_usernames",
+    _duplicate_usernames,
+    f"""
+    SELECT username, count(*) AS n_rows,
+           min(c_custkey) AS first_custkey, max(c_custkey) AS last_custkey
+    FROM ({moodle.roster_sql()})
+    GROUP BY username HAVING count(*) > 1
+    """,
+)

@@ -466,3 +466,45 @@ register(
     FROM customer c GROUP BY c_mktsegment
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_scalar_subquery — big spenders: customers whose total order value
+# exceeds 2× the global average customer total. Catalyst plans the scalar
+# as a single-row broadcast (one extra agg pass, no per-row subquery
+# execution) — the textbook decorrelation the optimizer does for free.
+# --------------------------------------------------------------------------
+
+
+def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    avg_spend = totals.agg(
+        F.avg(F.col("spend").cast("double")).alias("avg_spend")
+    )
+    return (
+        totals.crossJoin(F.broadcast(avg_spend))
+        .filter(F.col("spend").cast("double") > 2 * F.col("avg_spend"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend").cast("double").alias("total_spend"),
+        )
+    )
+
+
+register(
+    "rel_scalar_subquery",
+    _scalar_subquery,
+    """
+    WITH totals AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, CAST(spend AS DOUBLE) AS total_spend
+    FROM totals
+    WHERE CAST(spend AS DOUBLE) >
+          2 * (SELECT avg(CAST(spend AS DOUBLE)) FROM totals)
+    """,
+)
