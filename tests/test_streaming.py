@@ -189,3 +189,38 @@ class TestWindowedCounts:
             assert str(r.session_end) == end
             assert r.n_events == n
             assert round(r.sum_value, 6) == total
+
+
+class TestRateControl:
+    def test_max_files_per_trigger_bounds_batches(self, spark, roster_dirs):
+        """K4 generalized: with maxFilesPerTrigger=1, each roster file
+        lands in its own micro-batch (batch_id distinguishes them in the
+        receipt ledger)."""
+        import os
+
+        from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+            SmtpConfig,
+        )
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            send_stream,
+        )
+
+        roster, work = roster_dirs
+        for i, email in enumerate(["a@x.cl", "b@x.cl", "c@x.cl"]):
+            _write_roster(
+                os.path.join(roster, f"r{i}.csv"),
+                ["email", "nombre", "usuario", "contrasena"],
+                [[email, f"U{i}", f"u{i}", "pw"]],
+            )
+        cfg = send_stream.StreamConfig(
+            checkpoint_dir=os.path.join(work, "checkpoint"),
+            receipts_dir=os.path.join(work, "receipts"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q = send_stream.start_send_stream(spark, roster, cfg, SmtpConfig())
+        q.awaitTermination()
+        receipts = spark.read.parquet(cfg.receipts_dir)
+        rows = receipts.collect()
+        assert len(rows) == 3
+        assert len({r.batch_id for r in rows}) == 3  # one file per batch
