@@ -172,28 +172,56 @@ def sql_quality_score(corpus_sql: str) -> str:
     """
 
 
+# Rabin-Karp-style rolling hash constants (order-sensitive — transposed
+# tokens change the fingerprint, unlike the min-k sketch). Bounds: acc < P
+# (~2^30), acc·B + h < 2^38 — no bigint overflow on either engine.
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+
+
 def fingerprints(corpus: DataFrame) -> DataFrame:
-    """Min-k document sketch: the K smallest portable token hashes, joined
-    into one string key — a compact containment fingerprint (winnowing
-    lite). Identical docs → identical fingerprints."""
-    toks_h = (
-        f"array_sort(array_distinct(transform({_SPARK_TOKS}, t -> "
-        f"cast(conv(substring(md5(concat('F{SEED_SEP}', t)), 1, 8), 16, 10) as bigint))))"
+    """Two complementary fingerprints per doc:
+    - ``fingerprint``: min-k sketch — the K smallest portable token
+      hashes joined into a string key (winnowing lite; order-insensitive,
+      robust to small edits → near-dup blocking key).
+    - ``rolling_fp``: Rabin-Karp rolling hash folded over the token-hash
+      sequence in document order (order-SENSITIVE → exact-content key).
+    Identical docs agree on both; shuffled docs agree only on the first."""
+    toks_h_ordered = (
+        f"transform({_SPARK_TOKS}, t -> "
+        f"cast(conv(substring(md5(concat('F{SEED_SEP}', t)), 1, 8), 16, 10) as bigint))"
     )
+    toks_h_sorted = f"array_sort(array_distinct({toks_h_ordered}))"
     fp = (
-        f"array_join(transform(slice({toks_h}, 1, {FINGERPRINT_K}), "
+        f"array_join(transform(slice({toks_h_sorted}, 1, {FINGERPRINT_K}), "
         f"x -> cast(x as string)), '-')"
     )
-    return corpus.select("doc_id", F.expr(fp).alias("fingerprint"))
+    rolling = (
+        f"aggregate({toks_h_ordered}, cast(0 as bigint), "
+        f"(acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD})"
+    )
+    return corpus.select(
+        "doc_id",
+        F.expr(fp).alias("fingerprint"),
+        F.expr(rolling).alias("rolling_fp"),
+    )
 
 
 def sql_fingerprints(corpus_sql: str) -> str:
-    toks_h = (
-        f"list_sort(list_distinct(list_transform({_DUCK_TOKS}, t -> "
-        f"CAST('0x' || substr(md5('F{SEED_SEP}' || t), 1, 8) AS BIGINT))))"
+    toks_h_ordered = (
+        f"list_transform({_DUCK_TOKS}, t -> "
+        f"CAST('0x' || substr(md5('F{SEED_SEP}' || t), 1, 8) AS BIGINT))"
     )
+    toks_h_sorted = f"list_sort(list_distinct({toks_h_ordered}))"
     fp = (
-        f"array_to_string(list_transform(({toks_h})[1:{FINGERPRINT_K}], "
+        f"array_to_string(list_transform(({toks_h_sorted})[1:{FINGERPRINT_K}], "
         f"x -> CAST(x AS VARCHAR)), '-')"
     )
-    return f"SELECT doc_id, {fp} AS fingerprint FROM ({corpus_sql})"
+    rolling = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {toks_h_ordered}), "
+        f"(a, b) -> (a * {ROLLING_BASE} + b) % {ROLLING_MOD})"
+    )
+    return (
+        f"SELECT doc_id, {fp} AS fingerprint, {rolling} AS rolling_fp "
+        f"FROM ({corpus_sql})"
+    )
