@@ -125,3 +125,44 @@ register(
     ),
     multimodal.sql_sample_frames(every_n=2),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_skew_salted_agg — skew-safe two-stage aggregation over the (heavily
+# skewed) event_type key. The oracle is a plain GROUP BY: salting is a
+# physical rewrite, not a semantic one.
+# --------------------------------------------------------------------------
+
+
+def _skew_salted(spark, sf_dir):
+    from ..catalog import load_table
+    from ..operators.skew import salted_agg_sum_count
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg_sum_count(
+        ev,
+        key="event_type",
+        value=F.coalesce(F.col("value"), F.lit(0.0)).cast(
+            "decimal(18,2)"
+        ),
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n_rows",
+    )
+
+
+register(
+    "rel_skew_salted_agg",
+    _skew_salted,
+    """
+    SELECT event_type,
+           CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
