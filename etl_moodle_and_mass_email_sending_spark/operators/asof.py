@@ -1,0 +1,79 @@
+"""As-of join — for each left row, the most recent right row with
+``right.ts <= left.ts`` per key.
+
+[EXT] custom operator (build brief: "an operator Spark lacks"). Spark has
+no ASOF JOIN; the naive encoding — an inequality range join — explodes to
+O(|L|·|R|) per key. The scalable composition used here is the
+union + last-value window trick:
+
+1. tag right rows side=0, left rows side=1, union on (key, ts, side);
+2. one window pass per key ordered by (ts, side):
+   ``last(payload, ignorenulls=True)`` over rows unbounded-preceding
+   carries the latest right payload forward (side ordering makes a
+   same-timestamp right row visible to the left row — inclusive asof);
+3. keep side=1 rows.
+
+Cost: ONE shuffle on the key + one ordered window pass — linear, no
+range-join blowup; the same shape Flink/kdb temporal joins lower to.
+The DuckDB oracle uses its native ``ASOF LEFT JOIN``.
+
+Right rows must be unique per (key, ts) for determinism — pre-aggregate
+duplicates (the oracle's ASOF picks one arbitrarily otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left column, plus each non-key right column
+    renamed ``<col><suffix>`` (nullable — null when no right row precedes
+    the left row). ``right_ts`` itself is carried as ``<right_ts><suffix>``.
+    """
+    payload = [c for c in right.columns if c != key]
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    l2 = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        lrow,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
+            for c in payload
+        ],
+    )
+    lrow_type = l2.schema["_lrow"].dataType
+    r2 = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l2.unionByName(r2).select(
+        "_side",
+        "_lrow",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_p_{c}")
+            for c in payload
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        F.col("_lrow.*"),
+        *[F.col(f"_p_{c}").alias(f"{c}{suffix}") for c in payload],
+    )

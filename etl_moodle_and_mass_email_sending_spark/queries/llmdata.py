@@ -166,3 +166,55 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_asof_join — for each click event, the user's most recent purchase at
+# or before it. Oracle = DuckDB's native ASOF LEFT JOIN; the Spark side is
+# the union+last-value composition (operators/asof.py).
+# --------------------------------------------------------------------------
+
+
+def _asof(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique per (key, ts) for determinism
+        .agg(F.max(F.col("value").cast("decimal(18,2)")).alias("pvalue"))
+    )
+    out = asof_join(clicks, purchases, key="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("pvalue_asof").cast("double").alias("purchase_value"),
+    )
+
+
+register(
+    "rel_asof_join",
+    _asof,
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, max(CAST(value AS DECIMAL(18,2))) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           CAST(p.pvalue AS DOUBLE) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
