@@ -218,3 +218,112 @@ register(
       ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_range_join — bucketed range join: pair each error event with every
+# click by the same user within the preceding 5 minutes. Naive inequality
+# join is O(|L|·|R|) per user; bucketing both sides into 5-minute epochs
+# and joining (user, bucket) ∪ (user, bucket-1) bounds candidates to two
+# buckets per row — the standard scalable interval-join shape (the oracle
+# is the plain inequality join, exact).
+# --------------------------------------------------------------------------
+
+RANGE_WINDOW_S = 300
+
+
+def _range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    b = lambda c: F.floor(F.unix_timestamp(c) / RANGE_WINDOW_S)  # noqa: E731
+    err_b = err.withColumn(
+        "bucket", F.explode(F.array(b("error_ts"), b("error_ts") - 1))
+    )
+    clk_b = clk.withColumn("bucket", b("click_ts"))
+    return (
+        err_b.join(clk_b, on=["user_id", "bucket"])
+        .filter(
+            (F.col("click_ts") <= F.col("error_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("error_ts") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECOND")
+            )
+        )
+        .select("error_id", "user_id", "error_ts", "click_id", "click_ts")
+        .distinct()
+    )
+
+
+register(
+    "rel_range_join",
+    _range_join,
+    f"""
+    SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts
+     AND c.ts >= e.ts - INTERVAL {RANGE_WINDOW_S} SECOND
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_time_rollup — hypertable-style multi-resolution continuous aggregate:
+# one pass produces day totals AND day×hour totals via ROLLUP on the two
+# truncations (grouping_id disambiguates levels).
+# --------------------------------------------------------------------------
+
+
+def _time_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        ev.select(day, hour, F.coalesce("value", F.lit(0.0)).alias("v"))
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("v").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping_id().alias("lvl"),
+        )
+        .filter(F.col("day").isNotNull())  # drop the grand-total row
+    )
+
+
+register(
+    "rel_time_rollup",
+    _time_rollup,
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS hour,
+           count(*) AS n_events,
+           CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           GROUPING(date_trunc('hour', ts)) AS lvl
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING date_trunc('day', ts) IS NOT NULL OR GROUPING(date_trunc('day', ts)) = 0
+    """,
+)
