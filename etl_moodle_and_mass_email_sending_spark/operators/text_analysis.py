@@ -225,3 +225,123 @@ def sql_fingerprints(corpus_sql: str) -> str:
         f"SELECT doc_id, {fp} AS fingerprint, {rolling} AS rolling_fp "
         f"FROM ({corpus_sql})"
     )
+
+
+# --------------------------------------------------------------------------
+# Document chunking — fixed-size overlapping token windows (the standard
+# LLM-training prep step). Pure array ops: split once, slice per chunk
+# index, posexplode — no Python, fan-out is data-parallel.
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def chunk_documents(
+    corpus: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_index, chunk_text, n_tokens): token windows of
+    ``chunk_tokens`` every ``stride`` tokens; the final partial window is
+    kept iff the doc is shorter than one chunk (short docs → 1 chunk) or
+    it contains tokens past the previous window's end."""
+    toks = f"split(trim(text), '\\\\s+')"
+    n = f"size({toks})"
+    # number of chunks: 1 + ceil(max(0, n - chunk)/stride)
+    n_chunks = (
+        f"(1 + CAST(ceil(greatest(0, {n} - {chunk_tokens}) / "
+        f"CAST({stride} AS DOUBLE)) AS INT))"
+    )
+    chunks = f"""transform(sequence(0, {n_chunks} - 1), i ->
+        named_struct(
+          'chunk_index', i,
+          'chunk_text', array_join(slice({toks}, i * {stride} + 1, {chunk_tokens}), ' '),
+          'n_tokens', size(slice({toks}, i * {stride} + 1, {chunk_tokens}))
+        ))"""
+    return (
+        corpus.select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def sql_chunk_documents(
+    corpus_sql: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    n = f"len({toks})"
+    n_chunks = (
+        f"(1 + CAST(ceil(greatest(0, {n} - {chunk_tokens}) / "
+        f"CAST({stride} AS DOUBLE)) AS INT))"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_index,
+           array_to_string(({toks})[i * {stride} + 1 : i * {stride} + {chunk_tokens}], ' ')
+             AS chunk_text,
+           CAST(len(({toks})[i * {stride} + 1 : i * {stride} + {chunk_tokens}]) AS BIGINT)
+             AS n_tokens
+    FROM ({corpus_sql}),
+         LATERAL (SELECT unnest(generate_series(0, {n_chunks} - 1)) AS i) g
+    """
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — regex redaction of emails / phone-ish numbers / long
+# digit runs (RE2/Java-portable patterns, no lookaround). JVM regexp
+# in codegen; at 100 TB this is a pure scan-transform.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\[\] .-]{7,}[0-9]"
+
+
+def scrub_pii(corpus: DataFrame) -> DataFrame:
+    """(doc_id, scrubbed, n_emails, n_phones) — emails then phone-ish
+    sequences replaced with typed redaction tags; counts measured BEFORE
+    redaction so they report what was found."""
+    email_rx = F.lit(_PII_EMAIL)
+    n_emails = F.size(
+        F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)")
+    ).cast("bigint")
+    after_email = F.regexp_replace(F.col("text"), email_rx, F.lit("[EMAIL]"))
+    n_phones = F.size(
+        F.expr(
+            "regexp_extract_all(regexp_replace(text, '"
+            + _PII_EMAIL
+            + "', '[EMAIL]'), '"
+            + _PII_PHONE.replace("\\", "\\\\")
+            + "', 0)"
+        )
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(
+        after_email, F.lit(_PII_PHONE), F.lit("[PHONE]")
+    )
+    return corpus.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def sql_scrub_pii(corpus_sql: str) -> str:
+    email = _PII_EMAIL
+    phone = _PII_PHONE
+    return f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+                          '{phone}', '[PHONE]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(
+                regexp_replace(text, '{email}', '[EMAIL]', 'g'), '{phone}'))
+             AS BIGINT) AS n_phones
+    FROM ({corpus_sql})
+    """

@@ -327,3 +327,16 @@ register(
     HAVING date_trunc('day', ts) IS NOT NULL OR GROUPING(date_trunc('day', ts)) = 0
     """,
 )
+
+
+register(
+    "text_chunking",
+    lambda spark, sf_dir: text_analysis.chunk_documents(_docs(spark, sf_dir)),
+    text_analysis.sql_chunk_documents(_DOCS_SQL),
+)
+
+register(
+    "text_pii_scrub",
+    lambda spark, sf_dir: text_analysis.scrub_pii(_docs(spark, sf_dir)),
+    text_analysis.sql_scrub_pii(_DOCS_SQL),
+)
