@@ -340,3 +340,23 @@ register(
     lambda spark, sf_dir: text_analysis.scrub_pii(_docs(spark, sf_dir)),
     text_analysis.sql_scrub_pii(_DOCS_SQL),
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_components — transitive near-dup clustering: MinHash-LSH pairs →
+# connected components → (doc_id, component, cluster_size). Iterative
+# (min-label propagation to fixpoint) ⇒ not SQL-expressible: registered
+# rows-only; tests/test_llmdata_ops.py verifies against a union-find
+# oracle on the same edges.
+# --------------------------------------------------------------------------
+
+
+def _dedup_components(spark, sf_dir):
+    from ..operators.components import dedup_clusters
+
+    corpus = dedup.dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    return dedup_clusters(corpus, pairs)
+
+
+register("dedup_components", _dedup_components, None)

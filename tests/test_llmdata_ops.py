@@ -168,3 +168,43 @@ class TestMultimodalPlumbing:
         assert all(
             0.0 <= v <= 255.0 for r in feats for v in r.features
         )
+
+
+class TestDedupComponents:
+    def test_matches_union_find(self, spark):
+        """CC labels must equal union-find components computed driver-side
+        from the same edge list (min-id as representative)."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            components,
+            dedup,
+        )
+
+        corpus = dedup.dup_corpus(spark, SF_SMALL)
+        pairs = dedup.minhash_lsh_pairs(corpus)
+        got = {
+            r.doc_id: r.component
+            for r in components.dedup_clusters(corpus, pairs).collect()
+        }
+        # union-find oracle
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(x, y):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+
+        edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+        for a, b in edges:
+            union(a, b)
+        all_ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+        want = {i: find(i) if i in parent else i for i in all_ids}
+        assert got == want
+        # clusters are non-trivial: the synthetic corpus has real dup pairs
+        assert any(c != i for i, c in got.items())
