@@ -508,3 +508,43 @@ register(
           2 * (SELECT avg(CAST(spend AS DOUBLE)) FROM totals)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_percentiles — exact interpolated percentiles (Spark `percentile` ↔
+# DuckDB `quantile_cont`, same linear-interpolation definition). At 100 TB
+# exact percentiles need a full sort per group — the scale path swaps in
+# `percentile_approx` (t-digest) at the cost of oracle exactness; both are
+# one expression swap in this plan shape.
+# --------------------------------------------------------------------------
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.coalesce(F.col("value"), F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(coalesce(value, 0.0), 0.5)"), 6).alias(
+            "p50"
+        ),
+        F.round(F.expr("percentile(coalesce(value, 0.0), 0.95)"), 6).alias(
+            "p95"
+        ),
+        F.round(F.min(v), 6).alias("vmin"),
+        F.round(F.max(v), 6).alias("vmax"),
+        F.count("*").alias("n"),
+    )
+
+
+register(
+    "rel_percentiles",
+    _percentiles,
+    """
+    SELECT event_type,
+           round(quantile_cont(coalesce(value, 0.0), 0.5), 6) AS p50,
+           round(quantile_cont(coalesce(value, 0.0), 0.95), 6) AS p95,
+           round(min(coalesce(value, 0.0)), 6) AS vmin,
+           round(max(coalesce(value, 0.0)), 6) AS vmax,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
