@@ -360,3 +360,57 @@ def _dedup_components(spark, sf_dir):
 
 
 register("dedup_components", _dedup_components, None)
+
+
+# --------------------------------------------------------------------------
+# llm_corpus_pipeline — capstone composition: the end-to-end training-data
+# prep flow over `documents`, all in ONE declarative plan Catalyst
+# optimizes jointly (filter pushdown through the dedup semi-join, column
+# pruning into both scans):
+#   quality filter (≥0.6) → exact dedup (keep min doc_id per digest) →
+#   chunk into token windows → per-language chunk/token totals.
+# --------------------------------------------------------------------------
+
+
+def _llm_corpus_pipeline(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    q = text_analysis.quality_score(docs).filter(F.col("quality") >= 0.6)
+    kept = docs.join(q.select("doc_id"), "doc_id")
+    canonical = kept.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(canonical.select("doc_id"), "doc_id")
+    chunks = text_analysis.chunk_documents(deduped)
+    return (
+        chunks.join(deduped.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+register(
+    "llm_corpus_pipeline",
+    _llm_corpus_pipeline,
+    f"""
+    WITH q AS ({text_analysis.sql_quality_score(_DOCS_SQL)}),
+    kept AS (
+      SELECT d.* FROM ({_DOCS_SQL}) d JOIN q USING (doc_id)
+      WHERE q.quality >= 0.6
+    ),
+    canonical AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ),
+    deduped AS (SELECT kept.* FROM kept JOIN canonical USING (doc_id)),
+    chunks AS ({text_analysis.sql_chunk_documents("SELECT * FROM deduped")})
+    SELECT d.lang, count(DISTINCT c.doc_id) AS n_docs,
+           count(*) AS n_chunks, sum(c.n_tokens) AS total_tokens
+    FROM chunks c JOIN deduped d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
