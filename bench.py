@@ -38,6 +38,8 @@ HEADLINE = [
     "text_fingerprint",
     "mm_decode_media",
     "mm_extract_features",
+    # capstone composition
+    "llm_corpus_pipeline",
 ]
 
 
