@@ -121,3 +121,45 @@ def test_missing_file_guard(spark):
 
     with pytest.raises(FileNotFoundError):
         read_csv_all_string(spark, "/nonexistent/x.csv")
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """Both facts bucketed by orderkey into the same bucket count → their
+    join plans with ZERO Exchange (the write-once-shuffle-never-again
+    contract of SCALE.md's rel_q3 note)."""
+    from etl_moodle_and_mass_email_sending_spark.sinks.bucketed import (
+        joins_without_exchange,
+        write_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    l = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        write_bucketed(o, "t_orders_b", "o_orderkey", 4)
+        write_bucketed(l, "t_lineitem_b", "l_orderkey", 4)
+        assert joins_without_exchange(
+            spark, "t_orders_b", "t_lineitem_b", "o_orderkey", "l_orderkey"
+        )
+        # sanity: the same merge join on raw (unbucketed) frames shuffles
+        raw = o.hint("merge").join(l, o.o_orderkey == l.l_orderkey)
+        raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in raw_plan
+        # and the bucketed join returns the same row count
+        bucketed_n = (
+            spark.table("t_orders_b")
+            .join(
+                spark.table("t_lineitem_b"),
+                spark.table("t_orders_b").o_orderkey
+                == spark.table("t_lineitem_b").l_orderkey,
+            )
+            .count()
+        )
+        assert bucketed_n == raw.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
