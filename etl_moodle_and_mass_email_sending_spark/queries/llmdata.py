@@ -414,3 +414,40 @@ register(
     GROUP BY d.lang
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# text_train_val_split — deterministic hash-based split assignment (95/5),
+# stratified counts per language. Hash-of-id beats rand(): stable across
+# re-runs, executors, and engines — the only split discipline that works
+# when the corpus is rebuilt incrementally at 100 TB.
+# --------------------------------------------------------------------------
+
+
+def _train_val_split(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('SPLIT', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+    )
+    split = F.when(bucket < 95, "train").otherwise("val")
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+register(
+    "text_train_val_split",
+    _train_val_split,
+    """
+    SELECT lang,
+           CASE WHEN CAST('0x' || substr(md5('SPLIT' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95
+                THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
