@@ -241,11 +241,15 @@ def chunk_documents(
     corpus: DataFrame,
     chunk_tokens: int = CHUNK_TOKENS,
     stride: int = CHUNK_STRIDE,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, chunk_index, chunk_text, n_tokens): token windows of
-    ``chunk_tokens`` every ``stride`` tokens; the final partial window is
-    kept iff the doc is shorter than one chunk (short docs → 1 chunk) or
-    it contains tokens past the previous window's end."""
+    """(doc_id, chunk_index, chunk_text, n_tokens [, *keep]): token windows
+    of ``chunk_tokens`` every ``stride`` tokens; the final partial window
+    is kept iff the doc is shorter than one chunk (short docs → 1 chunk)
+    or it contains tokens past the previous window's end. ``keep`` columns
+    ride along the fan-out so callers don't re-join the corpus (a re-join
+    would recompute the upstream subtree — Catalyst has no CSE across
+    join branches)."""
     toks = f"split(trim(text), '\\\\s+')"
     n = f"size({toks})"
     # number of chunks: 1 + ceil(max(0, n - chunk)/stride)
@@ -260,9 +264,10 @@ def chunk_documents(
           'n_tokens', size(slice({toks}, i * {stride} + 1, {chunk_tokens}))
         ))"""
     return (
-        corpus.select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        corpus.select("doc_id", *keep, F.explode(F.expr(chunks)).alias("c"))
         .select(
             "doc_id",
+            *keep,
             F.col("c.chunk_index").alias("chunk_index"),
             F.col("c.chunk_text").alias("chunk_text"),
             F.col("c.n_tokens").cast("bigint").alias("n_tokens"),

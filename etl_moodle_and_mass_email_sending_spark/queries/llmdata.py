@@ -262,8 +262,10 @@ def _range_join(spark, sf_dir):
                 >= F.col("error_ts") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECOND")
             )
         )
+        # no distinct needed: a click has ONE bucket and the error's two
+        # exploded buckets are distinct, so each qualifying pair meets
+        # exactly once — dropping it removes a full-row output shuffle
         .select("error_id", "user_id", "error_ts", "click_id", "click_ts")
-        .distinct()
     )
 
 
@@ -382,15 +384,13 @@ def _llm_corpus_pipeline(spark, sf_dir):
         F.min("doc_id").alias("doc_id")
     )
     deduped = kept.join(canonical.select("doc_id"), "doc_id")
-    chunks = text_analysis.chunk_documents(deduped)
-    return (
-        chunks.join(deduped.select("doc_id", "lang"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_chunks"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
+    # lang rides the chunk fan-out (keep=) — joining chunks back to
+    # `deduped` would make Catalyst compute the filter+dedup subtree twice
+    chunks = text_analysis.chunk_documents(deduped, keep=("lang",))
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
 
 
