@@ -1,0 +1,80 @@
+"""CLI surface tests — the engine's app-equivalent entry points
+(reference buttons, SURVEY.md §3) driven through main() in-process."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def participants_csv(tmp_path):
+    lines = [
+        "junk,,,",
+        ",,,",
+        "junk,,,",
+        'Rut (con punto y con guión),Nombres ,Apellidos,Correo electrónico',
+        "11.111.111-1,ana maria,soto diaz,ana@x.cl",
+        "22.222.222-2,ben,diaz,ben@y.cl",
+    ]
+    p = tmp_path / "participants.csv"
+    p.write_text("\n".join(lines), encoding="utf-8")
+    return str(p)
+
+
+@pytest.fixture()
+def recipients_csv(tmp_path):
+    p = tmp_path / "recipients.csv"
+    p.write_text(
+        "email,nombre,usuario,contrasena\n"
+        "ana@x.cl,Ana,ana,pw1\n"
+        "ben@y.cl,Ben,ben,pw2\n",
+        encoding="utf-8",
+    )
+    return str(p)
+
+
+def test_cli_normalize(spark, participants_csv, tmp_path, capsys):
+    from etl_moodle_and_mass_email_sending_spark.__main__ import main
+
+    out = str(tmp_path / "moodle.csv")
+    rc = main(["normalize", participants_csv, out, "--course", "C9"])
+    assert rc == 0
+    with open(out, encoding="utf-8") as f:
+        header = f.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in f if line.strip()]
+    assert header[:5] == ["username", "password", "firstname", "lastname", "email"]
+    assert len(rows) == 2
+    usernames = {r[0] for r in rows}
+    assert "anasotodi" in usernames  # ana + soto + first2(diaz)
+
+def test_cli_send_dry_run_with_receipts(spark, recipients_csv, tmp_path, capsys):
+    from etl_moodle_and_mass_email_sending_spark.__main__ import main
+
+    receipts = str(tmp_path / "receipts.csv")
+    rc = main(["send", recipients_csv, "--receipts", receipts])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "DRY-RUN sent=2 failed=0 total=2" in out
+    with open(receipts, encoding="utf-8") as f:
+        assert "SENT" in f.read()
+
+
+def test_cli_send_refuses_real_without_yes(spark, recipients_csv, capsys):
+    from etl_moodle_and_mass_email_sending_spark.__main__ import main
+
+    rc = main(["send", recipients_csv, "--no-dry-run"])
+    assert rc == 1
+    assert "refusing" in capsys.readouterr().err
+
+
+def test_cli_preview(spark, recipients_csv, capsys):
+    from etl_moodle_and_mass_email_sending_spark.__main__ import main
+
+    rc = main(["preview", recipients_csv, "--rows", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ana@x.cl | Ana | ana" in out
+    assert "(1 filas mas)" in out
+    assert "--- subject ---" in out
