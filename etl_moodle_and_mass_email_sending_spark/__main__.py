@@ -167,7 +167,56 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--course-name", default="Curso")
     v.add_argument("--aula-url", default="https://aula.example.com")
     v.set_defaults(fn=cmd_preview)
+
+    ss = sub.add_parser(
+        "send-stream", help="drain a roster drop-dir via Structured Streaming"
+    )
+    ss.add_argument("roster_dir")
+    ss.add_argument("work_dir", help="checkpoint + receipt-ledger root")
+    ss.add_argument("--dry-run", action="store_true", default=True)
+    ss.add_argument("--no-dry-run", dest="dry_run", action="store_false")
+    ss.add_argument("--yes", action="store_true")
+    ss.add_argument("--smtp-host", default="smtp.example.com")
+    ss.add_argument("--smtp-port", type=int, default=465)
+    ss.add_argument("--sender", default="sender@example.com")
+    ss.add_argument("--course-name", default="Curso")
+    ss.add_argument("--aula-url", default="https://aula.example.com")
+    ss.set_defaults(fn=cmd_send_stream)
     return p
+
+
+def cmd_send_stream(args: argparse.Namespace) -> int:
+    """Streaming variant of `send` (M6): drain a roster drop-directory
+    once (availableNow) with watermarked dedup + the durable receipt
+    ledger; re-running after new drops only sends new recipients."""
+    from .sinks.smtp import SmtpConfig
+    from .streaming.send_stream import run_send_stream_once
+
+    spark = _spark()
+    cfg = SmtpConfig(
+        host=args.smtp_host,
+        port=args.smtp_port,
+        sender=args.sender,
+        password=os.environ.get("SMTP_PASSWORD", ""),
+        dry_run=args.dry_run,
+    )
+    if not args.dry_run and not args.yes:
+        print("refusing real delivery without --yes", file=sys.stderr)
+        return 1
+    receipts = run_send_stream_once(
+        spark,
+        args.roster_dir,
+        args.work_dir,
+        smtp_cfg=cfg,
+        course_name=args.course_name,
+        aula_url=args.aula_url,
+    )
+    sent = receipts.where("status = 'SENT'").count()
+    failed = receipts.where("status = 'FAILED'").count()
+    mode = "DRY-RUN " if args.dry_run else ""
+    print(f"{mode}ledger: sent={sent} failed={failed} "
+          f"(receipts parquet in {args.work_dir}/receipts)")
+    return 0 if failed == 0 else 2
 
 
 def main(argv: list[str] | None = None) -> int:

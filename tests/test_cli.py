@@ -78,3 +78,27 @@ def test_cli_preview(spark, recipients_csv, capsys):
     assert "ana@x.cl | Ana | ana" in out
     assert "(1 filas mas)" in out
     assert "--- subject ---" in out
+
+
+def test_cli_send_stream_dry_run(spark, tmp_path, capsys):
+    from etl_moodle_and_mass_email_sending_spark.__main__ import main
+
+    roster = tmp_path / "roster"
+    work = tmp_path / "work"
+    roster.mkdir()
+    (roster / "a.csv").write_text(
+        "email,nombre,usuario,contrasena\nana@x.cl,Ana,ana,pw\n",
+        encoding="utf-8",
+    )
+    rc = main(["send-stream", str(roster), str(work)])
+    assert rc == 0
+    assert "sent=1 failed=0" in capsys.readouterr().out
+    # second drop + re-run: ledger keeps ana from resending
+    (roster / "b.csv").write_text(
+        "email,nombre,usuario,contrasena\n"
+        "ana@x.cl,Ana,ana,pw\nben@y.cl,Ben,ben,pw\n",
+        encoding="utf-8",
+    )
+    rc = main(["send-stream", str(roster), str(work)])
+    assert rc == 0
+    assert "sent=2 failed=0" in capsys.readouterr().out  # ledger total
