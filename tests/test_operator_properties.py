@@ -1,0 +1,122 @@
+"""Property-based verification for the custom composed operators (as-of
+join, bucketed range join, chunking) against brute-force Python oracles on
+random inputs — correctness beyond the fixed testdata distribution."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=2000),  # ts seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_mod(spark):
+    return spark
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_bruteforce(spark_mod, left, right):
+    from etl_moodle_and_mass_email_sending_spark.operators.asof import (
+        asof_join,
+    )
+
+    spark = spark_mod
+    # unique (key, ts) on the right — the operator's documented contract
+    right = sorted({(k, t) for k, t in right})
+    left = [(i, k, t) for i, (k, t) in enumerate(left)]
+    l_df = spark.createDataFrame(
+        [(i, k, float(t)) for i, k, t in left], "lid long, k long, ts double"
+    )
+    r_df = spark.createDataFrame(
+        [(k, float(t), k * 10000 + t) for k, t in right],
+        "k long, ts double, payload long",
+    )
+    got = {
+        r.lid: (r.ts_asof, r.payload_asof)
+        for r in asof_join(l_df, r_df, key="k").collect()
+    }
+    for i, k, t in left:
+        cands = [(rt, k * 10000 + rt) for rk, rt in right if rk == k and rt <= t]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == (
+            float(want[0]) if want[0] is not None else None,
+            want[1],
+        ), (i, k, t)
+
+
+@settings(max_examples=12, deadline=None)
+@given(errors=events_strategy, clicks=events_strategy)
+def test_bucketed_range_join_matches_naive(spark_mod, errors, clicks):
+    """Bucketed interval join == naive inequality filter, for a 300 s
+    window (same shape as rel_range_join, on epoch-second longs)."""
+    from pyspark.sql import functions as F
+
+    spark = spark_mod
+    W = 300
+    e_rows = [(i, k, t) for i, (k, t) in enumerate(errors)]
+    c_rows = [(i + 10000, k, t) for i, (k, t) in enumerate(clicks)]
+    e_df = spark.createDataFrame(e_rows, "eid long, k long, ts long")
+    c_df = spark.createDataFrame(c_rows, "cid long, k long, ts long")
+    b = lambda c: F.floor(c / W)  # noqa: E731
+    e_b = e_df.withColumn(
+        "bucket", F.explode(F.array(b(F.col("ts")), b(F.col("ts")) - 1))
+    ).select("eid", "k", F.col("ts").alias("ets"), "bucket")
+    c_b = c_df.withColumn("bucket", b(F.col("ts"))).select(
+        "cid", "k", F.col("ts").alias("cts"), "bucket"
+    )
+    got = sorted(
+        (r.eid, r.cid)
+        for r in e_b.join(c_b, on=["k", "bucket"])
+        .filter(
+            (F.col("cts") <= F.col("ets"))
+            & (F.col("cts") >= F.col("ets") - W)
+        )
+        .select("eid", "cid")
+        .collect()
+    )
+    want = sorted(
+        (eid, cid)
+        for eid, ek, et in e_rows
+        for cid, ck, ct in c_rows
+        if ek == ck and ct <= et and ct >= et - W
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # no duplicate pairs from the explode
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=300),
+    chunk=st.integers(min_value=4, max_value=64),
+)
+def test_chunking_covers_document(spark_mod, n_tokens, chunk):
+    """Non-overlapping chunks (stride == chunk) concatenate back to the
+    exact document; token counts sum to the document total."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    spark = spark_mod
+    words = [f"w{i}" for i in range(n_tokens)]
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, stride=chunk).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    rebuilt = " ".join(r.chunk_text for r in rows if r.chunk_text).strip()
+    assert rebuilt == text
+    # empty doc still yields exactly one (empty) chunk; token sum exact
+    assert len(rows) >= 1
+    if n_tokens:
+        assert sum(r.n_tokens for r in rows) == n_tokens
