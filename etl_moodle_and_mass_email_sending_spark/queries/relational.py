@@ -548,3 +548,45 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_data_quality — declarative ingest-gate checks over lineitem, all
+# evaluated in one scan (operators/quality_checks.py).
+# --------------------------------------------------------------------------
+
+
+def _data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import validate
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return validate(
+        l,
+        {
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "discount_in_range": F.col("l_discount").between(0.0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "tax_in_range": F.col("l_tax").between(0.0, 0.08),
+        },
+    )
+
+
+def _data_quality_sql() -> str:
+    from ..operators.quality_checks import sql_validate
+
+    return sql_validate(
+        "SELECT * FROM lineitem",
+        {
+            "orderkey_not_null": "l_orderkey IS NOT NULL",
+            "quantity_in_range": "l_quantity BETWEEN 1 AND 50",
+            "discount_in_range": "l_discount BETWEEN 0.0 AND 0.1",
+            "price_positive": "l_extendedprice > 0",
+            "shipdate_not_null": "l_shipdate IS NOT NULL",
+            "tax_in_range": "l_tax BETWEEN 0.0 AND 0.08",
+        },
+    )
+
+
+register("rel_data_quality", _data_quality, _data_quality_sql())
