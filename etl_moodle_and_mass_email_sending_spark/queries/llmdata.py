@@ -451,3 +451,12 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+register(
+    "dedup_jaccard_lsh_verified",
+    lambda spark, sf_dir: dedup.ngram_jaccard_lsh_verified(
+        dedup.dup_corpus(spark, sf_dir)
+    ),
+    dedup.sql_ngram_jaccard_lsh_verified(_CORPUS_SQL),
+)
