@@ -95,3 +95,18 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("rel_sessionize", rel_sessionize, REL_SESSIONIZE_SQL)
 register("stream_windowed_counts", stream_windowed_counts, None)
 register("stream_sessionize", stream_sessionize, None)
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join executed as a real stream
+    (batch twin with exact oracle: rel_range_join)."""
+    from ..streaming import joins
+
+    ev = sw.stream_events(spark, sf_dir)
+    joined = joins.clicks_errors_interval_join(ev)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_ssj_")
+    return sw.run_to_memory_sink(joined, name, ck)
+
+
+register("stream_interval_join", stream_interval_join, None)

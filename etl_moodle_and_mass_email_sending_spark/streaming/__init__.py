@@ -8,4 +8,4 @@ late/duplicate roster files and a foreachBatch SMTP sink that stays
 effectively-once via a persistent receipt ledger.
 """
 
-from . import send_stream, windows  # noqa: F401
+from . import joins, send_stream, windows  # noqa: F401

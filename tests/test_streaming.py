@@ -224,3 +224,34 @@ class TestRateControl:
         rows = receipts.collect()
         assert len(rows) == 3
         assert len({r.batch_id for r in rows}) == 3  # one file per batch
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, tmp_path, duck):
+        """Watermarked stream-stream interval join: every emitted pair is
+        in the batch inequality-join result, with near-total coverage."""
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            joins,
+            windows,
+        )
+
+        ev = windows.stream_events(spark, SF_SMALL)
+        joined = joins.clicks_errors_interval_join(ev)
+        got = windows.run_to_memory_sink(
+            joined, "ssj", str(tmp_path / "ck_ssj")
+        )
+        oracle = duck.execute(
+            """
+            SELECT c.event_id, c.user_id, c.ts, e.event_id, e.ts
+            FROM (SELECT * FROM events WHERE event_type='click') c
+            JOIN (SELECT * FROM events WHERE event_type='error') e
+              ON c.user_id = e.user_id
+             AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 300 SECOND
+            """
+        ).fetchall()
+        want = {(r[0], r[3]) for r in oracle}
+        rows = got.collect()
+        got_pairs = {(r.click_id, r.error_id) for r in rows}
+        assert got_pairs <= want
+        assert len(got_pairs) >= 0.9 * len(want)
+        assert len(rows) == len(got_pairs)  # no duplicate emissions
