@@ -494,3 +494,102 @@ def sql_ngram_jaccard_lsh_verified(
                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
           >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# Containment — asymmetric near-dup: containment(A→B) = |A∩B| / |A|.
+# Jaccard misses the doc-inside-doc case (a 100-line doc pasted into a
+# 10,000-line doc has tiny Jaccard but containment ≈ 1) — for LLM corpora
+# that's the common contamination shape (quotes, boilerplate wrappers,
+# concatenated shards). Same LSH candidate machinery; only the verify
+# formula changes.
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    corpus: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """(doc_small, doc_big, containment): ordered so the CONTAINED doc is
+    first; restricted to LSH candidates."""
+    docs = corpus.select(
+        "doc_id",
+        F.expr(_SPARK_SHINGLES).alias("sh"),
+        F.expr(_SPARK_MINHASH_SIG).alias("sig"),
+    ).localCheckpoint()
+    bands = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+                  array_join(transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),
+                             x -> cast(x as string)), '-'))"""
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    small_first = F.size("sh_a") <= F.size("sh_b")
+    cont = F.round(
+        inter.cast("double")
+        / F.least(F.size("sh_a"), F.size("sh_b")),
+        6,
+    ).alias("containment")
+    return (
+        cand.join(sh_a, on="doc_a")
+        .join(sh_b, on="doc_b")
+        .select(
+            F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_small"),
+            F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_big"),
+            cont,
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def sql_containment_pairs(
+    corpus_sql: str, threshold: float = CONTAINMENT_THRESHOLD
+) -> str:
+    sig = sql_minhash_signatures(corpus_sql)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({corpus_sql})
+    ),
+    sigs AS ({sig}),
+    bands AS (
+      SELECT s.doc_id, b.band, b.key
+      FROM sigs s,
+      LATERAL (
+        SELECT i AS band,
+               array_to_string(list_transform(sig[i * {LSH_ROWS} + 1 : i * {LSH_ROWS} + {LSH_ROWS}],
+                               x -> CAST(x AS VARCHAR)), '-') AS key
+        FROM (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS i)
+      ) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_small, doc_big, containment FROM (
+      SELECT CASE WHEN len(sa.sh) <= len(sb.sh) THEN c.doc_a ELSE c.doc_b END AS doc_small,
+             CASE WHEN len(sa.sh) <= len(sb.sh) THEN c.doc_b ELSE c.doc_a END AS doc_big,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   least(len(sa.sh), len(sb.sh)), 6) AS containment
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    ) WHERE containment >= {threshold}
+    """

@@ -460,3 +460,10 @@ register(
     ),
     dedup.sql_ngram_jaccard_lsh_verified(_CORPUS_SQL),
 )
+
+
+register(
+    "dedup_containment",
+    lambda spark, sf_dir: dedup.containment_pairs(dedup.dup_corpus(spark, sf_dir)),
+    dedup.sql_containment_pairs(_CORPUS_SQL),
+)
