@@ -1,0 +1,55 @@
+"""Plan-shape regression tests: the optimizations SCALE.md claims must be
+visible in the physical plan, so a future refactor can't silently turn a
+broadcast into a shuffle or push a filter out of the scan."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry_queries():
+    from etl_moodle_and_mass_email_sending_spark import registry
+
+    return registry.queries()
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark, registry_queries):
+    plan = _plan(registry_queries["rel_q3_shipping_priority"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter reached the scan
+    # lineitem scan is pruned to the needed columns only
+    assert "l_comment" not in plan
+
+
+def test_q5_broadcasts_dim_chain(spark, registry_queries):
+    plan = _plan(registry_queries["rel_q5_region_revenue"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, dims
+    assert "EqualTo(r_name,AFRICA)" in plan
+
+
+def test_roster_has_no_python_udf(spark, registry_queries):
+    """The normalize pipeline must stay JVM-side (SCALE.md: no row-at-a-
+    time Python in any hot path)."""
+    plan = _plan(registry_queries["ref_roster_normalize"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q1_aggregation_is_partial_then_final(spark, registry_queries):
+    plan = _plan(registry_queries["rel_q1_pricing_summary"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+    assert "PushedFilters" in plan
+
+
+def test_semi_anti_plan_uses_existence_joins(spark, registry_queries):
+    plan = _plan(registry_queries["rel_semi_anti"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
