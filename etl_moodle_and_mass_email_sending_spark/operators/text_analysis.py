@@ -350,3 +350,65 @@ def sql_scrub_pii(corpus_sql: str) -> str:
              AS BIGINT) AS n_phones
     FROM ({corpus_sql})
     """
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics — the Gopher/RefinedWeb-style intra-document quality
+# signals: heavily repeated lines or n-grams mark boilerplate/spam. Pure
+# array expressions (single scan, codegen).
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, dup_line_fraction, top_bigram_fraction):
+    - dup_line_fraction = 1 − distinct(non-blank lines)/lines
+    - top_bigram_fraction = occurrences of the most frequent word bigram
+      over total bigrams (0 when the doc has < 2 tokens)."""
+    lines = "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l != '')"
+    dup_frac = f"""CASE WHEN size({lines}) = 0 THEN 0.0
+        ELSE round(1.0 - CAST(size(array_distinct({lines})) AS DOUBLE)
+                   / size({lines}), 6) END"""
+    bigrams = f"""transform(array({_SPARK_TOKS}), tk ->
+        CASE WHEN size(tk) >= 2
+        THEN transform(sequence(1, size(tk) - 1),
+                       i -> concat_ws(' ', tk[i-1], tk[i]))
+        ELSE array() END)[0]"""
+    top_frac = f"""transform(array({bigrams}), bg ->
+        CASE WHEN size(bg) = 0 THEN 0.0
+        ELSE round(CAST(array_max(transform(array_distinct(bg),
+                 d -> size(filter(bg, x -> x = d)))) AS DOUBLE)
+             / size(bg), 6) END)[0]"""
+    return corpus.select(
+        "doc_id",
+        F.expr(f"size({lines})").cast("bigint").alias("n_lines"),
+        F.expr(dup_frac).alias("dup_line_fraction"),
+        F.expr(top_frac).alias("top_bigram_fraction"),
+    )
+
+
+def sql_repetition_stats(corpus_sql: str) -> str:
+    lines = r"list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '')"
+    dup_frac = f"""CASE WHEN len({lines}) = 0 THEN 0.0
+        ELSE round(1.0 - CAST(len(list_distinct({lines})) AS DOUBLE)
+                   / len({lines}), 6) END"""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS tk FROM ({corpus_sql})
+    ),
+    bg AS (
+      SELECT doc_id, text,
+             CASE WHEN len(tk) >= 2
+             THEN list_transform(generate_series(1, len(tk) - 1),
+                                 i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len({lines}) AS BIGINT) AS n_lines,
+           {dup_frac} AS dup_line_fraction,
+           CASE WHEN len(bg) = 0 THEN 0.0
+           ELSE round(CAST(list_max(list_transform(list_distinct(bg),
+                    d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                / len(bg), 6) END AS top_bigram_fraction
+    FROM bg
+    """

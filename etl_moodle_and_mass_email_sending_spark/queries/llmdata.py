@@ -467,3 +467,10 @@ register(
     lambda spark, sf_dir: dedup.containment_pairs(dedup.dup_corpus(spark, sf_dir)),
     dedup.sql_containment_pairs(_CORPUS_SQL),
 )
+
+
+register(
+    "text_repetition",
+    lambda spark, sf_dir: text_analysis.repetition_stats(_docs(spark, sf_dir)),
+    text_analysis.sql_repetition_stats(_DOCS_SQL),
+)
