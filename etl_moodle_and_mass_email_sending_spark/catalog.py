@@ -29,12 +29,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) in parquet, which Spark rejects by
+        # default (PARQUET_TYPE_ILLEGAL).  Set the legacy conf HERE — not only
+        # in session.py — so load_table works in ANY SparkSession (the driver
+        # builds its own vanilla session).  Runtime-settable; verified to take
+        # effect before the read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) in parquet; with
         # spark.sql.legacy.parquet.nanosAsLong it arrives as bigint nanos.
-        # Exact integer division to micros (values are micro-aligned, and
-        # DuckDB's nanos→micros conversion truncates identically).
+        # Integer division truncates ns→µs.  NOTE: testbed timestamps are NOT
+        # micro-aligned, so any oracle SQL that outputs a raw ts must wrap it
+        # in CAST(ts AS TIMESTAMP) so DuckDB truncates to µs identically.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 

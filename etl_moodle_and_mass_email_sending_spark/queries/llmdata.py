@@ -205,11 +205,18 @@ register(
     _asof,
     """
     WITH clicks AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+      -- CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs BEFORE the join,
+      -- matching the engine's `ts DIV 1000` read path (catalog.py): testbed
+      -- timestamps are NOT micro-aligned, so ns-precision comparisons and
+      -- the (user_id, ts) purchase grouping would otherwise diverge.
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
     ),
     purchases AS (
-      SELECT user_id, ts, max(CAST(value AS DECIMAL(18,2))) AS pvalue
-      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(value AS DECIMAL(18,2))) AS pvalue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
     )
     SELECT c.event_id, c.user_id, c.ts AS click_ts,
            p.ts AS purchase_ts,
@@ -275,8 +282,10 @@ register(
     f"""
     SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
            c.event_id AS click_id, c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error') e
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click') c
       ON e.user_id = c.user_id
      AND c.ts <= e.ts
      AND c.ts >= e.ts - INTERVAL {RANGE_WINDOW_S} SECOND
@@ -318,8 +327,8 @@ register(
     _time_rollup,
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
-                THEN date_trunc('hour', ts) END AS hour,
+           CAST(CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN date_trunc('hour', ts) END AS TIMESTAMP) AS hour,
            count(*) AS n_events,
            CAST(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_value,
@@ -409,7 +418,8 @@ register(
     deduped AS (SELECT kept.* FROM kept JOIN canonical USING (doc_id)),
     chunks AS ({text_analysis.sql_chunk_documents("SELECT * FROM deduped")})
     SELECT d.lang, count(DISTINCT c.doc_id) AS n_docs,
-           count(*) AS n_chunks, sum(c.n_tokens) AS total_tokens
+           count(*) AS n_chunks,
+           CAST(sum(c.n_tokens) AS BIGINT) AS total_tokens
     FROM chunks c JOIN deduped d USING (doc_id)
     GROUP BY d.lang
     """,

@@ -57,12 +57,17 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REL_SESSIONIZE_SQL = """
-WITH marked AS (
-  SELECT user_id, ts, coalesce(value, 0) AS value,
+WITH base AS (
+  -- ns→µs truncation BEFORE the window math, matching the engine's
+  -- `ts DIV 1000` read path (testbed timestamps are not micro-aligned)
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, coalesce(value, 0) AS value
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), grp AS (
   SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING) AS g
