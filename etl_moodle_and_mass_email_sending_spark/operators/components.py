@@ -92,3 +92,37 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     return out.join(sizes, "component").select(
         "doc_id", "component", "cluster_size"
     )
+
+
+def sql_dedup_clusters(corpus_sql: str, pairs_sql: str) -> str:
+    """DuckDB oracle twin: min-label transitive closure via WITH RECURSIVE.
+
+    ``walk(id, reached)`` enumerates every vertex reachable from ``id``
+    over the bidirected edge list; UNION (set) semantics make the
+    recursion terminate, and ``min(reached)`` is exactly the min-label
+    fixpoint the iterative Spark implementation converges to. O(cluster²)
+    per cluster — fine as a small-SF oracle; the Spark path is the scale
+    implementation."""
+    return f"""
+    WITH RECURSIVE
+    corpus AS ({corpus_sql}),
+    pairs AS ({pairs_sql}),
+    bidir AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(id, reached) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM bidir)
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN bidir e ON w.reached = e.a
+    ),
+    cc AS (SELECT id, min(reached) AS component FROM walk GROUP BY id),
+    labeled AS (
+      SELECT c.doc_id, coalesce(cc.component, c.doc_id) AS component
+      FROM corpus c LEFT JOIN cc ON c.doc_id = cc.id
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM labeled
+    """

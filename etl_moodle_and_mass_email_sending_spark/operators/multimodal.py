@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -139,46 +138,51 @@ def decode_media(media: DataFrame, engine: str = "fake") -> DataFrame:
 
 N_FEATURES = 8
 
+# Scalar feat_0..feat_7 columns, NOT array<double>: a list-typed output
+# column is unhashable in pandas sort/factorize, which crashes comparison
+# harnesses that canonicalize frames driver-side; fixed-width scalars also
+# give downstream joins/aggs plain columnar access with no explode.
 FEATURES_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("features", ArrayType(DoubleType())),
-    ]
+    [StructField("doc_id", LongType()), StructField("media_type", StringType())]
+    + [StructField(f"feat_{i}", DoubleType()) for i in range(N_FEATURES)]
 )
 
 
 def extract_features(media: DataFrame, engine: str = "fake") -> DataFrame:
-    """Arrow-batched feature extraction: payload → fixed-width
-    ``array<double>`` (the embedding-ish representation a downstream
+    """Arrow-batched feature extraction: payload → fixed-width scalar
+    feature columns (the embedding-ish representation a downstream
     similarity join consumes). The fake engine averages 16-byte strides —
     where a real extractor (CLIP / mel-spectrogram pooling / frame CNN)
     would plug in with the SAME schema, so downstream plans don't change.
+    Payloads are fixed-width (PAYLOAD_REPEAT × 16 bytes), so the whole
+    Arrow batch stacks into one ndarray and the strided mean is a single
+    vectorized reshape — no Python row loop.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        width = PAYLOAD_REPEAT * 16
+        stride = width // N_FEATURES
         for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                if engine == "real":
-                    raise NotImplementedError(
-                        "no media models in this environment; plug the "
-                        "real extractor here, keep FEATURES_SCHEMA"
-                    )
-                b = bytes(row.payload)
-                stride = max(1, len(b) // N_FEATURES)
-                feats = [
-                    round(
-                        sum(b[i * stride : (i + 1) * stride])
-                        / float(stride),
-                        6,
-                    )
-                    for i in range(N_FEATURES)
-                ]
-                out.append((int(row.doc_id), row.media_type, feats))
-            yield pd.DataFrame(
-                out, columns=[f.name for f in FEATURES_SCHEMA]
+            if engine == "real":
+                raise NotImplementedError(
+                    "no media models in this environment; plug the "
+                    "real extractor here, keep FEATURES_SCHEMA"
+                )
+            mat = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(-1, N_FEATURES, stride)
+            feats = mat.astype(np.float64).mean(axis=2).round(6)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                }
             )
+            for i in range(N_FEATURES):
+                out[f"feat_{i}"] = feats[:, i]
+            yield out
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
@@ -189,11 +193,11 @@ def sql_extract_features() -> str:
     feats = ", ".join(
         f"""round(list_sum(list_transform(generate_series(1, {stride}),
               b -> CAST('0x' || substr(payload_hex, {i * stride * 2} + (b - 1) * 2 + 1, 2) AS INTEGER)))
-            / {float(stride)}, 6)"""
+            / {float(stride)}, 6) AS feat_{i}"""
         for i in range(N_FEATURES)
     )
     return f"""
-    SELECT doc_id, media_type, [{feats}] AS features
+    SELECT doc_id, media_type, {feats}
     FROM ({SQL_MEDIA_TABLE})
     """
 

@@ -355,10 +355,11 @@ register(
 
 # --------------------------------------------------------------------------
 # dedup_components — transitive near-dup clustering: MinHash-LSH pairs →
-# connected components → (doc_id, component, cluster_size). Iterative
-# (min-label propagation to fixpoint) ⇒ not SQL-expressible: registered
-# rows-only; tests/test_llmdata_ops.py verifies against a union-find
-# oracle on the same edges.
+# connected components → (doc_id, component, cluster_size). The Spark side
+# is iterative min-label propagation (operators/components.py); the DuckDB
+# oracle expresses the same fixpoint as a WITH RECURSIVE reachability
+# closure, so this is hash-gated like every other dedup entry (tests also
+# verify against a union-find oracle on the same edges).
 # --------------------------------------------------------------------------
 
 
@@ -370,7 +371,15 @@ def _dedup_components(spark, sf_dir):
     return dedup_clusters(corpus, pairs)
 
 
-register("dedup_components", _dedup_components, None)
+def _sql_dedup_components() -> str:
+    from ..operators.components import sql_dedup_clusters
+
+    return sql_dedup_clusters(
+        _CORPUS_SQL, dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    )
+
+
+register("dedup_components", _dedup_components, _sql_dedup_components())
 
 
 # --------------------------------------------------------------------------

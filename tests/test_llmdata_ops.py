@@ -163,10 +163,12 @@ class TestMultimodalPlumbing:
         )
 
         media = multimodal.media_table(spark, SF_SMALL)
-        feats = multimodal.extract_features(media).collect()
-        assert all(len(r.features) == multimodal.N_FEATURES for r in feats)
+        fdf = multimodal.extract_features(media)
+        feat_cols = [f"feat_{i}" for i in range(multimodal.N_FEATURES)]
+        assert [c for c in fdf.columns if c.startswith("feat_")] == feat_cols
+        feats = fdf.collect()
         assert all(
-            0.0 <= v <= 255.0 for r in feats for v in r.features
+            0.0 <= getattr(r, c) <= 255.0 for r in feats for c in feat_cols
         )
 
 
