@@ -312,10 +312,81 @@ def sql_ivf_topk() -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup — banded random-hyperplane LSH, NOT all-pairs.
+#
+# Candidates = pairs agreeing on all NEARDUP_ROWS sign bits of ANY band
+# (same AND-then-OR banding as MinHash LSH); verify = exact cosine ≥
+# threshold on candidates only. At 100 TB the join key is (band, sign-key,
+# label): uniform small buckets, no O(block²) term, no skewed label key —
+# the same scale shape as dedup_jaccard_lsh_verified. Recall at 0.99
+# cosine with 4×4-bit bands is 1 - (1 - p^4)^4, p = 1 - θ/π ≈ 0.955 →
+# ~99.9%; near-parallel duplicates (the testbed's scaled copies, cosine
+# exactly 1.0) project to identical sign bits in every band, so candidate
+# generation is deterministic-complete for them and both engines agree.
+# --------------------------------------------------------------------------
+
+NEARDUP_BANDS = 4
+NEARDUP_ROWS = 4  # sign bits per band
+NEARDUP_THRESHOLD = 0.99
+
+
+def _neardup_coefs() -> list[list[float]]:
+    """NEARDUP_BANDS × NEARDUP_ROWS hyperplanes from the same portable
+    hash32 derivation as _plane_coefs (driver-folded literals)."""
+    import hashlib
+
+    n = NEARDUP_BANDS * NEARDUP_ROWS
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(
+                        f"{p}{SEED_SEP}{d}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % 2000
+                - 1000
+            )
+            / 1000.0
+            for d in range(DIM)
+        ]
+        for p in range(n)
+    ]
+
+
+_ND_COEFS = _neardup_coefs()
+
+
+def _nd_bit(engine: str, vec: str, p: int) -> str:
+    if engine == "spark":
+        coef = "array(" + ", ".join(f"{c}D" for c in _ND_COEFS[p]) + ")"
+        proj = _DOT.format(a=vec, b=coef)
+    else:
+        coef = (
+            "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in _ND_COEFS[p]) + "]"
+        )
+        proj = f"list_dot_product({vec}, {coef})"
+    return f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)"
+
+
+def _nd_band_key(engine: str, vec: str, band: int) -> str:
+    bits = [
+        _nd_bit(engine, vec, band * NEARDUP_ROWS + r)
+        for r in range(NEARDUP_ROWS)
+    ]
+    joiner = "concat({})".format(", ".join(bits)) if engine == "spark" else (
+        "(" + " || ".join(bits) + ")"
+    )
+    return joiner
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs within a label block with cosine ≥
-    0.99 over a corpus extended with exact/scaled copies (the raw random
-    testbed vectors have no near-dups)."""
+    """Embedding-cosine near-dup pairs (cosine ≥ NEARDUP_THRESHOLD, same
+    label) over a corpus extended with scaled copies (the raw random
+    testbed vectors have no near-dups). Banded-LSH candidates + exact
+    verify — see module comment for the scale argument."""
     v = _vectors(spark, sf_dir)
     copies = (
         v.filter(F.col("vec_id") % 10 == 0)
@@ -326,23 +397,47 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     allv = v.unionByName(copies)
-    a = allv.select(
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "label"
+    band_structs = ", ".join(
+        f"struct({b} AS band, {_nd_band_key('spark', 'vec', b)} AS key)"
+        for b in range(NEARDUP_BANDS)
     )
-    b = allv.select(
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "label"
+    # localCheckpoint before the self-join: the banded frame is consumed
+    # twice; the barrier stops Spark recomputing 16 hyperplane projections
+    # per row per side (same pattern as the MinHash signature frame).
+    banded = allv.select(
+        "vec_id",
+        "vec",
+        "label",
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
+    ).select(
+        "vec_id", "vec", "label", F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    ).localCheckpoint()
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        "label", "band", "key",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        "label", "band", "key",
     )
     cos = F.expr(_spark_cosine("va", "vb")).alias("cosine")
     return (
-        a.join(b, on="label")
+        a.join(b, on=["band", "key", "label"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos)
-        .filter(F.col("cosine") >= 0.99)
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .distinct()  # a pair can collide in several bands
     )
 
 
 def sql_embedding_near_dup_pairs() -> str:
     cos = _duck_cosine("a.vec", "b.vec")
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, vec, label, {b} AS band, "
+        f"{_nd_band_key('duck', 'vec', b)} AS key FROM allv"
+        for b in range(NEARDUP_BANDS)
+    )
     return f"""
     WITH base AS ({_DUCK_VECTORS}),
     allv AS (
@@ -350,8 +445,11 @@ def sql_embedding_near_dup_pairs() -> str:
       UNION ALL
       SELECT vec_id + 100000, list_transform(vec, x -> x * 2.0), label
       FROM base WHERE vec_id % 10 = 0
-    )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-    FROM allv a JOIN allv b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {cos} >= 0.99
+    ),
+    banded AS ({band_rows})
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+               AND a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= {NEARDUP_THRESHOLD}
     """
