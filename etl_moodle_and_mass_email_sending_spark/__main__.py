@@ -85,16 +85,33 @@ def cmd_send(args: argparse.Namespace) -> int:
     )
     messages = render_messages(users, args.course_name, args.aula_url)
     already = None
-    if args.receipts and os.path.isdir(args.receipts_ledger or ""):
+    # gate on the ledger alone: passing --receipts-ledger without
+    # --receipts must still honour the effectively-once guarantee
+    if args.receipts_ledger and os.path.isdir(args.receipts_ledger):
         already = spark.read.option("header", True).csv(
             args.receipts_ledger
         ).where("status = 'SENT'").select("email")
     receipts = send_all(messages, cfg, already_sent=already)
-    sent = receipts.where("status = 'SENT'").count()
-    failed = receipts.where("status = 'FAILED'").count()
+    # EXACTLY ONE action may consume the receipt plan: it embeds the
+    # side-effecting SMTP mapInPandas, so every extra action is a full
+    # re-send. Counts derive from the written file (or one aggregate).
     if args.receipts:
         write_csv_single(receipts, args.receipts)
         print(f"receipts -> {args.receipts}")
+        done = spark.read.option("header", True).csv(args.receipts)
+        sent = done.where("status = 'SENT'").count()
+        failed = done.where("status = 'FAILED'").count()
+    else:
+        from pyspark.sql import functions as F
+
+        counts = {
+            r["status"]: r["n"]
+            for r in receipts.groupBy("status")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        sent = counts.get("SENT", 0)
+        failed = counts.get("FAILED", 0)
     mode = "DRY-RUN " if args.dry_run else ""
     print(f"{mode}sent={sent} failed={failed} total={n}")
     return 0 if failed == 0 else 2

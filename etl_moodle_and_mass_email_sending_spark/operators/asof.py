@@ -41,25 +41,27 @@ def asof_join(
     the left row). ``right_ts`` itself is carried as ``<right_ts><suffix>``.
     """
     payload = [c for c in right.columns if c != key]
+    # The right payload travels as ONE struct, carried atomically by a
+    # single last(ignorenulls) — carrying columns independently would let
+    # a NULL in one payload column fall back to an OLDER right row's value,
+    # yielding a composite row that matches no actual right row.
+    r_tmp = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
+    )
+    p_type = r_tmp.schema["_p"].dataType
     lrow = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
     l2 = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         lrow,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}")
-            for c in payload
-        ],
+        F.lit(None).cast(p_type).alias("_p"),
     )
     lrow_type = l2.schema["_lrow"].dataType
-    r2 = right.select(
-        F.col(key).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(lrow_type).alias("_lrow"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
-    )
+    r2 = r_tmp.withColumn("_lrow", F.lit(None).cast(lrow_type))
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side")
@@ -68,12 +70,9 @@ def asof_join(
     carried = l2.unionByName(r2).select(
         "_side",
         "_lrow",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_p_{c}")
-            for c in payload
-        ],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
     return carried.filter(F.col("_side") == 1).select(
         F.col("_lrow.*"),
-        *[F.col(f"_p_{c}").alias(f"{c}{suffix}") for c in payload],
+        *[F.col(f"_p.{c}").alias(f"{c}{suffix}") for c in payload],
     )

@@ -29,8 +29,14 @@ def write_partitioned(
     if files_per_partition == 1:
         shaped = df.repartition(*[F.col(c) for c in partition_by])
     else:
+        # Salt from every NON-partition column: salting from a column that
+        # is (or determines) a partition column collapses to one salt value
+        # per partition and silently kills the fan-out.
+        salt_src = [c for c in df.columns if c not in partition_by]
+        if not salt_src:
+            salt_src = list(df.columns)
         salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns[:1]]),
+            F.xxhash64(*[F.col(c) for c in salt_src]),
             F.lit(files_per_partition),
         )
         shaped = df.repartition(

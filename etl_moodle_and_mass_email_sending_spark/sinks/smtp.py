@@ -113,7 +113,9 @@ def _send_partition_factory(
                     out.append(
                         (int(row.idx), row.email, status, attempts, error)
                     )
-                    if cfg.throttle_seconds > 0:
+                    # gated on dry_run like the backoff sleep: a dry run
+                    # opens no connection, so pacing it is pure waste
+                    if cfg.throttle_seconds > 0 and not cfg.dry_run:
                         time.sleep(cfg.throttle_seconds)
                 yield pd.DataFrame(
                     out, columns=["idx", "email", "status", "attempts", "error"]
@@ -138,6 +140,41 @@ def _build_message(sender: str, row):  # type: ignore[no-untyped-def]
     return msg
 
 
+def _stamp_index_two_pass(
+    messages: DataFrame, order_by: str, num_partitions: int
+) -> DataFrame:
+    """Global 1-based send order WITHOUT a single-task sort: range-partition
+    on the order key, then idx = (sum of earlier partitions' counts) +
+    per-partition row_number. The offsets frame is one row per partition —
+    broadcast — so the only data-sized operations are the range shuffle and
+    a partition-local sort (the two-pass zipWithIndex pattern, same as the
+    header-promotion path in sources/excel.py)."""
+    # localCheckpoint: counts and the stamp join both consume `ranged`;
+    # the barrier guarantees ONE evaluation of the range shuffle, so the
+    # sampled partition boundaries (and thus _pid) cannot diverge between
+    # the two jobs.
+    ranged = (
+        messages.repartitionByRange(num_partitions, F.col(order_by))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    woff = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    wlocal = Window.partitionBy("_pid").orderBy(F.col(order_by))
+    return (
+        ranged.withColumn("_local", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn("idx", (F.col("_off") + F.col("_local")).cast("int"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
 def send_all(
     messages: DataFrame,
     cfg: SmtpConfig = SmtpConfig(),
@@ -159,10 +196,13 @@ def send_all(
             on="email",
             how="left_anti",
         )
-    w = Window.orderBy(F.col(order_by))
-    stamped = messages.withColumn("idx", F.row_number().over(w))
-    if num_partitions:
-        stamped = stamped.repartition(num_partitions, "idx")
+    if num_partitions and num_partitions > 1:
+        stamped = _stamp_index_two_pass(messages, order_by, num_partitions)
+    else:
+        # single-task global sort: fine for roster-scale parity runs; pass
+        # num_partitions>1 for the distributed two-pass stamp
+        w = Window.orderBy(F.col(order_by))
+        stamped = messages.withColumn("idx", F.row_number().over(w))
     receipts = stamped.mapInPandas(
         _send_partition_factory(cfg, fail_spec), RECEIPT_SCHEMA
     )

@@ -34,24 +34,35 @@ def test_asof_join_matches_bruteforce(spark_mod, left, right):
     # unique (key, ts) on the right — the operator's documented contract
     right = sorted({(k, t) for k, t in right})
     left = [(i, k, t) for i, (k, t) in enumerate(left)]
+
+    # NULL-bearing payload columns (deterministic from ts): the carried
+    # right row must stay ATOMIC — a NULL in one payload column must NOT
+    # fall back to an older right row's value for that column.
+    def pay(k, t):
+        return None if t % 3 == 0 else k * 10000 + t
+
+    def extra(t):
+        return None if t % 2 == 0 else f"s{t}"
+
     l_df = spark.createDataFrame(
         [(i, k, float(t)) for i, k, t in left], "lid long, k long, ts double"
     )
     r_df = spark.createDataFrame(
-        [(k, float(t), k * 10000 + t) for k, t in right],
-        "k long, ts double, payload long",
+        [(k, float(t), pay(k, t), extra(t)) for k, t in right],
+        "k long, ts double, payload long, note string",
     )
     got = {
-        r.lid: (r.ts_asof, r.payload_asof)
+        r.lid: (r.ts_asof, r.payload_asof, r.note_asof)
         for r in asof_join(l_df, r_df, key="k").collect()
     }
     for i, k, t in left:
-        cands = [(rt, k * 10000 + rt) for rk, rt in right if rk == k and rt <= t]
-        want = max(cands) if cands else (None, None)
-        assert got[i] == (
-            float(want[0]) if want[0] is not None else None,
-            want[1],
-        ), (i, k, t)
+        cands = [rt for rk, rt in right if rk == k and rt <= t]
+        if cands:
+            rt = max(cands)
+            want = (float(rt), pay(k, rt), extra(rt))
+        else:
+            want = (None, None, None)
+        assert got[i] == want, (i, k, t)
 
 
 @settings(max_examples=12, deadline=None)

@@ -33,6 +33,45 @@ def test_dry_run_receipts(spark):
     assert all(r["status"] == "SENT" and r["attempts"] == 1 for r in receipts)
 
 
+def test_two_pass_stamp_matches_global_sort(spark):
+    """num_partitions>1 uses range-partition + offsets stamping; the
+    resulting idx assignment must be IDENTICAL to the single-task global
+    Window.orderBy path."""
+    from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+        SmtpConfig,
+        send_all,
+    )
+
+    msgs = _messages(spark, n=23)
+    single = {
+        r["email"]: (r["idx"], r["remaining"])
+        for r in send_all(msgs, SmtpConfig(dry_run=True)).collect()
+    }
+    multi = {
+        r["email"]: (r["idx"], r["remaining"])
+        for r in send_all(
+            msgs, SmtpConfig(dry_run=True), num_partitions=4
+        ).collect()
+    }
+    assert multi == single
+    assert sorted(i for i, _ in multi.values()) == list(range(1, 24))
+
+
+def test_two_pass_stamp_plan_has_no_global_sort(spark):
+    """The distributed stamp's plan must not contain a partition-less
+    Window sort (the single-task funnel the two-pass path removes)."""
+    from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
+        _stamp_index_two_pass,
+    )
+
+    plan = _stamp_index_two_pass(
+        _messages(spark, n=23), "email", 4
+    )._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "_pid" in line, f"global window in plan: {line}"
+
+
 def test_retry_accounting(spark):
     from etl_moodle_and_mass_email_sending_spark.sinks.smtp import (
         SmtpConfig,
