@@ -163,3 +163,65 @@ def test_bucketed_join_eliminates_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_xlsx_fixture_is_regenerable(tmp_path):
+    """The committed participants.xlsx must equal what the stdlib-only
+    generator produces (byte-stable zip, fixed timestamps) — guards
+    against a hand-edited or corrupted fixture binary."""
+    import os
+
+    from fixtures.make_participants_xlsx import build
+
+    out = tmp_path / "participants.xlsx"
+    build(str(out))
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "participants.xlsx"
+    )
+    with open(fixture, "rb") as f:
+        assert out.read_bytes() == f.read()
+
+
+def test_excel_end_to_end(spark):
+    """S1 against a REAL .xlsx binary (4 junk rows, trailing-space header):
+    read → rename → normalize, full pipeline. Skips cleanly when no Excel
+    engine wheel is installed (this container ships none); the promotion
+    logic itself stays covered via the CSV path above."""
+    import os
+
+    import pytest
+
+    from etl_moodle_and_mass_email_sending_spark.plans.moodle import (
+        MoodleParams,
+        normalize_to_moodle,
+    )
+    from etl_moodle_and_mass_email_sending_spark.sources.excel import (
+        read_participants_excel,
+        rename_participant_columns,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "participants.xlsx"
+    )
+    try:
+        raw = read_participants_excel(spark, path)
+    except NotImplementedError:
+        pytest.skip("no Excel engine available in this environment")
+    df = rename_participant_columns(raw)
+    assert {"rut", "nombres", "apellidos", "email"} <= set(df.columns)
+    rows = {
+        r.email: r
+        for r in normalize_to_moodle(
+            df, MoodleParams(course_field="C-XL")
+        ).collect()
+    }
+    # 8 data rows, minus the null-rut and the null-nombres row
+    assert len(rows) == 6
+    # multi-token first name → first token; accents folded in username
+    assert rows["mjperez@u.cl"].firstname == "María"
+    assert rows["mjperez@u.cl"].username.startswith("mariaperez")
+    # multi-email cell → first token containing '@'
+    assert "angel@u.cl" in rows
+    # whitespace-padded email trimmed by pick_email
+    assert "jn@u.cl" in rows
+    assert all(r.course1 == "C-XL" for r in rows.values())
