@@ -27,12 +27,18 @@ HEADLINE = [
     "rel_top_orders_per_customer",
     "rel_events_hourly",
     "rel_sessionize",
+    # events-family custom operators (added round 2, once the external
+    # gate could read events.parquet — engine-side they always ran)
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_skew_salted_agg",
     # LLM-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_topk_bruteforce",
     "sim_ann_lsh_topk",
+    "sim_embedding_near_dup",  # added round 2 with the banded-LSH plan
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
