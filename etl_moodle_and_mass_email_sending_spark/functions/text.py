@@ -140,6 +140,29 @@ def title_case(col: Column) -> Column:
     return F.initcap(F.regexp_replace(F.trim(col.cast("string")), r"\s+", " "))
 
 
+def _title_series(s):  # type: ignore[no-untyped-def]
+    return s.map(lambda x: None if x is None else str(x).title())
+
+
+_title_udf = None
+
+
+def title_case_exact(col: Column) -> Column:
+    """Byte-exact Python ``str.title()`` (reference app.py:251, 253) as an
+    Arrow-vectorized pandas_udf: capitalizes after ANY non-alpha, so
+    ``o'brien`` → ``O'Brien`` where :func:`title_case`/initcap yields
+    ``O'brien``. The pandas-parity twin for users who need it — NOT
+    SQL-expressible, so oracle-gated paths keep the pinned initcap form
+    (the default). Built lazily like :func:`fold_accents_nfkd`."""
+    global _title_udf
+    if _title_udf is None:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import StringType
+
+        _title_udf = pandas_udf(_title_series, StringType())
+    return _title_udf(col.cast("string"))
+
+
 def local_part(col: Column) -> Column:
     """Email local part (reference app.py:299, 304)."""
     return F.split(col.cast("string"), "@").getItem(0)

@@ -53,3 +53,21 @@ def test_semi_anti_plan_uses_existence_joins(spark, registry_queries):
     plan = _plan(registry_queries["rel_semi_anti"](spark, SF_SMALL))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_embedding_near_dup_joins_on_lsh_buckets(spark, registry_queries):
+    """The near-dup self-join must be keyed on the LSH band/key columns —
+    never a label-only (or cartesian) pairing, which is O(block^2) with a
+    skewed shuffle key at scale."""
+    plan = _plan(registry_queries["sim_embedding_near_dup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln
+        or "BroadcastHashJoin" in ln  # AQE picks broadcast at tiny SF
+    ]
+    assert join_lines, "expected an equi-join in the near-dup plan"
+    assert any("band" in ln and "key" in ln for ln in join_lines), join_lines

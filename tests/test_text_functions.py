@@ -141,3 +141,42 @@ def test_username_property_clean(spark_global, nombres, apellidos):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+def test_title_case_exact_matches_python_title(spark):
+    """The pandas_udf twin must equal Python str.title() byte-for-byte,
+    including the after-any-non-alpha capitalization initcap lacks."""
+    from etl_moodle_and_mass_email_sending_spark.functions import text
+
+    vals = [
+        "o'brien", "maría-josé", "van der sar", "d'angelo núñez",
+        "MC donald", "a.b.c", "", "ñandú",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [
+        r["r"]
+        for r in df.select(
+            text.title_case_exact(F.col("v")).alias("r")
+        ).collect()
+    ]
+    assert got == [v.title() for v in vals]
+
+
+def test_exact_title_flag_in_normalize(spark):
+    """MoodleParams(exact_title_case=True) routes firstname/lastname through
+    str.title() semantics; the default keeps pinned initcap (o'brien)."""
+    from etl_moodle_and_mass_email_sending_spark.plans.moodle import (
+        MoodleParams,
+        normalize_to_moodle,
+    )
+
+    df = spark.createDataFrame(
+        [("1-9", "ana maría", "o'brien díaz", "a@x.cl")],
+        "rut string, nombres string, apellidos string, email string",
+    )
+    exact = normalize_to_moodle(
+        df, MoodleParams(exact_title_case=True)
+    ).first()
+    assert exact.lastname == "o'brien díaz".title()  # O'Brien Díaz
+    pinned = normalize_to_moodle(df).first()
+    assert pinned.lastname == "O'brien Díaz"
