@@ -1,12 +1,23 @@
 """Registered streaming queries (M6) + the batch sessionization twin.
 
-The two ``stream_*`` entries replay the events parquet through a real
-Structured Streaming plan (availableNow) and return the memory-sink table
-— genuinely non-SQL-expressible incremental execution, so they register
-WITHOUT an oracle (the driver's weaker rows-only check; SURVEY.md §5.2).
-``rel_sessionize`` is the batch twin of the stateful session operator —
-gaps-and-islands over window functions — with an exact DuckDB oracle, so
-the session *semantics* still hash-gate.
+The ``stream_*`` entries replay the events parquet through a real
+Structured Streaming plan (availableNow) and return the memory-sink table.
+For a BOUNDED single-file replay the incremental execution is
+deterministic, so two of them carry exact SQL oracles after all:
+
+- ``stream_windowed_counts``: the whole file lands in micro-batch 1 while
+  the watermark is still 0 (nothing is late), and the final flush emits
+  exactly the windows with ``window_end <= max(ts) - delay`` — expressible
+  as a HAVING clause over the batch rollup (validated empirically at
+  sf0.001 and sf0.01; the untestable edge is a window ending within 1 ms
+  of the watermark, which hour-aligned windows never do).
+- ``stream_interval_join``: an inner join whose inputs all arrive in
+  batch 1 emits every matching pair — the plain batch interval join.
+
+``stream_sessionize`` stays rows-only: ``applyInPandasWithState`` session
+emission depends on timeout processing order at query shutdown; its
+SEMANTICS hash-gate through the batch twin ``rel_sessionize``
+(gaps-and-islands over window functions, exact DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -97,8 +108,27 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.run_to_memory_sink(sess, name, ck)
 
 
+STREAM_WINDOWED_COUNTS_SQL = """
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+), agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         event_type, count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM base GROUP BY 1, 2, 3
+)
+-- append-mode emission for a bounded replay: only windows the final
+-- watermark (max event time - 2 h delay) has closed
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM base)
+"""
+
 register("rel_sessionize", rel_sessionize, REL_SESSIONIZE_SQL)
-register("stream_windowed_counts", stream_windowed_counts, None)
+register(
+    "stream_windowed_counts", stream_windowed_counts,
+    STREAM_WINDOWED_COUNTS_SQL,
+)
 register("stream_sessionize", stream_sessionize, None)
 
 
@@ -114,4 +144,18 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.run_to_memory_sink(joined, name, ck)
 
 
-register("stream_interval_join", stream_interval_join, None)
+STREAM_INTERVAL_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.click_id, c.user_id, c.click_ts, e.error_id, e.error_ts
+FROM c JOIN e ON c.user_id = e.user_id
+ AND e.error_ts >= c.click_ts
+ AND e.error_ts <= c.click_ts + INTERVAL 300 SECOND
+"""
+
+register("stream_interval_join", stream_interval_join, STREAM_INTERVAL_JOIN_SQL)

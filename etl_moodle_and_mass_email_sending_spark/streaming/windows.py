@@ -55,6 +55,10 @@ def stream_events(
     import tempfile
 
     path = f"{sf_dir}/events.parquet"
+    # like catalog.load_table: events.ts is TIMESTAMP(NANOS), which Spark
+    # rejects unless the legacy conf is set — set it HERE so the stream
+    # source works in ANY SparkSession, not only the engine's
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         stage = staging_dir or tempfile.mkdtemp(prefix="events_stream_")
