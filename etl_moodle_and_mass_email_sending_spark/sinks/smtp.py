@@ -206,6 +206,20 @@ def send_all(
     receipts = stamped.mapInPandas(
         _send_partition_factory(cfg, fail_spec), RECEIPT_SCHEMA
     )
+    if num_partitions and num_partitions > 1:
+        # countdown total via a broadcast 1-row aggregate over the STAMPED
+        # frame (side-effect-free: the send lives in `receipts`, and the
+        # stamp recomputes cheaply over the checkpointed range shuffle) —
+        # an unpartitioned window max here would funnel every receipt row
+        # through one task, the same bottleneck the two-pass stamp removed
+        total_df = stamped.agg(F.max("idx").alias("_total"))
+        return (
+            receipts.crossJoin(F.broadcast(total_df))
+            .withColumn(
+                "remaining", (F.col("_total") - F.col("idx")).cast("long")
+            )
+            .drop("_total")
+        )
     total = F.max("idx").over(Window.partitionBy())
     return receipts.withColumn(
         "remaining", (total - F.col("idx")).cast("long")

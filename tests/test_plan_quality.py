@@ -71,3 +71,30 @@ def test_embedding_near_dup_joins_on_lsh_buckets(spark, registry_queries):
     ]
     assert join_lines, "expected an equi-join in the near-dup plan"
     assert any("band" in ln and "key" in ln for ln in join_lines), join_lines
+
+
+def test_asof_plan_is_union_window_not_join(spark, registry_queries):
+    """The as-of operator must lower to union + one keyed window pass —
+    never an inequality join (O(|L|x|R|) per key at scale)."""
+    plan = _plan(registry_queries["rel_asof_join"](spark, SF_SMALL))
+    assert "Union" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_salted_agg_has_two_stage_aggregation(spark, registry_queries):
+    """Salted agg = partial groupBy(key, salt) then final groupBy(key):
+    with map-side combines that is >= 4 HashAggregates, and the salt
+    column must appear in an aggregation's grouping."""
+    plan = _plan(registry_queries["rel_skew_salted_agg"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, registry_queries):
+    """The interval join must pair rows through bucket equality (no
+    nested-loop/cartesian fallback); the inequality is a post-filter."""
+    plan = _plan(registry_queries["rel_range_join"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
