@@ -412,3 +412,126 @@ def sql_repetition_stats(corpus_sql: str) -> str:
                 / len(bg), 6) END AS top_bigram_fraction
     FROM bg
     """
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — pack document chunks into fixed-token-budget training
+# sequences (the pretraining batch-prep step after chunking).
+#
+# Packing rule (first-fit with overflow, deterministic): chunks are laid
+# out in (lang, doc_id, chunk_index) order and chunk c joins sequence
+# floor(cum_tokens_before_c / budget) — a sequence fills until its running
+# total crosses the budget, the next chunk starts the next sequence;
+# chunks are atomic (never split). This is ONE exclusive running-sum
+# window per lang partition — no iteration, no state machine — so at
+# 100 TB it is a single shuffle on lang + a partition-local sort, and the
+# same SQL runs on any engine.
+# --------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 256
+
+
+def pack_sequences(
+    chunks: DataFrame, budget: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """chunks(doc_id, chunk_index, n_tokens, lang) → per-sequence manifest
+    (lang, seq_id, n_chunks, n_docs, seq_tokens)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = chunks.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ).alias("seq_id"),
+    )
+    return assigned.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
+def sql_pack_sequences(
+    chunks_sql: str, budget: int = PACK_BUDGET_TOKENS
+) -> str:
+    return f"""
+    WITH assigned AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id, chunk_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / {budget}) AS BIGINT) AS seq_id
+      FROM ({chunks_sql})
+    )
+    SELECT lang, seq_id, count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+    FROM assigned GROUP BY lang, seq_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Corpus top terms — highest-frequency tokens per language.
+#
+# The classic zipfian-skew aggregation: explode(tokens) → groupBy
+# (lang, token). The hot terms ("the", "de", …) are safe because the
+# token is IN the grouping key and partial aggregation combines each
+# term map-side before the shuffle — per-reducer traffic is
+# O(distinct terms), not O(token occurrences). Rank per lang bounded by
+# row_number ≤ K right after the window.
+# --------------------------------------------------------------------------
+
+TOP_TERMS_K = 20
+
+
+def top_terms(corpus: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    """(lang, token, term_count, doc_count, rank): the k most frequent
+    whitespace tokens per language, ties broken lexicographically."""
+    from pyspark.sql.window import Window
+
+    toks = corpus.select(
+        "lang",
+        "doc_id",
+        F.explode(F.expr(_SPARK_TOKS)).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(
+        F.count("*").alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_count"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("term_count").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        ).filter(F.col("rank") <= k)
+    )
+
+
+def sql_top_terms(corpus_sql: str, k: int = TOP_TERMS_K) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT lang, doc_id, t.token
+      FROM ({corpus_sql}),
+           LATERAL (SELECT unnest({_DUCK_TOKS}) AS token) t
+      WHERE t.token <> ''
+    ),
+    counts AS (
+      SELECT lang, token, count(*) AS term_count,
+             count(DISTINCT doc_id) AS doc_count
+      FROM toks GROUP BY lang, token
+    )
+    SELECT lang, token, term_count, doc_count, rank FROM (
+      SELECT lang, token, term_count, doc_count,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY term_count DESC, token) AS INTEGER) AS rank
+      FROM counts
+    ) WHERE rank <= {k}
+    """

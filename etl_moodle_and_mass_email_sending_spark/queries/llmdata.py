@@ -352,6 +352,27 @@ register(
     text_analysis.sql_scrub_pii(_DOCS_SQL),
 )
 
+# Sequence packing over the chunked corpus: Spark threads lang through the
+# chunk fan-out via keep= (no re-join); the oracle joins chunks back to
+# documents for the same column — identical rows either way.
+register(
+    "text_sequence_pack",
+    lambda spark, sf_dir: text_analysis.pack_sequences(
+        text_analysis.chunk_documents(_docs(spark, sf_dir), keep=("lang",))
+    ),
+    text_analysis.sql_pack_sequences(
+        f"""SELECT c.doc_id, c.chunk_index, c.n_tokens, d.lang
+        FROM ({text_analysis.sql_chunk_documents(_DOCS_SQL)}) c
+        JOIN ({_DOCS_SQL}) d USING (doc_id)"""
+    ),
+)
+
+register(
+    "text_top_terms",
+    lambda spark, sf_dir: text_analysis.top_terms(_docs(spark, sf_dir)),
+    text_analysis.sql_top_terms(_DOCS_SQL),
+)
+
 
 # --------------------------------------------------------------------------
 # dedup_components — transitive near-dup clustering: MinHash-LSH pairs →

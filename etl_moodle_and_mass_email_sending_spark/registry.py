@@ -40,6 +40,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # All demoted entries REMAIN registered: tests/test_oracle_parity.py checks
 # every oracle-gated entry regardless of order.
 _DEMOTED = [
+    # round-2+ additions start life in the tail so they cannot displace
+    # already-certified entries from the window
+    "text_sequence_pack",
+    "text_top_terms",
     "rel_supplier_part_volume",
     "rel_running_total",
     "rel_distinct_parts",

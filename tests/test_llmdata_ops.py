@@ -210,3 +210,72 @@ class TestDedupComponents:
         assert got == want
         # clusters are non-trivial: the synthetic corpus has real dup pairs
         assert any(c != i for i, c in got.items())
+
+
+class TestPackingAndTopTerms:
+    def test_pack_sequences_first_fit_with_overflow(self, spark):
+        """budget=10, chunks 6,6,6,3 in one lang: exclusive cumsums are
+        0,6,12,18 → sequences 0,0,1,1 (seq 0 overflows to 12 tokens)."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        chunks = spark.createDataFrame(
+            [(1, 0, 6, "en"), (1, 1, 6, "en"), (2, 0, 6, "en"), (3, 0, 3, "en")],
+            "doc_id long, chunk_index int, n_tokens long, lang string",
+        )
+        got = {
+            r.seq_id: (r.n_chunks, r.n_docs, r.seq_tokens)
+            for r in text_analysis.pack_sequences(chunks, budget=10).collect()
+        }
+        assert got == {0: (2, 1, 12), 1: (2, 2, 9)}
+
+    def test_pack_sequences_conserves_tokens(self, spark):
+        """Packing must not drop or duplicate chunks: per-lang token totals
+        equal the chunked corpus totals."""
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+        from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        chunks = text_analysis.chunk_documents(docs, keep=("lang",))
+        want = {
+            r.lang: r.total
+            for r in chunks.groupBy("lang")
+            .agg(F.sum("n_tokens").alias("total"))
+            .collect()
+        }
+        packed = text_analysis.pack_sequences(chunks)
+        got = {
+            r.lang: r.total
+            for r in packed.groupBy("lang")
+            .agg(F.sum("seq_tokens").alias("total"))
+            .collect()
+        }
+        assert got == want
+
+    def test_top_terms_ranks_by_frequency(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat the dog the", "en"),
+                (2, "the dog", "en"),
+                (3, "el gato", "es"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rows = text_analysis.top_terms(docs, k=2).collect()
+        en = sorted(
+            [(r.rank, r.token, r.term_count, r.doc_count) for r in rows if r.lang == "en"]
+        )
+        assert en == [(1, "the", 4, 2), (2, "dog", 2, 2)]
+        es = sorted([(r.rank, r.token) for r in rows if r.lang == "es"])
+        assert es == [(1, "el"), (2, "gato")]
