@@ -279,3 +279,22 @@ class TestPackingAndTopTerms:
         assert en == [(1, "the", 4, 2), (2, "dog", 2, 2)]
         es = sorted([(r.rank, r.token) for r in rows if r.lang == "es"])
         assert es == [(1, "el"), (2, "gato")]
+
+
+def test_ivf_recall_floor(spark):
+    """IVF (nprobe=2 of 8 lists) must keep recall@5 >= 0.7 vs brute force
+    on the testbed vectors (measured 0.86 at sf0.001); guards against a
+    probe/assignment regression. Sign-bit LSH recall is documented in
+    SCALE.md as near-zero on uniform random vectors by nature — not
+    asserted here."""
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.topk_bruteforce(spark, SF_SMALL).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(spark, SF_SMALL).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.7

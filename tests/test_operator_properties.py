@@ -131,3 +131,40 @@ def test_chunking_covers_document(spark_mod, n_tokens, chunk):
     assert len(rows) >= 1
     if n_tokens:
         assert sum(r.n_tokens for r in rows) == n_tokens
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    budget=st.integers(min_value=8, max_value=64),
+)
+def test_pack_sequences_matches_python_reference(spark_mod, sizes, budget):
+    """First-fit-with-overflow packing == sequential Python reference:
+    walk chunks in order, close a sequence once its total crosses the
+    budget."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    spark = spark_mod
+    chunks = [(i, 0, n, "xx") for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(
+        chunks, "doc_id long, chunk_index int, n_tokens long, lang string"
+    )
+    got = {
+        r.seq_id: (r.n_chunks, r.seq_tokens)
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    # reference: seq = floor(exclusive-cumsum / budget)
+    want: dict[int, list[int]] = {}
+    cum = 0
+    for _, _, n, _ in chunks:
+        want.setdefault(cum // budget, []).append(n)
+        cum += n
+    assert got == {s: (len(v), sum(v)) for s, v in want.items()}
+    # invariants: ids start at 0 and never exceed total/budget (a chunk
+    # larger than the budget may SKIP ids — that is by construction);
+    # tokens are conserved
+    assert min(got) == 0
+    assert max(got) <= sum(sizes) // budget
+    assert sum(v[1] for v in got.values()) == sum(sizes)
