@@ -86,8 +86,18 @@ def cmd_send(args: argparse.Namespace) -> int:
     messages = render_messages(users, args.course_name, args.aula_url)
     already = None
     # gate on the ledger alone: passing --receipts-ledger without
-    # --receipts must still honour the effectively-once guarantee
-    if args.receipts_ledger and os.path.isdir(args.receipts_ledger):
+    # --receipts must still honour the effectively-once guarantee.
+    # spark.read.csv accepts both a directory of receipt CSVs and a single
+    # receipt file (the round-trip of this tool's own --receipts output);
+    # a MISSING ledger path is an error, not a silent full re-send.
+    if args.receipts_ledger:
+        if not os.path.exists(args.receipts_ledger):
+            print(
+                f"receipts ledger {args.receipts_ledger!r} does not exist; "
+                "refusing to send without the idempotence guarantee",
+                file=sys.stderr,
+            )
+            return 1
         already = spark.read.option("header", True).csv(
             args.receipts_ledger
         ).where("status = 'SENT'").select("email")

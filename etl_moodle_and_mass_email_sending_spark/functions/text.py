@@ -160,7 +160,11 @@ def title_case_exact(col: Column) -> Column:
         from pyspark.sql.types import StringType
 
         _title_udf = pandas_udf(_title_series, StringType())
-    return _title_udf(col.cast("string"))
+    # same trim + whitespace-collapse normalization as title_case, so the
+    # flag changes ONLY the casing rule, not whitespace hygiene
+    return _title_udf(
+        F.regexp_replace(F.trim(col.cast("string")), r"\s+", " ")
+    )
 
 
 def local_part(col: Column) -> Column:

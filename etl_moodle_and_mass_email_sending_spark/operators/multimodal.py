@@ -170,6 +170,12 @@ def extract_features(media: DataFrame, engine: str = "fake") -> DataFrame:
                     "no media models in this environment; plug the "
                     "real extractor here, keep FEATURES_SCHEMA"
                 )
+            lens = pdf["payload"].map(len)
+            if not (lens == width).all():
+                raise ValueError(
+                    "extract_features requires fixed-width payloads of "
+                    f"{width} bytes; got lengths {sorted(set(lens))[:5]}"
+                )
             mat = np.frombuffer(
                 b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
             ).reshape(-1, N_FEATURES, stride)

@@ -103,13 +103,15 @@ def sql_topk_bruteforce() -> str:
 # --------------------------------------------------------------------------
 
 
-def _plane_coefs() -> list[list[float]]:
-    """Hyperplane coefficients precomputed on the driver from the SAME
-    md5 derivation both engines previously evaluated per-row — Catalyst
-    does not constant-fold a nested transform-over-sequence of md5 calls,
-    so inlining the folded literals removes 8×64 md5s/row (measured
-    ~4.5 s → ~1.5 s for the ANN query at sf0.1). Values are exact
-    3-decimal literals, so both engines parse identical doubles."""
+def _hyperplanes(n_planes: int) -> list[list[float]]:
+    """``n_planes`` hyperplane coefficient rows precomputed on the driver
+    from the SAME md5 derivation both engines previously evaluated per-row
+    — Catalyst does not constant-fold a nested transform-over-sequence of
+    md5 calls, so inlining the folded literals removes planes×64 md5s/row
+    (measured ~4.5 s → ~1.5 s for the ANN query at sf0.1). Values are
+    exact 3-decimal literals, so both engines parse identical doubles.
+    SHARED by the ANN index and the near-dup bands: plane p is the same
+    plane everywhere, derived once."""
     import hashlib
 
     return [
@@ -127,32 +129,33 @@ def _plane_coefs() -> list[list[float]]:
             / 1000.0
             for d in range(DIM)
         ]
-        for p in range(LSH_PLANES)
+        for p in range(n_planes)
     ]
 
 
-_COEFS = _plane_coefs()
+_COEFS = _hyperplanes(LSH_PLANES)
+
+
+def _sign_bit(engine: str, vec: str, coef_row: list[float]) -> str:
+    """'1'/'0' sign-bit expression for vec · coef_row, per engine."""
+    if engine == "spark":
+        coef = "array(" + ", ".join(f"{c}D" for c in coef_row) + ")"
+        proj = _DOT.format(a=vec, b=coef)
+    else:
+        coef = (
+            "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in coef_row) + "]"
+        )
+        proj = f"list_dot_product({vec}, {coef})"
+    return f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)"
 
 
 def _spark_bucket(vec: str) -> str:
-    bits = []
-    for p in range(LSH_PLANES):
-        coef = "array(" + ", ".join(f"{c}D" for c in _COEFS[p]) + ")"
-        proj = _DOT.format(a=vec, b=coef)
-        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)")
+    bits = [_sign_bit("spark", vec, _COEFS[p]) for p in range(LSH_PLANES)]
     return "concat(" + ", ".join(bits) + ")"
 
 
 def _duck_bucket(vec: str) -> str:
-    bits = []
-    for p in range(LSH_PLANES):
-        coef = (
-            "["
-            + ", ".join(f"CAST({c} AS DOUBLE)" for c in _COEFS[p])
-            + "]"
-        )
-        proj = f"list_dot_product({vec}, {coef})"
-        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)")
+    bits = [_sign_bit("duck", vec, _COEFS[p]) for p in range(LSH_PLANES)]
     return "(" + " || ".join(bits) + ")"
 
 
@@ -334,49 +337,12 @@ NEARDUP_ROWS = 8  # sign bits per band → 256 buckets/band
 NEARDUP_THRESHOLD = 0.99
 
 
-def _neardup_coefs() -> list[list[float]]:
-    """NEARDUP_BANDS × NEARDUP_ROWS hyperplanes from the same portable
-    hash32 derivation as _plane_coefs (driver-folded literals)."""
-    import hashlib
-
-    n = NEARDUP_BANDS * NEARDUP_ROWS
-    return [
-        [
-            (
-                int(
-                    hashlib.md5(
-                        f"{p}{SEED_SEP}{d}".encode()
-                    ).hexdigest()[:8],
-                    16,
-                )
-                % 2000
-                - 1000
-            )
-            / 1000.0
-            for d in range(DIM)
-        ]
-        for p in range(n)
-    ]
-
-
-_ND_COEFS = _neardup_coefs()
-
-
-def _nd_bit(engine: str, vec: str, p: int) -> str:
-    if engine == "spark":
-        coef = "array(" + ", ".join(f"{c}D" for c in _ND_COEFS[p]) + ")"
-        proj = _DOT.format(a=vec, b=coef)
-    else:
-        coef = (
-            "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in _ND_COEFS[p]) + "]"
-        )
-        proj = f"list_dot_product({vec}, {coef})"
-    return f"(CASE WHEN ({proj}) >= 0 THEN '1' ELSE '0' END)"
+_ND_COEFS = _hyperplanes(NEARDUP_BANDS * NEARDUP_ROWS)
 
 
 def _nd_band_key(engine: str, vec: str, band: int) -> str:
     bits = [
-        _nd_bit(engine, vec, band * NEARDUP_ROWS + r)
+        _sign_bit(engine, vec, _ND_COEFS[band * NEARDUP_ROWS + r])
         for r in range(NEARDUP_ROWS)
     ]
     joiner = "concat({})".format(", ".join(bits)) if engine == "spark" else (

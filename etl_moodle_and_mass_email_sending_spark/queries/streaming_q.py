@@ -115,7 +115,8 @@ WITH base AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
          time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
          event_type, count(*) AS n_events,
-         round(sum(value), 6) AS sum_value
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS sum_value
   FROM base GROUP BY 1, 2, 3
 )
 -- append-mode emission for a bounded replay: only windows the final

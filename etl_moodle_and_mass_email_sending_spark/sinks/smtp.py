@@ -170,7 +170,7 @@ def _stamp_index_two_pass(
     return (
         ranged.withColumn("_local", F.row_number().over(wlocal))
         .join(F.broadcast(offsets), on="_pid")
-        .withColumn("idx", (F.col("_off") + F.col("_local")).cast("int"))
+        .withColumn("idx", (F.col("_off") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_off")
     )
 

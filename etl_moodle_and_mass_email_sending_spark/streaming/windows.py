@@ -90,12 +90,17 @@ def windowed_event_counts(
     logical rollup, incremental execution.
     """
     w = events.withWatermark("ts", watermark_delay)
+    # value sums go through exact DECIMAL(18,2) like rel_events_hourly:
+    # a raw double sum is accumulation-order-dependent and would make the
+    # cross-engine hash flaky at larger group sizes
     return w.groupBy(
         F.window("ts", window_duration).alias("win"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
     ).select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),

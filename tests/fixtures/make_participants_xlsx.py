@@ -11,7 +11,9 @@ ECMA-376 format; inline strings keep it to 5 parts). Regenerate with:
 
     python tests/fixtures/make_participants_xlsx.py
 
-The output is byte-stable (fixed zip timestamps, no compression jitter).
+The output is byte-stable (fixed zip timestamps, ZIP_STORED so the bytes
+do not depend on which zlib build compresses — deflate output varies
+across zlib/zlib-ng versions).
 """
 
 from __future__ import annotations
@@ -114,10 +116,10 @@ def build(path: str) -> None:
         ),
         "xl/worksheets/sheet1.xml": sheet,
     }
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
         for name, content in parts.items():
             info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
-            info.compress_type = zipfile.ZIP_DEFLATED
+            info.compress_type = zipfile.ZIP_STORED
             z.writestr(info, content)
 
 
