@@ -42,6 +42,8 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_score",
     "text_fingerprint",
+    "text_decontaminate",
+    "text_unigram_logprob",
     "mm_decode_media",
     "mm_extract_features",
     # capstone composition

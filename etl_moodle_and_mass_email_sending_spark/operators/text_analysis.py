@@ -478,6 +478,160 @@ def sql_pack_sequences(
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination — flag training documents that share any
+# word-level n-gram with a held-out benchmark/eval set (the standard
+# train-set hygiene pass before pretraining; cf. GPT-3 appendix C's 13-gram
+# overlap rule, scaled down to these short synthetic docs).
+#
+# 100 TB shape: the benchmark side is an eval suite — megabytes, not
+# terabytes — so its distinct n-gram set is BROADCAST and the corpus scan
+# joins map-side with zero shuffle of corpus data. The only shuffle is the
+# final per-doc hit count, and because a document's grams all live in the
+# partition that scanned it, partial aggregation collapses them to ≤1 row
+# per doc before the exchange. Per-doc `array_distinct` bounds the fan-out
+# at (tokens − n + 1) grams per doc.
+# --------------------------------------------------------------------------
+
+# Overlap gram width: GPT-3 used 13-grams over web text; the synthetic docs
+# here are ~30 tokens from a tiny vocabulary, so 4-grams give the same
+# "rare-enough-to-mean-copying" selectivity (measured: 8/500 docs flagged
+# at sf0.01, 727/50k at sf0.1 — vs 0 flagged at n≥6).
+DECON_NGRAM = 4
+DECON_BENCH_MOD = 97  # doc_id % 97 == 0 → the ~1% held-out benchmark slice
+
+
+def _spark_grams(n: int) -> str:
+    return (
+        f"CASE WHEN size({_SPARK_TOKS}) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size({_SPARK_TOKS}) - {n}), "
+        f"i -> array_join(slice({_SPARK_TOKS}, i + 1, {n}), ' '))) "
+        f"ELSE array() END"
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """(doc_id, n_hit_ngrams, n_grams, contamination) for every TRAINING
+    document (doc_id % bench_mod != 0) sharing ≥1 distinct n-gram with the
+    benchmark slice (doc_id % bench_mod == 0). Clean docs are absent —
+    downstream drops contaminated ids with an anti-join on this output."""
+    grams = corpus.select(
+        "doc_id",
+        F.expr(_spark_grams(n)).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % bench_mod == 0)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            # per-doc grams are already distinct → count(*) = distinct hits
+            F.count("*").alias("n_hit_ngrams"),
+            F.first("n_grams").cast("bigint").alias("n_grams"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(
+                F.col("n_hit_ngrams").cast("double") / F.col("n_grams"), 6
+            ),
+        )
+    )
+
+
+def sql_decontaminate(
+    corpus_sql: str,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> str:
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> array_to_string(w[i : i + {n} - 1], ' '))) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM ({corpus_sql})),
+    g AS (SELECT doc_id, {grams} AS grams FROM tok),
+    e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+    bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {bench_mod} = 0),
+    train AS (SELECT * FROM e WHERE doc_id % {bench_mod} <> 0)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit_ngrams,
+           CAST(any_value(t.n_grams) AS BIGINT) AS n_grams,
+           round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6)
+             AS contamination
+    FROM train t JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Unigram log-probability scoring — the CCNet-style language-model quality
+# filter, degree zero: score each document by the mean log probability of
+# its tokens under the corpus's own unigram distribution. Low scores mark
+# gibberish / rare-token spam; high scores mark stopword soup.
+#
+# 100 TB shape: two aggregations. (1) token → count is zipfian-skewed but
+# the token IS the grouping key, so map-side partial aggregation bounds
+# per-reducer traffic at O(vocab) (same argument as top_terms). (2) The
+# resulting unigram table is vocab-sized — broadcast it back over the
+# token stream; the per-doc mean then partial-aggregates exactly like
+# decontaminate's hit count. No corpus-sized shuffle anywhere.
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_scored_tokens, avg_logprob): mean natural-log unigram
+    probability of the doc's tokens under the whole-corpus distribution.
+    Docs with zero non-blank tokens are absent (nothing to score)."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    lm = F.broadcast(freq.crossJoin(F.broadcast(total)))
+    return (
+        toks.join(lm, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored_tokens"),
+            F.round(
+                F.avg(F.log(F.col("n").cast("double") / F.col("total"))), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def sql_unigram_logprob(corpus_sql: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM ({corpus_sql}),
+           LATERAL (SELECT unnest({_DUCK_TOKS}) AS token) t
+      WHERE t.token <> ''
+    ),
+    freq AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    total AS (SELECT sum(n) AS total FROM freq)
+    SELECT doc_id,
+           count(*) AS n_scored_tokens,
+           round(avg(ln(CAST(n AS DOUBLE) / total)), 6) AS avg_logprob
+    FROM toks JOIN freq USING (token) CROSS JOIN total
+    GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
 # Corpus top terms — highest-frequency tokens per language.
 #
 # The classic zipfian-skew aggregation: explode(tokens) → groupBy

@@ -373,6 +373,22 @@ register(
     text_analysis.sql_top_terms(_DOCS_SQL),
 )
 
+# Benchmark decontamination: broadcast the eval slice's distinct n-grams,
+# count per-training-doc overlaps (train-set hygiene before pretraining).
+register(
+    "text_decontaminate",
+    lambda spark, sf_dir: text_analysis.decontaminate(_docs(spark, sf_dir)),
+    text_analysis.sql_decontaminate(_DOCS_SQL),
+)
+
+# Unigram-LM quality scoring: corpus token distribution broadcast back
+# over the token stream, per-doc mean log probability.
+register(
+    "text_unigram_logprob",
+    lambda spark, sf_dir: text_analysis.unigram_logprob(_docs(spark, sf_dir)),
+    text_analysis.sql_unigram_logprob(_DOCS_SQL),
+)
+
 
 # --------------------------------------------------------------------------
 # dedup_components — transitive near-dup clustering: MinHash-LSH pairs →

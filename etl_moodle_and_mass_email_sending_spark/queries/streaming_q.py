@@ -14,10 +14,14 @@ deterministic, so two of them carry exact SQL oracles after all:
 - ``stream_interval_join``: an inner join whose inputs all arrive in
   batch 1 emits every matching pair — the plain batch interval join.
 
-``stream_sessionize`` stays rows-only: ``applyInPandasWithState`` session
-emission depends on timeout processing order at query shutdown; its
-SEMANTICS hash-gate through the batch twin ``rel_sessionize``
-(gaps-and-islands over window functions, exact DuckDB oracle).
+- ``stream_sessionize``: batch 1 closes-and-emits every gap-separated
+  session except each user's final open one; the final watermark
+  (``max(ts) − delay``, millisecond-truncated like Spark's event-time
+  stats) then times out exactly the open sessions with
+  ``session_end + gap < watermark``. Both sets are expressible over the
+  batch gaps-and-islands CTE, so the streaming emission itself is
+  hash-gated (validated empirically at sf0.001 and sf0.01; the untestable
+  edge is a timeout landing within 1 ms of the watermark).
 """
 
 from __future__ import annotations
@@ -100,12 +104,16 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful sessionization (applyInPandasWithState) as a real stream."""
+    """Stateful sessionization (applyInPandasWithState) as a real stream.
+    ``sum_value`` is reported rounded to 6 decimals (like the batch twin):
+    the raw total is a float accumulation in event order, and rounding
+    makes the cross-engine hash independent of accumulation order."""
     ev = sw.stream_events(spark, sf_dir)
     sess = sw.sessionize(ev, gap_seconds=GAP_SECONDS)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     ck = tempfile.mkdtemp(prefix="ck_sess_")
-    return sw.run_to_memory_sink(sess, name, ck)
+    out = sw.run_to_memory_sink(sess, name, ck)
+    return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
 STREAM_WINDOWED_COUNTS_SQL = """
@@ -130,7 +138,39 @@ register(
     "stream_windowed_counts", stream_windowed_counts,
     STREAM_WINDOWED_COUNTS_SQL,
 )
-register("stream_sessionize", stream_sessionize, None)
+# Emission model for the bounded replay (validated empirically at sf0.001
+# and sf0.01): batch 1 emits all gap-closed sessions (rn > 1); the final
+# watermark = max(ts) − 2 h (ms-truncated, matching Spark's event-time
+# stats) times out open sessions whose end + gap precedes it. The ms
+# arithmetic mirrors GroupState.setTimeoutTimestamp((end_us + gap_us) //
+# 1000) — gap_us is a multiple of 1000, so epoch_ms(end) + gap_ms is
+# exact, not an approximation.
+STREAM_SESSIONIZE_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, coalesce(value, 0) AS value
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grp AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+), sess AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY max(ts) DESC) AS rn
+  FROM grp GROUP BY user_id, g
+), wm AS (SELECT epoch_ms(max(ts)) - 7200000 AS w_ms FROM base)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sess, wm
+WHERE rn > 1 OR epoch_ms(session_end) + 1800000 < w_ms
+"""
+
+register("stream_sessionize", stream_sessionize, STREAM_SESSIONIZE_SQL)
 
 
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:

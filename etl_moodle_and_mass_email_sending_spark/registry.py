@@ -40,8 +40,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # All demoted entries REMAIN registered: tests/test_oracle_parity.py checks
 # every oracle-gated entry regardless of order.
 _DEMOTED = [
-    # round-2+ additions start life in the tail so they cannot displace
-    # already-certified entries from the window
+    # swapped out in round 2 to give window slots to text_decontaminate /
+    # text_unigram_logprob (driver-sim-verified green before promotion):
+    #   - dedup_containment's LSH candidate machinery is certified by
+    #     dedup_minhash_lsh + dedup_jaccard_lsh_verified;
+    #   - mm_sample_frames' mapInPandas fan-out is certified by
+    #     mm_resize_images (same batch contract).
+    "dedup_containment",
+    "mm_sample_frames",
     "text_sequence_pack",
     "text_top_terms",
     "rel_supplier_part_volume",

@@ -298,3 +298,70 @@ def test_ivf_recall_floor(spark):
         for r in similarity.ivf_topk(spark, SF_SMALL).collect()
     }
     assert len(bf & ivf) / len(bf) >= 0.7
+
+
+class TestDecontamAndUnigramLM:
+    def test_decontaminate_flags_only_overlapping_train_docs(self, spark):
+        """bench_mod=10 → docs 0 and 10 are the benchmark. Doc 1 shares
+        the 4-gram 'a b c d' (case-folded), doc 3 shares three 4-grams,
+        doc 2 shares none and must be absent. Benchmark docs themselves
+        never appear in the output."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e f", "en"),
+                (10, "x y z w q", "en"),
+                (1, "A b c D zz", "en"),
+                (2, "p q r s t", "en"),
+                (3, "a b c d e f g", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r.doc_id: (r.n_hit_ngrams, r.n_grams, r.contamination)
+            for r in text_analysis.decontaminate(
+                docs, n=4, bench_mod=10
+            ).collect()
+        }
+        assert got == {1: (1, 2, 0.5), 3: (3, 4, 0.75)}
+
+    def test_decontaminate_short_docs_produce_no_grams(self, spark):
+        """Docs shorter than n tokens contribute nothing on either side
+        (ANSI mode: the sequence() guard must not throw)."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b", "en"), (1, "a b", "en")],
+            "doc_id long, text string, lang string",
+        )
+        assert (
+            text_analysis.decontaminate(docs, n=4, bench_mod=10).count() == 0
+        )
+
+    def test_unigram_logprob_matches_hand_computation(self, spark):
+        """counts a:2 b:2 c:1, total 5: doc 1 (a a b) scores ln(2/5);
+        doc 2 (b c) scores (ln(2/5)+ln(1/5))/2; whitespace-only doc 3 is
+        absent (nothing to score)."""
+        import math
+
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a b", "en"), (2, "b c", "en"), (3, "   ", "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r.doc_id: (r.n_scored_tokens, r.avg_logprob)
+            for r in text_analysis.unigram_logprob(docs).collect()
+        }
+        assert got == {
+            1: (3, round(math.log(0.4), 6)),
+            2: (2, round((math.log(0.4) + math.log(0.2)) / 2, 6)),
+        }

@@ -98,3 +98,22 @@ def test_range_join_is_bucketed_equi_join(spark, registry_queries):
     plan = _plan(registry_queries["rel_range_join"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, registry_queries):
+    """The benchmark n-gram set must be the broadcast build side (an eval
+    suite is tiny at any corpus scale); the corpus side must never go
+    through a sort-merge join, and the per-doc hit count must partial-
+    aggregate before its exchange."""
+    plan = _plan(registry_queries["text_decontaminate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # bench-distinct + doc-count, each 2-stage
+
+
+def test_unigram_logprob_broadcasts_lm_table(spark, registry_queries):
+    """The vocab-sized unigram table joins back over the token stream as a
+    broadcast — the corpus-sized side must not shuffle for the join."""
+    plan = _plan(registry_queries["text_unigram_logprob"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
