@@ -94,6 +94,54 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def keep_best_per_cluster(
+    corpus: DataFrame, clusters: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """(component, kept_doc_id, kept_quality, cluster_size, n_dropped):
+    the canonical-document selection a production pipeline runs AFTER
+    clustering — keep the highest-quality member of each near-dup cluster
+    (ties broken by lowest doc_id for determinism), drop the rest.
+
+    Scale shape: quality is a per-doc column expression (no shuffle), the
+    clusters frame is already keyed by doc_id, and the argmax is one
+    window over `component` — clusters are shallow (bounded by dup
+    multiplicity), so no partition is large and the single extra shuffle
+    is on the component key."""
+    from pyspark.sql.window import Window
+
+    scored = clusters.join(quality.select("doc_id", "quality"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )
+
+
+def sql_keep_best_per_cluster(clusters_sql: str, quality_sql: str) -> str:
+    return f"""
+    WITH clusters AS ({clusters_sql}),
+    quality AS ({quality_sql}),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality, c.cluster_size,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM clusters c JOIN quality q USING (doc_id)
+    )
+    SELECT component, doc_id AS kept_doc_id, quality AS kept_quality,
+           cluster_size, cluster_size - 1 AS n_dropped
+    FROM ranked WHERE rn = 1
+    """
+
+
 def sql_dedup_clusters(corpus_sql: str, pairs_sql: str) -> str:
     """DuckDB oracle twin: min-label transitive closure via WITH RECURSIVE.
 

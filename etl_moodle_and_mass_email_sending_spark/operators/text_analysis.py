@@ -495,18 +495,9 @@ def sql_pack_sequences(
 # Overlap gram width: GPT-3 used 13-grams over web text; the synthetic docs
 # here are ~30 tokens from a tiny vocabulary, so 4-grams give the same
 # "rare-enough-to-mean-copying" selectivity (measured: 8/500 docs flagged
-# at sf0.01, 727/50k at sf0.1 — vs 0 flagged at n≥6).
+# at sf0.01, 727/5000 at sf0.1 — vs 0 flagged at n≥6).
 DECON_NGRAM = 4
 DECON_BENCH_MOD = 97  # doc_id % 97 == 0 → the ~1% held-out benchmark slice
-
-
-def _spark_grams(n: int) -> str:
-    return (
-        f"CASE WHEN size({_SPARK_TOKS}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({_SPARK_TOKS}) - {n}), "
-        f"i -> array_join(slice({_SPARK_TOKS}, i + 1, {n}), ' '))) "
-        f"ELSE array() END"
-    )
 
 
 def decontaminate(
@@ -515,16 +506,37 @@ def decontaminate(
     bench_mod: int = DECON_BENCH_MOD,
 ) -> DataFrame:
     """(doc_id, n_hit_ngrams, n_grams, contamination) for every TRAINING
-    document (doc_id % bench_mod != 0) sharing ≥1 distinct n-gram with the
-    benchmark slice (doc_id % bench_mod == 0). Clean docs are absent —
-    downstream drops contaminated ids with an anti-join on this output."""
-    grams = corpus.select(
+    document (doc_id % bench_mod != 0) sharing ≥1 n-gram occurrence with
+    the benchmark slice (doc_id % bench_mod == 0). Counts are over the
+    doc's gram STREAM (n_grams = tokens − n + 1), so the denominator is a
+    scalar and no per-doc gram array is ever materialized. Clean docs are
+    absent — downstream drops contaminated ids with an anti-join.
+
+    Plan notes (measured, sf0.1): the gram fan-out is the expensive step
+    and higher-order lambdas run OUTSIDE whole-stage codegen, so
+    (a) grams build with O(1) ``element_at`` probes, not per-gram array
+    ``slice`` copies, and (b) the transform is the Generate's OWN input —
+    as a standalone Project, Catalyst pushes the computation below the
+    repartition exchange into the (single-task at test scale) scan stage:
+    24× slower. The repartition spreads short-doc skew before the fan-out;
+    ``element_at(w, i + j)`` is ANSI-safe because i + n − 1 ≤ size(w) by
+    the sequence bound."""
+    p = corpus.sparkSession.sparkContext.defaultParallelism
+    words = corpus.repartition(p).select(
+        "doc_id", F.expr(_SPARK_TOKS).alias("w")
+    )
+    gram_i = "concat_ws(' ', " + ", ".join(
+        f"element_at(w, i + {j})" for j in range(n)
+    ) + ")"
+    gen = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), i -> {gram_i}) "
+        f"ELSE array() END"
+    )
+    grams = words.select(
         "doc_id",
-        F.expr(_spark_grams(n)).alias("grams"),
-    ).select(
-        "doc_id",
-        F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        (F.size("w") - (n - 1)).cast("bigint").alias("n_grams"),
+        F.explode(F.expr(gen)).alias("gram"),
     )
     bench = (
         grams.filter(F.col("doc_id") % bench_mod == 0)
@@ -536,9 +548,8 @@ def decontaminate(
         train.join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(
-            # per-doc grams are already distinct → count(*) = distinct hits
             F.count("*").alias("n_hit_ngrams"),
-            F.first("n_grams").cast("bigint").alias("n_grams"),
+            F.first("n_grams").alias("n_grams"),
         )
         .withColumn(
             "contamination",
@@ -554,21 +565,24 @@ def sql_decontaminate(
     n: int = DECON_NGRAM,
     bench_mod: int = DECON_BENCH_MOD,
 ) -> str:
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
     grams = (
         f"CASE WHEN len(w) >= {n} THEN "
-        f"list_distinct(list_transform(generate_series(1, len(w) - {n} + 1), "
-        f"i -> array_to_string(w[i : i + {n} - 1], ' '))) "
-        f"ELSE [] END"
+        f"list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> {gram_i}) ELSE [] END"
     )
     return f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM ({corpus_sql})),
-    g AS (SELECT doc_id, {grams} AS grams FROM tok),
-    e AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+    e AS (
+      SELECT doc_id, CAST(len(w) - {n - 1} AS BIGINT) AS n_grams,
+             unnest({grams}) AS gram
+      FROM tok
+    ),
     bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {bench_mod} = 0),
     train AS (SELECT * FROM e WHERE doc_id % {bench_mod} <> 0)
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_hit_ngrams,
-           CAST(any_value(t.n_grams) AS BIGINT) AS n_grams,
+           any_value(t.n_grams) AS n_grams,
            round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 6)
              AS contamination
     FROM train t JOIN bench b USING (gram)

@@ -419,6 +419,35 @@ def _sql_dedup_components() -> str:
 register("dedup_components", _dedup_components, _sql_dedup_components())
 
 
+# dedup_keep_best — the canonical-selection step after clustering: keep
+# the highest-quality member of each near-dup cluster, report the drops.
+def _dedup_keep_best(spark, sf_dir):
+    from ..operators.components import dedup_clusters, keep_best_per_cluster
+
+    corpus = dedup.dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    clusters = dedup_clusters(corpus, pairs)
+    quality = text_analysis.quality_score(corpus)
+    return keep_best_per_cluster(corpus, clusters, quality)
+
+
+def _sql_dedup_keep_best() -> str:
+    from ..operators.components import (
+        sql_dedup_clusters,
+        sql_keep_best_per_cluster,
+    )
+
+    return sql_keep_best_per_cluster(
+        sql_dedup_clusters(
+            _CORPUS_SQL, dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+        ),
+        text_analysis.sql_quality_score(_CORPUS_SQL),
+    )
+
+
+register("dedup_keep_best", _dedup_keep_best, _sql_dedup_keep_best())
+
+
 # --------------------------------------------------------------------------
 # llm_corpus_pipeline — capstone composition: the end-to-end training-data
 # prep flow over `documents`, all in ONE declarative plan Catalyst

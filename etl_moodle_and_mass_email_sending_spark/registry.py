@@ -40,6 +40,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # All demoted entries REMAIN registered: tests/test_oracle_parity.py checks
 # every oracle-gated entry regardless of order.
 _DEMOTED = [
+    # round-2+ additions start life in the tail so they cannot displace
+    # already-certified entries from the window (promote only after a
+    # driver-sim green, as with text_decontaminate/text_unigram_logprob)
+    "dedup_keep_best",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by
