@@ -48,6 +48,9 @@ EXACT_COPY_OFFSET = 100_000
 NEAR_COPY_OFFSET = 200_000
 
 
+from .util import spread_for_compute as _spread
+
+
 # --------------------------------------------------------------------------
 # Synthetic dup corpus (same construction both engines).
 # --------------------------------------------------------------------------
@@ -203,7 +206,9 @@ _DUCK_MINHASH_SIG = (
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, sig: array<bigint>[K]) via word-shingle MinHash."""
-    return corpus.select("doc_id", F.expr(_SPARK_MINHASH_SIG).alias("sig"))
+    return _spread(corpus).select(
+        "doc_id", F.expr(_SPARK_MINHASH_SIG).alias("sig")
+    )
 
 
 def sql_minhash_signatures(corpus_sql: str) -> str:
@@ -295,7 +300,7 @@ def sql_minhash_lsh_pairs(corpus_sql: str) -> str:
 def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = NEAR_THRESHOLD) -> DataFrame:
     # materialize shingle sets once before the self-join (same barrier
     # rationale as simhash_pairs / minhash_lsh_pairs)
-    sh = corpus.select(
+    sh = _spread(corpus).select(
         "doc_id", "lang", F.expr(_SPARK_SHINGLES).alias("sh")
     ).localCheckpoint()
     a = sh.select(
@@ -350,9 +355,9 @@ def simhash_fingerprints(corpus: DataFrame) -> DataFrame:
         f"> size(th) THEN cast({1 << i} as bigint) ELSE cast(0 as bigint) END)"
         for i in range(SIMHASH_BITS)
     )
-    return corpus.select("doc_id", F.expr(toks_h).alias("th")).select(
-        "doc_id", F.expr(bits).alias("simhash")
-    )
+    return _spread(corpus).select(
+        "doc_id", F.expr(toks_h).alias("th")
+    ).select("doc_id", F.expr(bits).alias("simhash"))
 
 
 def sql_simhash_fingerprints(corpus_sql: str) -> str:
@@ -422,7 +427,7 @@ def ngram_jaccard_lsh_verified(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact Jaccard ≥ threshold, restricted to
     MinHash-LSH candidate pairs."""
-    docs = corpus.select(
+    docs = _spread(corpus).select(
         "doc_id",
         F.expr(_SPARK_SHINGLES).alias("sh"),
         F.expr(_SPARK_MINHASH_SIG).alias("sig"),
@@ -513,7 +518,7 @@ def containment_pairs(
 ) -> DataFrame:
     """(doc_small, doc_big, containment): ordered so the CONTAINED doc is
     first; restricted to LSH candidates."""
-    docs = corpus.select(
+    docs = _spread(corpus).select(
         "doc_id",
         F.expr(_SPARK_SHINGLES).alias("sh"),
         F.expr(_SPARK_MINHASH_SIG).alias("sig"),

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .util import spread_for_compute
 from ..functions.hashing import SEED_SEP
 
 TOP_K = 5
@@ -49,7 +50,10 @@ def _duck_cosine(a: str, b: str) -> str:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    # spread before the interpreted transform/aggregate lambda work: the
+    # single-file embeddings scan is 1 partition on the testbed (measured
+    # at sf0.1: bruteforce 0.87→0.53 s, embedding near-dup 0.82→0.58 s)
+    return spread_for_compute(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
         "label",

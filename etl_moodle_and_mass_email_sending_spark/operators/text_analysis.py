@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.hashing import SEED_SEP
+from .util import spread_for_compute
 
 # Tiny built-in stopword lists (shared constants for both engines).
 STOPWORDS = {
@@ -264,7 +265,8 @@ def chunk_documents(
           'n_tokens', size(slice({toks}, i * {stride} + 1, {chunk_tokens}))
         ))"""
     return (
-        corpus.select("doc_id", *keep, F.explode(F.expr(chunks)).alias("c"))
+        spread_for_compute(corpus)
+        .select("doc_id", *keep, F.explode(F.expr(chunks)).alias("c"))
         .select(
             "doc_id",
             *keep,
@@ -521,8 +523,7 @@ def decontaminate(
     24× slower. The repartition spreads short-doc skew before the fan-out;
     ``element_at(w, i + j)`` is ANSI-safe because i + n − 1 ≤ size(w) by
     the sequence bound."""
-    p = corpus.sparkSession.sparkContext.defaultParallelism
-    words = corpus.repartition(p).select(
+    words = spread_for_compute(corpus).select(
         "doc_id", F.expr(_SPARK_TOKS).alias("w")
     )
     gram_i = "concat_ws(' ', " + ", ".join(
