@@ -168,3 +168,138 @@ def test_pack_sequences_matches_python_reference(spark_mod, sizes, budget):
     assert min(got) == 0
     assert max(got) <= sum(sizes) // budget
     assert sum(v[1] for v in got.values()) == sum(sizes)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    bench_mod=st.sampled_from([2, 3, 5]),
+)
+def test_decontaminate_matches_python_reference(spark_mod, docs, n, bench_mod):
+    """Occurrence counts against a brute-force Python n-gram overlap on
+    random small-vocab docs (small vocab forces real collisions)."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        decontaminate,
+    )
+
+    spark = spark_mod
+    rows = [(i, " ".join(words), "en") for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_hit_ngrams, r.n_grams)
+        for r in decontaminate(df, n=n, bench_mod=bench_mod).collect()
+    }
+
+    def grams(words):
+        return [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+
+    bench = {
+        g
+        for i, words in enumerate(docs)
+        if i % bench_mod == 0
+        for g in grams(words)
+    }
+    want = {}
+    for i, words in enumerate(docs):
+        if i % bench_mod == 0:
+            continue
+        gs = grams(words)
+        hits = sum(1 for g in gs if g in bench)
+        if hits:
+            want[i] = (hits, len(gs))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_unigram_logprob_matches_python_reference(spark_mod, docs):
+    import math
+
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    spark = spark_mod
+    rows = [(i, " ".join(words), "en") for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_scored_tokens, r.avg_logprob)
+        for r in unigram_logprob(df).collect()
+    }
+    from collections import Counter
+
+    freq = Counter(w for words in docs for w in words)
+    total = sum(freq.values())
+    want = {}
+    for i, words in enumerate(docs):
+        if not words:
+            continue
+        want[i] = (
+            len(words),
+            round(sum(math.log(freq[w] / total) for w in words) / len(words), 6),
+        )
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) <= 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    members=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # component
+            st.integers(min_value=0, max_value=40),  # quality rank source
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_keep_best_matches_python_argmax(spark_mod, members):
+    """keep_best == per-component argmax on (quality desc, doc_id asc)."""
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        keep_best_per_cluster,
+    )
+
+    spark = spark_mod
+    rows = [(i, comp, q / 10.0) for i, (comp, q) in enumerate(members)]
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in rows)
+    clusters = spark.createDataFrame(
+        [(d, c, sizes[c]) for d, c, _ in rows],
+        "doc_id long, component long, cluster_size long",
+    )
+    quality = spark.createDataFrame(
+        [(d, q) for d, _, q in rows], "doc_id long, quality double"
+    )
+    corpus = clusters.select("doc_id")
+    got = {
+        r.component: (r.kept_doc_id, r.kept_quality, r.cluster_size, r.n_dropped)
+        for r in keep_best_per_cluster(corpus, clusters, quality).collect()
+    }
+    want = {}
+    for d, c, q in rows:
+        cur = want.get(c)
+        if cur is None or (q, -d) > (cur[1], -cur[0]):
+            want[c] = (d, q, sizes[c], sizes[c] - 1)
+    assert got == want
