@@ -647,6 +647,142 @@ def sql_unigram_logprob(corpus_sql: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# BM25 keyword retrieval — the lexical complement to the embedding-ANN
+# operators: top-k documents per keyword query under Okapi BM25.
+#
+# 100 TB shape: the query set is tiny and literal, so the token stream is
+# filtered to query terms AT THE SCAN (an IN-list predicate, no join, no
+# inverted index materialized); tf then aggregates only matching tokens
+# (groupBy doc_id/term with map-side combine), df and the global doc
+# stats are term-count/scalar-sized and broadcast back. Nothing
+# corpus-sized ever shuffles except the matching-token subset.
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Deterministic keyword queries over the testbed vocabulary (constants
+# shared by both engines; replace with a real query table in production).
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_storage", ("table", "row", "scan")),
+    ("q_exec", ("hash", "merge", "sort")),
+    ("q_perf", ("fast", "slow")),
+)
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-k docs per keyword query by
+    Okapi BM25 (idf = ln((N − df + 0.5)/(df + 0.5) + 1), standard k1/b).
+    Ties break by doc_id for determinism; docs with zero matching terms
+    never appear."""
+    from pyspark.sql.window import Window
+
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    docs = corpus.select(
+        "doc_id",
+        F.expr(_N_TOKS_SPARK).cast("double").alias("dl"),
+        F.explode(F.expr(_SPARK_TOKS)).alias("term"),
+    )
+    stats = corpus.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.expr(_N_TOKS_SPARK)).alias("avgdl"),
+    )
+    tf = (
+        docs.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    qterms = corpus.sparkSession.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        "query_id string, term string",
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_bm25_topk(
+    corpus_sql: str,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in queries for t in ts
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    docs AS (
+      SELECT doc_id, CAST({_N_TOKS_DUCK} AS DOUBLE) AS dl, t.term
+      FROM corpus, LATERAL (SELECT unnest({_DUCK_TOKS}) AS term) t
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg({_N_TOKS_DUCK}) AS avgdl FROM corpus
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+      FROM docs WHERE term IN ({in_list})
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    qterms(query_id, term) AS (VALUES {qvals}),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + {k1} * (1 - {b} + {b} * tf.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN df USING (term) JOIN qterms q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
 # Corpus top terms — highest-frequency tokens per language.
 #
 # The classic zipfian-skew aggregation: explode(tokens) → groupBy

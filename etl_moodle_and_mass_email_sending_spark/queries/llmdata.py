@@ -389,6 +389,13 @@ register(
     text_analysis.sql_unigram_logprob(_DOCS_SQL),
 )
 
+# BM25 keyword retrieval — the lexical sibling of the sim_* ANN operators.
+register(
+    "text_bm25_topk",
+    lambda spark, sf_dir: text_analysis.bm25_topk(_docs(spark, sf_dir)),
+    text_analysis.sql_bm25_topk(_DOCS_SQL),
+)
+
 
 # --------------------------------------------------------------------------
 # dedup_components — transitive near-dup clustering: MinHash-LSH pairs →

@@ -44,6 +44,7 @@ _DEMOTED = [
     # already-certified entries from the window (promote only after a
     # driver-sim green, as with text_decontaminate/text_unigram_logprob)
     "dedup_keep_best",
+    "text_bm25_topk",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by

@@ -365,3 +365,49 @@ class TestDecontamAndUnigramLM:
             1: (3, round(math.log(0.4), 6)),
             2: (2, round((math.log(0.4) + math.log(0.2)) / 2, 6)),
         }
+
+
+class TestBM25:
+    def test_bm25_hand_case(self, spark):
+        """2 docs, query 'cat': df=1, N=2 → idf = ln((2-1+0.5)/(1+0.5)+1)
+        = ln 2; doc 1 has tf=2, dl=4; doc 2 no match (absent). avgdl=3.5;
+        contribution = ln2 * (2*2.2)/(2 + 1.2*(0.25 + 0.75*4/3.5))."""
+        import math
+
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "cat dog cat bird", "en"), (2, "fish cow owl", "en")],
+            "doc_id long, text string, lang string",
+        )
+        rows = text_analysis.bm25_topk(
+            docs, queries=(("q", ("cat",)),), k=5
+        ).collect()
+        assert [(r.query_id, r.doc_id, r.rank) for r in rows] == [("q", 1, 1)]
+        idf = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1)
+        want = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 4 / 3.5))
+        assert abs(rows[0].score - round(want, 6)) < 1e-9
+
+    def test_bm25_rarer_term_scores_higher(self, spark):
+        """With equal tf and dl, the doc matching the rarer term outranks
+        the doc matching the common term."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "rare x y", "en"),
+                (2, "common x y", "en"),
+                (3, "common a b", "en"),
+                (4, "common c d", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        rows = text_analysis.bm25_topk(
+            docs, queries=(("q", ("rare", "common")),), k=5
+        ).collect()
+        by_doc = {r.doc_id: r.score for r in rows}
+        assert by_doc[1] > by_doc[2]
