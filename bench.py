@@ -44,6 +44,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_decontaminate",
     "text_unigram_logprob",
+    "text_bm25_topk",
     "mm_decode_media",
     "mm_extract_features",
     # capstone composition

@@ -701,13 +701,20 @@ def bm25_topk(
     df_ = tf.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    qterms = corpus.sparkSession.createDataFrame(
-        [(qid, t) for qid, ts in queries for t in ts],
-        "query_id string, term string",
-    )
+    # the query set is literal → fold term→query_ids into an expression
+    # (an explode over a CASE of array literals) instead of a third
+    # broadcast join; one fewer broadcast-build job per run
+    by_term: dict[str, list[str]] = {}
+    for qid, ts in queries:
+        for t in ts:
+            by_term.setdefault(t, []).append(qid)
+    qcase = "CASE " + " ".join(
+        f"WHEN term = '{t}' THEN array({', '.join(repr(q) for q in qs)})"
+        for t, qs in sorted(by_term.items())
+    ) + " ELSE array() END"
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(F.broadcast(qterms), "term")
+        .withColumn("query_id", F.explode(F.expr(qcase)))
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
