@@ -95,7 +95,7 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def keep_best_per_cluster(
-    corpus: DataFrame, clusters: DataFrame, quality: DataFrame
+    clusters: DataFrame, quality: DataFrame
 ) -> DataFrame:
     """(component, kept_doc_id, kept_quality, cluster_size, n_dropped):
     the canonical-document selection a production pipeline runs AFTER

@@ -665,6 +665,27 @@ def sql_unigram_logprob(corpus_sql: str) -> str:
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 10
+
+_BM25_IDENT_RX = r"^[A-Za-z0-9_\-]+$"
+
+
+def _bm25_check_queries(
+    queries: tuple[tuple[str, tuple[str, ...]], ...],
+) -> None:
+    """Terms and query ids are interpolated into BOTH engines' SQL as
+    single-quoted literals; restrict them to a quote-free charset so the
+    two dialects cannot diverge on escaping (a term like ``o'brien``
+    would otherwise be a ParseException on one side and a silently
+    different literal on the other)."""
+    import re
+
+    for qid, ts in queries:
+        for s in (qid, *ts):
+            if not re.match(_BM25_IDENT_RX, s):
+                raise ValueError(
+                    f"bm25 query ids/terms must match {_BM25_IDENT_RX}; "
+                    f"got {s!r}"
+                )
 # Deterministic keyword queries over the testbed vocabulary (constants
 # shared by both engines; replace with a real query table in production).
 BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
@@ -687,6 +708,7 @@ def bm25_topk(
     never appear."""
     from pyspark.sql.window import Window
 
+    _bm25_check_queries(queries)
     all_terms = sorted({t for _, ts in queries for t in ts})
     docs = corpus.select(
         "doc_id",
@@ -713,7 +735,9 @@ def bm25_topk(
         for t in ts:
             by_term.setdefault(t, []).append(qid)
     qcase = "CASE " + " ".join(
-        f"WHEN term = '{t}' THEN array({', '.join(repr(q) for q in qs)})"
+        "WHEN term = '{}' THEN array({})".format(
+            t, ", ".join(f"'{q}'" for q in qs)
+        )
         for t, qs in sorted(by_term.items())
     ) + " ELSE array() END"
     scored = (
@@ -752,6 +776,7 @@ def sql_bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> str:
+    _bm25_check_queries(queries)
     all_terms = sorted({t for _, ts in queries for t in ts})
     in_list = ", ".join(f"'{t}'" for t in all_terms)
     qvals = ", ".join(

@@ -435,7 +435,7 @@ def _dedup_keep_best(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(corpus)
     clusters = dedup_clusters(corpus, pairs)
     quality = text_analysis.quality_score(corpus)
-    return keep_best_per_cluster(corpus, clusters, quality)
+    return keep_best_per_cluster(clusters, quality)
 
 
 def _sql_dedup_keep_best() -> str:

@@ -145,14 +145,16 @@ register(
 # arithmetic mirrors GroupState.setTimeoutTimestamp((end_us + gap_us) //
 # 1000) — gap_us is a multiple of 1000, so epoch_ms(end) + gap_ms is
 # exact, not an approximation.
-STREAM_SESSIONIZE_SQL = """
+# the 2 h delay mirrors streaming/windows.py::sessionize's default
+SESSIONIZE_WATERMARK_SECONDS = 7200
+STREAM_SESSIONIZE_SQL = f"""
 WITH base AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, coalesce(value, 0) AS value
   FROM events
 ), marked AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_SECONDS}
               THEN 1 ELSE 0 END AS brk
   FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), grp AS (
@@ -164,10 +166,11 @@ WITH base AS (
          count(*) AS n_events, round(sum(value), 6) AS sum_value,
          row_number() OVER (PARTITION BY user_id ORDER BY max(ts) DESC) AS rn
   FROM grp GROUP BY user_id, g
-), wm AS (SELECT epoch_ms(max(ts)) - 7200000 AS w_ms FROM base)
+), wm AS (SELECT epoch_ms(max(ts)) - {SESSIONIZE_WATERMARK_SECONDS * 1000} AS w_ms
+          FROM base)
 SELECT user_id, session_start, session_end, n_events, sum_value
 FROM sess, wm
-WHERE rn > 1 OR epoch_ms(session_end) + 1800000 < w_ms
+WHERE rn > 1 OR epoch_ms(session_end) + {GAP_SECONDS * 1000} < w_ms
 """
 
 register("stream_sessionize", stream_sessionize, STREAM_SESSIONIZE_SQL)

@@ -67,9 +67,19 @@ def stream_events(
         if not os.path.exists(link):
             os.symlink(path, link)
         path = stage
+    # The stream_* SQL oracles model a SINGLE-micro-batch replay (all data
+    # arrives while the watermark is still 0). If the source is a directory
+    # of several files, a small maxFilesPerTrigger would split the replay
+    # into multiple batches, mid-stream watermarks would drop/split late
+    # rows, and the oracles would no longer describe the emission — so
+    # raise the cap to cover every file in one trigger.
+    n_files = sum(
+        1 for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
     df = (
         spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("maxFilesPerTrigger", max(max_files_per_trigger, n_files))
         .parquet(path)
     )
     if isinstance(df.schema["ts"].dataType, LongType):

@@ -292,10 +292,9 @@ def test_keep_best_matches_python_argmax(spark_mod, members):
     quality = spark.createDataFrame(
         [(d, q) for d, _, q in rows], "doc_id long, quality double"
     )
-    corpus = clusters.select("doc_id")
     got = {
         r.component: (r.kept_doc_id, r.kept_quality, r.cluster_size, r.n_dropped)
-        for r in keep_best_per_cluster(corpus, clusters, quality).collect()
+        for r in keep_best_per_cluster(clusters, quality).collect()
     }
     want = {}
     for d, c, q in rows:

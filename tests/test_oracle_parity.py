@@ -64,3 +64,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.columns) >= 8
+
+
+def test_certification_window_is_exactly_50_oracle_gated_entries():
+    """The external gate certifies the first ~50 registry entries; the
+    window must stay EXACTLY 50 (new register() calls belong in
+    registry._DEMOTED until deliberately promoted) and every window entry
+    must carry a SQL oracle — a silent 51st head entry would push a
+    certified query out of the window."""
+    from etl_moodle_and_mass_email_sending_spark import registry
+
+    names = list(registry.queries())
+    oracles = registry.oracle_sql()
+    head = [n for n in names if n not in registry._DEMOTED]
+    assert len(head) == 50, (
+        f"head is {len(head)} entries; add new registrations to _DEMOTED "
+        "or swap a redundant window entry out deliberately"
+    )
+    assert names[:50] == head
+    missing = [n for n in head if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
