@@ -320,6 +320,74 @@ def sql_ivf_topk() -> str:
 
 
 # --------------------------------------------------------------------------
+# k-means refinement (one unrolled Lloyd iteration on the IVF seed
+# centroids) — the clustering step of SemDeDup-style semantic curation
+# (Abbas et al. 2023: cluster embeddings, then dedup/select within
+# clusters). Iterations are UNROLLED so the exact same dataflow is
+# expressible as one SQL statement in both engines — the iterative
+# sibling of dedup_components, but with a hash-gated closed form.
+#
+# Scale: each iteration is (a) one broadcast of K centroid vectors
+# against the corpus scan — no shuffle of the big side — and (b) one
+# groupBy(cid) whose element-wise means partial-aggregate map-side
+# (K·DIM doubles per partition crosses the wire, not vectors). More
+# iterations = repeat the pair; K scales as a broadcast until K·DIM
+# outgrows the broadcast budget, after which the assignment becomes a
+# shuffle join on nothing-bigger-than-the-corpus.
+#
+# Cross-engine determinism: centroid elements round to 6 decimals after
+# the mean (group-sum accumulation order differs between engines at
+# ~1e-13 — rounding absorbs it), and assignment ranks by the ROUNDED
+# cosine with cid as tie-break, so both engines pick identical clusters.
+# --------------------------------------------------------------------------
+
+
+def kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, cos_to_centroid): assignment after one Lloyd
+    update of the N_CENTROIDS seed centroids (assign → element-wise mean
+    → re-assign)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    a1 = ivf_assign(v, _centroids(v), n_best=1)
+    cent1 = a1.groupBy("cid").agg(
+        F.array(
+            *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(DIM)]
+        ).alias("cvec")
+    )
+    cos = F.expr(_spark_cosine("vec", "cvec")).alias("cos_to_centroid")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_to_centroid").desc(), F.col("cluster")
+    )
+    return (
+        v.crossJoin(F.broadcast(cent1))
+        .select("vec_id", F.col("cid").alias("cluster"), cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "cos_to_centroid")
+    )
+
+
+def sql_kmeans_refined_assign() -> str:
+    cos = _duck_cosine("v.vec", "c.cvec")
+    mean_vec = "[" + ", ".join(
+        f"round(avg(vec[{i + 1}]), 6)" for i in range(DIM)
+    ) + "]"
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
+             WHERE vec_id < {N_CENTROIDS}),
+    a1 AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
+    cent1 AS (SELECT cid, {mean_vec} AS cvec FROM a1 GROUP BY cid),
+    scored AS (
+      SELECT v.vec_id, c.cid AS cluster, {cos} AS cos_to_centroid,
+             row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY {cos} DESC, c.cid) AS rn
+      FROM base v CROSS JOIN cent1 c
+    )
+    SELECT vec_id, cluster, cos_to_centroid FROM scored WHERE rn = 1
+    """
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup — banded random-hyperplane LSH, NOT all-pairs.
 #
 # Candidates = pairs agreeing on all NEARDUP_ROWS sign bits of ANY band

@@ -61,6 +61,13 @@ register(
     similarity.sql_embedding_near_dup_pairs(),
 )
 
+# SemDeDup-style clustering step: one unrolled Lloyd iteration, hash-gated.
+register(
+    "sim_kmeans_refine",
+    similarity.kmeans_refined_assign,
+    similarity.sql_kmeans_refined_assign(),
+)
+
 _DOCS_SQL = "SELECT doc_id, text, lang FROM documents"
 
 

@@ -411,3 +411,24 @@ class TestBM25:
         ).collect()
         by_doc = {r.doc_id: r.score for r in rows}
         assert by_doc[1] > by_doc[2]
+
+
+def test_kmeans_refine_improves_mean_cosine(spark):
+    """One Lloyd update must not make the assignment worse: mean cosine
+    to the assigned centroid after the update >= the seed assignment's
+    (the monotone-improvement property of k-means, up to the 1e-6
+    centroid rounding)."""
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    v = similarity._vectors(spark, SF_SMALL).select("vec_id", "vec")
+    seed = similarity.ivf_assign(v, similarity._centroids(v), n_best=1)
+    cos = F.expr(similarity._spark_cosine("vec", "cvec"))
+    cent0 = similarity._centroids(v)
+    seed_mean = (
+        seed.join(cent0, "cid").select(cos.alias("c")).agg(F.avg("c"))
+    ).first()[0]
+    refined = similarity.kmeans_refined_assign(spark, SF_SMALL)
+    ref_mean = refined.agg(F.avg("cos_to_centroid")).first()[0]
+    assert ref_mean >= seed_mean - 1e-5
