@@ -117,3 +117,18 @@ def test_unigram_logprob_broadcasts_lm_table(spark, registry_queries):
     plan = _plan(registry_queries["text_unigram_logprob"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_refine_broadcasts_centroids(spark, registry_queries):
+    """Both Lloyd stages must broadcast the K-centroid side; the corpus
+    side never sort-merge-joins, and the element-wise centroid means
+    partial-aggregate before their exchange."""
+    plan = _plan(registry_queries["sim_kmeans_refine"](spark, SF_SMALL))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # seed + refined assign
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final centroid means
+
+
+def test_keep_best_has_no_cartesian_fallback(spark, registry_queries):
+    plan = _plan(registry_queries["dedup_keep_best"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
