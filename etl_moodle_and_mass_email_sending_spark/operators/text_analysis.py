@@ -651,6 +651,134 @@ def sql_unigram_logprob(corpus_sql: str) -> str:
 
 
 # --------------------------------------------------------------------------
+# Source-mixture balancing — given target mixture weights per source,
+# take the LARGEST corpus that satisfies them exactly: T = min_s(n_s/w_s)
+# total docs, keep_s = floor(T·w_s) from each source, membership decided
+# by a portable hash rank (deterministic across engines and re-runs; the
+# same discipline as text_train_val_split). This is the data-mixing step
+# of pretraining curation (e.g. The Pile / Dolma-style mixture tables).
+#
+# 100 TB shape: the plan (n_s, keep_s) is a source-count aggregation plus
+# scalar arithmetic — one tiny shuffle. The selection here ranks by hash
+# within each source (exact, oracle-checkable); at petabyte scale with few
+# huge sources you would instead threshold on the hash VALUE (keep if
+# hash < keep_s/n_s · 2^32 — approximate but windowless); the docstring
+# trade-off is deliberate.
+# --------------------------------------------------------------------------
+
+# Relative target weights per testbed source (normalized in the operator).
+MIXTURE_WEIGHTS: dict[str, int] = {f"src{i}": (i % 4) + 1 for i in range(20)}
+
+
+def source_mixture(
+    corpus: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """(source, n_available, n_kept, target_share, achieved_share) for the
+    largest exact mixture: sources missing from ``weights`` are dropped;
+    ``achieved_share`` is n_kept over the total kept."""
+    from pyspark.sql.window import Window
+
+    w = weights or MIXTURE_WEIGHTS
+    total_w = sum(w.values())
+    share = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {rel}D / {total_w}D"
+        for s, rel in sorted(w.items())
+    ) + " END"
+    h = (
+        f"cast(conv(substring(md5(concat('MIX{SEED_SEP}', "
+        f"cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+    docs = corpus.filter(
+        F.col("source").isin(list(w))
+    ).select("doc_id", "source", F.expr(share).alias("w_s"))
+    counts = docs.groupBy("source", "w_s").agg(
+        F.count("*").alias("n_available")
+    )
+    cap = counts.agg(
+        F.min(F.col("n_available") / F.col("w_s")).alias("t_total")
+    )
+    plan = counts.crossJoin(F.broadcast(cap)).withColumn(
+        "n_kept",
+        F.floor(F.col("t_total") * F.col("w_s") + F.lit(1e-9)),
+    )
+    ranked = docs.withColumn(
+        "mix_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.expr(h), F.col("doc_id"))
+        ),
+    )
+    kept = (
+        ranked.join(F.broadcast(plan.select("source", "n_kept")), "source")
+        .filter(F.col("mix_rank") <= F.col("n_kept"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept_actual"))
+    )
+    total_kept = kept.agg(F.sum("n_kept_actual").alias("total_kept"))
+    return (
+        plan.join(kept, "source")
+        .crossJoin(F.broadcast(total_kept))
+        .select(
+            "source",
+            "n_available",
+            F.col("n_kept_actual").alias("n_kept"),
+            F.round(F.col("w_s"), 6).alias("target_share"),
+            F.round(
+                F.col("n_kept_actual") / F.col("total_kept"), 6
+            ).alias("achieved_share"),
+        )
+    )
+
+
+def sql_source_mixture(
+    corpus_sql: str, weights: dict[str, int] | None = None
+) -> str:
+    w = weights or MIXTURE_WEIGHTS
+    total_w = sum(w.values())
+    in_list = ", ".join(f"'{s}'" for s in sorted(w))
+    share = "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN CAST({rel} AS DOUBLE) / {total_w}"
+        for s, rel in sorted(w.items())
+    ) + " END"
+    h = (
+        f"CAST('0x' || substr(md5('MIX{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, {share} AS w_s
+      FROM ({corpus_sql}) WHERE source IN ({in_list})
+    ),
+    counts AS (
+      SELECT source, w_s, count(*) AS n_available
+      FROM docs GROUP BY source, w_s
+    ),
+    cap AS (SELECT min(n_available / w_s) AS t_total FROM counts),
+    plan AS (
+      SELECT source, w_s, n_available,
+             CAST(floor(t_total * w_s + 1e-9) AS BIGINT) AS n_kept
+      FROM counts CROSS JOIN cap
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                  ORDER BY {h}, doc_id) AS mix_rank
+      FROM docs
+    ),
+    kept AS (
+      SELECT r.source, count(*) AS n_kept_actual
+      FROM ranked r JOIN plan p USING (source)
+      WHERE r.mix_rank <= p.n_kept GROUP BY r.source
+    ),
+    total AS (SELECT sum(n_kept_actual) AS total_kept FROM kept)
+    SELECT p.source, p.n_available, k.n_kept_actual AS n_kept,
+           round(p.w_s, 6) AS target_share,
+           round(CAST(k.n_kept_actual AS DOUBLE) / t.total_kept, 6)
+             AS achieved_share
+    FROM plan p JOIN kept k USING (source) CROSS JOIN total t
+    """
+
+
+# --------------------------------------------------------------------------
 # BM25 keyword retrieval — the lexical complement to the embedding-ANN
 # operators: top-k documents per keyword query under Okapi BM25.
 #

@@ -396,6 +396,20 @@ register(
     text_analysis.sql_unigram_logprob(_DOCS_SQL),
 )
 
+# Source-mixture balancing: the data-mixing step of pretraining curation.
+def _docs_src(spark, sf_dir):
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+
+register(
+    "text_source_mixture",
+    lambda spark, sf_dir: text_analysis.source_mixture(_docs_src(spark, sf_dir)),
+    text_analysis.sql_source_mixture("SELECT doc_id, source FROM documents"),
+)
+
+
 # BM25 keyword retrieval — the lexical sibling of the sim_* ANN operators.
 register(
     "text_bm25_topk",

@@ -49,6 +49,7 @@ _DEMOTED = [
     "dedup_keep_best",
     "text_bm25_topk",
     "sim_kmeans_refine",
+    "text_source_mixture",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by

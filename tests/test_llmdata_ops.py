@@ -432,3 +432,26 @@ def test_kmeans_refine_improves_mean_cosine(spark):
     refined = similarity.kmeans_refined_assign(spark, SF_SMALL)
     ref_mean = refined.agg(F.avg("cos_to_centroid")).first()[0]
     assert ref_mean >= seed_mean - 1e-5
+
+
+def test_source_mixture_hits_exact_weights(spark):
+    """With ample availability everywhere, kept counts realize the target
+    ratios exactly and the binding source is fully consumed."""
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        text_analysis,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    # src0: 50 available, weight 3; src1: 50 available, weight 1
+    # T = min(50/0.75, 50/0.25) = 66.66 → keep 50 and 16
+    rows = {
+        r.source: (r.n_available, r.n_kept, r.target_share, r.achieved_share)
+        for r in text_analysis.source_mixture(
+            docs, weights={"src0": 3, "src1": 1}
+        ).collect()
+    }
+    assert rows["src0"] == (50, 50, 0.75, round(50 / 66, 6))
+    assert rows["src1"] == (50, 16, 0.25, round(16 / 66, 6))
