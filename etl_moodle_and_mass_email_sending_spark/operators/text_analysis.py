@@ -652,18 +652,20 @@ def sql_unigram_logprob(corpus_sql: str) -> str:
 
 # --------------------------------------------------------------------------
 # Source-mixture balancing — given target mixture weights per source,
-# take the LARGEST corpus that satisfies them exactly: T = min_s(n_s/w_s)
-# total docs, keep_s = floor(T·w_s) from each source, membership decided
-# by a portable hash rank (deterministic across engines and re-runs; the
-# same discipline as text_train_val_split). This is the data-mixing step
-# of pretraining curation (e.g. The Pile / Dolma-style mixture tables).
+# compute the LARGEST corpus satisfying them exactly: T = min_s(n_s/w_s)
+# total docs, keep_s = floor(T·w_s) from each source. This is the
+# data-mixing step of pretraining curation (e.g. The Pile / Dolma-style
+# mixture tables). Weighted sources with no documents cap T at 0 — an
+# unsatisfiable mixture reports all-zero keeps rather than silently
+# rebalancing to whatever happens to exist.
 #
-# 100 TB shape: the plan (n_s, keep_s) is a source-count aggregation plus
-# scalar arithmetic — one tiny shuffle. The selection here ranks by hash
-# within each source (exact, oracle-checkable); at petabyte scale with few
-# huge sources you would instead threshold on the hash VALUE (keep if
-# hash < keep_s/n_s · 2^32 — approximate but windowless); the docstring
-# trade-off is deliberate.
+# 100 TB shape: a source-count aggregation plus scalar arithmetic over a
+# weights-sized frame — nothing corpus-sized moves. Applying the plan is
+# a membership predicate, deterministic like text_train_val_split's:
+# exact form `row_number() OVER (PARTITION BY source ORDER BY hash32(id))
+# <= n_kept`, or the windowless hash-threshold form
+# `hash32(id) < n_kept/n_available * 2^32` (approximate to ±1/2^32) when
+# a single source is too large to rank.
 # --------------------------------------------------------------------------
 
 # Relative target weights per testbed source (normalized in the operator).
@@ -673,59 +675,42 @@ MIXTURE_WEIGHTS: dict[str, int] = {f"src{i}": (i % 4) + 1 for i in range(20)}
 def source_mixture(
     corpus: DataFrame, weights: dict[str, int] | None = None
 ) -> DataFrame:
-    """(source, n_available, n_kept, target_share, achieved_share) for the
-    largest exact mixture: sources missing from ``weights`` are dropped;
-    ``achieved_share`` is n_kept over the total kept."""
-    from pyspark.sql.window import Window
-
+    """(source, n_available, n_kept, target_share, achieved_share): one
+    row per WEIGHTED source (missing or floored-to-zero sources included,
+    with n_kept = 0); achieved_share is n_kept over total kept, 0.0 when
+    the mixture is unsatisfiable."""
     w = weights or MIXTURE_WEIGHTS
     total_w = sum(w.values())
-    share = "CASE " + " ".join(
-        f"WHEN source = '{s}' THEN {rel}D / {total_w}D"
-        for s, rel in sorted(w.items())
-    ) + " END"
-    h = (
-        f"cast(conv(substring(md5(concat('MIX{SEED_SEP}', "
-        f"cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    wanted = corpus.sparkSession.createDataFrame(
+        [(s, rel / total_w) for s, rel in sorted(w.items())],
+        "source string, w_s double",
     )
-    docs = corpus.filter(
-        F.col("source").isin(list(w))
-    ).select("doc_id", "source", F.expr(share).alias("w_s"))
-    counts = docs.groupBy("source", "w_s").agg(
-        F.count("*").alias("n_available")
+    counts = (
+        corpus.filter(F.col("source").isin(list(w)))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
     )
-    cap = counts.agg(
+    avail = wanted.join(counts, "source", "left").select(
+        "source",
+        "w_s",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_available"),
+    )
+    cap = avail.agg(
         F.min(F.col("n_available") / F.col("w_s")).alias("t_total")
     )
-    plan = counts.crossJoin(F.broadcast(cap)).withColumn(
+    plan = avail.crossJoin(F.broadcast(cap)).withColumn(
         "n_kept",
         F.floor(F.col("t_total") * F.col("w_s") + F.lit(1e-9)),
     )
-    ranked = docs.withColumn(
-        "mix_rank",
-        F.row_number().over(
-            Window.partitionBy("source").orderBy(F.expr(h), F.col("doc_id"))
-        ),
-    )
-    kept = (
-        ranked.join(F.broadcast(plan.select("source", "n_kept")), "source")
-        .filter(F.col("mix_rank") <= F.col("n_kept"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_kept_actual"))
-    )
-    total_kept = kept.agg(F.sum("n_kept_actual").alias("total_kept"))
-    return (
-        plan.join(kept, "source")
-        .crossJoin(F.broadcast(total_kept))
-        .select(
-            "source",
-            "n_available",
-            F.col("n_kept_actual").alias("n_kept"),
-            F.round(F.col("w_s"), 6).alias("target_share"),
-            F.round(
-                F.col("n_kept_actual") / F.col("total_kept"), 6
-            ).alias("achieved_share"),
-        )
+    total = plan.agg(F.sum("n_kept").alias("total_kept"))
+    return plan.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_available",
+        "n_kept",
+        F.round(F.col("w_s"), 6).alias("target_share"),
+        F.when(F.col("total_kept") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_kept") / F.col("total_kept"), 6))
+        .alias("achieved_share"),
     )
 
 
@@ -735,46 +720,34 @@ def sql_source_mixture(
     w = weights or MIXTURE_WEIGHTS
     total_w = sum(w.values())
     in_list = ", ".join(f"'{s}'" for s in sorted(w))
-    share = "CASE " + " ".join(
-        f"WHEN source = '{s}' THEN CAST({rel} AS DOUBLE) / {total_w}"
+    wanted = ", ".join(
+        f"('{s}', CAST({rel} AS DOUBLE) / {total_w})"
         for s, rel in sorted(w.items())
-    ) + " END"
-    h = (
-        f"CAST('0x' || substr(md5('MIX{SEED_SEP}' || "
-        f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
     )
     return f"""
-    WITH docs AS (
-      SELECT doc_id, source, {share} AS w_s
-      FROM ({corpus_sql}) WHERE source IN ({in_list})
-    ),
+    WITH wanted(source, w_s) AS (VALUES {wanted}),
     counts AS (
-      SELECT source, w_s, count(*) AS n_available
-      FROM docs GROUP BY source, w_s
+      SELECT source, count(*) AS n
+      FROM ({corpus_sql}) WHERE source IN ({in_list})
+      GROUP BY source
     ),
-    cap AS (SELECT min(n_available / w_s) AS t_total FROM counts),
+    avail AS (
+      SELECT w.source, w.w_s, CAST(coalesce(c.n, 0) AS BIGINT) AS n_available
+      FROM wanted w LEFT JOIN counts c USING (source)
+    ),
+    cap AS (SELECT min(n_available / w_s) AS t_total FROM avail),
     plan AS (
       SELECT source, w_s, n_available,
              CAST(floor(t_total * w_s + 1e-9) AS BIGINT) AS n_kept
-      FROM counts CROSS JOIN cap
+      FROM avail CROSS JOIN cap
     ),
-    ranked AS (
-      SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source
-                  ORDER BY {h}, doc_id) AS mix_rank
-      FROM docs
-    ),
-    kept AS (
-      SELECT r.source, count(*) AS n_kept_actual
-      FROM ranked r JOIN plan p USING (source)
-      WHERE r.mix_rank <= p.n_kept GROUP BY r.source
-    ),
-    total AS (SELECT sum(n_kept_actual) AS total_kept FROM kept)
-    SELECT p.source, p.n_available, k.n_kept_actual AS n_kept,
-           round(p.w_s, 6) AS target_share,
-           round(CAST(k.n_kept_actual AS DOUBLE) / t.total_kept, 6)
-             AS achieved_share
-    FROM plan p JOIN kept k USING (source) CROSS JOIN total t
+    total AS (SELECT sum(n_kept) AS total_kept FROM plan)
+    SELECT source, n_available, n_kept,
+           round(w_s, 6) AS target_share,
+           CASE WHEN total_kept = 0 THEN 0.0
+                ELSE round(CAST(n_kept AS DOUBLE) / total_kept, 6)
+           END AS achieved_share
+    FROM plan CROSS JOIN total
     """
 
 

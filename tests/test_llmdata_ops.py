@@ -413,25 +413,53 @@ class TestBM25:
         assert by_doc[1] > by_doc[2]
 
 
-def test_kmeans_refine_improves_mean_cosine(spark):
-    """One Lloyd update must not make the assignment worse: mean cosine
-    to the assigned centroid after the update >= the seed assignment's
-    (the monotone-improvement property of k-means, up to the 1e-6
-    centroid rounding)."""
-    from pyspark.sql import functions as F
+def test_kmeans_refine_matches_numpy_oracle(spark):
+    """Independent numpy re-implementation of the unrolled Lloyd step:
+    seed-assign by rounded cosine (ties -> lowest cid), element-wise mean
+    centroids rounded to 6, re-assign. Assignments must match exactly.
+    (Note: a mean-cosine improvement assertion would be unsound here —
+    cosine assignment + raw-mean update is only monotone for spherical
+    k-means on normalized vectors.)"""
+    import numpy as np
 
     from etl_moodle_and_mass_email_sending_spark.operators import similarity
 
-    v = similarity._vectors(spark, SF_SMALL).select("vec_id", "vec")
-    seed = similarity.ivf_assign(v, similarity._centroids(v), n_best=1)
-    cos = F.expr(similarity._spark_cosine("vec", "cvec"))
-    cent0 = similarity._centroids(v)
-    seed_mean = (
-        seed.join(cent0, "cid").select(cos.alias("c")).agg(F.avg("c"))
-    ).first()[0]
-    refined = similarity.kmeans_refined_assign(spark, SF_SMALL)
-    ref_mean = refined.agg(F.avg("cos_to_centroid")).first()[0]
-    assert ref_mean >= seed_mean - 1e-5
+    vrows = sorted(
+        (r.vec_id, np.array(r.vec))
+        for r in similarity._vectors(spark, SF_SMALL)
+        .select("vec_id", "vec")
+        .collect()
+    )
+    ids = [i for i, _ in vrows]
+    X = np.stack([v for _, v in vrows])
+
+    def assign(cents):
+        # rounded cosine, argmax with lowest-cid tie-break
+        sims = np.round(
+            (X @ cents.T)
+            / (
+                np.linalg.norm(X, axis=1)[:, None]
+                * np.linalg.norm(cents, axis=1)[None, :]
+            ),
+            6,
+        )
+        return sims.argmax(axis=1), sims  # argmax takes first max = lowest cid
+
+    seed = X[: similarity.N_CENTROIDS]
+    a1, _ = assign(seed)
+    cent1 = np.stack([
+        np.round(X[a1 == c].mean(axis=0), 6)
+        for c in range(similarity.N_CENTROIDS)
+    ])
+    a2, sims = assign(cent1)
+    want = {ids[i]: (int(a2[i]), float(sims[i, a2[i]])) for i in range(len(ids))}
+
+    got = {
+        r.vec_id: (r.cluster, r.cos_to_centroid)
+        for r in similarity.kmeans_refined_assign(spark, SF_SMALL).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in want.items()}
+    assert all(abs(got[k][1] - want[k][1]) <= 2e-6 for k in want)
 
 
 def test_source_mixture_hits_exact_weights(spark):
@@ -455,3 +483,36 @@ def test_source_mixture_hits_exact_weights(spark):
     }
     assert rows["src0"] == (50, 50, 0.75, round(50 / 66, 6))
     assert rows["src1"] == (50, 16, 0.25, round(16 / 66, 6))
+
+
+def test_source_mixture_reports_missing_and_zero_floor_sources(spark):
+    """A weighted source absent from the corpus caps the mixture at zero
+    (all n_kept 0, achieved 0.0); a source whose keep floors to 0 still
+    appears in the report."""
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        text_analysis,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "srcB") for i in range(10)], "doc_id long, source string"
+    )
+    rows = {
+        r.source: (r.n_available, r.n_kept, r.achieved_share)
+        for r in text_analysis.source_mixture(
+            docs, weights={"srcA": 1, "srcB": 1}
+        ).collect()
+    }
+    assert rows == {"srcA": (0, 0, 0.0), "srcB": (10, 0, 0.0)}
+
+    docs2 = spark.createDataFrame(
+        [(0, "srcA")] + [(i, "srcB") for i in range(1, 101)],
+        "doc_id long, source string",
+    )
+    rows2 = {
+        r.source: (r.n_available, r.n_kept)
+        for r in text_analysis.source_mixture(
+            docs2, weights={"srcA": 99, "srcB": 1}
+        ).collect()
+    }
+    # T = min(1/0.99, 100/0.01) = 1.0101..; keep_A = 1, keep_B = floor(0.0101) = 0
+    assert rows2 == {"srcA": (1, 1), "srcB": (100, 0)}
