@@ -598,3 +598,186 @@ def _data_quality_sql() -> str:
 
 
 register("rel_data_quality", _data_quality, _data_quality_sql())
+
+
+# --------------------------------------------------------------------------
+# rel_latest_per_key — "current record per key" (SCD-style dedup): the most
+# recent event per user.  Implemented as ONE hash aggregation with
+# max_by(payload, (ts, event_id)) — partial map-side combine reduces every
+# partition to ≤|users| rows BEFORE the shuffle, unlike the textbook
+# row_number()-window form, which must shuffle every row and sort each
+# group.  At 100 TB of events the difference is the whole job.  The
+# (ts, event_id) ordering struct makes ties deterministic.
+# --------------------------------------------------------------------------
+
+
+def _latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    payload = F.struct(
+        F.col("event_id"), F.col("ts"), F.col("event_type"), F.col("value")
+    )
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.max_by(payload, order).alias("_last"))
+        .select(
+            "user_id",
+            F.col("_last.event_id").alias("last_event_id"),
+            F.col("_last.ts").alias("last_ts"),
+            F.col("_last.event_type").alias("last_event_type"),
+            _dec(F.col("_last.value")).cast("double").alias("last_value"),
+        )
+    )
+
+
+register(
+    "rel_latest_per_key",
+    _latest_per_key,
+    # oracle = the textbook window form; equivalent because the
+    # (ts, event_id) tie-break is a total order per user
+    """
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           event_type AS last_event_type,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_pivot_events — pivot event_type into measure columns, one row per
+# day.  The value list is EXPLICIT: pivot without one runs a hidden
+# distinct job over the full table first (an extra scan + shuffle at
+# 100 TB) and makes the output schema data-dependent — a schema drift
+# hazard for downstream consumers.  With literal values Catalyst compiles
+# straight to one scan + conditional aggregation.
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
+register(
+    "rel_pivot_events",
+    _pivot_events,
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+    FROM events GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_cube_documents — CUBE over (source, lang): all four grouping sets in
+# ONE pass (Spark expands grouping sets inside the aggregate — one scan,
+# one shuffle — vs four separate group-bys = four scans at 100 TB).
+# Subtotal rows are labelled 'ALL' via coalesce; safe because the testbed
+# columns are non-null (documents.source/lang: 0 nulls, TESTDATA.md).
+# --------------------------------------------------------------------------
+
+
+def _cube_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+register(
+    "rel_cube_documents",
+    _cube_documents,
+    """
+    SELECT coalesce(source, 'ALL') AS source,
+           coalesce(lang, 'ALL') AS lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (source, lang)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q18_big_spenders — TPC-H Q18 shape: group-HAVING on the big fact,
+# then join the survivors.  Order matters at scale: aggregate lineitem
+# FIRST (map-side combine collapses ~4 lines/order before the shuffle),
+# filter to the rare survivors, and only then join orders + customer —
+# the join inputs are then tiny.  Joining before aggregating would
+# shuffle the full fact twice.
+# --------------------------------------------------------------------------
+
+
+def _q18_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer"
+    )
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 250)
+    )
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name"),
+            F.col("c_custkey"),
+            F.col("o_orderkey"),
+            F.col("o_orderdate").alias("o_orderdate"),
+            _dec(F.col("o_totalprice")).cast("double").alias("o_totalprice"),
+            F.col("_sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+register(
+    "rel_q18_big_spenders",
+    _q18_big_spenders,
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(q.sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+    ) q
+    JOIN orders   ON q.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)

@@ -50,6 +50,10 @@ _DEMOTED = [
     "text_bm25_topk",
     "sim_kmeans_refine",
     "text_source_mixture",
+    "rel_latest_per_key",
+    "rel_pivot_events",
+    "rel_cube_documents",
+    "rel_q18_big_spenders",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by

@@ -132,3 +132,50 @@ def test_kmeans_refine_broadcasts_centroids(spark, registry_queries):
 def test_keep_best_has_no_cartesian_fallback(spark, registry_queries):
     plan = _plan(registry_queries["dedup_keep_best"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
+
+
+def test_latest_per_key_is_single_aggregation_not_window(
+    spark, registry_queries
+):
+    """max_by keeps the partial/final two-phase aggregate; the textbook
+    row_number window (full shuffle + per-group sort of every event)
+    must not sneak back in."""
+    plan = _plan(registry_queries["rel_latest_per_key"](spark, SF_SMALL))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_pivot_events_is_one_scan_no_expand(spark, registry_queries):
+    """Explicit pivot values compile to conditional aggregation over one
+    scan — no hidden distinct job, no Expand explosion."""
+    df = registry_queries["rel_pivot_events"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_cube_is_one_scan_with_expand(spark, registry_queries):
+    """CUBE lowers to Expand over ONE scan (one pass for all four
+    grouping sets), not four separate scans."""
+    plan = _plan(registry_queries["rel_cube_documents"](spark, SF_SMALL))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+
+
+def test_q18_aggregates_fact_before_joins(spark, registry_queries):
+    """The lineitem aggregation must sit BELOW both joins in the plan:
+    survivors-first keeps the join inputs tiny at 100 TB."""
+    import re
+
+    plan = _plan(registry_queries["rel_q18_big_spenders"](spark, SF_SMALL))
+    join_pos = min(
+        (plan.find(j) for j in (
+            "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"
+        ) if plan.find(j) >= 0),
+        default=-1,
+    )
+    aggs = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert join_pos >= 0 and aggs, plan
+    # at least one aggregate appears after (deeper than) the first join
+    # node in the printed tree, i.e. below it in the plan
+    assert max(aggs) > join_pos
