@@ -977,3 +977,150 @@ def sql_top_terms(corpus_sql: str, k: int = TOP_TERMS_K) -> str:
       FROM counts
     ) WHERE rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Bigram conditional-logprob scoring — one degree up from unigram_logprob:
+# score each document by the mean ln P(w2 | w1) of its adjacent token
+# pairs under the corpus's own bigram/context counts (the classic
+# perplexity-style fluency filter; word-salad that passes a unigram filter
+# fails here because its ADJACENCIES are improbable).
+#
+# 100 TB shape: bigram construction is array-local (zip_with over the
+# token array — no window, no per-doc shuffle); then two aggregations
+# whose grouping keys ARE the join keys (bigram, context word), so
+# map-side partial aggregation bounds reducer traffic at O(vocab²-seen).
+# The conditional-prob table is built pair-table ⋈ context-table (both
+# already aggregated), and joined back to the bigram stream on the bigram
+# key. Unlike the unigram table, the pair table is NOT forced broadcast:
+# seen-bigram vocabulary grows with corpus diversity, so the plan leaves
+# the strategy to AQE (broadcast when it fits, shuffle join when not).
+# --------------------------------------------------------------------------
+
+_SPARK_FTOKS = f"filter({_SPARK_TOKS}, t -> t != '')"
+_DUCK_FTOKS = f"list_filter({_DUCK_TOKS}, t -> t <> '')"
+
+
+def bigram_logprob(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob): mean ln(count(w1 w2)/count(w1·))
+    over the doc's adjacent pairs. Docs with <2 tokens are absent.
+    Tokens are whitespace-split, so the ' ' pair separator is unambiguous.
+    """
+    toked = corpus.select("doc_id", F.expr(_SPARK_FTOKS).alias("_ts"))
+    n1 = F.greatest(F.size("_ts") - 1, F.lit(0))
+    grams = (
+        spread_for_compute(toked)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("_ts", 1, n1),
+                    F.slice(F.col("_ts"), 2, n1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram"),
+        )
+    )
+    grams = grams.withColumn(
+        "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    )
+    pair = grams.groupBy("bigram", "w1").agg(F.count("*").alias("n2"))
+    ctx = grams.groupBy("w1").agg(F.count("*").alias("n1"))
+    lp = pair.join(ctx, "w1").select(
+        "bigram",
+        F.log(F.col("n2").cast("double") / F.col("n1")).alias("_lp"),
+    )
+    return (
+        grams.join(lp, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+def sql_bigram_logprob(corpus_sql: str) -> str:
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_DUCK_FTOKS} AS ts FROM ({corpus_sql})
+    ),
+    grams AS (
+      SELECT doc_id,
+             g.bigram,
+             split_part(g.bigram, ' ', 1) AS w1
+      FROM toked,
+           LATERAL (
+             SELECT unnest(list_transform(
+               range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i + 1]
+             )) AS bigram
+           ) g
+    ),
+    pair AS (SELECT bigram, w1, count(*) AS n2 FROM grams GROUP BY 1, 2),
+    ctx AS (SELECT w1, count(*) AS n1 FROM grams GROUP BY 1),
+    lp AS (
+      SELECT bigram, ln(CAST(n2 AS DOUBLE) / n1) AS lp
+      FROM pair JOIN ctx USING (w1)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM grams JOIN lp USING (bigram)
+    GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling — per-stratum keep rates applied via
+# a hash-of-id bucket (the same discipline as text_train_val_split):
+# stable across re-runs, executors, engines, and incremental corpus
+# rebuilds, which rand()-based sampling is not. Downsampling
+# over-represented sources (and upweighting rare ones) is the standard
+# source-mixture step before LLM pretraining.
+#
+# 100 TB shape: completely shuffle-free — one narrow filter over the
+# scan; the rate lookup is a literal CASE, the bucket one md5 per row.
+# --------------------------------------------------------------------------
+
+STRATIFIED_RATES = {"src0": 50, "src1": 5, "src2": 80}  # percent
+STRATIFIED_DEFAULT_RATE = 20
+_STRAT_SALT = "STRAT"
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Filter (doc_id, source, lang) rows to the per-source keep rate:
+    kept iff hash-bucket(doc_id) < rate[source] (default
+    STRATIFIED_DEFAULT_RATE %)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_STRAT_SALT), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    rate = F.lit(STRATIFIED_DEFAULT_RATE)
+    for src, pct in STRATIFIED_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+def sql_stratified_sample(docs_sql: str) -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {p}"
+        for s, p in STRATIFIED_RATES.items()
+    )
+    return f"""
+    SELECT doc_id, source, lang
+    FROM ({docs_sql})
+    WHERE CAST('0x' || substr(md5('{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+          < CASE {cases} ELSE {STRATIFIED_DEFAULT_RATE} END
+    """

@@ -587,3 +587,30 @@ register(
     lambda spark, sf_dir: text_analysis.repetition_stats(_docs(spark, sf_dir)),
     text_analysis.sql_repetition_stats(_DOCS_SQL),
 )
+
+
+_DOCS_SRC_SQL = "SELECT doc_id, source, lang FROM documents"
+
+
+def _docs_src(spark, sf_dir):
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+
+
+register(
+    "text_bigram_logprob",
+    lambda spark, sf_dir: text_analysis.bigram_logprob(_docs(spark, sf_dir)),
+    text_analysis.sql_bigram_logprob(_DOCS_SQL),
+)
+
+
+register(
+    "text_stratified_sample",
+    lambda spark, sf_dir: text_analysis.stratified_sample(
+        _docs_src(spark, sf_dir)
+    ),
+    text_analysis.sql_stratified_sample(_DOCS_SRC_SQL),
+)

@@ -54,6 +54,8 @@ _DEMOTED = [
     "rel_pivot_events",
     "rel_cube_documents",
     "rel_q18_big_spenders",
+    "text_bigram_logprob",
+    "text_stratified_sample",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by
