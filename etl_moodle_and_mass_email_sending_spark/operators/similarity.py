@@ -497,3 +497,86 @@ def sql_embedding_near_dup_pairs() -> str:
                AND a.label = b.label AND a.vec_id < b.vec_id
     WHERE {cos} >= {NEARDUP_THRESHOLD}
     """
+
+
+# --------------------------------------------------------------------------
+# Scalar-quantized (int8) top-k — the memory/bandwidth path for ANN at
+# 100 TB: a float32→int8 quantized corpus is 4× smaller, so the
+# brute-force scan (which is bandwidth-bound, not FLOP-bound) runs ~4×
+# faster per node and the working set 4× more often fits in page cache.
+#
+# Design: global [min, max] over all embedding components (one tiny
+# all-dims aggregate, broadcast back — no driver collect), affine-map
+# each component to [-128, 127], score with an INTEGER dot product.
+# Integer scoring is the parity win: quantized scores are exact integers,
+# so the Spark/DuckDB comparison has zero float-accumulation risk — and
+# `floor(v + 0.5)` quantization avoids the engines' round-half
+# disagreement. Recall loss vs exact cosine is the standard SQ trade
+# (validated against the float baseline in tests).
+# --------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+
+
+def sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, qscore, rank): top-K by int8-quantized dot
+    product for each query vector (vec_id < N_QUERIES), self-excluded;
+    ties rank by vec_id."""
+    v = _vectors(spark, sf_dir)
+    bounds = v.agg(
+        F.min(F.array_min("vec")).alias("_mn"),
+        F.max(F.array_max("vec")).alias("_mx"),
+    )
+    quant = F.expr(
+        f"transform(vec, x -> cast(floor((x - _mn) * {SQ_LEVELS}"
+        " / (_mx - _mn) + 0.5d) as bigint) - 128)"
+    ).alias("qvec")
+    qv = v.crossJoin(F.broadcast(bounds)).select("vec_id", quant)
+    q = qv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("qq")
+    )
+    score = F.expr(
+        "aggregate(zip_with(qq, qvec, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, p) -> acc + p)"
+    ).alias("qscore")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("vec_id")
+    )
+    return (
+        qv.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_sq_topk() -> str:
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    bounds AS (
+      SELECT min(list_aggregate(vec, 'min')) AS mn,
+             max(list_aggregate(vec, 'max')) AS mx
+      FROM v
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(vec, x -> CAST(floor((x - mn) * {SQ_LEVELS}
+                 / (mx - mn) + 0.5) AS BIGINT) - 128) AS qvec
+      FROM v CROSS JOIN bounds
+    ),
+    q AS (SELECT vec_id AS query_id, qvec AS qq FROM qv
+          WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, v.vec_id,
+             CAST(list_sum(list_transform(range(1, 1 + len(q.qq)),
+                 i -> q.qq[i] * v.qvec[i])) AS BIGINT) AS qscore
+      FROM qv v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, qscore, rank FROM (
+      SELECT query_id, vec_id, qscore,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY qscore DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """

@@ -614,3 +614,10 @@ register(
     ),
     text_analysis.sql_stratified_sample(_DOCS_SRC_SQL),
 )
+
+
+register(
+    "sim_sq_topk",
+    similarity.sq_topk,
+    similarity.sql_sq_topk(),
+)

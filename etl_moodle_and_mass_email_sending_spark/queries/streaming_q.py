@@ -203,3 +203,23 @@ FROM c JOIN e ON c.user_id = e.user_id
 """
 
 register("stream_interval_join", stream_interval_join, STREAM_INTERVAL_JOIN_SQL)
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (one emission per user/type/minute) as
+    a real stream. Bounded single-batch replay ⇒ the emitted set is
+    exactly the distinct keys — the SQL oracle below."""
+    ev = sw.stream_events(spark, sf_dir)
+    ded = sw.deduplicate_stream(ev)
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_sdd_")
+    return sw.run_to_memory_sink(ded, name, ck)
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS minute
+FROM events
+"""
+
+register("stream_dedup", stream_dedup, STREAM_DEDUP_SQL)

@@ -56,6 +56,8 @@ _DEMOTED = [
     "rel_q18_big_spenders",
     "text_bigram_logprob",
     "text_stratified_sample",
+    "sim_sq_topk",
+    "stream_dedup",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by

@@ -241,3 +241,34 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def deduplicate_stream(
+    events: DataFrame,
+    watermark_delay: str = "2 hours",
+    bucket: str = "1 minute",
+) -> DataFrame:
+    """Streaming deduplication: emit each (user_id, event_type,
+    minute-bucket) key once — the standard at-most-once-per-key rate
+    limit / idempotent-ingest guard.
+
+    The dedup key INCLUDES the event-time bucket and the input is
+    watermarked, so state is evictable: keys whose bucket falls behind
+    the watermark are dropped from the store (unbounded key-only
+    dropDuplicates would grow state forever on a 100 TB firehose).
+    Emission is append-mode first-occurrence; restricting the columns to
+    the key itself makes the emitted set deterministic (the distinct
+    keys) regardless of which physical row arrives first.
+    """
+    w = events.withWatermark("ts", watermark_delay)
+    keyed = w.select(
+        "user_id",
+        "event_type",
+        F.window("ts", bucket).getField("start").alias("minute"),
+        F.col("ts"),
+    )
+    # `minute` carries the event-time semantics; keep `ts` out of the key
+    # (it is only here so the watermark column survives the projection)
+    return keyed.dropDuplicates(["user_id", "event_type", "minute"]).select(
+        "user_id", "event_type", "minute"
+    )

@@ -516,3 +516,20 @@ def test_source_mixture_reports_missing_and_zero_floor_sources(spark):
     }
     # T = min(1/0.99, 100/0.01) = 1.0101..; keep_A = 1, keep_B = floor(0.0101) = 0
     assert rows2 == {"srcA": (1, 1), "srcB": (100, 0)}
+
+
+def test_sq_topk_recall_floor(spark):
+    """int8 scalar quantization must keep recall@5 >= 0.8 vs the exact
+    float baseline on the testbed vectors — guards the quantization
+    formula (a wrong affine map or overflow collapses the ranking)."""
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.topk_bruteforce(spark, SF_SMALL).collect()
+    }
+    sq = {
+        (r.query_id, r.vec_id)
+        for r in similarity.sq_topk(spark, SF_SMALL).collect()
+    }
+    assert len(bf & sq) / len(bf) >= 0.8
