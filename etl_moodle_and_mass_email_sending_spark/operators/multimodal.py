@@ -347,3 +347,96 @@ def sql_decode_media() -> str:
            CASE WHEN media_type = 'video' THEN {fr} END AS n_frames
     FROM ({SQL_MEDIA_TABLE})
     """
+
+
+# --------------------------------------------------------------------------
+# Audio frame windowing — overlapping (win, hop) frames over the payload
+# with a per-frame integer energy, the Spark shape of librosa's STFT
+# framing: filter to audio rows BEFORE the Python boundary (only audio
+# payloads cross into Arrow), then a vectorized strided window over the
+# fixed-width batch — one numpy reshape, no Python row loop, one output
+# row per frame (bounded fan-out = payload_len/hop).
+#
+# Energy is an INTEGER byte sum, so cross-engine parity is exact — the
+# same trick as sim_sq_topk's quantized scores.
+# --------------------------------------------------------------------------
+
+AUDIO_WIN_BYTES = 32
+AUDIO_HOP_BYTES = 16
+
+AUDIO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    media: DataFrame,
+    win: int = AUDIO_WIN_BYTES,
+    hop: int = AUDIO_HOP_BYTES,
+    engine: str = "fake",
+) -> DataFrame:
+    """Audio rows → one row per overlapping frame with its byte-sum
+    energy. A real engine decodes PCM with librosa/soundfile here; the
+    fake engine reads the raw payload bytes (same framing math)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if engine == "real":
+                raise NotImplementedError(
+                    "no audio codecs in this environment; decode PCM "
+                    "here and keep the same framing"
+                )
+            if not len(pdf):
+                continue
+            payloads = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            plen = payloads.shape[1]
+            n_frames = max(0, (plen - win) // hop + 1)
+            # (n_rows, n_frames, win) strided view -> exact int64 sums
+            idx = (
+                np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+            )
+            frames = payloads[:, idx]  # fancy-index copy, batch-vectorized
+            energy = frames.astype(np.int64).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(), n_frames
+                    ),
+                    "frame_idx": np.tile(
+                        np.arange(n_frames, dtype=np.int32), len(pdf)
+                    ),
+                    "energy": energy.reshape(-1),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        run, AUDIO_FRAMES_SCHEMA
+    )
+
+
+def sql_audio_frame_energy(
+    win: int = AUDIO_WIN_BYTES, hop: int = AUDIO_HOP_BYTES
+) -> str:
+    payload_bytes = 16 * PAYLOAD_REPEAT
+    n_frames = max(0, (payload_bytes - win) // hop + 1)
+    byte_at = (
+        "CAST(CAST('0x' || substr(payload_hex, 2 * (f.frame_idx * "
+        f"{hop} + j) + 1, 2) AS INTEGER) AS BIGINT)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           CAST(list_sum(list_transform(range(0, {win}),
+                j -> {byte_at})) AS BIGINT) AS energy
+    FROM ({SQL_MEDIA_TABLE}) m,
+         LATERAL (SELECT unnest(range(0, {n_frames})) AS frame_idx) f
+    WHERE m.media_type = 'audio'
+    """

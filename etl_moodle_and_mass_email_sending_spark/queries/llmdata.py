@@ -621,3 +621,12 @@ register(
     similarity.sq_topk,
     similarity.sql_sq_topk(),
 )
+
+
+register(
+    "mm_audio_energy",
+    lambda spark, sf_dir: multimodal.audio_frame_energy(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_audio_frame_energy(),
+)

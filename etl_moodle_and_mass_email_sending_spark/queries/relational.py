@@ -781,3 +781,52 @@ register(
     JOIN customer ON o_custkey = c_custkey
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_rolling_window — time-RANGE window frame (distinct from the
+# rows-frame running total): per-user rolling 1-hour event count and
+# value average. The frame is defined on event-time MICROSECONDS on both
+# engines (Spark rangeBetween needs a numeric ordering key; epoch-seconds
+# would truncate differently than DuckDB's interval frame). One shuffle
+# on user_id; the range frame is evaluated in a single ordered pass per
+# partition — no self-join rewrite, which is the O(n·w) trap at scale.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+def _rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(
+            F.sum(_dec(F.col("value"))).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ).alias("avg_value_1h"),
+    )
+
+
+register(
+    "rel_rolling_window",
+    _rolling_window,
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           count(*) OVER w AS n_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / count(*) OVER w, 6) AS avg_value_1h
+    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)

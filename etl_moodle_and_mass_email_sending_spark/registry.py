@@ -58,6 +58,8 @@ _DEMOTED = [
     "text_stratified_sample",
     "sim_sq_topk",
     "stream_dedup",
+    "mm_audio_energy",
+    "rel_rolling_window",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):
     #   - dedup_containment's LSH candidate machinery is certified by
