@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -439,4 +439,112 @@ def sql_audio_frame_energy(
     FROM ({SQL_MEDIA_TABLE}) m,
          LATERAL (SELECT unnest(range(0, {n_frames})) AS frame_idx) f
     WHERE m.media_type = 'audio'
+    """
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup — the image-side twin of SimHash
+# text dedup: treat the first 64 payload bytes as an 8×8 grayscale
+# thumbnail, hash bit j = (pixel_j · 64 > Σ pixels) (integer compare, no
+# float mean → exact cross-engine parity), then group identical hashes.
+# A real engine decodes + downsamples with Pillow at the marked plug
+# point; the fake engine reads raw bytes (same hashing math).
+#
+# Scale: the shuffle carries (doc_id, 64-bit hash) — 8 bytes per image,
+# never payloads; identical-hash grouping is a uniform-key groupBy, the
+# same shape as dedup_exact on text digests. Near-miss (hamming ≤ d)
+# variants bucket on hash band prefixes exactly as operators/dedup.py's
+# simhash_pairs does — not re-implemented here.
+# --------------------------------------------------------------------------
+
+PHASH_BITS = 64
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def phash_images(images: DataFrame, engine: str = "fake") -> DataFrame:
+    """(doc_id, payload) → (doc_id, 64-char bit-string aHash), one
+    vectorized pass per Arrow batch (no Python row loop)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if engine == "real":
+                raise NotImplementedError(
+                    "no image codecs in this environment; decode + "
+                    "8x8-downsample with Pillow here, then hash the "
+                    "same way"
+                )
+            if not len(pdf):
+                continue
+            pixels = (
+                np.frombuffer(
+                    b"".join(bytes(p)[:PHASH_BITS] for p in pdf["payload"]),
+                    dtype=np.uint8,
+                )
+                .reshape(len(pdf), PHASH_BITS)
+                .astype(np.int64)
+            )
+            total = pixels.sum(axis=1)
+            bits = (pixels * PHASH_BITS > total[:, None]).astype(np.uint8)
+            hashes = np.frombuffer(
+                (bits + ord("0")).tobytes(), dtype=f"S{PHASH_BITS}"
+            ).astype(str)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "phash": hashes}
+            )
+
+    return images.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dedup(docs: DataFrame, engine: str = "fake") -> DataFrame:
+    """Image dedup over a (doc_id, text) corpus: synthesize the binary
+    payload (as media_table does), perceptual-hash every image, and
+    annotate each with its duplicate group — (doc_id, phash, n_copies,
+    canonical_id)."""
+    images = docs.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5("text"), PAYLOAD_REPEAT)).alias("payload"),
+    )
+    hashed = phash_images(images, engine=engine)
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(w).alias("n_copies"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+
+
+def sql_phash_dedup(corpus_sql: str) -> str:
+    b = PHASH_BITS
+    return f"""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), {PAYLOAD_REPEAT}) AS payload_hex
+      FROM ({corpus_sql})
+    ),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, {b}),
+                 j -> CAST(CAST('0x' || substr(payload_hex, 2 * j + 1, 2)
+                      AS INTEGER) AS BIGINT)) AS p
+      FROM img
+    ),
+    h AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, {b}),
+                 j -> CASE WHEN p[CAST(j AS INTEGER) + 1] * {b} > list_sum(p)
+                      THEN '1' ELSE '0' END), '') AS phash
+      FROM px
+    )
+    SELECT doc_id, phash,
+           count(*) OVER (PARTITION BY phash) AS n_copies,
+           min(doc_id) OVER (PARTITION BY phash) AS canonical_id
+    FROM h
     """

@@ -1,0 +1,115 @@
+"""[EXT] Sketch-based approximate aggregates — the cardinality
+estimators a 100 TB pipeline uses where exact distinct counts would
+shuffle every key.
+
+The KMV (k-minimum-values) distinct sketch here is DETERMINISTIC on both
+engines: the value hash is md5 of the key's decimal string, its top 60
+bits scaled to a [0, 1) double (16^15 = 2^60 divides exactly, so the
+double is the same bit pattern in Spark and DuckDB), and the estimator
+is the textbook unbiased (k-1)/h_(k) (Beyer et al., "On Synopses for
+Distinct-Value Estimation Under Multiset Operations", SIGMOD'07), with
+the exact count substituted when a group holds fewer than k keys. That
+determinism is what lets an *approximate* operator hash-gate against the
+DuckDB oracle exactly.
+
+Scale design: the k smallest hashes are found with a two-stage exact
+top-k — stage 1 ranks within (group, salt) partitions so no single task
+ever sorts a whole group's distinct set, stage 2 ranks the ≤ salt·k
+survivors per group. Both stages are window row_numbers over a shuffle
+whose payload is (group, 8-byte hash), not the raw keys. Spark's own
+approx_count_distinct (HLL++) is the zero-extra-shuffle alternative but
+is not bit-reproducible across engines, so it cannot be oracle-gated;
+the KMV form trades one bounded shuffle for a verifiable answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KMV_K = 64
+KMV_SALTS = 16
+_SCALE = 16**15  # top 60 bits of the md5 → exact double in [0, 1)
+
+
+def _hash_frac(key: Column) -> Column:
+    """md5(key-as-string) top-60-bits as a [0,1) double — identical
+    literal arithmetic on both engines."""
+    v = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+    return v.cast("bigint") / F.lit(float(_SCALE))
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group exact distinct count alongside the KMV estimate —
+    (group, n_exact, kmv_estimate).
+
+    The pre-distinct on (group, key) is a map-side-combining shuffle of
+    key pairs; everything after ranks 8-byte hash fractions only.
+    """
+    pairs = df.select(group_col, key_col).distinct()
+    hashed = pairs.select(
+        group_col, _hash_frac(F.col(key_col)).alias("_frac"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(KMV_SALTS)).alias("_salt"),
+    )
+    # stage 1: top-k per (group, salt) — caps any single task's sort at
+    # the salt shard, never a whole group's distinct set
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_frac")
+    stage1 = hashed.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    # stage 2: global top-k per group over the ≤ KMV_SALTS·k survivors
+    w2 = Window.partitionBy(group_col).orderBy("_frac")
+    topk = stage1.withColumn("_gr", F.row_number().over(w2)).filter(
+        F.col("_gr") <= k
+    )
+    exact = pairs.groupBy(group_col).agg(F.count("*").alias("n_exact"))
+    kth = topk.groupBy(group_col).agg(F.max("_frac").alias("_hk"))
+    return (
+        exact.join(kth, on=group_col)
+        .select(
+            group_col,
+            "n_exact",
+            F.when(
+                F.col("n_exact") < k, F.col("n_exact").cast("double")
+            )
+            .otherwise(F.round((F.lit(k) - F.lit(1)) / F.col("_hk"), 6))
+            .alias("kmv_estimate"),
+        )
+    )
+
+
+def sql_kmv_distinct(
+    table_sql: str, group_col: str, key_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB oracle: same hash, same estimator, single-stage top-k (the
+    two-stage Spark form computes the identical exact top-k)."""
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT {group_col}, {key_col} FROM ({table_sql})
+    ),
+    hashed AS (
+      SELECT {group_col},
+             CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)
+                  AS BIGINT) / {float(_SCALE)!r} AS frac
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT {group_col}, frac,
+             row_number() OVER (PARTITION BY {group_col} ORDER BY frac)
+               AS rn
+      FROM hashed
+    ),
+    exact AS (
+      SELECT {group_col}, count(*) AS n_exact FROM pairs GROUP BY 1
+    ),
+    kth AS (
+      SELECT {group_col}, max(frac) AS hk FROM ranked
+      WHERE rn <= {k} GROUP BY 1
+    )
+    SELECT e.{group_col}, e.n_exact,
+           CASE WHEN e.n_exact < {k} THEN CAST(e.n_exact AS DOUBLE)
+                ELSE round(({k} - 1) / kth.hk, 6) END AS kmv_estimate
+    FROM exact e JOIN kth USING ({group_col})
+    """

@@ -630,3 +630,12 @@ register(
     ),
     multimodal.sql_audio_frame_energy(),
 )
+
+
+register(
+    "mm_phash_dedup",
+    lambda spark, sf_dir: multimodal.phash_dedup(
+        dedup.dup_corpus(spark, sf_dir)
+    ),
+    multimodal.sql_phash_dedup(_CORPUS_SQL),
+)

@@ -830,3 +830,23 @@ register(
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_kmv_distinct — deterministic KMV distinct-count sketch per
+# event_type over user_id (operators/sketches.py has the full scale
+# rationale: two-stage salted top-k, 8-byte shuffle payloads).
+# --------------------------------------------------------------------------
+
+from ..operators import sketches as _sketches  # noqa: E402
+
+
+register(
+    "rel_kmv_distinct",
+    lambda spark, sf_dir: _sketches.kmv_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    ),
+    _sketches.sql_kmv_distinct(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id"
+    ),
+)

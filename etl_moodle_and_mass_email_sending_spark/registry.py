@@ -59,6 +59,8 @@ _DEMOTED = [
     "sim_sq_topk",
     "stream_dedup",
     "mm_audio_energy",
+    "mm_phash_dedup",
+    "rel_kmv_distinct",
     "rel_rolling_window",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):

@@ -533,3 +533,46 @@ def test_sq_topk_recall_floor(spark):
         for r in similarity.sq_topk(spark, SF_SMALL).collect()
     }
     assert len(bf & sq) / len(bf) >= 0.8
+
+
+def test_phash_groups_exact_copies(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup, multimodal
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    rows = multimodal.phash_dedup(corpus).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # every exact copy shares its original's payload → same aHash group
+    copies = [r for r in rows if r["doc_id"] >= dedup.EXACT_COPY_OFFSET
+              and r["doc_id"] < dedup.NEAR_COPY_OFFSET]
+    assert copies
+    for c in copies:
+        orig = by_id[c["doc_id"] - dedup.EXACT_COPY_OFFSET]
+        assert c["phash"] == orig["phash"]
+        assert c["n_copies"] >= 2
+        assert c["canonical_id"] == orig["canonical_id"] <= orig["doc_id"]
+    assert all(len(r["phash"]) == 64 and set(r["phash"]) <= {"0", "1"}
+               for r in rows[:20])
+
+
+def test_phash_real_engine_raises(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup, multimodal
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        multimodal.phash_dedup(corpus, engine="real").collect()
+
+
+def test_kmv_estimate_tracks_exact_count(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import sketches
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+
+    events = load_table(spark, SF_SMALL, "events")
+    rows = sketches.kmv_distinct(events, "event_type", "user_id").collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] < sketches.KMV_K:
+            assert r["kmv_estimate"] == float(r["n_exact"])
+        else:
+            # KMV with k=64 has ~1/sqrt(k-2) ≈ 13% relative std error;
+            # allow 4 sigma
+            assert abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"] < 0.52
