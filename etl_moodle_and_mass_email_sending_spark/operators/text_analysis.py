@@ -1124,3 +1124,67 @@ def sql_stratified_sample(docs_sql: str) -> str:
     WHERE CAST('0x' || substr(md5('{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
           < CASE {cases} ELSE {STRATIFIED_DEFAULT_RATE} END
     """
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram detection — the C4/CCNet "repeated spans" pass:
+# surface every N-token span that appears in more than one document
+# (navigation chrome, license headers, templated intros), with its
+# document- and occurrence-counts; downstream filters subtract these
+# spans or drop the docs that are mostly boilerplate.
+#
+# 100 TB shape: span construction is array-local (transform over the
+# token array — no window, no shuffle), then ONE groupBy on the span
+# whose partial aggregation collapses each mapper's repeats before the
+# wire; the span key is uniformly hash-distributed. At petabyte scale
+# the groupBy key would be md5(span) (8-byte shuffle rows, join the
+# strings back only for the surviving ≥min_docs spans); kept as the
+# string here so the operator's output is directly readable.
+# --------------------------------------------------------------------------
+
+BOILERPLATE_N = 5  # tokens per span
+BOILERPLATE_MIN_DOCS = 2
+
+
+def boilerplate_ngrams(
+    corpus: DataFrame,
+    n: int = BOILERPLATE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """(ngram, n_docs, n_total): every n-token span appearing in at
+    least min_docs distinct documents."""
+    spans = F.expr(
+        f"CASE WHEN size({_SPARK_FTOKS}) >= {n} THEN "
+        f"transform(sequence(1, size({_SPARK_FTOKS}) - {n} + 1), "
+        f"i -> array_join(slice({_SPARK_FTOKS}, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    return (
+        corpus.select("doc_id", F.explode(spans).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def sql_boilerplate_ngrams(
+    corpus_sql: str,
+    n: int = BOILERPLATE_N,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> str:
+    return f"""
+    WITH spans AS (
+      SELECT doc_id, s.ngram
+      FROM (SELECT doc_id, {_DUCK_FTOKS} AS toks FROM ({corpus_sql})),
+           LATERAL (
+             SELECT unnest(list_transform(range(1, len(toks) - {n} + 2),
+                    i -> array_to_string(toks[i:i + {n} - 1], ' ')))
+               AS ngram
+           ) s
+    )
+    SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+    FROM spans GROUP BY ngram HAVING count(DISTINCT doc_id) >= {min_docs}
+    """

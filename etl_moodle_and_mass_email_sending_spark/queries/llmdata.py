@@ -639,3 +639,12 @@ register(
     ),
     multimodal.sql_phash_dedup(_CORPUS_SQL),
 )
+
+
+register(
+    "text_boilerplate_ngrams",
+    lambda spark, sf_dir: text_analysis.boilerplate_ngrams(
+        dedup.dup_corpus(spark, sf_dir)
+    ),
+    text_analysis.sql_boilerplate_ngrams(_CORPUS_SQL),
+)

@@ -850,3 +850,45 @@ register(
         "SELECT event_type, user_id FROM events", "event_type", "user_id"
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q13_custdist — TPC-H Q13 shape: LEFT OUTER join customer→orders
+# with a predicate ON THE JOIN (not a post-filter — customers whose only
+# orders are urgent must still appear with count 0), per-customer order
+# count, then the tiny distribution aggregate. Scale: the outer join
+# shuffles on custkey and the first groupBy reuses that exact
+# partitioning (no second exchange of the big side); the distribution
+# groupBy moves one row per distinct count.
+# --------------------------------------------------------------------------
+
+
+def _q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            on=customer["c_custkey"] == orders["o_custkey"],
+            how="left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+register(
+    "rel_q13_custdist",
+    _q13_custdist,
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)

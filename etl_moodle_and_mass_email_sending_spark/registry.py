@@ -61,6 +61,8 @@ _DEMOTED = [
     "mm_audio_energy",
     "mm_phash_dedup",
     "rel_kmv_distinct",
+    "rel_q13_custdist",
+    "text_boilerplate_ngrams",
     "rel_rolling_window",
     # swapped out in round 2 to give window slots to text_decontaminate /
     # text_unigram_logprob (driver-sim-verified green before promotion):

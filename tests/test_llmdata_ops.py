@@ -576,3 +576,17 @@ def test_kmv_estimate_tracks_exact_count(spark):
             # KMV with k=64 has ~1/sqrt(k-2) ≈ 13% relative std error;
             # allow 4 sigma
             assert abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"] < 0.52
+
+
+def test_boilerplate_ngrams_catch_planted_copies(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup, text_analysis
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    spans = text_analysis.boilerplate_ngrams(corpus).collect()
+    assert spans
+    # every span of an exactly-copied doc appears in ≥2 docs, so copied
+    # docs' spans are all present; and no span is single-doc
+    assert all(s["n_docs"] >= 2 for s in spans)
+    assert all(s["n_total"] >= s["n_docs"] for s in spans)
+    assert all(len(s["ngram"].split(" ")) == text_analysis.BOILERPLATE_N
+               for s in spans[:50])
