@@ -223,3 +223,39 @@ FROM events
 """
 
 register("stream_dedup", stream_dedup, STREAM_DEDUP_SQL)
+
+
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (events ⋈ broadcast customer
+    segment) + watermarked rollup, executed as a real stream. Bounded
+    single-batch replay ⇒ append-mode emits exactly the windows the
+    final watermark closed — the same emission rule stream_windowed_counts
+    certifies, post-join."""
+    from ..streaming import joins
+
+    ev = sw.stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = joins.enrich_with_segment(ev, cust)
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_sse_")
+    return sw.run_to_memory_sink(enriched, name, ck)
+
+
+STREAM_ENRICH_SQL = """
+WITH base AS (
+  SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.value, c.c_mktsegment
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+), agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+         c_mktsegment, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS sum_value
+  FROM base GROUP BY 1, 2, 3
+)
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR
+                     FROM events)
+"""
+
+register("stream_enrich", stream_enrich, STREAM_ENRICH_SQL)

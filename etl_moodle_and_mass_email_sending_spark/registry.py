@@ -58,6 +58,7 @@ _DEMOTED = [
     "text_stratified_sample",
     "sim_sq_topk",
     "stream_dedup",
+    "stream_enrich",
     "mm_audio_energy",
     "mm_phash_dedup",
     "rel_kmv_distinct",

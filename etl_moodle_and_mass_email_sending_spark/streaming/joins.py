@@ -66,3 +66,48 @@ def clicks_errors_interval_join(
         "error_id",
         "error_ts",
     )
+
+
+def enrich_with_segment(
+    events: DataFrame,
+    customers: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC enrichment: join the live event stream to a static
+    dimension (user → market segment), then a watermarked tumbling
+    rollup per (window, segment).
+
+    This is the other canonical streaming join: the static side is
+    STATELESS — no buffering, no watermark on the dim, re-planned per
+    micro-batch with the dim broadcast to every task (the forced
+    ``F.broadcast`` is what a 1000-executor cluster wants for a dim that
+    fits in memory; a huge dim would drop the hint and shuffle each
+    micro-batch instead). Only the post-join aggregation keeps state,
+    bounded by the watermark exactly as in windowed_event_counts.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = events.withWatermark("ts", watermark_delay).join(
+        F.broadcast(dim), "user_id"
+    )
+    return (
+        joined.groupBy(
+            F.window("ts", window_duration).alias("win"), "c_mktsegment"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )

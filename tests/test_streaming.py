@@ -255,3 +255,55 @@ class TestStreamStreamJoin:
         assert got_pairs <= want
         assert len(got_pairs) >= 0.9 * len(want)
         assert len(rows) == len(got_pairs)  # no duplicate emissions
+
+
+class TestStreamStaticEnrich:
+    def test_enrich_matches_batch_join(self, spark):
+        """Stream-static join emission equals the batch join + the
+        final-watermark window filter (the oracle's emission model)."""
+        import tempfile
+        import uuid
+
+        from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            joins,
+            windows as sw,
+        )
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        ev = sw.stream_events(spark, sf)
+        cust = load_table(spark, sf, "customer")
+        out = sw.run_to_memory_sink(
+            joins.enrich_with_segment(ev, cust),
+            f"tse_{uuid.uuid4().hex[:8]}",
+            tempfile.mkdtemp(prefix="ck_tse_"),
+        ).collect()
+        assert out
+        # batch twin
+        bev = load_table(spark, sf, "events")
+        batch = (
+            bev.join(
+                cust.select(
+                    F.col("c_custkey").alias("user_id"), "c_mktsegment"
+                ),
+                "user_id",
+            )
+            .groupBy(
+                F.window("ts", "1 hour").alias("win"), "c_mktsegment"
+            )
+            .agg(F.count("*").alias("n_events"))
+        )
+        wm = bev.agg(
+            F.max("ts").cast("long").alias("mx")
+        ).collect()[0]["mx"]
+        closed = {
+            (r["win"]["start"], r["c_mktsegment"]): r["n_events"]
+            for r in batch.collect()
+            if r["win"]["end"].timestamp() <= wm - 7200
+        }
+        got = {
+            (r["window_start"], r["c_mktsegment"]): r["n_events"]
+            for r in out
+        }
+        assert got == closed
