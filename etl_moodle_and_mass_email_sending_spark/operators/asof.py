@@ -35,11 +35,24 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left column, plus each non-key right column
     renamed ``<col><suffix>`` (nullable — null when no right row precedes
     the left row). ``right_ts`` itself is carried as ``<right_ts><suffix>``.
+
+    ``direction='backward'`` (default) matches the most recent right row
+    with ``right.ts <= left.ts``; ``'forward'`` the nearest with
+    ``right.ts >= left.ts`` (both inclusive). Either way it is the same
+    single-shuffle union+window pass — forward just orders the window
+    scan descending. ``tolerance_seconds`` (pandas merge_asof semantics)
+    nulls the carried payload when the matched row is farther than the
+    tolerance: any OTHER candidate is farther still, so the post-window
+    null-out is exact, costing one comparison, not a second join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     payload = [c for c in right.columns if c != key]
     # The right payload travels as ONE struct, carried atomically by a
     # single last(ignorenulls) — carrying columns independently would let
@@ -62,17 +75,37 @@ def asof_join(
     )
     lrow_type = l2.schema["_lrow"].dataType
     r2 = r_tmp.withColumn("_lrow", F.lit(None).cast(lrow_type))
+    order = (
+        [F.col("_ts"), F.col("_side")]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_side")]
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l2.unionByName(r2).select(
         "_side",
+        "_ts",
         "_lrow",
         F.last("_p", ignorenulls=True).over(w).alias("_p"),
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w).alias("_rts"),
     )
-    return carried.filter(F.col("_side") == 1).select(
+    matched = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        dist = (
+            F.col("_ts").cast("double") - F.col("_rts").cast("double")
+            if direction == "backward"
+            else F.col("_rts").cast("double") - F.col("_ts").cast("double")
+        )
+        within = F.col("_rts").isNotNull() & (dist <= tolerance_seconds)
+        matched = matched.withColumn(
+            "_p", F.when(within, F.col("_p"))
+        )
+    return matched.select(
         F.col("_lrow.*"),
         *[F.col(f"_p.{c}").alias(f"{c}{suffix}") for c in payload],
     )

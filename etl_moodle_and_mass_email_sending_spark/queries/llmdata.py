@@ -648,3 +648,92 @@ register(
     ),
     text_analysis.sql_boilerplate_ngrams(_CORPUS_SQL),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_asof_forward / rel_asof_tolerance — the other two as-of variants
+# (operators/asof.py): nearest FOLLOWING purchase, and backward matching
+# that nulls out matches farther than 1 hour (pandas merge_asof
+# `tolerance` semantics — exact as a post-window null-out because any
+# other candidate is farther still). Same single-shuffle union+window
+# plan as rel_asof_join; oracles use DuckDB's native ASOF with the
+# direction flipped / a CASE on the matched distance.
+# --------------------------------------------------------------------------
+
+_ASOF_TOLERANCE_S = 3600
+
+
+def _asof_variant(direction: str, tolerance: float | None):
+    def q(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from ..catalog import load_table
+        from ..operators.asof import asof_join
+
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max(F.col("value").cast("decimal(18,2)")).alias("pvalue"))
+        )
+        out = asof_join(
+            clicks,
+            purchases,
+            key="user_id",
+            direction=direction,
+            tolerance_seconds=tolerance,
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("ts_asof").alias("purchase_ts"),
+            F.col("pvalue_asof").cast("double").alias("purchase_value"),
+        )
+
+    return q
+
+
+_ASOF_CTES = """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(value AS DECIMAL(18,2))) AS pvalue
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+"""
+
+register(
+    "rel_asof_forward",
+    _asof_variant("forward", None),
+    _ASOF_CTES
+    + """
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           CAST(p.pvalue AS DOUBLE) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+
+register(
+    "rel_asof_tolerance",
+    _asof_variant("backward", float(_ASOF_TOLERANCE_S)),
+    _ASOF_CTES
+    + f"""
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           CASE WHEN epoch(c.ts) - epoch(p.ts) <= {_ASOF_TOLERANCE_S}
+                THEN p.ts END AS purchase_ts,
+           CASE WHEN epoch(c.ts) - epoch(p.ts) <= {_ASOF_TOLERANCE_S}
+                THEN CAST(p.pvalue AS DOUBLE) END AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)

@@ -59,6 +59,8 @@ _DEMOTED = [
     "sim_sq_topk",
     "stream_dedup",
     "stream_enrich",
+    "rel_asof_forward",
+    "rel_asof_tolerance",
     "mm_audio_energy",
     "mm_phash_dedup",
     "rel_kmv_distinct",

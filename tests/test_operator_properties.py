@@ -302,3 +302,49 @@ def test_keep_best_matches_python_argmax(spark_mod, members):
         if cur is None or (q, -d) > (cur[1], -cur[0]):
             want[c] = (d, q, sizes[c], sizes[c] - 1)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=events_strategy, right=events_strategy)
+def test_asof_forward_and_tolerance_match_bruteforce(spark_mod, left, right):
+    from etl_moodle_and_mass_email_sending_spark.operators.asof import (
+        asof_join,
+    )
+
+    spark = spark_mod
+    right = sorted({(k, t) for k, t in right})
+    left = [(i, k, t) for i, (k, t) in enumerate(left)]
+    l_df = spark.createDataFrame(
+        [(i, k, float(t)) for i, k, t in left], "lid long, k long, ts double"
+    )
+    r_df = spark.createDataFrame(
+        [(k, float(t), k * 10000 + t) for k, t in right],
+        "k long, ts double, payload long",
+    )
+    TOL = 100.0
+
+    fwd = {
+        r.lid: (r.ts_asof, r.payload_asof)
+        for r in asof_join(l_df, r_df, key="k", direction="forward").collect()
+    }
+    tol = {
+        r.lid: (r.ts_asof, r.payload_asof)
+        for r in asof_join(
+            l_df, r_df, key="k", tolerance_seconds=TOL
+        ).collect()
+    }
+    for i, k, t in left:
+        after = [rt for rk, rt in right if rk == k and rt >= t]
+        want_f = (
+            (float(min(after)), k * 10000 + min(after))
+            if after
+            else (None, None)
+        )
+        assert fwd[i] == want_f, ("forward", i, k, t)
+        before = [rt for rk, rt in right if rk == k and rt <= t]
+        if before and t - max(before) <= TOL:
+            rt = max(before)
+            want_t = (float(rt), k * 10000 + rt)
+        else:
+            want_t = (None, None)
+        assert tol[i] == want_t, ("tolerance", i, k, t)
