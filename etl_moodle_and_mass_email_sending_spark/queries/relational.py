@@ -892,3 +892,76 @@ register(
     ) GROUP BY c_count
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q7_nation_volume — TPC-H Q7 shape: the big fact joined through two
+# INDEPENDENT dimension chains (supplier→nation as n1, order→customer→
+# nation as n2) with a symmetric pair predicate, grouped by (nation pair,
+# ship year). The nation table joins twice under different aliases — the
+# classic self-aliased-dim pattern. Scale: every dim chain is
+# broadcast-size (nation, supplier, customer all ≪ fact), so the plan is
+# fact-scan + 4 broadcast joins + one partial-aggregated groupBy; the
+# only shuffle is the final (pair, year) agg, whose key space is tiny.
+# --------------------------------------------------------------------------
+
+_Q7_PAIR = ("NATION_1", "NATION_2")
+
+
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, supplier, nation = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = _Q7_PAIR
+    joined = (
+        lineitem.join(F.broadcast(supplier), on=F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), on=F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), on=F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), on=F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    volume = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(volume).cast("double"), 2).alias("revenue"))
+    )
+
+
+register(
+    "rel_q7_nation_volume",
+    _q7_nation_volume,
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+               AS volume
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = '{_Q7_PAIR[0]}' AND n2.n_name = '{_Q7_PAIR[1]}')
+         OR (n1.n_name = '{_Q7_PAIR[1]}' AND n2.n_name = '{_Q7_PAIR[0]}')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)

@@ -60,6 +60,7 @@ _DEMOTED = [
     "stream_dedup",
     "stream_enrich",
     "rel_asof_forward",
+    "rel_q7_nation_volume",
     "rel_asof_tolerance",
     "mm_audio_energy",
     "mm_phash_dedup",

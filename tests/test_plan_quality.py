@@ -179,3 +179,25 @@ def test_q18_aggregates_fact_before_joins(spark, registry_queries):
     # at least one aggregate appears after (deeper than) the first join
     # node in the printed tree, i.e. below it in the plan
     assert max(aggs) > join_pos
+
+
+def test_q7_broadcasts_all_dim_chains(spark, registry_queries):
+    """Q7's two independent dim chains (supplier→n1, customer→n2) must
+    all broadcast — the fact side never shuffles for a join."""
+    plan = _plan(registry_queries["rel_q7_nation_volume"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_kmv_shuffles_hashes_not_keys(spark, registry_queries):
+    """The KMV sketch's ranking stages must operate on the 8-byte hash
+    fraction, with partial aggregation on the pre-distinct."""
+    plan = _plan(registry_queries["rel_kmv_distinct"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_ngrams_partial_aggregates(spark, registry_queries):
+    plan = _plan(registry_queries["text_boilerplate_ngrams"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 2  # map-side combine on spans
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
