@@ -32,6 +32,10 @@ HEADLINE = [
     "rel_asof_join",
     "rel_range_join",
     "rel_skew_salted_agg",
+    # round-3 additions
+    "rel_q7_nation_volume",
+    "rel_q13_custdist",
+    "rel_kmv_distinct",
     # LLM-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -45,8 +49,10 @@ HEADLINE = [
     "text_decontaminate",
     "text_unigram_logprob",
     "text_bm25_topk",
+    "text_boilerplate_ngrams",
     "mm_decode_media",
     "mm_extract_features",
+    "mm_phash_dedup",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1160,7 +1160,8 @@ def boilerplate_ngrams(
         "ELSE array() END"
     )
     return (
-        corpus.select("doc_id", F.explode(spans).alias("ngram"))
+        spread_for_compute(corpus)
+        .select("doc_id", F.explode(spans).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
