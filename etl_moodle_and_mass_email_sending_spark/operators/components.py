@@ -174,3 +174,88 @@ def sql_dedup_clusters(corpus_sql: str, pairs_sql: str) -> str:
            count(*) OVER (PARTITION BY component) AS cluster_size
     FROM labeled
     """
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed-iteration, unrolled) — importance propagation over the
+# near-dup graph; the canonical-doc selector's weighted cousin (a doc
+# duplicated by many others accumulates rank). Two Lloyd-style unrolled
+# iterations keep the whole dataflow expressible as ONE SQL statement, so
+# the oracle hash-gates it exactly (the same trick as sim_kmeans_refine;
+# dedup_components stays the open-ended-iteration representative).
+#
+# Per iteration: contributions = edges ⨝ ranks (join key = src), then a
+# groupBy(dst) sum — one shuffle each, both keyed uniformly on doc ids;
+# ranks and degrees are O(nodes) frames, never edge-payload-wide. The
+# damping base needs N (node count): carried as a broadcast one-row
+# frame, NOT a driver collect. Dangling-node mass is NOT redistributed
+# (the standard simplification; both engines compute the same quantity).
+# Cross-engine determinism: in-neighbor sums are rounded to 9 decimals
+# each iteration (in-degrees are small; rounding absorbs any
+# accumulation-order noise), outputs to 6.
+# --------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERATIONS = 2
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """nodes(id), edges(src, dst) directed → (id, pagerank) after
+    PAGERANK_ITERATIONS unrolled rounds from a uniform start."""
+    d = PAGERANK_DAMPING
+    n1 = nodes.agg(F.count("*").alias("_n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "id", (F.lit(1.0) / F.col("_n")).alias("pr"), "_n"
+    )
+    for _ in range(PAGERANK_ITERATIONS):
+        contrib = (
+            edges.join(outdeg, on="src")
+            .join(ranks.select(F.col("id").alias("src"), "pr"), on="src")
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("pr") / F.col("_deg")), 9).alias("_c"))
+        )
+        ranks = (
+            ranks.join(contrib, on=ranks["id"] == contrib["dst"], how="left")
+            .select(
+                "id",
+                (
+                    (F.lit(1.0) - d) / F.col("_n")
+                    + d * F.coalesce(F.col("_c"), F.lit(0.0))
+                ).alias("pr"),
+                "_n",
+            )
+        )
+    return ranks.select("id", F.round("pr", 6).alias("pagerank"))
+
+
+def sql_pagerank(nodes_sql: str, edges_sql: str) -> str:
+    """The same two unrolled iterations as one DuckDB statement."""
+    d = PAGERANK_DAMPING
+    it = """
+    r{next} AS (
+      SELECT n.id,
+             (1 - {d}) / nn.n + {d} * coalesce(c.contrib, 0) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS id, round(sum(r{cur}.pr / deg.deg), 9) AS contrib
+        FROM edges e
+        JOIN deg ON e.src = deg.src
+        JOIN r{cur} ON e.src = r{cur}.id
+        GROUP BY e.dst
+      ) c USING (id)
+    )"""
+    its = ",".join(
+        it.format(cur=i, next=i + 1, d=d)
+        for i in range(PAGERANK_ITERATIONS)
+    )
+    return f"""
+    WITH nodes AS ({nodes_sql}),
+    edges AS ({edges_sql}),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {its}
+    SELECT id, round(pr, 6) AS pagerank
+    FROM r{PAGERANK_ITERATIONS}
+    """

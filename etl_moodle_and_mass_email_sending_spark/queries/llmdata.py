@@ -737,3 +737,51 @@ register(
       ON c.user_id = p.user_id AND c.ts >= p.ts
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# graph_pagerank — importance over the near-dup graph (unrolled 2-round
+# PageRank, operators/components.py::pagerank). Nodes = dup corpus,
+# edges = MinHash-LSH pairs in both directions.
+# --------------------------------------------------------------------------
+
+
+def _graph_pagerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import pagerank
+
+    corpus = dedup.dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        # the LSH self-join feeds degree + every iteration's contribution
+        # join — materialize it ONCE (same barrier rationale as the
+        # signature checkpoint inside minhash_lsh_pairs)
+        .localCheckpoint(eager=False)
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    return pagerank(nodes, edges)
+
+
+def _sql_graph_pagerank() -> str:
+    from ..operators.components import sql_pagerank
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    edges = f"""
+      SELECT doc_a AS src, doc_b AS dst FROM ({pairs})
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM ({pairs})
+    """
+    nodes = f"SELECT doc_id AS id FROM ({_CORPUS_SQL})"
+    return sql_pagerank(nodes, edges)
+
+
+register("graph_pagerank", _graph_pagerank, _sql_graph_pagerank())

@@ -965,3 +965,146 @@ register(
     GROUP BY supp_nation, cust_nation, l_year
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_funnel_stages — ordered conversion funnel (view → later click →
+# later purchase) per user. The stage chain is three aggregations ALL
+# keyed on user_id: after the first groupBy the data is partitioned by
+# user_id, and the two join-then-regroup rounds reuse that partitioning
+# (no new exchange of the big side at scale — same-key joins are
+# co-partitioned). A window/self-join encoding would carry every event
+# pair; this carries one row per user between stages.
+# --------------------------------------------------------------------------
+
+
+def _funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    c1 = (
+        e.filter(F.col("event_type") == "click")
+        .join(v1, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p1 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c1, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v1.join(c1, "user_id", "left")
+        .join(p1, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (
+                F.lit(1)
+                + F.col("first_click").isNotNull().cast("int")
+                + F.col("first_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+register(
+    "rel_funnel_stages",
+    _funnel_stages,
+    """
+    WITH base AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    v1 AS (
+      SELECT user_id, min(ts) AS first_view FROM base
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c1 AS (
+      SELECT b.user_id, min(b.ts) AS first_click
+      FROM base b JOIN v1 USING (user_id)
+      WHERE b.event_type = 'click' AND b.ts > v1.first_view
+      GROUP BY b.user_id
+    ),
+    p1 AS (
+      SELECT b.user_id, min(b.ts) AS first_purchase
+      FROM base b JOIN c1 USING (user_id)
+      WHERE b.event_type = 'purchase' AND b.ts > c1.first_click
+      GROUP BY b.user_id
+    )
+    SELECT v1.user_id, v1.first_view, c1.first_click, p1.first_purchase,
+           1 + CAST(c1.first_click IS NOT NULL AS INTEGER)
+             + CAST(p1.first_purchase IS NOT NULL AS INTEGER) AS stage
+    FROM v1 LEFT JOIN c1 USING (user_id) LEFT JOIN p1 USING (user_id)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_retention — day-over-day cohort retention: of the users active on
+# day d, the fraction also active on d+1. One distinct (user, day) pass
+# (map-side combining shuffle), then a self-join keyed (user, day+1) —
+# both sides are the POST-distinct frame (one row per user-day), so the
+# join input is orders of magnitude smaller than the event stream; the
+# final per-day rollup is tiny.
+# --------------------------------------------------------------------------
+
+
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # day as a TIMESTAMP (midnight), not DATE: both engines' pandas
+    # conversions agree on timestamps, while DATE reprs diverge
+    active = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    nxt = active.select(
+        "user_id", (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day")
+    )
+    joined = active.join(nxt, ["user_id", "day"], "left_semi")
+    per_day = active.groupBy("day").agg(F.count("*").alias("n_active"))
+    retained = joined.groupBy("day").agg(F.count("*").alias("n_retained"))
+    return (
+        per_day.join(retained, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)) / F.col("n_active"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+register(
+    "rel_retention",
+    _retention,
+    """
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day
+      FROM events
+    ),
+    retained AS (
+      SELECT a.day, count(*) AS n_retained
+      FROM active a
+      WHERE EXISTS (
+        SELECT 1 FROM active b
+        WHERE b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+      )
+      GROUP BY a.day
+    )
+    SELECT p.day, p.n_active,
+           coalesce(r.n_retained, 0) AS n_retained,
+           round(coalesce(r.n_retained, 0) / p.n_active, 6)
+             AS retention_rate
+    FROM (SELECT day, count(*) AS n_active FROM active GROUP BY day) p
+    LEFT JOIN retained r USING (day)
+    """,
+)

@@ -61,6 +61,9 @@ _DEMOTED = [
     "stream_enrich",
     "rel_asof_forward",
     "rel_q7_nation_volume",
+    "rel_funnel_stages",
+    "rel_retention",
+    "graph_pagerank",
     "rel_asof_tolerance",
     "mm_audio_energy",
     "mm_phash_dedup",

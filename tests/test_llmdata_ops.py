@@ -590,3 +590,19 @@ def test_boilerplate_ngrams_catch_planted_copies(spark):
     assert all(s["n_total"] >= s["n_docs"] for s in spans)
     assert all(len(s["ngram"].split(" ")) == text_analysis.BOILERPLATE_N
                for s in spans[:50])
+
+
+def test_pagerank_floor_and_ordering(spark):
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        _graph_pagerank,
+    )
+
+    rows = _graph_pagerank(spark, SF_SMALL).collect()
+    n = len(rows)
+    floor = round(0.15 / n, 6)
+    by_rank = sorted(r["pagerank"] for r in rows)
+    # docs with no in-edges sit exactly at the damping floor; every rank
+    # is at or above it, and planted duplicates push some docs above
+    assert by_rank[0] == pytest.approx(floor, abs=1e-6)
+    assert all(r >= floor - 1e-9 for r in by_rank)
+    assert by_rank[-1] > floor * 2
