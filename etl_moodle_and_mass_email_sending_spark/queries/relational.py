@@ -905,7 +905,7 @@ register(
 # only shuffle is the final (pair, year) agg, whose key space is tiny.
 # --------------------------------------------------------------------------
 
-_Q7_PAIR = ("NATION_1", "NATION_2")
+_Q7_NATIONS = 4
 
 
 def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,16 +918,18 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
-    a, b = _Q7_PAIR
     joined = (
         lineitem.join(F.broadcast(supplier), on=F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, on=F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), on=F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), on=F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), on=F.col("c_nationkey") == F.col("c_nk"))
+        # cross-border trade within the focus nation set: the nationkey
+        # bounds prune each nation dim BEFORE its broadcast
         .filter(
-            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
-            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+            (F.col("s_nk") < _Q7_NATIONS)
+            & (F.col("c_nk") < _Q7_NATIONS)
+            & (F.col("supp_nation") != F.col("cust_nation"))
         )
     )
     volume = _dec(F.col("l_extendedprice")) * (
@@ -959,8 +961,8 @@ register(
       JOIN customer ON o_custkey = c_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = '{_Q7_PAIR[0]}' AND n2.n_name = '{_Q7_PAIR[1]}')
-         OR (n1.n_name = '{_Q7_PAIR[1]}' AND n2.n_name = '{_Q7_PAIR[0]}')
+      WHERE n1.n_nationkey < {_Q7_NATIONS} AND n2.n_nationkey < {_Q7_NATIONS}
+        AND n1.n_name <> n2.n_name
     )
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -1106,5 +1108,124 @@ register(
              AS retention_rate
     FROM (SELECT day, count(*) AS n_active FROM active GROUP BY day) p
     LEFT JOIN retained r USING (day)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_scd2_history — slowly-changing-dimension type-2 build: collapse each
+# user's event-type stream into change intervals [effective_from,
+# effective_to) with NULL for the open current row. One shuffle on
+# user_id; both window passes (change detection via lag, interval close
+# via lead) reuse that single partitioning. The batch sibling of
+# rel_latest_per_key (SCD1 latest-wins).
+# --------------------------------------------------------------------------
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    changes = (
+        e.withColumn("_prev", F.lag("event_type").over(byu))
+        .filter(
+            F.col("_prev").isNull() | (F.col("event_type") != F.col("_prev"))
+        )
+    )
+    byu2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(byu2).alias("effective_to"),
+    )
+
+
+register(
+    "rel_scd2_history",
+    _scd2_history,
+    """
+    WITH base AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS prev
+      FROM base
+    )
+    SELECT user_id, event_type, ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to
+    FROM changes
+    WHERE prev IS NULL OR event_type <> prev
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_session_concurrency — max concurrent sessions per day via the
+# sweep-line encoding: sessions → (+1 at start, −1 past end), deltas
+# pre-aggregated PER TIMESTAMP (what makes the running sum deterministic
+# under ties), one global ordered running sum, then a per-day max. The
+# global ordering is the only non-partitioned window here — its input is
+# the distinct change-point frame (two rows per session, pre-summed), not
+# the event stream, which is what keeps a single-task sort acceptable; at
+# extreme scale the same prefix-sum decomposes into the two-pass
+# per-partition offsets pattern used by sinks/smtp.py's index stamp.
+# --------------------------------------------------------------------------
+
+
+def _session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming_q import rel_sessionize
+
+    sess = rel_sessionize(spark, sf_dir)
+    deltas = (
+        sess.select(F.col("session_start").alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("d"))
+        )
+        .groupBy("t")
+        .agg(F.sum("d").alias("delta"))
+    )
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    swept = deltas.withColumn("concurrent", F.sum("delta").over(run))
+    return (
+        swept.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(F.max("concurrent").alias("max_concurrent"))
+    )
+
+
+register(
+    "rel_session_concurrency",
+    _session_concurrency,
+    """
+    WITH base AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), grp AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS g
+      FROM marked
+    ), sess AS (
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+      FROM grp GROUP BY user_id, g
+    ), deltas AS (
+      SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT session_start AS t, 1 AS d FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS d FROM sess
+      ) GROUP BY t
+    ), swept AS (
+      SELECT t, CAST(sum(delta) OVER (ORDER BY t ROWS UNBOUNDED
+               PRECEDING) AS BIGINT) AS concurrent
+      FROM deltas
+    )
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+           CAST(max(concurrent) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY 1
     """,
 )

@@ -64,6 +64,8 @@ _DEMOTED = [
     "rel_funnel_stages",
     "rel_retention",
     "graph_pagerank",
+    "rel_scd2_history",
+    "rel_session_concurrency",
     "rel_asof_tolerance",
     "mm_audio_energy",
     "mm_phash_dedup",
