@@ -44,10 +44,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micro-aligned, so any oracle SQL that outputs a raw ts must wrap it
         # in CAST(ts AS TIMESTAMP) so DuckDB truncates to µs identically.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            # an event log rewritten by another engine (e.g. DuckDB COPY)
+            # lands as µs TIMESTAMP_NTZ; normalize to the session-zone
+            # TIMESTAMP every downstream operator expects
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

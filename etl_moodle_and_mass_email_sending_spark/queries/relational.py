@@ -1229,3 +1229,49 @@ register(
     FROM swept GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_value_deciles — ntile decile assignment per event_type over value
+# (tie-broken by event_id so both engines bucket identically), rolled up
+# to per-decile stats. The ntile window and the rollup share the
+# event_type shuffle key; within-partition sorts are the only extra cost
+# — the standard "distribution profile" shape for monitoring a metric's
+# spread per segment.
+# --------------------------------------------------------------------------
+
+
+def _value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(
+                F.sum(_dec(F.col("value"))).cast("double") / F.count("*"), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
+register(
+    "rel_value_deciles",
+    _value_deciles,
+    """
+    SELECT event_type, decile, count(*) AS n,
+           round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM (
+      SELECT event_type, value, event_id,
+             CAST(ntile(10) OVER (PARTITION BY event_type
+                  ORDER BY value, event_id) AS INTEGER) AS decile
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY event_type, decile
+    """,
+)

@@ -66,6 +66,7 @@ _DEMOTED = [
     "graph_pagerank",
     "rel_scd2_history",
     "rel_session_concurrency",
+    "rel_value_deciles",
     "rel_asof_tolerance",
     "mm_audio_energy",
     "mm_phash_dedup",
