@@ -1189,3 +1189,79 @@ def sql_boilerplate_ngrams(
     SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
     FROM spans GROUP BY ngram HAVING count(DISTINCT doc_id) >= {min_docs}
     """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction — the per-document complement of top_terms
+# (corpus-wide) and bm25_topk (query-side): each document's top-k terms
+# by tf·idf, the classic topic-tagging / keyword-indexing pass.
+#
+# 100 TB shape: tf is a (doc, token) groupBy off the token explode; df is
+# a token-keyed groupBy over the DISTINCT (doc, token) frame — both
+# partial-aggregate map-side, and the df table is vocabulary-sized, so it
+# broadcasts back onto the tf stream (same broadcast-the-small-aggregate
+# pattern as unigram_logprob). The final per-doc top-k is a window over
+# the tf frame — one row per (doc, distinct token), never per occurrence.
+# idf uses the smoothed ln((N+1)/(df+1)) form so single-doc corpora keep
+# nonzero weights; ROUNDING: tfidf rounds to 9 before ranking (ties then
+# break on token) so both engines rank identically.
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(corpus: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, token, tf, df, tfidf, rank): top-k terms per document."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        spread_for_compute(corpus)
+        .select("doc_id", F.explode(F.expr(_SPARK_FTOKS)).alias("token"))
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    n_docs = corpus.agg(F.count("*").alias("_n"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df.crossJoin(F.broadcast(n_docs))), "token")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1) / (F.col("df") + 1)),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def sql_tfidf_keywords(corpus_sql: str, k: int = TFIDF_TOP_K) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM (SELECT doc_id, {_DUCK_FTOKS} AS ts FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(ts) AS token) t
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    n_docs AS (SELECT count(*) AS n FROM ({corpus_sql})),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             round(tf.tf * ln((n_docs.n + 1) / (df.df + 1.0)), 9) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n_docs
+    )
+    SELECT doc_id, token, tf, df, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token) AS INTEGER) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -785,3 +785,10 @@ def _sql_graph_pagerank() -> str:
 
 
 register("graph_pagerank", _graph_pagerank, _sql_graph_pagerank())
+
+
+register(
+    "text_tfidf_keywords",
+    lambda spark, sf_dir: text_analysis.tfidf_keywords(_docs(spark, sf_dir)),
+    text_analysis.sql_tfidf_keywords(_DOCS_SQL),
+)

@@ -1275,3 +1275,77 @@ register(
     GROUP BY event_type, decile
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_value_outliers — per-user z-score anomaly flags: events whose value
+# deviates > 2σ from that user's own mean. Two passes over the same
+# user_id partitioning: one agg for per-user moments (exact DECIMAL sums
+# → deterministic mean/variance), one broadcast-join back to flag rows.
+# Variance uses the E[x²]−E[x]² form off the same exact sums, rounded
+# before the sqrt so both engines branch identically at the threshold.
+# --------------------------------------------------------------------------
+
+
+def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sums = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).alias("_s"),
+        F.sum(_dec(F.col("value")) * _dec(F.col("value"))).alias("_s2"),
+    )
+    stats = sums.select(
+        "user_id",
+        "n",
+        (F.col("_s").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.round(
+                F.col("_s2").cast("double") / F.col("n")
+                - F.pow(F.col("_s").cast("double") / F.col("n"), 2),
+                9,
+            )
+        ).alias("sd"),
+    ).filter(F.col("n") >= 10)
+    flagged = e.join(F.broadcast(stats), "user_id").filter(
+        F.abs(F.col("value") - F.col("mean")) > 2 * F.col("sd")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round("mean", 6).alias("mean"),
+        F.round("sd", 6).alias("sd"),
+        F.round(
+            (F.col("value") - F.col("mean")) / F.col("sd"), 4
+        ).alias("z"),
+    )
+
+
+register(
+    "rel_value_outliers",
+    _value_outliers,
+    """
+    WITH base AS (
+      SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS s2
+      FROM base GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(round(CAST(s2 AS DOUBLE) / n
+                  - pow(CAST(s AS DOUBLE) / n, 2), 9)) AS sd
+      FROM sums WHERE n >= 10
+    )
+    SELECT b.event_id, b.user_id, b.value,
+           round(t.mean, 6) AS mean, round(t.sd, 6) AS sd,
+           round((b.value - t.mean) / t.sd, 4) AS z
+    FROM base b JOIN stats t USING (user_id)
+    WHERE abs(b.value - t.mean) > 2 * t.sd
+    """,
+)

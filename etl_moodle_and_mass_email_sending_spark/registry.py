@@ -67,6 +67,8 @@ _DEMOTED = [
     "rel_scd2_history",
     "rel_session_concurrency",
     "rel_value_deciles",
+    "rel_value_outliers",
+    "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
     "mm_phash_dedup",

@@ -606,3 +606,22 @@ def test_pagerank_floor_and_ordering(spark):
     assert by_rank[0] == pytest.approx(floor, abs=1e-6)
     assert all(r >= floor - 1e-9 for r in by_rank)
     assert by_rank[-1] > floor * 2
+
+
+def test_tfidf_keywords_rank_and_bounds(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import text_analysis
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import _docs
+
+    rows = text_analysis.tfidf_keywords(_docs(spark, SF_SMALL)).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(rs) <= text_analysis.TFIDF_TOP_K
+        # ranking is by tfidf desc (token tie-break)
+        srt = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(srt, srt[1:]):
+            assert a["tfidf"] >= b["tfidf"]
