@@ -50,6 +50,7 @@ HEADLINE = [
     "text_unigram_logprob",
     "text_bm25_topk",
     "text_boilerplate_ngrams",
+    "graph_pagerank",
     "mm_decode_media",
     "mm_extract_features",
     "mm_phash_dedup",

@@ -1349,3 +1349,97 @@ register(
     WHERE abs(b.value - t.mean) > 2 * t.sd
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_event_pmi — pointwise mutual information between event types
+# co-occurring in the same (user, day) basket — the association-mining
+# shape (market-basket lift). The pair join is a self-join of the
+# DISTINCT basket-membership frame on the basket key: with a bounded
+# type vocabulary each basket contributes ≤ C(5,2) pairs, so the join
+# fan-out is bounded per key regardless of event volume — the raw event
+# stream never self-joins. PMI = ln(n_ab·N / (n_a·n_b)) stays in integer
+# counts until one final ln, rounded to 6 — deterministic cross-engine.
+# --------------------------------------------------------------------------
+
+
+def _event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    member = e.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = member.select("user_id", "day").distinct().agg(
+        F.count("*").alias("_nb")
+    )
+    singles = member.groupBy("event_type").agg(F.count("*").alias("n_single"))
+    a = member.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = member.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_single").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("_nb")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+register(
+    "rel_event_pmi",
+    _event_pmi,
+    """
+    WITH member AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             event_type
+      FROM events
+    ),
+    nb AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, day FROM member)),
+    singles AS (
+      SELECT event_type, count(*) AS n_single FROM member GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+      FROM member a JOIN member b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(ln(CAST(p.n_ab AS DOUBLE) * nb.n
+                 / (CAST(sa.n_single AS DOUBLE) * sb.n_single)), 6) AS pmi
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    CROSS JOIN nb
+    """,
+)

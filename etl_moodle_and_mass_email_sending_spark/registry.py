@@ -68,6 +68,7 @@ _DEMOTED = [
     "rel_session_concurrency",
     "rel_value_deciles",
     "rel_value_outliers",
+    "rel_event_pmi",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
