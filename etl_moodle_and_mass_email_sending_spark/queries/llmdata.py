@@ -792,3 +792,12 @@ register(
     lambda spark, sf_dir: text_analysis.tfidf_keywords(_docs(spark, sf_dir)),
     text_analysis.sql_tfidf_keywords(_DOCS_SQL),
 )
+
+
+register(
+    "mm_scene_changes",
+    lambda spark, sf_dir: multimodal.detect_scene_changes(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_detect_scene_changes(),
+)

@@ -259,3 +259,33 @@ WHERE window_end <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR
 """
 
 register("stream_enrich", stream_enrich, STREAM_ENRICH_SQL)
+
+
+def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE-output-mode streaming rollup — the dashboard/trending
+    pattern: the whole aggregate table re-emits each micro-batch, so the
+    memory sink always holds current totals (no watermark: complete mode
+    retains all groups; fine for a bounded-cardinality key like
+    event_type, wrong for unbounded keys — that's what the append-mode
+    windowed rollups are for). Bounded replay ⇒ the final table is
+    exactly the batch rollup."""
+    ev = sw.stream_events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+    name = f"str_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_str_")
+    return sw.run_to_memory_sink(agg, name, ck, output_mode="complete")
+
+
+STREAM_TRENDING_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_value
+FROM events GROUP BY event_type
+"""
+
+register("stream_trending", stream_trending, STREAM_TRENDING_SQL)

@@ -69,6 +69,8 @@ _DEMOTED = [
     "rel_value_deciles",
     "rel_value_outliers",
     "rel_event_pmi",
+    "stream_trending",
+    "mm_scene_changes",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
