@@ -85,15 +85,19 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = l2.unionByName(r2).select(
-        "_side",
-        "_ts",
-        "_lrow",
+    carry = [
         F.last("_p", ignorenulls=True).over(w).alias("_p"),
-        F.last(
-            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
-        ).over(w).alias("_rts"),
-    )
+    ]
+    if tolerance_seconds is not None:
+        # the matched right row's OWN timestamp, needed only to apply
+        # the tolerance — don't pay for the extra window aggregate and
+        # carried column otherwise
+        carry.append(
+            F.last(
+                F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+            ).over(w).alias("_rts")
+        )
+    carried = l2.unionByName(r2).select("_side", "_ts", "_lrow", *carry)
     matched = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         dist = (

@@ -235,7 +235,7 @@ def sql_pagerank(nodes_sql: str, edges_sql: str) -> str:
     it = """
     r{next} AS (
       SELECT n.id,
-             (1 - {d}) / nn.n + {d} * coalesce(c.contrib, 0) AS pr
+             {base} / nn.n + {d} * coalesce(c.contrib, 0) AS pr
       FROM nodes n CROSS JOIN nn
       LEFT JOIN (
         SELECT e.dst AS id, round(sum(r{cur}.pr / deg.deg), 9) AS contrib
@@ -246,7 +246,7 @@ def sql_pagerank(nodes_sql: str, edges_sql: str) -> str:
       ) c USING (id)
     )"""
     its = ",".join(
-        it.format(cur=i, next=i + 1, d=d)
+        it.format(cur=i, next=i + 1, d=d, base=repr(1.0 - d))
         for i in range(PAGERANK_ITERATIONS)
     )
     return f"""

@@ -775,10 +775,13 @@ def _sql_graph_pagerank() -> str:
     from ..operators.components import sql_pagerank
 
     pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    # CTE so DuckDB evaluates the LSH self-join ONCE (the Spark side
+    # checkpoints the edge frame for the same reason)
     edges = f"""
-      SELECT doc_a AS src, doc_b AS dst FROM ({pairs})
+      WITH p AS ({pairs})
+      SELECT doc_a AS src, doc_b AS dst FROM p
       UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM ({pairs})
+      SELECT doc_b AS src, doc_a AS dst FROM p
     """
     nodes = f"SELECT doc_id AS id FROM ({_CORPUS_SQL})"
     return sql_pagerank(nodes, edges)

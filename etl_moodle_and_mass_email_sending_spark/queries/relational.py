@@ -1131,7 +1131,9 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_prev").isNull() | (F.col("event_type") != F.col("_prev"))
         )
     )
-    byu2 = Window.partitionBy("user_id").orderBy("ts")
+    # same (ts, event_type) tie-break as the change-detection window so
+    # effective_to is deterministic if a user has two changes in one µs
+    byu2 = Window.partitionBy("user_id").orderBy("ts", "event_type")
     return changes.select(
         "user_id",
         "event_type",
@@ -1154,7 +1156,8 @@ register(
       FROM base
     )
     SELECT user_id, event_type, ts AS effective_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_type) AS effective_to
     FROM changes
     WHERE prev IS NULL OR event_type <> prev
     """,
@@ -1163,7 +1166,8 @@ register(
 
 # --------------------------------------------------------------------------
 # rel_session_concurrency — max concurrent sessions per day via the
-# sweep-line encoding: sessions → (+1 at start, −1 past end), deltas
+# sweep-line encoding: sessions → (+1 at start, −1 one µs past end — closed
+# intervals, so instantaneous sessions still count), deltas
 # pre-aggregated PER TIMESTAMP (what makes the running sum deterministic
 # under ties), one global ordered running sum, then a per-day max. The
 # global ordering is the only non-partitioned window here — its input is
@@ -1181,7 +1185,14 @@ def _session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = (
         sess.select(F.col("session_start").alias("t"), F.lit(1).alias("d"))
         .unionByName(
-            sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("d"))
+            # closed intervals: release one µs PAST the end, so a
+            # single-event session (start == end) still counts as active
+            sess.select(
+                (
+                    F.col("session_end") + F.expr("INTERVAL 1 MICROSECOND")
+                ).alias("t"),
+                F.lit(-1).alias("d"),
+            )
         )
         .groupBy("t")
         .agg(F.sum("d").alias("delta"))
@@ -1217,7 +1228,7 @@ register(
       SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM (
         SELECT session_start AS t, 1 AS d FROM sess
         UNION ALL
-        SELECT session_end AS t, -1 AS d FROM sess
+        SELECT session_end + INTERVAL 1 MICROSECOND AS t, -1 AS d FROM sess
       ) GROUP BY t
     ), swept AS (
       SELECT t, CAST(sum(delta) OVER (ORDER BY t ROWS UNBOUNDED
@@ -1305,7 +1316,7 @@ def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             )
         ).alias("sd"),
-    ).filter(F.col("n") >= 10)
+    ).filter(F.col("n") >= 10).filter(F.col("sd") > 0)
     flagged = e.join(F.broadcast(stats), "user_id").filter(
         F.abs(F.col("value") - F.col("mean")) > 2 * F.col("sd")
     )
@@ -1341,11 +1352,14 @@ register(
              sqrt(round(CAST(s2 AS DOUBLE) / n
                   - pow(CAST(s AS DOUBLE) / n, 2), 9)) AS sd
       FROM sums WHERE n >= 10
+    ),
+    stats2 AS (
+      SELECT * FROM stats WHERE sd > 0
     )
     SELECT b.event_id, b.user_id, b.value,
            round(t.mean, 6) AS mean, round(t.sd, 6) AS sd,
            round((b.value - t.mean) / t.sd, 4) AS z
-    FROM base b JOIN stats t USING (user_id)
+    FROM base b JOIN stats2 t USING (user_id)
     WHERE abs(b.value - t.mean) > 2 * t.sd
     """,
 )
