@@ -1457,3 +1457,61 @@ register(
     CROSS JOIN nb
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_incremental_agg — snapshot ⊎ delta aggregate merge: the pattern an
+# incremental 100 TB pipeline lives on. The per-(user, type) rollup is
+# built twice — once over history (days 1-20), once over the new arrivals
+# (day > 20) — and MERGED by summing the algebraic pieces (sum, count),
+# with avg derived only after the merge (avg itself is not mergeable;
+# its sum/count decomposition is). The oracle is the one-shot rollup
+# over everything: merging partials must be indistinguishable from
+# recomputing — that equivalence is exactly what lets a production
+# pipeline process only the delta each day. Counts use
+# sum(count)::BIGINT on both sides so the merged dtypes match.
+# --------------------------------------------------------------------------
+
+_INCR_CUTOFF = "2024-01-21"
+
+
+def _incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.sum(_dec(F.col("value"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+
+    snapshot = rollup(e.filter(F.col("ts") < cut))
+    delta = rollup(e.filter(F.col("ts") >= cut))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("s").alias("s"), F.sum("n").cast("bigint").alias("n"))
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("s").cast("double").alias("sum_value"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+register(
+    "rel_incremental_agg",
+    _incremental_agg,
+    f"""
+    SELECT user_id, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)

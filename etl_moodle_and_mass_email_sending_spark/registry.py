@@ -71,6 +71,7 @@ _DEMOTED = [
     "rel_event_pmi",
     "stream_trending",
     "mm_scene_changes",
+    "rel_incremental_agg",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
