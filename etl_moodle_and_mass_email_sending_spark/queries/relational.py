@@ -1515,3 +1515,82 @@ register(
     GROUP BY user_id, event_type
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_snapshot_diff — table-version reconciliation: FULL OUTER join two
+# snapshots on the key and classify every row as added / removed /
+# modified / unchanged-excluded, comparing payloads by md5 so the join
+# carries an 8-byte digest per side instead of the document text (the
+# same shuffle-the-digest-not-the-payload rule as dedup_exact). v2 is a
+# deterministic mutation of the documents table (drop every 11th doc,
+# rewrite every 13th) so all three classes are exercised; in production
+# the two sides are yesterday's and today's snapshot of the same table.
+# --------------------------------------------------------------------------
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 0, F.upper(F.col("text"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        # new arrivals, so the 'added' class is exercised too
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 500_000).alias("doc_id"),
+                F.md5("text").alias("h"),
+            )
+        )
+    )
+    j = v1.select(F.col("doc_id"), F.col("h").alias("h1")).join(
+        v2.select(F.col("doc_id"), F.col("h").alias("h2")),
+        "doc_id",
+        "full_outer",
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.when(F.col("h1").isNull(), F.lit("added"))
+            .when(F.col("h2").isNull(), F.lit("removed"))
+            .when(F.col("h1") != F.col("h2"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+register(
+    "rel_snapshot_diff",
+    _snapshot_diff,
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END)
+               AS h
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id, change_type FROM (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.h IS NULL THEN 'added'
+                  WHEN v2.h IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'modified'
+                  ELSE 'unchanged' END AS change_type
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    ) WHERE change_type <> 'unchanged'
+    """,
+)

@@ -72,6 +72,7 @@ _DEMOTED = [
     "stream_trending",
     "mm_scene_changes",
     "rel_incremental_agg",
+    "rel_snapshot_diff",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
