@@ -1594,3 +1594,77 @@ register(
     ) WHERE change_type <> 'unchanged'
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_winsorize — percentile capping: clamp each value to its segment's
+# [p05, p95] band and report the shift. Two stages sharing the
+# event_type key: the per-segment percentile agg (tiny result —
+# broadcast back over the stream) and the clamp + rollup. Rounding the
+# band BEFORE clamping keeps the boundary branch identical across
+# engines (percentile/quantile_cont share the linear-interpolation
+# definition). The scale note from rel_percentiles applies: exact
+# percentiles sort per group; the approx swap is one expression.
+# --------------------------------------------------------------------------
+
+
+def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bands = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    clamped = e.join(F.broadcast(bands), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "w"
+        ),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("w")).cast("bigint")).alias(
+            "n_capped_low"
+        ),
+        F.sum((F.col("value") > F.col("w")).cast("bigint")).alias(
+            "n_capped_high"
+        ),
+        F.round(
+            F.sum(_dec(F.col("value"))).cast("double") / F.count("*"), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(_dec(F.col("w"), "18,6")).cast("double") / F.count("*"), 6
+        ).alias("mean_winsorized"),
+    )
+
+
+register(
+    "rel_winsorize",
+    _winsorize,
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    bands AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS p05,
+             round(quantile_cont(value, 0.95), 6) AS p95
+      FROM base GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT b.event_type, b.value,
+             least(greatest(b.value, d.p05), d.p95) AS w
+      FROM base b JOIN bands d USING (event_type)
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN value < w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_low,
+           CAST(sum(CASE WHEN value > w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_high,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_winsorized
+    FROM clamped GROUP BY event_type
+    """,
+)

@@ -73,6 +73,7 @@ _DEMOTED = [
     "mm_scene_changes",
     "rel_incremental_agg",
     "rel_snapshot_diff",
+    "rel_winsorize",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
