@@ -50,3 +50,35 @@ def salted_agg_sum_count(
         F.sum("_ps").alias("sum_value"),
         F.sum("_pc").alias("n_rows"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Skew-safe inner equi-join: replicate the small side across
+    ``buckets`` salt values and join on (key, salt), so a hot key's rows
+    — which one hash partition would otherwise own entirely — spread
+    over ``buckets`` reducers.
+
+    This is the technique AQE's skew-join split automates for sort-merge
+    joins; the explicit form works in any plan (including when the small
+    side is too big to broadcast but small enough to replicate
+    ``buckets``×), keeps the partitioning deterministic (salt hashes a
+    row-identity column, never rand()), and composes with a downstream
+    same-key aggregation. Result is salt-invariant: every big row meets
+    exactly one replica of its key's small row.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(buckets))
+    big_s = big.withColumn("_salt", salt)
+    small_r = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(buckets).select(
+                F.col("id").cast("bigint").alias("_salt")
+            )
+        )
+    )
+    return big_s.join(small_r, on=[key, "_salt"], how="inner").drop("_salt")

@@ -1668,3 +1668,47 @@ register(
     FROM clamped GROUP BY event_type
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_skew_salted_join — the join-side twin of rel_skew_salted_agg
+# (operators/skew.py::salted_join): events ⋈ per-user dim with the dim
+# replicated across 16 salts so a hot user's events spread over 16
+# reducers instead of one. The oracle is the plain join + rollup —
+# salting is physical, not semantic.
+# --------------------------------------------------------------------------
+
+
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        e.select("user_id", "event_id", "value"),
+        c,
+        key="user_id",
+        salt_source="event_id",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(_dec(F.col("value"))).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
+register(
+    "rel_skew_salted_join",
+    _skew_salted_join,
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE value IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)

@@ -74,6 +74,7 @@ _DEMOTED = [
     "rel_incremental_agg",
     "rel_snapshot_diff",
     "rel_winsorize",
+    "rel_skew_salted_join",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",

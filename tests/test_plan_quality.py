@@ -201,3 +201,11 @@ def test_boilerplate_ngrams_partial_aggregates(spark, registry_queries):
     plan = _plan(registry_queries["text_boilerplate_ngrams"](spark, SF_SMALL))
     assert plan.count("HashAggregate") >= 2  # map-side combine on spans
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_spreads_key(spark, registry_queries):
+    """The salted join's physical join key must include the salt column
+    (that's the whole point: a hot user spreads over 16 reducers)."""
+    plan = _plan(registry_queries["rel_skew_salted_join"](spark, SF_SMALL))
+    assert "_salt" in plan
+    assert plan.count("HashAggregate") >= 2
