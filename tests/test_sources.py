@@ -225,3 +225,64 @@ def test_excel_end_to_end(spark):
     # whitespace-padded email trimmed by pick_email
     assert "jn@u.cl" in rows
     assert all(r.course1 == "C-XL" for r in rows.values())
+
+
+def test_jsonl_roundtrip_and_corrupt_line(spark, tmp_path):
+    from etl_moodle_and_mass_email_sending_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        '{"id": 2, "name": "b"}\n'
+        "{not json at all\n"
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema=schema)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {(r["id"], r["name"]) for r in good} == {(1, "a"), (2, "b")}
+    assert len(bad) == 1  # the corrupt line survives as a record
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from etl_moodle_and_mass_email_sending_spark.sources.readers import read_orc
+
+    src = spark.range(100).withColumnRenamed("id", "k")
+    out = str(tmp_path / "orc_out")
+    src.write.orc(out)
+    back = read_orc(spark, out)
+    assert back.count() == 100
+    assert [f.name for f in back.schema.fields] == ["k"]
+
+
+def test_merge_upsert_latest_wins(spark, tmp_path):
+    from etl_moodle_and_mass_email_sending_spark.sinks.upsert import merge_upsert
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k long, v string, ver int"
+    )
+    merge_upsert(spark, snap, base, key="k")
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (4, "d", 2)], "k long, v string, ver int"
+    )
+    merge_upsert(spark, snap, upd, key="k")
+    got = {
+        (r["k"], r["v"], r["ver"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {(1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "d", 2)}
