@@ -113,3 +113,42 @@ def sql_kmv_distinct(
                 ELSE round(({k} - 1) / kth.hk, 6) END AS kmv_estimate
     FROM exact e JOIN kth USING ({group_col})
     """
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) interleave — the layout key behind multi-dimensional
+# data clustering (Delta OPTIMIZE ZORDER, Iceberg sort orders): rows
+# sorted by the bit-interleave of two keys land in files whose min/max
+# ranges are tight in BOTH dimensions, so scans filtering on EITHER key
+# prune files. Pure integer shift/mask arithmetic — identical on both
+# engines — and the downstream move is repartitionByRange(zvalue) before
+# the write, which needs no new machinery here.
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def _interleave_terms(a: str, b: str, bits: int, shift_op: str) -> str:
+    """Sum-of-terms bit interleave: a's bit i → position 2i, b's bit i →
+    2i+1. Rendered as plain arithmetic (portable across engines)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} {shift_op} {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({b} {shift_op} {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+def zorder_value(col_a: str, col_b: str, bits: int = ZORDER_BITS):
+    """Spark Column: Morton interleave of the two columns' low bits."""
+    from pyspark.sql import functions as F
+
+    expr = _interleave_terms(
+        f"CAST({col_a} AS BIGINT)", f"CAST({col_b} AS BIGINT)", bits, ">>"
+    )
+    return F.expr(expr)
+
+
+def sql_zorder_value(col_a: str, col_b: str, bits: int = ZORDER_BITS) -> str:
+    return _interleave_terms(
+        f"CAST({col_a} AS BIGINT)", f"CAST({col_b} AS BIGINT)", bits, ">>"
+    )

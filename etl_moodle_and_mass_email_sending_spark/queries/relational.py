@@ -1712,3 +1712,56 @@ register(
     GROUP BY c_mktsegment
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_zorder_layout — Morton-order file-bucket assignment over
+# (user_id, hour-of-month): rows are ranked by the bit-interleaved
+# zvalue and cut into 32 range buckets — exactly what
+# repartitionByRange(zvalue) does before a layout-optimizing write, so
+# each bucket (file) has tight min/max on BOTH keys and scans filtering
+# on either dimension prune files. The ntile stands in for the range
+# split so the assignment is oracle-checkable.
+# --------------------------------------------------------------------------
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import zorder_value
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+        .cast("bigint")
+        .alias("epoch_hour"),
+    )
+    z = e.withColumn("zvalue", zorder_value("user_id", "epoch_hour"))
+    w = Window.orderBy("zvalue", "event_id")
+    return z.select(
+        "event_id",
+        "user_id",
+        "epoch_hour",
+        "zvalue",
+        F.ntile(32).over(w).cast("int").alias("file_bucket"),
+    )
+
+
+def _sql_zorder_layout() -> str:
+    from ..operators.sketches import sql_zorder_value
+
+    zexpr = sql_zorder_value("user_id", "epoch_hour")
+    return f"""
+    WITH base AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS epoch_hour
+      FROM events
+    ),
+    z AS (SELECT *, {zexpr} AS zvalue FROM base)
+    SELECT event_id, user_id, epoch_hour, zvalue,
+           CAST(ntile(32) OVER (ORDER BY zvalue, event_id) AS INTEGER)
+             AS file_bucket
+    FROM z
+    """
+
+
+register("rel_zorder_layout", _zorder_layout, _sql_zorder_layout())

@@ -75,6 +75,7 @@ _DEMOTED = [
     "rel_snapshot_diff",
     "rel_winsorize",
     "rel_skew_salted_join",
+    "rel_zorder_layout",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",

@@ -625,3 +625,25 @@ def test_tfidf_keywords_rank_and_bounds(spark):
         srt = sorted(rs, key=lambda r: r["rank"])
         for a, b in zip(srt, srt[1:]):
             assert a["tfidf"] >= b["tfidf"]
+
+
+def test_zorder_interleave_roundtrip(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators.sketches import (
+        ZORDER_BITS,
+        zorder_value,
+    )
+
+    rows = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 5, 1000, 65535) for b in (0, 3, 42, 65535)],
+        "a long, b long",
+    ).withColumn("z", zorder_value("a", "b")).collect()
+
+    def deinterleave(z):
+        a = b = 0
+        for i in range(ZORDER_BITS):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
