@@ -1765,3 +1765,55 @@ def _sql_zorder_layout() -> str:
 
 
 register("rel_zorder_layout", _zorder_layout, _sql_zorder_layout())
+
+
+# --------------------------------------------------------------------------
+# rel_event_transitions — first-order transition matrix over each user's
+# event sequence: P(next_type | type) from lag pairs. One shuffle on
+# user_id for the ordered lag pass; the pair rollup and the per-source
+# normalizing join are vocabulary-sized. Ties in ts are broken by
+# event_id so both engines see the same sequence.
+# --------------------------------------------------------------------------
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    byu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(byu))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+    )
+
+
+register(
+    "rel_event_transitions",
+    _event_transitions,
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, event_type
+    ),
+    totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS t
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n, round(p.n / t.t, 6) AS p
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)

@@ -76,6 +76,7 @@ _DEMOTED = [
     "rel_winsorize",
     "rel_skew_salted_join",
     "rel_zorder_layout",
+    "rel_event_transitions",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
