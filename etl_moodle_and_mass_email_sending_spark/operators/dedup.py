@@ -598,3 +598,75 @@ def sql_containment_pairs(
       JOIN sh sb ON sb.doc_id = c.doc_b
     ) WHERE containment >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# Fuzzy string-match join (edit distance ≤ 1) — entity-resolution shape:
+# match dirty strings to a clean vocabulary without the O(|A|·|B|)
+# all-pairs levenshtein. Blocking: two strings within edit distance 1
+# must share EITHER their first 2 chars OR their last 2 chars (a single
+# edit can destroy one end, not both: a substitution touches one
+# position; an insert/delete shifts one side of it) — so the candidate
+# join is the union of two narrow equi-joins on 2-char block keys, and
+# the exact levenshtein runs per candidate, not per pair. Blocks are
+# uniform short keys; the verify is JVM levenshtein (codegen'd) on both
+# engines.
+# --------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 1
+
+
+def fuzzy_match_pairs(
+    dirty: DataFrame,
+    clean: DataFrame,
+    col: str = "token",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> DataFrame:
+    """(dirty_token, clean_token, dist ≤ max_dist), dirty ≠ clean.
+    Inputs are one-string-per-row frames with column ``col``."""
+    def keyed(df: DataFrame, side: str) -> DataFrame:
+        c = F.col(col)
+        return df.select(
+            c.alias(f"{side}_token"),
+            F.substring(c, 1, 2).alias("_head"),
+            F.substring(c, -2, 2).alias("_tail"),
+        )
+
+    a, b = keyed(dirty, "dirty"), keyed(clean, "clean")
+    heads = a.join(b, on="_head").select("dirty_token", "clean_token")
+    tails = a.join(b, on="_tail").select("dirty_token", "clean_token")
+    cands = heads.unionByName(tails).distinct()
+    dist = F.levenshtein(F.col("dirty_token"), F.col("clean_token"))
+    return (
+        cands.filter(F.col("dirty_token") != F.col("clean_token"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def sql_fuzzy_match_pairs(
+    dirty_sql: str, clean_sql: str, col: str = "token",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> str:
+    return f"""
+    WITH a AS (
+      SELECT {col} AS dirty_token, substr({col}, 1, 2) AS head,
+             substr({col}, -2, 2) AS tail
+      FROM ({dirty_sql})
+    ),
+    b AS (
+      SELECT {col} AS clean_token, substr({col}, 1, 2) AS head,
+             substr({col}, -2, 2) AS tail
+      FROM ({clean_sql})
+    ),
+    cands AS (
+      SELECT dirty_token, clean_token FROM a JOIN b USING (head)
+      UNION
+      SELECT dirty_token, clean_token FROM a JOIN b USING (tail)
+    )
+    SELECT dirty_token, clean_token,
+           CAST(levenshtein(dirty_token, clean_token) AS INTEGER) AS dist
+    FROM cands
+    WHERE dirty_token <> clean_token
+      AND levenshtein(dirty_token, clean_token) <= {max_dist}
+    """

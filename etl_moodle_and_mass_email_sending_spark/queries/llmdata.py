@@ -804,3 +804,46 @@ register(
     ),
     multimodal.sql_detect_scene_changes(),
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_fuzzy_match — edit-distance-1 matching of typo'd tokens back to
+# the corpus vocabulary (operators/dedup.py::fuzzy_match_pairs). The
+# dirty side plants deterministic typos (last char dropped from long
+# tokens) so real matches exist at every SF.
+# --------------------------------------------------------------------------
+
+
+def _fuzzy_match(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    vocab = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .filter(F.length("token") >= 4)
+        .distinct()
+    )
+    dirty = vocab.select(
+        F.substring(F.col("token"), 1, F.length("token") - 1).alias("token")
+    ).distinct()
+    return dedup.fuzzy_match_pairs(dirty, vocab)
+
+
+def _sql_fuzzy_match() -> str:
+    vocab = f"""
+      SELECT DISTINCT t.token
+      FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ts
+            FROM ({_DOCS_SQL})),
+           LATERAL (SELECT unnest(ts) AS token) t
+      WHERE length(t.token) >= 4
+    """
+    dirty = f"""
+      SELECT DISTINCT substr(token, 1, length(token) - 1) AS token
+      FROM ({vocab})
+    """
+    return dedup.sql_fuzzy_match_pairs(dirty, vocab)
+
+
+register("dedup_fuzzy_match", _fuzzy_match, _sql_fuzzy_match())

@@ -77,6 +77,7 @@ _DEMOTED = [
     "rel_skew_salted_join",
     "rel_zorder_layout",
     "rel_event_transitions",
+    "dedup_fuzzy_match",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
