@@ -1817,3 +1817,153 @@ register(
     FROM pairs p JOIN totals t USING (from_type)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_trend_slope — per-segment least-squares trend of value over time,
+# from the closed-form sums (n, Σx, Σy, Σxy, Σx²) — one partial-
+# aggregated groupBy, no iteration. x is HOURS since the window start so
+# the sums stay small enough for exact DECIMAL accumulation → the slope
+# is deterministic cross-engine after rounding. The same five sums are
+# mergeable (rel_incremental_agg pattern), so the trend updates
+# incrementally at scale.
+# --------------------------------------------------------------------------
+
+
+def _trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (
+        (F.unix_micros(F.col("ts")) - F.lit(1_704_067_200_000_000))
+        / F.lit(3_600_000_000.0)
+    )  # hours since 2024-01-01 UTC
+    sums = e.select(
+        "event_type",
+        _dec(x, "18,6").alias("x"),
+        _dec(F.col("value")).alias("y"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        "event_type",
+        F.col("n"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+register(
+    "rel_trend_slope",
+    _trend_slope,
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM (
+        SELECT event_type,
+               CAST((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+                    / 3600000000.0 AS DECIMAL(18,6)) AS x,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events WHERE value IS NOT NULL
+      ) GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_per_hour,
+           round((CAST(sy AS DOUBLE)
+                  - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+    FROM s
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_chi_square — independence test between market segment and event
+# type: chi² = Σ (observed − expected)² / expected over the contingency
+# table. The observed table is one groupBy; marginals are two tiny
+# rollups broadcast back; everything downstream of the first aggregation
+# moves vocabulary-sized frames. All counts are integers until the final
+# ratio, rounded to 6 — deterministic cross-engine.
+# --------------------------------------------------------------------------
+
+
+def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    obs = (
+        e.join(F.broadcast(c), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    row_m = obs.groupBy("c_mktsegment").agg(F.sum("o").alias("_r"))
+    col_m = obs.groupBy("event_type").agg(F.sum("o").alias("_c"))
+    total = obs.agg(F.sum("o").alias("_t"))
+    cell = (
+        obs.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "event_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "o",
+            (
+                F.col("_r").cast("double")
+                * F.col("_c")
+                / F.col("_t")
+            ).alias("exp"),
+        )
+    )
+    return (
+        cell.withColumn(
+            "chi2_term",
+            F.round(
+                F.pow(F.col("o") - F.col("exp"), 2) / F.col("exp"), 6
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "o",
+            F.round("exp", 6).alias("expected"),
+            "chi2_term",
+        )
+    )
+
+
+register(
+    "rel_chi_square",
+    _chi_square,
+    """
+    WITH obs AS (
+      SELECT c_mktsegment, event_type, count(*) AS o
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    cm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.c_mktsegment, obs.event_type, obs.o,
+           round(CAST(rm.r AS DOUBLE) * cm.c / t.n, 6) AS expected,
+           round(pow(obs.o - CAST(rm.r AS DOUBLE) * cm.c / t.n, 2)
+                 / (CAST(rm.r AS DOUBLE) * cm.c / t.n), 6) AS chi2_term
+    FROM obs JOIN rm USING (c_mktsegment) JOIN cm USING (event_type)
+    CROSS JOIN t
+    """,
+)

@@ -78,6 +78,8 @@ _DEMOTED = [
     "rel_zorder_layout",
     "rel_event_transitions",
     "dedup_fuzzy_match",
+    "rel_trend_slope",
+    "rel_chi_square",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
