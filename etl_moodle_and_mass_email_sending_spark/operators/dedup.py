@@ -601,16 +601,16 @@ def sql_containment_pairs(
 
 
 # --------------------------------------------------------------------------
-# Fuzzy string-match join (edit distance ≤ 1) — entity-resolution shape:
+# Fuzzy string-match join (edit distance 1) — entity-resolution shape:
 # match dirty strings to a clean vocabulary without the O(|A|·|B|)
-# all-pairs levenshtein. Blocking: two strings within edit distance 1
-# must share EITHER their first 2 chars OR their last 2 chars (a single
-# edit can destroy one end, not both: a substitution touches one
-# position; an insert/delete shifts one side of it) — so the candidate
-# join is the union of two narrow equi-joins on 2-char block keys, and
-# the exact levenshtein runs per candidate, not per pair. Blocks are
-# uniform short keys; the verify is JVM levenshtein (codegen'd) on both
-# engines.
+# all-pairs levenshtein. Blocking: one edit touches one position, so
+# for strings of length ≥ 3 at least one of (first 2 chars, last 2
+# chars, first+last chars) survives intact — the middle-substitution
+# case (e.g. cot/cat) is what the third key covers. Candidates are the
+# union of three narrow equi-joins on short block keys, exact
+# levenshtein verifies per candidate. The invariant is specific to
+# distance 1 (two edits can destroy all three keys), so max_dist > 1
+# is rejected rather than silently incomplete.
 # --------------------------------------------------------------------------
 
 FUZZY_MAX_DIST = 1
@@ -623,19 +623,31 @@ def fuzzy_match_pairs(
     max_dist: int = FUZZY_MAX_DIST,
 ) -> DataFrame:
     """(dirty_token, clean_token, dist ≤ max_dist), dirty ≠ clean.
-    Inputs are one-string-per-row frames with column ``col``."""
+    Inputs are one-string-per-row frames with column ``col``; tokens
+    shorter than 3 chars should be matched exactly instead (blocking
+    completeness holds for length ≥ 3)."""
+    if max_dist != 1:
+        raise ValueError(
+            "blocking is complete only for edit distance 1; "
+            f"got max_dist={max_dist}"
+        )
+
     def keyed(df: DataFrame, side: str) -> DataFrame:
         c = F.col(col)
         return df.select(
             c.alias(f"{side}_token"),
             F.substring(c, 1, 2).alias("_head"),
             F.substring(c, -2, 2).alias("_tail"),
+            F.concat(F.substring(c, 1, 1), F.substring(c, -1, 1)).alias(
+                "_ends"
+            ),
         )
 
     a, b = keyed(dirty, "dirty"), keyed(clean, "clean")
     heads = a.join(b, on="_head").select("dirty_token", "clean_token")
     tails = a.join(b, on="_tail").select("dirty_token", "clean_token")
-    cands = heads.unionByName(tails).distinct()
+    ends = a.join(b, on="_ends").select("dirty_token", "clean_token")
+    cands = heads.unionByName(tails).unionByName(ends).distinct()
     dist = F.levenshtein(F.col("dirty_token"), F.col("clean_token"))
     return (
         cands.filter(F.col("dirty_token") != F.col("clean_token"))
@@ -651,18 +663,22 @@ def sql_fuzzy_match_pairs(
     return f"""
     WITH a AS (
       SELECT {col} AS dirty_token, substr({col}, 1, 2) AS head,
-             substr({col}, -2, 2) AS tail
+             substr({col}, -2, 2) AS tail,
+             substr({col}, 1, 1) || substr({col}, -1, 1) AS ends
       FROM ({dirty_sql})
     ),
     b AS (
       SELECT {col} AS clean_token, substr({col}, 1, 2) AS head,
-             substr({col}, -2, 2) AS tail
+             substr({col}, -2, 2) AS tail,
+             substr({col}, 1, 1) || substr({col}, -1, 1) AS ends
       FROM ({clean_sql})
     ),
     cands AS (
       SELECT dirty_token, clean_token FROM a JOIN b USING (head)
       UNION
       SELECT dirty_token, clean_token FROM a JOIN b USING (tail)
+      UNION
+      SELECT dirty_token, clean_token FROM a JOIN b USING (ends)
     )
     SELECT dirty_token, clean_token,
            CAST(levenshtein(dirty_token, clean_token) AS INTEGER) AS dist

@@ -1854,7 +1854,10 @@ def _trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy").cast("double"),
         F.col("sxx").cast("double"),
     )
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    denom = n * sxx - sx * sx
+    # try_divide: a degenerate group (all x equal) has denom exactly 0 —
+    # ANSI mode would throw on plain division; NULL slope matches DuckDB
+    slope = F.try_divide(n * sxy - sx * sy, denom)
     return sums.select(
         "event_type",
         F.col("n"),

@@ -65,6 +65,16 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
         "columnNameOfCorruptRecord", "_corrupt_record"
     )
     if schema is not None:
+        # Spark only captures corrupt lines if the capture column exists
+        # in the supplied schema — append it so an explicit production
+        # schema doesn't silently turn corrupt lines into all-null rows
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_corrupt_record", StringType())]
+            )
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -286,3 +286,53 @@ def test_merge_upsert_latest_wins(spark, tmp_path):
         for r in spark.read.parquet(snap).collect()
     }
     assert got == {(1, "a", 1), (2, "B", 2), (3, "c", 1), (4, "d", 2)}
+
+
+def test_merge_upsert_version_col_and_duplicate_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_moodle_and_mass_email_sending_spark.sinks.upsert import merge_upsert
+
+    snap = str(tmp_path / "snap2")
+    base = spark.createDataFrame([(1, "a", 1)], "k long, v string, ver int")
+    merge_upsert(spark, snap, base, key="k")
+    dup = spark.createDataFrame(
+        [(1, "B", 2), (1, "C", 3)], "k long, v string, ver int"
+    )
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, snap, dup, key="k")
+    merge_upsert(spark, snap, dup, key="k", version_col="ver")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "C")}
+
+
+def test_merge_upsert_recovers_from_interrupted_swap(spark, tmp_path):
+    import os
+    import shutil
+
+    from etl_moodle_and_mass_email_sending_spark.sinks.upsert import merge_upsert
+
+    snap = str(tmp_path / "snap3")
+    base = spark.createDataFrame([(1, "a", 1)], "k long, v string, ver int")
+    merge_upsert(spark, snap, base, key="k")
+    # simulate dying between the two swap renames: snapshot moved aside
+    os.rename(snap, snap + ".old")
+    upd = spark.createDataFrame([(2, "b", 1)], "k long, v string, ver int")
+    merge_upsert(spark, snap, upd, key="k")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "a"), (2, "b")}  # old row recovered, update applied
+    assert not os.path.isdir(snap + ".old")
+
+
+def test_jsonl_explicit_schema_still_captures_corrupt(spark, tmp_path):
+    from etl_moodle_and_mass_email_sending_spark.sources.readers import read_jsonl
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "rows2.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n{broken\n')
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )  # no _corrupt_record — reader must append it
+    rows = read_jsonl(spark, str(p), schema=schema).collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1
