@@ -307,3 +307,41 @@ class TestStreamStaticEnrich:
             for r in out
         }
         assert got == closed
+
+
+class TestUpsertStream:
+    def test_snapshot_holds_latest_event_per_user(self, spark):
+        import tempfile
+
+        from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+        from etl_moodle_and_mass_email_sending_spark.streaming import (
+            upsert_stream,
+            windows as sw,
+        )
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        snap = tempfile.mkdtemp(prefix="snap_stream_") + "/snapshot"
+        q = upsert_stream.start_upsert_stream(
+            sw.stream_events(spark, sf),
+            snap,
+            tempfile.mkdtemp(prefix="ck_ups_"),
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], r["event_id"])
+            for r in spark.read.parquet(snap).collect()
+        }
+        ev = load_table(spark, sf, "events")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        want = {
+            (r["user_id"], r["event_id"])
+            for r in ev.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .collect()
+        }
+        assert got == want
