@@ -653,3 +653,60 @@ def sql_detect_scene_changes(
     FROM frames
     WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
     """
+
+
+# --------------------------------------------------------------------------
+# Audio silence detection — gaps-and-islands over the frame-energy
+# stream: maximal runs of consecutive frames whose energy falls below
+# the threshold (the VAD/silence-trim pass of an audio pipeline).
+# Composes audio_frame_energy with the same islands technique as
+# rel_sessionize: one window pass per doc to number runs (frame_idx −
+# row_number is constant within a run), one groupBy to describe them.
+# Both shuffles key on doc_id — frames of one recording stay together.
+# --------------------------------------------------------------------------
+
+SILENCE_THRESHOLD = 3500  # byte-sum energy below this = silent frame
+
+
+def detect_silence_runs(
+    media: DataFrame,
+    threshold: int = SILENCE_THRESHOLD,
+    engine: str = "fake",
+) -> DataFrame:
+    """(doc_id, run_start, n_frames, min_energy): maximal silent runs
+    per audio doc."""
+    frames = audio_frame_energy(media, engine=engine)
+    silent = frames.filter(F.col("energy") < threshold)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    runs = silent.withColumn(
+        "_grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("frame_idx").alias("run_start"),
+            F.count("*").cast("int").alias("n_frames"),
+            F.min("energy").alias("min_energy"),
+        )
+        .drop("_grp")
+    )
+
+
+def sql_detect_silence_runs(threshold: int = SILENCE_THRESHOLD) -> str:
+    return f"""
+    WITH frames AS ({sql_audio_frame_energy()}),
+    silent AS (
+      SELECT doc_id, frame_idx, energy FROM frames
+      WHERE energy < {threshold}
+    ),
+    runs AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM silent
+    )
+    SELECT doc_id, CAST(min(frame_idx) AS INTEGER) AS run_start,
+           CAST(count(*) AS INTEGER) AS n_frames,
+           min(energy) AS min_energy
+    FROM runs GROUP BY doc_id, grp
+    """

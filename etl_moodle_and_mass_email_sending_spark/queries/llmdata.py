@@ -847,3 +847,12 @@ def _sql_fuzzy_match() -> str:
 
 
 register("dedup_fuzzy_match", _fuzzy_match, _sql_fuzzy_match())
+
+
+register(
+    "mm_silence_runs",
+    lambda spark, sf_dir: multimodal.detect_silence_runs(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_detect_silence_runs(),
+)

@@ -80,6 +80,7 @@ _DEMOTED = [
     "dedup_fuzzy_match",
     "rel_trend_slope",
     "rel_chi_square",
+    "mm_silence_runs",
     "text_tfidf_keywords",
     "rel_asof_tolerance",
     "mm_audio_energy",
