@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -84,6 +85,11 @@ def stream_events(
     )
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # an event log rewritten by another engine (e.g. DuckDB COPY) lands
+        # as µs TIMESTAMP_NTZ; withWatermark requires the session-zone
+        # TIMESTAMP type, so normalize exactly like catalog.load_table
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
