@@ -225,6 +225,11 @@ def pagerank(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 ).alias("pr"),
                 "_n",
             )
+            # barrier between rounds: without it the iteration-2 plan
+            # re-executes iteration 1 (the r02/r03 bench showed 2× wall
+            # variance from exactly that); same pattern as
+            # connected_components and dedup_minhash_lsh
+            .localCheckpoint()
         )
     return ranks.select("id", F.round("pr", 6).alias("pagerank"))
 

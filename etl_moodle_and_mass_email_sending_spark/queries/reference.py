@@ -269,17 +269,22 @@ register(
 
 
 def _send_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # scale-safe stamp: the naive form is one global Window.orderBy (a
+    # single-task sort) — instead reuse the production sink's two-pass
+    # range-partition + broadcast-offsets stamp (sinks/smtp.py), and carry
+    # the total as a broadcast one-row aggregate rather than a second
+    # unpartitioned window. Identical output, no single-partition Exchange.
+    from ..sinks.smtp import _stamp_index_two_pass
 
     users = csv_variants.normalize_recipients(
         _variant_moodle_input(spark, sf_dir)
     )
-    w = Window.orderBy("email")
-    total = F.count("*").over(Window.partitionBy())
-    return users.select(
-        F.row_number().over(w).cast("bigint").alias("idx"),
+    stamped = _stamp_index_two_pass(users, "email", num_partitions=8)
+    total = users.agg(F.count("*").alias("_total"))
+    return stamped.crossJoin(F.broadcast(total)).select(
+        F.col("idx").cast("bigint").alias("idx"),
         F.col("email"),
-        (total - F.row_number().over(w)).cast("bigint").alias("remaining"),
+        (F.col("_total") - F.col("idx")).cast("bigint").alias("remaining"),
     )
 
 

@@ -203,6 +203,24 @@ def test_boilerplate_ngrams_partial_aggregates(spark, registry_queries):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_send_counter_stamp_is_partitioned_not_global(
+    spark, registry_queries
+):
+    """The send-order stamp must be the two-pass range-partition form: the
+    row_number window runs per range partition (_pid), never as one global
+    Window.orderBy whose SinglePartition exchange funnels every row
+    through one task."""
+    plan = _plan(registry_queries["ref_send_counter"](spark, SF_SMALL))
+    rn_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln
+    ]
+    assert rn_windows, "expected the row_number stamp window in the plan"
+    assert all("_pid" in ln for ln in rn_windows), rn_windows
+    # the range shuffle ran under the localCheckpoint barrier; the stamp
+    # consumes its materialized partitions, not a fresh global sort
+    assert "Scan ExistingRDD" in plan
+
+
 def test_salted_join_spreads_key(spark, registry_queries):
     """The salted join's physical join key must include the salt column
     (that's the whole point: a hot user spreads over 16 reducers)."""
