@@ -81,20 +81,28 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Steady-state methodology (fixed in round 1 so cross-round numbers
-    # compare like-for-like): one untimed warm-up run per query absorbs
-    # codegen compilation and footer caching, then one timed run measures
-    # the execution the engine actually sustains.
+    # Steady-state methodology (round 4): one untimed warm-up run per
+    # query absorbs codegen compilation and footer caching, then THREE
+    # timed runs; the reported time is the MEDIAN (single runs showed up
+    # to 2x run-to-run noise between rounds 2 and 3 on identical code).
+    # Min/max spread ships alongside so a regression is distinguishable
+    # from variance.
+    timed_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        times[name] = dt
-        total += dt
+        samples: list[float] = []
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        med = sorted(samples)[len(samples) // 2]
+        times[name] = med
+        spread[name] = [min(samples), max(samples)]
+        total += med
 
     print(
         json.dumps(
@@ -103,8 +111,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": float(sf),
                 "warmup_runs": 1,
+                "timed_runs": timed_runs,
+                "aggregation": "median",
             }
         )
     )

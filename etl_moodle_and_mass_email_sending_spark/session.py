@@ -47,6 +47,9 @@ def get_spark(
         # Dim tables (region/nation/supplier) must broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # The stderr progress bar interleaves carriage-return frames into
+        # any captured output (bench artifacts, driver logs) — keep it off.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()

@@ -20,20 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from .readers import check_exists, read_csv_headerless
 
 
-def promote_header(
-    df: DataFrame, header_row: int = 3, data_start: int = 4
-) -> DataFrame:
-    """Row ``header_row`` becomes the column names; rows < ``data_start``
-    are dropped (reference app.py:236–238).
-
-    Duplicate/blank header cells are disambiguated as ``col``, ``col_2``…
-    (pandas would error; we pick the lenient path and document it).
-    """
-    spark = df.sparkSession
-    indexed = df.rdd.zipWithIndex()
-    header_vals = (
-        indexed.filter(lambda t: t[1] == header_row).map(lambda t: t[0]).first()
-    )
+def _dedupe_header_names(header_vals) -> list[str]:
+    """Duplicate/blank header cells are disambiguated as ``col``, ``col_2``…
+    (pandas would error; we pick the lenient path and document it)."""
     names: list[str] = []
     seen: dict[str, int] = {}
     for i, v in enumerate(header_vals):
@@ -41,6 +30,20 @@ def promote_header(
         n = seen.get(name, 0) + 1
         seen[name] = n
         names.append(name if n == 1 else f"{name}_{n}")
+    return names
+
+
+def promote_header(
+    df: DataFrame, header_row: int = 3, data_start: int = 4
+) -> DataFrame:
+    """Row ``header_row`` becomes the column names; rows < ``data_start``
+    are dropped (reference app.py:236–238)."""
+    spark = df.sparkSession
+    indexed = df.rdd.zipWithIndex()
+    header_vals = (
+        indexed.filter(lambda t: t[1] == header_row).map(lambda t: t[0]).first()
+    )
+    names = _dedupe_header_names(header_vals)
     data = indexed.filter(lambda t: t[1] >= data_start).map(lambda t: t[0])
     return spark.createDataFrame(data, schema=df.schema).toDF(*names)
 
@@ -74,6 +77,96 @@ def read_participants_excel(
         ) from exc
     df = spark.createDataFrame(pdf.where(pdf.notna(), None))
     return promote_header(df, header_row, data_start)
+
+
+def _excel_sheet_reader(path: str):
+    """Default per-file reader for the distributed many-workbook scan:
+    sheet 0 of an Excel workbook as an all-string pandas frame. Needs an
+    Excel engine (openpyxl/xlrd) on the EXECUTORS; degrades with the same
+    clear error as the single-file path."""
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=0, header=None, dtype=str)
+    except ImportError as exc:  # openpyxl/xlrd missing
+        raise NotImplementedError(
+            "no Excel engine available on the executors; export sheets to "
+            "CSV and pass reader=csv_sheet_reader"
+        ) from exc
+    return pdf.where(pdf.notna(), None)
+
+
+def csv_sheet_reader(path: str):
+    """Headerless-CSV twin of :func:`_excel_sheet_reader` — the same
+    header-displaced sheet layout exported to CSV (works everywhere; used
+    by the in-container e2e test of the distributed scan)."""
+    import pandas as pd
+
+    pdf = pd.read_csv(
+        path, header=None, dtype=str, keep_default_na=False, skip_blank_lines=False
+    )
+    return pdf.where(pdf != "", None)
+
+
+def read_participants_many(
+    spark: SparkSession,
+    paths: list[str],
+    header_row: int = 3,
+    data_start: int = 4,
+    reader=_excel_sheet_reader,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed many-workbook ingestion (the scale path S1 lacks):
+    ship the PATH LIST across executors and let each task open its own
+    workbooks — the driver never materializes sheet data, so a thousand
+    rosters ingest in parallel instead of serially through
+    ``pd.read_excel`` on the driver.
+
+    Per file (executor-side, pandas in-memory — a single sheet is small
+    by construction of the format): positional header promotion at
+    ``header_row``, data from ``data_start`` (reference app.py:236–238),
+    the messy-header rename (app.py:240–245), then projection onto the
+    canonical (rut, nombres, apellidos, email) contract — absent columns
+    are null, extra columns drop. ``source_file`` carries provenance so
+    downstream dedup can attribute collisions to a workbook.
+    """
+    import pandas as pd
+
+    for p in paths:
+        check_exists(p)
+    if num_partitions is None:
+        num_partitions = max(1, min(len(paths), 64))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(num_partitions)
+    out_cols = ("rut", "nombres", "apellidos", "email")
+
+    def scan(batches):
+        for batch in batches:
+            for path in batch["path"]:
+                pdf = reader(path)
+                names = _dedupe_header_names(pdf.iloc[header_row].tolist())
+                data = pdf.iloc[data_start:].copy()
+                data.columns = names
+                data = data.rename(
+                    columns={
+                        k: v for k, v in RENAME_MAP.items() if k in data.columns
+                    }
+                )
+                out = pd.DataFrame(
+                    {
+                        c: (data[c] if c in data.columns else None)
+                        for c in out_cols
+                    }
+                )
+                out["source_file"] = path
+                yield out
+
+    return paths_df.mapInPandas(
+        scan,
+        "rut string, nombres string, apellidos string, email string, "
+        "source_file string",
+    )
 
 
 RENAME_MAP = {

@@ -336,3 +336,72 @@ def test_jsonl_explicit_schema_still_captures_corrupt(spark, tmp_path):
     rows = read_jsonl(spark, str(p), schema=schema).collect()
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(bad) == 1
+
+
+def test_distributed_many_workbook_scan(spark, tmp_path):
+    """S1 scale path: N header-displaced sheets ingest executor-side via
+    mapInPandas over the PATH list (driver never touches sheet data) —
+    union of all files, canonical contract, provenance column."""
+    from etl_moodle_and_mass_email_sending_spark.sources.excel import (
+        csv_sheet_reader,
+        read_participants_many,
+    )
+
+    paths = []
+    for i in range(5):
+        lines = [
+            "Listado de participantes,,,",
+            ",,,",
+            "Generado: 2026-01-01,,,",
+            "Rut (con punto y con guión),Nombres ,Apellidos,Correo electrónico",
+            f"11.111.111-{i},ana{i},rojas,ana{i}@x.cl",
+            f"22.222.222-{i},luis{i},mora,luis{i}@y.cl",
+        ]
+        p = tmp_path / f"roster_{i}.csv"
+        p.write_text("\n".join(lines), encoding="utf-8")
+        paths.append(str(p))
+
+    out = read_participants_many(spark, paths, reader=csv_sheet_reader)
+    assert out.columns == ["rut", "nombres", "apellidos", "email", "source_file"]
+    rows = out.collect()
+    assert len(rows) == 10
+    by_name = {r["nombres"]: r for r in rows}
+    assert by_name["ana3"]["rut"] == "11.111.111-3"
+    assert by_name["ana3"]["source_file"].endswith("roster_3.csv")
+    assert by_name["luis4"]["email"] == "luis4@y.cl"
+    # the scan itself is distributed: the plan is mapInPandas over the
+    # path frame, no driver-side createDataFrame of sheet rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_distributed_scan_tolerates_schema_drift(spark, tmp_path):
+    """A workbook missing a canonical column yields nulls there (and extra
+    columns drop) instead of failing the whole ingest."""
+    from etl_moodle_and_mass_email_sending_spark.sources.excel import (
+        csv_sheet_reader,
+        read_participants_many,
+    )
+
+    full = tmp_path / "full.csv"
+    full.write_text(
+        "j,,,\nj,,,\nj,,,\n"
+        "Rut (con punto y con guión),Nombres ,Apellidos,Correo electrónico\n"
+        "1-9,eva,paz,e@x.cl\n",
+        encoding="utf-8",
+    )
+    drifted = tmp_path / "drifted.csv"
+    drifted.write_text(
+        "j,,,\nj,,,\nj,,,\n"
+        "Nombres ,Apellidos,Telefono,Comentario\n"
+        "omar,vidal,123,hola\n",
+        encoding="utf-8",
+    )
+    out = read_participants_many(
+        spark, [str(full), str(drifted)], reader=csv_sheet_reader
+    ).collect()
+    by_name = {r["nombres"]: r for r in out}
+    assert by_name["eva"]["rut"] == "1-9"
+    assert by_name["omar"]["rut"] is None
+    assert by_name["omar"]["email"] is None
+    assert "Telefono" not in {c for r in out for c in r.asDict()}
