@@ -346,7 +346,14 @@ def kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, cluster, cos_to_centroid): assignment after one Lloyd
     update of the N_CENTROIDS seed centroids (assign → element-wise mean
     → re-assign)."""
-    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    return _lloyd_refined_assign(
+        _vectors(spark, sf_dir).select("vec_id", "vec")
+    )
+
+
+def _lloyd_refined_assign(v: DataFrame) -> DataFrame:
+    """One unrolled Lloyd iteration over any (vec_id, vec) frame (seed
+    centroids = vec_id < N_CENTROIDS)."""
     a1 = ivf_assign(v, _centroids(v), n_best=1)
     cent1 = a1.groupBy("cid").agg(
         F.array(
@@ -366,13 +373,13 @@ def kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_kmeans_refined_assign() -> str:
+def sql_kmeans_refined_assign(src: str | None = None) -> str:
     cos = _duck_cosine("v.vec", "c.cvec")
     mean_vec = "[" + ", ".join(
         f"round(avg(vec[{i + 1}]), 6)" for i in range(DIM)
     ) + "]"
     return f"""
-    WITH base AS ({_DUCK_VECTORS}),
+    WITH base AS ({src or _DUCK_VECTORS}),
     cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
              WHERE vec_id < {N_CENTROIDS}),
     a1 AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
@@ -579,4 +586,95 @@ def sql_sq_topk() -> str:
                   ORDER BY qscore DESC, vec_id) AS INTEGER) AS rank
       FROM sims
     ) WHERE rank <= {TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embeddings
+# (k-means — reusing the unrolled-Lloyd assignment above), then within
+# each cluster drop every vector whose cosine to a LOWER-ID cluster
+# member reaches the threshold; the surviving lowest id is the cluster
+# representative for its near-semantic-duplicate group.
+#
+# Scale shape: the pairwise term is confined WITHIN clusters — that is
+# the paper's actual design (K grows with N to hold per-cluster size
+# roughly constant, so the per-cluster O(c²) term stays bounded while
+# the cluster assignment is one broadcast pass). The self-join keys on
+# cluster id — uniform buckets, never an all-pairs product; the dropped
+# row's keeper is resolved by one per-vector min, not a global sort.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.99
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, dup_of, cosine): the vectors SemDeDup drops —
+    ``dup_of`` is the lowest-id same-cluster member within threshold,
+    ``cosine`` the (rounded) similarity to it.
+
+    Runs over the same scaled-copy-extended corpus as
+    :func:`embedding_near_dup_pairs` (the raw testbed vectors have no
+    semantic duplicates); a copy has cosine 1.0 to its original, lands in
+    the same cluster by construction, and is dropped in favor of it."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    copies = v.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(vec, x -> x * 2.0)").alias("vec"),
+    )
+    allv = v.unionByName(copies)
+    assign = _lloyd_refined_assign(allv).select("vec_id", "cluster")
+    m = allv.join(assign, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"), "cluster"
+    )
+    b = m.select(
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"), "cluster"
+    )
+    cos = F.expr(_spark_cosine("a_vec", "b_vec")).alias("cosine")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("cluster", "a_id", "b_id", cos)
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("b_id").orderBy("a_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("b_id").alias("vec_id"),
+            "cluster",
+            F.col("a_id").alias("dup_of"),
+            "cosine",
+        )
+    )
+
+
+_DUCK_SEMDEDUP_CORPUS = f"""
+  SELECT vec_id, vec FROM ({_DUCK_VECTORS})
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, list_transform(vec, x -> x * 2.0) AS vec
+  FROM ({_DUCK_VECTORS}) WHERE vec_id % 10 = 0
+"""
+
+
+def sql_semantic_dedup() -> str:
+    cos = _duck_cosine("x.vec", "y.vec")
+    return f"""
+    WITH assign AS ({sql_kmeans_refined_assign(_DUCK_SEMDEDUP_CORPUS)}),
+    vecs AS ({_DUCK_SEMDEDUP_CORPUS}),
+    m AS (
+      SELECT b.vec_id, b.vec, a.cluster
+      FROM vecs b JOIN assign a USING (vec_id)
+    ),
+    pairs AS (
+      SELECT y.cluster, x.vec_id AS a_id, y.vec_id AS b_id, {cos} AS cosine
+      FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {cos} >= {SEMDEDUP_THRESHOLD!r}
+    )
+    SELECT b_id AS vec_id, cluster, a_id AS dup_of, cosine FROM (
+      SELECT pairs.*, row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
     """

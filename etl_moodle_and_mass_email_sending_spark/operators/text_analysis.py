@@ -1265,3 +1265,226 @@ def sql_tfidf_keywords(corpus_sql: str, k: int = TFIDF_TOP_K) -> str:
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", Table A1 — the de-facto standard heuristic filter bundle, also
+# used by RedPajama/Dolma): word-count band, mean-word-length band,
+# symbol-to-word ratio (# and ellipsis), bullet-started and
+# ellipsis-ended line fractions, alphabetic-word fraction, and a minimum
+# stopword hit count. Emitted as per-rule measurements + the composite
+# keep flag so a pipeline can tune individual thresholds downstream.
+#
+# 100 TB shape: completely shuffle-free — every rule is a column
+# expression over the document scan (split / filter / startswith are all
+# JVM codegen); comparisons use the ROUNDED ratios so both engines
+# decide `keep` identically.
+# --------------------------------------------------------------------------
+
+GOPHER_WORDS_MIN, GOPHER_WORDS_MAX = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_SYMBOL_MAX = 0.1
+GOPHER_BULLET_MAX = 0.9
+GOPHER_ELLIPSIS_MAX = 0.3
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOP_MIN = 2
+
+
+def _gopher_exprs(engine: str) -> dict[str, str]:
+    """The rule expressions, built per engine from shared constants so the
+    two dialects cannot drift."""
+    if engine == "spark":
+        ws, size, flt = _SPARK_FTOKS, "size", "filter"
+        lines = "filter(split(text, '\\n'), l -> trim(l) != '')"
+        starts, ends = "startswith", "endswith"
+        rx = "w rlike '[a-zA-Z]'"
+        hits = _spark_hits("en")
+        # Spark SQL literals process backslash escapes → '\\s+'; DuckDB
+        # literals don't → '\s+' (same split as _SPARK_TOKS/_DUCK_TOKS)
+        nospace = "regexp_replace(trim(lower(text)), '\\\\s+', '')"
+    else:
+        ws, size, flt = _DUCK_FTOKS, "len", "list_filter"
+        lines = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
+        starts, ends = "starts_with", "ends_with"
+        rx = "regexp_matches(w, '[a-zA-Z]')"
+        hits = _duck_hits("en")
+        nospace = r"regexp_replace(trim(lower(text)), '\s+', '', 'g')"
+    n_words = f"{size}({ws})"
+    nw1 = f"greatest({n_words}, 1)"
+    mean_wl = f"round(CAST(length({nospace}) AS DOUBLE) / {nw1}, 6)"
+    symbols = (
+        "(length(text) - length(replace(text, '#', ''))) "
+        "+ (length(text) - length(replace(text, '...', ''))) / 3.0"
+    )
+    sym_ratio = f"round(CAST({symbols} AS DOUBLE) / {nw1}, 6)"
+    nl1 = f"greatest({size}({lines}), 1)"
+    bullet = (
+        f"round(CAST({size}({flt}({lines}, l -> {starts}(ltrim(l), '-') "
+        f"or {starts}(ltrim(l), '*') or {starts}(ltrim(l), '•'))) AS DOUBLE)"
+        f" / {nl1}, 6)"
+    )
+    ellipsis = (
+        f"round(CAST({size}({flt}({lines}, l -> {ends}(rtrim(l), '...') "
+        f"or {ends}(rtrim(l), '…'))) AS DOUBLE) / {nl1}, 6)"
+    )
+    alpha = (
+        f"round(CAST({size}({flt}({ws}, w -> {rx})) AS DOUBLE) / {nw1}, 6)"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym_ratio,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ellipsis,
+        "alpha_word_frac": alpha,
+        "n_stop_hits": hits,
+    }
+
+
+def _gopher_keep(e: dict[str, str]) -> str:
+    return (
+        f"({e['n_words']} >= {GOPHER_WORDS_MIN} "
+        f"AND {e['n_words']} <= {GOPHER_WORDS_MAX} "
+        f"AND {e['mean_word_len']} >= {GOPHER_MWL_MIN} "
+        f"AND {e['mean_word_len']} <= {GOPHER_MWL_MAX} "
+        f"AND {e['symbol_word_ratio']} <= {GOPHER_SYMBOL_MAX} "
+        f"AND {e['bullet_line_frac']} <= {GOPHER_BULLET_MAX} "
+        f"AND {e['ellipsis_line_frac']} <= {GOPHER_ELLIPSIS_MAX} "
+        f"AND {e['alpha_word_frac']} >= {GOPHER_ALPHA_MIN} "
+        f"AND {e['n_stop_hits']} >= {GOPHER_STOP_MIN})"
+    )
+
+
+def gopher_rules(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+    keep) — the Gopher heuristic filter bundle as one scan."""
+    e = _gopher_exprs("spark")
+    return corpus.select(
+        "doc_id",
+        F.expr(e["n_words"]).cast("bigint").alias("n_words"),
+        F.expr(e["mean_word_len"]).alias("mean_word_len"),
+        F.expr(e["symbol_word_ratio"]).alias("symbol_word_ratio"),
+        F.expr(e["bullet_line_frac"]).alias("bullet_line_frac"),
+        F.expr(e["ellipsis_line_frac"]).alias("ellipsis_line_frac"),
+        F.expr(e["alpha_word_frac"]).alias("alpha_word_frac"),
+        F.expr(e["n_stop_hits"]).cast("bigint").alias("n_stop_hits"),
+        F.expr(_gopher_keep(e)).alias("keep"),
+    )
+
+
+def sql_gopher_rules(corpus_sql: str) -> str:
+    e = _gopher_exprs("duck")
+    return f"""
+    SELECT doc_id,
+           CAST({e["n_words"]} AS BIGINT) AS n_words,
+           {e["mean_word_len"]} AS mean_word_len,
+           {e["symbol_word_ratio"]} AS symbol_word_ratio,
+           {e["bullet_line_frac"]} AS bullet_line_frac,
+           {e["ellipsis_line_frac"]} AS ellipsis_line_frac,
+           {e["alpha_word_frac"]} AS alpha_word_frac,
+           CAST({e["n_stop_hits"]} AS BIGINT) AS n_stop_hits,
+           {_gopher_keep(e)} AS keep
+    FROM ({corpus_sql})
+    """
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score each raw document by
+# avg log(p_target(b) / p_raw(b)) over its HASHED BIGRAM features, where
+# both probability tables are add-1-smoothed bucket LMs — p_target fit on
+# an in-domain slice (here: lang = 'en' declared), p_raw on the full
+# corpus. High weight = raw doc looks like the target domain.
+#
+# 100 TB shape: the bigram stream shuffles once onto DSIR_BUCKETS (64)
+# keys with map-side combine for each LM (the target LM's counts are a
+# filtered aggregate of the SAME stream — one pass, not two scans); both
+# LM tables are 64 rows → broadcast back over the stream; the per-doc
+# mean shuffles on doc_id. Nothing wider than (doc_id, bucket) ever
+# crosses the wire. Totals ride a broadcast one-row frame, not a driver
+# collect.
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+_DSIR_SEED = 77
+
+
+def dsir_weights(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, dsir_weight) for every doc with ≥1 bigram."""
+    from ..functions.hashing import hash32_expr_lambda
+
+    toked = corpus.select(
+        "doc_id", F.col("lang"), F.expr(_SPARK_FTOKS).alias("_ts")
+    )
+    n1 = F.greatest(F.size("_ts") - 1, F.lit(0))
+    h = hash32_expr_lambda(_DSIR_SEED)
+    grams = spread_for_compute(toked).select(
+        "doc_id",
+        (F.col("lang") == "en").alias("_tgt"),
+        F.explode(
+            F.expr(
+                f"transform(zip_with(slice(_ts, 1, greatest(size(_ts) - 1, 0)), "
+                f"slice(_ts, 2, greatest(size(_ts) - 1, 0)), "
+                f"(a, b) -> concat(a, ' ', b)), t -> {h} % {DSIR_BUCKETS})"
+            )
+        ).alias("bucket"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count("*").alias("_nraw"),
+        F.count_if(F.col("_tgt")).alias("_ntgt"),
+    )
+    totals = grams.agg(
+        F.count("*").alias("_traw"), F.count_if(F.col("_tgt")).alias("_ttgt")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("_ntgt") + 1) / (F.col("_ttgt") + DSIR_BUCKETS))
+            / ((F.col("_nraw") + 1) / (F.col("_traw") + DSIR_BUCKETS))
+        ).alias("_llr"),
+    )
+    return (
+        grams.join(F.broadcast(lm), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_llr"), 6).alias("dsir_weight"),
+        )
+    )
+
+
+def sql_dsir_weights(corpus_sql: str) -> str:
+    from ..functions.hashing import sql_hash32_lambda
+
+    h = sql_hash32_lambda(_DSIR_SEED, "ts[i] || ' ' || ts[i + 1]")
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, lang = 'en' AS tgt, {_DUCK_FTOKS} AS ts
+      FROM ({corpus_sql})
+    ),
+    grams AS (
+      SELECT doc_id, tgt, g.bucket
+      FROM toked,
+           LATERAL (
+             SELECT unnest(list_transform(
+               range(1, len(ts)), i -> ({h}) % {DSIR_BUCKETS}
+             )) AS bucket
+           ) g
+    ),
+    totals AS (
+      SELECT count(*) AS traw, count(*) FILTER (WHERE tgt) AS ttgt FROM grams
+    ),
+    lm AS (
+      SELECT bucket,
+             ln(((count(*) FILTER (WHERE tgt) + 1) / CAST(ttgt + {DSIR_BUCKETS} AS DOUBLE))
+                / ((count(*) + 1) / CAST(traw + {DSIR_BUCKETS} AS DOUBLE))) AS llr
+      FROM grams CROSS JOIN totals
+      GROUP BY bucket, traw, ttgt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(llr), 6) AS dsir_weight
+    FROM grams JOIN lm USING (bucket)
+    GROUP BY doc_id
+    """

@@ -856,3 +856,26 @@ register(
     ),
     multimodal.sql_detect_silence_runs(),
 )
+
+
+# Round-4 additions — the standard public-recipe curation trio:
+# Gopher heuristic rules (Rae et al. 2021), DSIR importance weights
+# (Xie et al. 2023), SemDeDup semantic dedup (Abbas et al. 2023).
+
+register(
+    "text_gopher_rules",
+    lambda spark, sf_dir: text_analysis.gopher_rules(_docs(spark, sf_dir)),
+    text_analysis.sql_gopher_rules(_DOCS_SQL),
+)
+
+register(
+    "text_dsir_weights",
+    lambda spark, sf_dir: text_analysis.dsir_weights(_docs(spark, sf_dir)),
+    text_analysis.sql_dsir_weights(_DOCS_SQL),
+)
+
+register(
+    "sim_semantic_dedup",
+    similarity.semantic_dedup,
+    similarity.sql_semantic_dedup(),
+)

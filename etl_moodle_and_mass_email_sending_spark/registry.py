@@ -105,6 +105,11 @@ _DEMOTED = [
     "rel_distinct_parts",
     "rel_setops",
     "rel_rollup",
+    # --- round-4 additions: start life in the tail (promote only after a
+    # driver-sim green, per the standing window policy) -------------------
+    "text_gopher_rules",
+    "text_dsir_weights",
+    "sim_semantic_dedup",
 ]
 
 

@@ -647,3 +647,63 @@ def test_zorder_interleave_roundtrip(spark):
 
     for r in rows:
         assert deinterleave(r["z"]) == (r["a"], r["b"])
+
+
+def test_semantic_dedup_drops_copies_keeps_originals(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    dropped = similarity.semantic_dedup(spark, SF_SMALL).collect()
+    assert len(dropped) > 0
+    # every dropped vector is an injected scaled copy, attributed to its
+    # original (cosine 1.0 to a scaled self), never an original
+    for r in dropped:
+        assert r["vec_id"] >= 100000
+        assert r["dup_of"] == r["vec_id"] - 100000
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_gopher_rules_flags_follow_measurements(spark):
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        text_analysis as ta,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # long enough, clean prose → keep
+            (1, " ".join(["the quick brown fox jumps over a lazy dog"] * 8)),
+            # too short
+            (2, "tiny doc"),
+            # bullet-dominated
+            (3, "\n".join(["- item " + "the a of and to in is for w"] * 5)),
+            # symbol-heavy
+            (4, " ".join(["the###tag"] * 60)),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en"))
+    rows = {r["doc_id"]: r for r in ta.gopher_rules(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["keep"] is False and rows[3]["bullet_line_frac"] > 0.9
+    assert rows[4]["keep"] is False and rows[4]["symbol_word_ratio"] > 0.1
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        text_analysis as ta,
+    )
+
+    # target (en) docs share bigrams; the out-of-domain doc shares none —
+    # its buckets only ever hold raw mass, so its weight must be lower
+    en = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(1, en, "en"), (2, en, "en"), (3, en, "en"),
+         (4, "zzz qqq www eee rrr ttt yyy uuu iii ooo", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r["dsir_weight"] for r in ta.dsir_weights(docs).collect()}
+    assert rows[1] > rows[4]
+    assert rows[1] == rows[2] == rows[3]

@@ -231,3 +231,25 @@ def test_salted_join_spreads_key(spark, registry_queries):
     ]
     assert join_lines, "salt must be part of the physical join keys"
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dsir_broadcasts_lm_tables(spark, registry_queries):
+    """Both 64-row bucket-LM frames must broadcast back over the bigram
+    stream; the corpus side never sort-merge-joins."""
+    plan = _plan(registry_queries["text_dsir_weights"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # bucket counts + per-doc mean
+
+
+def test_semantic_dedup_pairs_within_clusters_only(spark, registry_queries):
+    """The SemDeDup pairwise stage must key on the cluster id — never a
+    cartesian/nested-loop pairing across the whole corpus."""
+    plan = _plan(registry_queries["sim_semantic_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+            or "BroadcastHashJoin" in ln) and "cluster" in ln
+    ]
+    assert join_lines, "expected an equi-join keyed on cluster"
