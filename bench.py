@@ -54,6 +54,10 @@ HEADLINE = [
     "mm_decode_media",
     "mm_extract_features",
     "mm_phash_dedup",
+    # round-4 additions (public-recipe curation trio)
+    "text_gopher_rules",
+    "text_dsir_weights",
+    "sim_semantic_dedup",
     # capstone composition
     "llm_corpus_pipeline",
 ]

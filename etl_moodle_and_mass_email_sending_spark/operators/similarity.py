@@ -235,8 +235,8 @@ N_CENTROIDS = 8
 NPROBE = 2
 
 
-def _centroids(v: DataFrame) -> DataFrame:
-    return v.filter(F.col("vec_id") < N_CENTROIDS).select(
+def _centroids(v: DataFrame, n_cent: int = N_CENTROIDS) -> DataFrame:
+    return v.filter(F.col("vec_id") < n_cent).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
     )
 
@@ -351,10 +351,12 @@ def kmeans_refined_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_refined_assign(v: DataFrame) -> DataFrame:
+def _lloyd_refined_assign(
+    v: DataFrame, n_cent: int = N_CENTROIDS
+) -> DataFrame:
     """One unrolled Lloyd iteration over any (vec_id, vec) frame (seed
-    centroids = vec_id < N_CENTROIDS)."""
-    a1 = ivf_assign(v, _centroids(v), n_best=1)
+    centroids = vec_id < ``n_cent``)."""
+    a1 = ivf_assign(v, _centroids(v, n_cent), n_best=1)
     cent1 = a1.groupBy("cid").agg(
         F.array(
             *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(DIM)]
@@ -373,7 +375,9 @@ def _lloyd_refined_assign(v: DataFrame) -> DataFrame:
     )
 
 
-def sql_kmeans_refined_assign(src: str | None = None) -> str:
+def sql_kmeans_refined_assign(
+    src: str | None = None, n_cent: int = N_CENTROIDS
+) -> str:
     cos = _duck_cosine("v.vec", "c.cvec")
     mean_vec = "[" + ", ".join(
         f"round(avg(vec[{i + 1}]), 6)" for i in range(DIM)
@@ -381,7 +385,7 @@ def sql_kmeans_refined_assign(src: str | None = None) -> str:
     return f"""
     WITH base AS ({src or _DUCK_VECTORS}),
     cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
-             WHERE vec_id < {N_CENTROIDS}),
+             WHERE vec_id < {n_cent}),
     a1 AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
     cent1 AS (SELECT cid, {mean_vec} AS cvec FROM a1 GROUP BY cid),
     scored AS (
@@ -606,6 +610,10 @@ def sql_sq_topk() -> str:
 # --------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.99
+# SemDeDup scales K with N to hold per-cluster size (and so the
+# within-cluster quadratic term AND the pairwise stage's parallelism)
+# roughly constant — more clusters than the IVF coarse quantizer uses.
+SEMDEDUP_CENTROIDS = 32
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,15 +631,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(vec, x -> x * 2.0)").alias("vec"),
     )
     allv = v.unionByName(copies)
-    assign = _lloyd_refined_assign(allv).select("vec_id", "cluster")
-    m = allv.join(assign, "vec_id")
+    assign = _lloyd_refined_assign(allv, SEMDEDUP_CENTROIDS).select(
+        "vec_id", "cluster"
+    )
+    # localCheckpoint: the clustered frame feeds BOTH sides of the pairwise
+    # self-join — without the barrier the whole Lloyd assignment (centroid
+    # crossJoin + interpreted cosine lambdas) re-executes per side. The
+    # norm is precomputed per VECTOR so the verify does one dot product
+    # per pair, not three (both tricks proven in embedding_near_dup_pairs).
+    norm = F.expr(f"sqrt({_DOT.format(a='vec', b='vec')})").alias("norm")
+    m = allv.join(assign, "vec_id").select(
+        "vec_id", "vec", "cluster", norm
+    ).localCheckpoint()
     a = m.select(
-        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"), "cluster"
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"),
+        F.col("norm").alias("na"), "cluster",
     )
     b = m.select(
-        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"), "cluster"
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"),
+        F.col("norm").alias("nb"), "cluster",
     )
-    cos = F.expr(_spark_cosine("a_vec", "b_vec")).alias("cosine")
+    dot = _DOT.format(a="a_vec", b="b_vec")
+    cos = F.expr(f"round(({dot}) / (na * nb), 6)").alias("cosine")
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -660,12 +681,14 @@ _DUCK_SEMDEDUP_CORPUS = f"""
 
 
 def sql_semantic_dedup() -> str:
-    cos = _duck_cosine("x.vec", "y.vec")
+    dot = "list_dot_product(x.vec, y.vec)"
+    cos = f"round(({dot}) / (x.norm * y.norm), 6)"
     return f"""
-    WITH assign AS ({sql_kmeans_refined_assign(_DUCK_SEMDEDUP_CORPUS)}),
+    WITH assign AS ({sql_kmeans_refined_assign(_DUCK_SEMDEDUP_CORPUS, SEMDEDUP_CENTROIDS)}),
     vecs AS ({_DUCK_SEMDEDUP_CORPUS}),
     m AS (
-      SELECT b.vec_id, b.vec, a.cluster
+      SELECT b.vec_id, b.vec, a.cluster,
+             sqrt(list_dot_product(b.vec, b.vec)) AS norm
       FROM vecs b JOIN assign a USING (vec_id)
     ),
     pairs AS (
