@@ -1970,3 +1970,199 @@ register(
     CROSS JOIN t
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Round-4 TPC-H classics over the testbed's available columns.
+#
+# rel_q6_forecast_revenue — TPC-H Q6 verbatim shape: the pure-scan
+# aggregate (date band + discount band + quantity cap → one global sum).
+# The 100 TB posture is maximal: every predicate pushes into the parquet
+# scan, the projection is two columns, and the only exchange is the
+# single-row final aggregate.
+# --------------------------------------------------------------------------
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")), "18,4"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+register(
+    "rel_q6_forecast_revenue",
+    _q6,
+    """
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_q4_order_priority — TPC-H Q4 shape (EXISTS-decorrelated to a semi
+# join): count orders per priority having at least one late-shipped line
+# (the testbed carries no commit/receipt dates, so "late" = shipped after
+# the order quarter; the semi-join-then-aggregate shape is the point).
+# Scale: the EXISTS lowers to LeftSemi on l_orderkey — the lineitem side
+# never duplicates order rows, and the final group key has 5 values.
+# --------------------------------------------------------------------------
+
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = (load_table(spark, sf_dir, t) for t in ("orders", "lineitem"))
+    window = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    late = l.filter(F.col("l_shipdate") >= "1997-04-01").select("l_orderkey")
+    return (
+        window.join(late, window.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+register(
+    "rel_q4_order_priority",
+    _q4,
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= TIMESTAMP '1997-04-01'
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_q10_returned_items — TPC-H Q10 shape: revenue lost to returns per
+# customer, top 20. The fact side filters to l_returnflag = 'R' at the
+# scan; customer⨝nation broadcast; one groupBy(custkey) shuffle.
+# --------------------------------------------------------------------------
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n, o, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("customer", "nation", "orders", "lineitem")
+    )
+    revenue = F.sum(
+        _dec(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))), "18,4")
+    ).cast("double").alias("revenue")
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    )
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1997-01-01")
+                & (F.col("o_orderdate") < "1997-07-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+register(
+    "rel_q10_returned_items",
+    _q10,
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_q14_promo_share — TPC-H Q14 shape: promo revenue share via a
+# conditional aggregate over one month of lineitem ⨝ broadcast part.
+# DOUBLE division happens once, after both DECIMAL sums finalize, so the
+# engines agree bit-for-bit on the ratio input.
+# --------------------------------------------------------------------------
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, l = (load_table(spark, sf_dir, t) for t in ("part", "lineitem"))
+    rev = _dec(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))), "18,4")
+    month = l.filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    return (
+        month.join(F.broadcast(p), month.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_promo").cast("double")
+                / F.col("_total").cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.col("_promo").cast("double").alias("promo_revenue"),
+            F.col("_total").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+register(
+    "rel_q14_promo_share",
+    _q14,
+    """
+    WITH agg AS (
+      SELECT
+        sum(CASE WHEN p_type = 'PROMO'
+            THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+        sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS total
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01'
+    )
+    SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) AS promo_revenue_pct,
+           CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue
+    FROM agg
+    """,
+)

@@ -110,6 +110,10 @@ _DEMOTED = [
     "text_gopher_rules",
     "text_dsir_weights",
     "sim_semantic_dedup",
+    "rel_q6_forecast_revenue",
+    "rel_q4_order_priority",
+    "rel_q10_returned_items",
+    "rel_q14_promo_share",
 ]
 
 

@@ -253,3 +253,22 @@ def test_semantic_dedup_pairs_within_clusters_only(spark, registry_queries):
             or "BroadcastHashJoin" in ln) and "cluster" in ln
     ]
     assert join_lines, "expected an equi-join keyed on cluster"
+
+
+def test_q6_is_a_pure_pushed_scan(spark, registry_queries):
+    """Q6 is the pushdown benchmark: every predicate reaches the parquet
+    scan, no join exists, aggregation is partial-then-final."""
+    plan = _plan(registry_queries["rel_q6_forecast_revenue"](spark, SF_SMALL))
+    assert "PushedFilters" in plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # the scan reads only the columns the query needs
+    assert "l_extendedprice" in plan and "l_orderkey" not in plan
+
+
+def test_q4_exists_lowers_to_semi_join(spark, registry_queries):
+    """The EXISTS must become a LeftSemi (never a duplicate-producing
+    inner join + distinct) with the date filters pushed to both scans."""
+    plan = _plan(registry_queries["rel_q4_order_priority"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan
