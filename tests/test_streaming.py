@@ -345,3 +345,79 @@ class TestUpsertStream:
             .collect()
         }
         assert got == want
+
+
+class TestStreamEventsTsTypes:
+    """Round-3's only shipped breakage: the testbed's events.parquet
+    changed its physical ts type (TIMESTAMP_NANOS → µs TIMESTAMP_NTZ) and
+    only the batch reader was patched. Pin BOTH physical variants through
+    the streaming source so neither branch can silently rot."""
+
+    @staticmethod
+    def _make_events(path, unit):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1, 1, 2, 2],
+                "event_type": ["a", "b", "a", "c"],
+                "value": [1.0, 2.0, 3.0, 4.0],
+                # the 08:00 event advances the watermark to 06:00 so the
+                # 00:00 and 01:00 windows finalize and emit (append mode);
+                # its own window stays open and must NOT appear
+                "ts": pd.to_datetime(
+                    ["2026-01-01 00:00:00.123456",
+                     "2026-01-01 00:30:00.654321",
+                     "2026-01-01 01:10:00.000009",
+                     "2026-01-01 08:00:00.000000"]
+                ),
+            }
+        )
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("ts", pa.timestamp(unit)),
+            ]
+        )
+        table = pa.Table.from_pandas(pdf, schema=schema)
+        pq.write_table(table, path)
+
+    @pytest.mark.parametrize("unit", ["us", "ns"])
+    def test_ts_normalizes_to_watermarkable_timestamp(
+        self, spark, tmp_path, unit
+    ):
+        from pyspark.sql.types import TimestampType
+
+        from etl_moodle_and_mass_email_sending_spark.streaming.windows import (
+            run_to_memory_sink,
+            stream_events,
+            windowed_event_counts,
+        )
+
+        sf_dir = tmp_path / f"sf_{unit}"
+        sf_dir.mkdir()
+        self._make_events(str(sf_dir / "events.parquet"), unit)
+        stream = stream_events(
+            spark, str(sf_dir), staging_dir=str(tmp_path / f"stage_{unit}")
+        )
+        # both physical types must arrive as the session-zone TIMESTAMP
+        # (anything else throws EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE below)
+        assert isinstance(stream.schema["ts"].dataType, TimestampType)
+        out = run_to_memory_sink(
+            windowed_event_counts(stream),
+            f"ts_types_{unit}",
+            str(tmp_path / f"ckpt_{unit}"),
+        )
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+            for r in out.collect()
+        }
+        assert rows == {
+            ("2026-01-01T00:00:00", "a"): 1,
+            ("2026-01-01T00:00:00", "b"): 1,
+            ("2026-01-01T01:00:00", "a"): 1,
+        }
