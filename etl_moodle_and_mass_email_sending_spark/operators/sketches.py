@@ -152,3 +152,98 @@ def sql_zorder_value(col_a: str, col_b: str, bits: int = ZORDER_BITS) -> str:
     return _interleave_terms(
         f"CAST({col_a} AS BIGINT)", f"CAST({col_b} AS BIGINT)", bits, ">>"
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005): CMS_ROWS
+# independent hash rows × CMS_WIDTH counters; a key's frequency estimate
+# is the MIN of its counters (always ≥ the true count). Like the KMV
+# sketch above, the hashes are portable md5 seeds, the counters are exact
+# integers, and the estimate is a min over integers — so the whole
+# *approximate* operator is bit-deterministic and hash-gates against the
+# DuckDB oracle.
+#
+# Scale design: building the sketch is one map-side-combining shuffle
+# onto ≤ CMS_ROWS×CMS_WIDTH (1024) cells regardless of input size — the
+# whole point of CMS at 100 TB. The counter table is then BROADCAST back
+# over the candidate keys; nothing key-cardinality-sized ever sorts in
+# one task (top-k is TakeOrdered over per-partition heads).
+# --------------------------------------------------------------------------
+
+CMS_ROWS = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket_structs() -> Column:
+    """Array of (r, bucket) structs for the key column, one per hash row."""
+    from ..functions.hashing import hash32
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(hash32(F.col("key"), seed=r), F.lit(CMS_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for r in range(CMS_ROWS)
+        ]
+    )
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """(key, n_exact, cms_estimate) for the top-``k`` keys by CMS
+    estimate (ties broken by key). ``n_exact`` rides along to expose the
+    sketch's one-sided error (estimate ≥ exact, always)."""
+    keyed = df.select(F.col(key_col).alias("key"))
+    cells = keyed.select(F.explode(_cms_bucket_structs()).alias("c")).select(
+        "c.r", "c.bucket"
+    )
+    counters = cells.groupBy("r", "bucket").agg(F.count("*").alias("_cnt"))
+    keys = keyed.groupBy("key").agg(F.count("*").alias("n_exact"))
+    key_cells = keys.select(
+        "key", "n_exact", F.explode(_cms_bucket_structs()).alias("c")
+    ).select("key", "n_exact", "c.r", "c.bucket")
+    est = (
+        key_cells.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("_cnt").alias("cms_estimate"))
+    )
+    return (
+        est.orderBy(F.col("cms_estimate").desc(), F.col("key"))
+        .limit(k)
+        .select(
+            F.col("key").alias(key_col), "n_exact", "cms_estimate"
+        )
+    )
+
+
+def sql_cms_heavy_hitters(table_sql: str, key_col: str, k: int = 20) -> str:
+    from ..functions.hashing import SEED_SEP
+
+    bucket = (
+        f"CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '{SEED_SEP}' || "
+        f"CAST(key AS VARCHAR)), 1, 8) AS BIGINT) % {CMS_WIDTH}"
+    )
+    return f"""
+    WITH keyed AS (SELECT {key_col} AS key FROM ({table_sql})),
+    cells AS (
+      SELECT t.r, {bucket} AS bucket
+      FROM keyed CROSS JOIN range({CMS_ROWS}) t(r)
+    ),
+    counters AS (
+      SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    keys AS (SELECT key, count(*) AS n_exact FROM keyed GROUP BY 1),
+    key_cells AS (
+      SELECT key, n_exact, t.r, {bucket} AS bucket
+      FROM keys CROSS JOIN range({CMS_ROWS}) t(r)
+    ),
+    est AS (
+      SELECT key, n_exact, min(cnt) AS cms_estimate
+      FROM key_cells JOIN counters USING (r, bucket)
+      GROUP BY 1, 2
+    )
+    SELECT key AS {key_col}, n_exact, cms_estimate
+    FROM est ORDER BY cms_estimate DESC, key LIMIT {k}
+    """

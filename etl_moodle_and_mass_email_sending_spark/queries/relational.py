@@ -2166,3 +2166,21 @@ register(
     FROM agg
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_cms_heavy_hitters — count-min-sketch frequency top-20 over
+# events.user_id (operators/sketches.py: 1024 exact-integer counters
+# built in one map-side-combining shuffle, broadcast back; the estimate
+# is a min over integers, so the approximate operator hash-gates).
+# --------------------------------------------------------------------------
+
+register(
+    "rel_cms_heavy_hitters",
+    lambda spark, sf_dir: _sketches.cms_heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id"
+    ),
+    _sketches.sql_cms_heavy_hitters(
+        "SELECT user_id FROM events", "user_id"
+    ),
+)

@@ -114,6 +114,7 @@ _DEMOTED = [
     "rel_q4_order_priority",
     "rel_q10_returned_items",
     "rel_q14_promo_share",
+    "rel_cms_heavy_hitters",
 ]
 
 

@@ -707,3 +707,19 @@ def test_dsir_weights_favor_target_domain(spark):
     rows = {r["doc_id"]: r["dsir_weight"] for r in ta.dsir_weights(docs).collect()}
     assert rows[1] > rows[4]
     assert rows[1] == rows[2] == rows[3]
+
+
+def test_cms_estimate_dominates_exact_and_ranks_heavy_keys(spark):
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import sketches
+
+    # one heavy key (x200), some light ones
+    rows = [("hot",)] * 200 + [(f"k{i}",) for i in range(300) for _ in (0,)]
+    df = spark.createDataFrame(rows, "key string").select(
+        F.col("key").alias("user_id")
+    )
+    out = sketches.cms_heavy_hitters(df, "user_id", k=5).collect()
+    assert out[0]["user_id"] == "hot" and out[0]["n_exact"] == 200
+    # CMS error is one-sided: estimate >= exact, always
+    assert all(r["cms_estimate"] >= r["n_exact"] for r in out)
