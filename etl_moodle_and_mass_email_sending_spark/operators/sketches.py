@@ -247,3 +247,162 @@ def sql_cms_heavy_hitters(table_sql: str, key_col: str, k: int = 20) -> str:
     SELECT key AS {key_col}, n_exact, cms_estimate
     FROM est ORDER BY cms_estimate DESC, key LIMIT {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter pre-join pruning — the standard 100 TB shuffle reducer
+# (Spark's own runtime bloom-join, Iceberg/Delta bloom indexes): hash the
+# SMALL join side's keys into a bit set, pre-filter the BIG side at the
+# scan with k membership probes, and only then run the exact join on the
+# survivors. Bloom filters have no false negatives, so the exact result
+# is unchanged; the win is that the big side's shuffle carries only
+# bloom-passing rows.
+#
+# Determinism: the "bitset" is a distinct bucket-id frame (≤ BLOOM_BITS
+# rows — semantically the set bits, broadcastable on any engine), buckets
+# come from the portable md5 seed hashes, and every output is an integer
+# count — the operator hash-gates exactly, false positives included.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_HASHES = 3
+
+
+def _bloom_buckets(key: Column) -> Column:
+    """Distinct bucket ids for a key (k seed hashes; duplicates collapse
+    so the all-bits-present probe can count matches = size)."""
+    from ..functions.hashing import hash32
+
+    return F.array_distinct(
+        F.array(
+            *[
+                F.pmod(hash32(key, seed=r), F.lit(BLOOM_BITS))
+                for r in range(BLOOM_HASHES)
+            ]
+        )
+    )
+
+
+def bloom_prejoin_stats(
+    probe: DataFrame,
+    probe_key: str,
+    group_col: str,
+    build: DataFrame,
+    build_key: str,
+) -> DataFrame:
+    """(group, n_probe, n_bloom_pass, n_true_match, n_false_pos): how the
+    bloom pre-filter performs per group — bloom-passing probe rows, rows
+    whose key truly exists in the build side, and the false-positive gap.
+    ``n_true_match`` uses an exact semi-join, so the stats also verify
+    the no-false-negative contract (n_bloom_pass ≥ n_true_match)."""
+    bits = (
+        build.select(F.explode(_bloom_buckets(F.col(build_key))).alias("bit"))
+        .distinct()
+    )
+    # probe each DISTINCT (key, group) once, weighted by its row count —
+    # repeated keys share one membership verdict (and at 100 TB the probe
+    # table is the pre-aggregated scan, not the raw fact)
+    key_groups = probe.groupBy(
+        F.col(probe_key).alias("_k"), F.col(group_col)
+    ).agg(F.count("*").alias("_n"))
+    pb = key_groups.select(
+        "_k",
+        group_col,
+        "_n",
+        _bloom_buckets(F.col("_k")).alias("_buckets"),
+    ).select(
+        "_k",
+        group_col,
+        "_n",
+        F.size("_buckets").alias("_need"),
+        F.explode("_buckets").alias("bit"),
+    )
+    passed = (
+        pb.join(F.broadcast(bits), "bit")
+        .groupBy("_k", group_col, "_n", "_need")
+        .agg(F.count("*").alias("_hit"))
+        .filter(F.col("_hit") == F.col("_need"))
+    )
+    build_keys = build.select(F.col(build_key).alias("_k")).distinct()
+    n_probe = probe.groupBy(group_col).agg(F.count("*").alias("n_probe"))
+    n_pass = passed.groupBy(group_col).agg(
+        F.sum("_n").alias("n_bloom_pass")
+    )
+    n_true = (
+        key_groups.join(F.broadcast(build_keys), "_k", "left_semi")
+        .groupBy(group_col)
+        .agg(F.sum("_n").alias("n_true_match"))
+    )
+    return (
+        n_probe.join(n_pass, group_col, "left")
+        .join(n_true, group_col, "left")
+        .select(
+            group_col,
+            "n_probe",
+            F.coalesce("n_bloom_pass", F.lit(0)).alias("n_bloom_pass"),
+            F.coalesce("n_true_match", F.lit(0)).alias("n_true_match"),
+            (
+                F.coalesce("n_bloom_pass", F.lit(0))
+                - F.coalesce("n_true_match", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def sql_bloom_prejoin_stats(
+    probe_sql: str,
+    probe_key: str,
+    group_col: str,
+    build_sql: str,
+    build_key: str,
+) -> str:
+    from ..functions.hashing import SEED_SEP
+
+    def bucket(key: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '{SEED_SEP}' || "
+            f"CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {BLOOM_BITS}"
+        )
+
+    return f"""
+    WITH bits AS (
+      SELECT DISTINCT {bucket(build_key)} AS bit
+      FROM ({build_sql}) CROSS JOIN range({BLOOM_HASHES}) t(r)
+    ),
+    key_groups AS (
+      SELECT {probe_key} AS key, {group_col}, count(*) AS n
+      FROM ({probe_sql}) GROUP BY 1, 2
+    ),
+    per_key AS (
+      SELECT key, {group_col}, n,
+             count(DISTINCT bit) AS need,
+             count(DISTINCT bit) FILTER (WHERE bit IN (SELECT bit FROM bits))
+               AS hit
+      FROM (
+        SELECT key, {group_col}, n, {bucket("key")} AS bit
+        FROM key_groups CROSS JOIN range({BLOOM_HASHES}) t(r)
+      ) GROUP BY 1, 2, 3
+    ),
+    n_probe AS (
+      SELECT {group_col}, count(*) AS n_probe FROM ({probe_sql}) GROUP BY 1
+    ),
+    n_pass AS (
+      SELECT {group_col}, CAST(sum(n) AS BIGINT) AS n_bloom_pass
+      FROM per_key WHERE hit = need GROUP BY 1
+    ),
+    n_true AS (
+      SELECT {group_col}, CAST(sum(n) AS BIGINT) AS n_true_match
+      FROM key_groups kg
+      WHERE EXISTS (SELECT 1 FROM ({build_sql}) b
+                    WHERE b.{build_key} = kg.key)
+      GROUP BY 1
+    )
+    SELECT np.{group_col}, np.n_probe,
+           coalesce(n_bloom_pass, 0) AS n_bloom_pass,
+           coalesce(n_true_match, 0) AS n_true_match,
+           coalesce(n_bloom_pass, 0) - coalesce(n_true_match, 0)
+             AS n_false_pos
+    FROM n_probe np
+    LEFT JOIN n_pass USING ({group_col})
+    LEFT JOIN n_true USING ({group_col})
+    """

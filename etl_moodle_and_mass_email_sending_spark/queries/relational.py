@@ -2184,3 +2184,31 @@ register(
         "SELECT user_id FROM events", "user_id"
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_bloom_prejoin — bloom-filter pre-join pruning stats: orders probed
+# against a bloom of BUILDING-segment customers before the exact semi
+# join (operators/sketches.py: the no-false-negative contract and the
+# false-positive gap are both part of the gated output).
+# --------------------------------------------------------------------------
+
+register(
+    "rel_bloom_prejoin",
+    lambda spark, sf_dir: _sketches.bloom_prejoin_stats(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderpriority",
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ),
+        "c_custkey",
+    ),
+    _sketches.sql_bloom_prejoin_stats(
+        "SELECT o_custkey, o_orderpriority FROM orders",
+        "o_custkey",
+        "o_orderpriority",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "c_custkey",
+    ),
+)

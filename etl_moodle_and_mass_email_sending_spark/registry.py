@@ -115,6 +115,7 @@ _DEMOTED = [
     "rel_q10_returned_items",
     "rel_q14_promo_share",
     "rel_cms_heavy_hitters",
+    "rel_bloom_prejoin",
 ]
 
 

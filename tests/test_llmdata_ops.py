@@ -723,3 +723,15 @@ def test_cms_estimate_dominates_exact_and_ranks_heavy_keys(spark):
     assert out[0]["user_id"] == "hot" and out[0]["n_exact"] == 200
     # CMS error is one-sided: estimate >= exact, always
     assert all(r["cms_estimate"] >= r["n_exact"] for r in out)
+
+
+def test_bloom_prejoin_has_no_false_negatives(spark):
+    from etl_moodle_and_mass_email_sending_spark import registry
+
+    rows = registry.queries()["rel_bloom_prejoin"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # bloom may over-admit, never under-admit
+        assert r["n_bloom_pass"] >= r["n_true_match"]
+        assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true_match"]
+        assert r["n_probe"] >= r["n_bloom_pass"]
