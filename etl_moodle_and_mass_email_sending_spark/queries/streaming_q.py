@@ -289,3 +289,43 @@ FROM events GROUP BY event_type
 """
 
 register("stream_trending", stream_trending, STREAM_TRENDING_SQL)
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window rollup (2 h window / 1 h slide) as a real stream —
+    each event contributes to two overlapping panes; append-mode emits
+    the panes the final watermark closed (same bounded-replay emission
+    rule stream_windowed_counts certifies)."""
+    ev = sw.stream_events(spark, sf_dir)
+    agg = sw.windowed_event_counts(
+        ev, "2 hours", "2 hours", slide_duration="1 hour"
+    )
+    name = f"ssl_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_ssl_")
+    return sw.run_to_memory_sink(agg, name, ck)
+
+
+STREAM_SLIDING_COUNTS_SQL = """
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+), expanded AS (
+  -- a 2h/1h sliding window assigns each event to exactly two panes:
+  -- starts at floor_1h(ts) - 1h and floor_1h(ts)
+  SELECT w.window_start, event_type, value
+  FROM base,
+       LATERAL (SELECT unnest([
+         time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR,
+         time_bucket(INTERVAL 1 HOUR, ts)
+       ]) AS window_start) w
+), agg AS (
+  SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+         event_type, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS sum_value
+  FROM expanded GROUP BY 1, 2, 3
+)
+SELECT * FROM agg
+WHERE window_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM base)
+"""
+
+register("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_COUNTS_SQL)

@@ -116,6 +116,7 @@ _DEMOTED = [
     "rel_q14_promo_share",
     "rel_cms_heavy_hitters",
     "rel_bloom_prejoin",
+    "stream_sliding_counts",
 ]
 
 

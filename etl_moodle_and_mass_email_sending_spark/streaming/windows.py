@@ -97,20 +97,29 @@ def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time window × event_type → count + value sum.
+    """Tumbling (or, with ``slide_duration``, SLIDING) event-time window
+    × event_type → count + value sum.
 
     Watermark bounds state: windows older than (max event time − delay)
     finalize and evict; later-arriving rows for them drop. The batch twin
     is queries.relational ``rel_events_hourly`` (date_trunc) — same
-    logical rollup, incremental execution.
+    logical rollup, incremental execution. A sliding window assigns each
+    event to window/slide overlapping panes (state grows by that factor;
+    still watermark-bounded).
     """
     w = events.withWatermark("ts", watermark_delay)
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
     # value sums go through exact DECIMAL(18,2) like rel_events_hourly:
     # a raw double sum is accumulation-order-dependent and would make the
     # cross-engine hash flaky at larger group sizes
     return w.groupBy(
-        F.window("ts", window_duration).alias("win"),
+        win.alias("win"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
