@@ -701,3 +701,63 @@ def sql_semantic_dedup() -> str:
       FROM pairs
     ) WHERE rn = 1
     """
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training prep, e.g. DPR/SimCSE
+# recipes): for each query vector, the most-similar vectors with a
+# DIFFERENT label — the near-misses a contrastive loss learns the most
+# from. Same broadcast-queries / corpus-scan shape as topk_bruteforce
+# (shuffle-free over the corpus side; at larger scale the candidate
+# generation swaps to the banded-LSH path unchanged).
+# --------------------------------------------------------------------------
+
+HARD_NEG_K = 3
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, query_label, vec_id, neg_label, cosine, rank): top
+    HARD_NEG_K different-label neighbors per query vector."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("label").alias("query_label"),
+    )
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            sim,
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+    )
+
+
+def sql_hard_negatives() -> str:
+    cos = _duck_cosine("q.qvec", "v.vec")
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, label AS query_label
+          FROM v WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, q.query_label, v.vec_id, v.label AS neg_label,
+             {cos} AS cosine
+      FROM v CROSS JOIN q WHERE v.label <> q.query_label
+    )
+    SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
+      SELECT sims.*,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    ) WHERE rank <= {HARD_NEG_K}
+    """

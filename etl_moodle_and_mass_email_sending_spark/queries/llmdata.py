@@ -879,3 +879,9 @@ register(
     similarity.semantic_dedup,
     similarity.sql_semantic_dedup(),
 )
+
+register(
+    "sim_hard_negatives",
+    similarity.hard_negatives,
+    similarity.sql_hard_negatives(),
+)

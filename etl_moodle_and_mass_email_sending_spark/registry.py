@@ -117,6 +117,7 @@ _DEMOTED = [
     "rel_cms_heavy_hitters",
     "rel_bloom_prejoin",
     "stream_sliding_counts",
+    "sim_hard_negatives",
 ]
 
 
