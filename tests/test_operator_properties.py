@@ -348,3 +348,71 @@ def test_asof_forward_and_tolerance_match_bruteforce(spark_mod, left, right):
         else:
             want_t = (None, None)
         assert tol[i] == want_t, ("tolerance", i, k, t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=60
+    )
+)
+def test_cms_estimate_upper_bounds_exact_on_random_input(spark_mod, keys):
+    """CMS error is one-sided by construction: for ANY input multiset,
+    every key's estimate >= its exact count, and the exact count of a
+    top-k member is recoverable from the rows."""
+    from collections import Counter
+
+    from etl_moodle_and_mass_email_sending_spark.operators import sketches
+
+    spark = spark_mod
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    out = sketches.cms_heavy_hitters(df, "user_id", k=50).collect()
+    truth = Counter(keys)
+    assert all(r["cms_estimate"] >= r["n_exact"] for r in out)
+    assert all(truth[r["user_id"]] == r["n_exact"] for r in out)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    probe=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # key
+            st.sampled_from(["g1", "g2"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    build=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=0, max_size=20
+    ),
+)
+def test_bloom_prejoin_never_false_negative_on_random_input(
+    spark_mod, probe, build
+):
+    """For ANY build set, every probe row whose key truly exists must
+    pass the bloom (n_bloom_pass >= n_true_match per group), and the
+    true-match counts must equal the Python ground truth."""
+    from etl_moodle_and_mass_email_sending_spark.operators import sketches
+
+    spark = spark_mod
+    p_df = spark.createDataFrame(probe, "k long, grp string")
+    b_df = (
+        spark.createDataFrame([(b,) for b in build], "bk long")
+        if build
+        else spark.createDataFrame([], "bk long")
+    )
+    out = {
+        r["grp"]: r
+        for r in sketches.bloom_prejoin_stats(
+            p_df, "k", "grp", b_df, "bk"
+        ).collect()
+    }
+    bset = set(build)
+    for grp in {g for _, g in probe}:
+        rows = [k for k, g in probe if g == grp]
+        true = sum(1 for k in rows if k in bset)
+        r = out[grp]
+        assert r["n_probe"] == len(rows)
+        assert r["n_true_match"] == true
+        assert r["n_bloom_pass"] >= true
+        assert r["n_false_pos"] == r["n_bloom_pass"] - true
