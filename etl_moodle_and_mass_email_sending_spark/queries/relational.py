@@ -2212,3 +2212,59 @@ register(
         "c_custkey",
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q19_disjunctive — TPC-H Q19 shape: an OR-of-ANDs predicate spanning
+# BOTH join sides. Catalyst splits the disjunction: the parts of each
+# branch that touch only lineitem (quantity bands) or only part (brand ×
+# size bands) are pushed to the respective scans as an OR filter, the
+# cross-side conjunctions evaluate after the broadcast join — the
+# archetype of complex-predicate pushdown.
+# --------------------------------------------------------------------------
+
+_Q19_BRANCHES = [
+    # (brand, size_max, qty_lo, qty_hi)
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),  # absent brand — branch matches nothing
+    ("Brand#3", 20, 25, 35),
+]
+
+
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, l = (load_table(spark, sf_dir, t) for t in ("part", "lineitem"))
+    branch = None
+    for brand, size_max, qlo, qhi in _Q19_BRANCHES:
+        b = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_max))
+            & (F.col("l_quantity").between(qlo, qhi))
+        )
+        branch = b if branch is None else (branch | b)
+    revenue = F.sum(
+        _dec(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))), "18,4")
+    ).cast("double").alias("revenue")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(revenue, F.count("*").alias("n_lineitems"))
+    )
+
+
+_Q19_SQL_BRANCH = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+    f"AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, s, lo, hi in _Q19_BRANCHES
+)
+
+register(
+    "rel_q19_disjunctive",
+    _q19,
+    f"""
+    SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_SQL_BRANCH}
+    """,
+)

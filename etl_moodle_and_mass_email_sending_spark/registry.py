@@ -118,6 +118,7 @@ _DEMOTED = [
     "rel_bloom_prejoin",
     "stream_sliding_counts",
     "sim_hard_negatives",
+    "rel_q19_disjunctive",
 ]
 
 

@@ -272,3 +272,15 @@ def test_q4_exists_lowers_to_semi_join(spark, registry_queries):
     plan = _plan(registry_queries["rel_q4_order_priority"](spark, SF_SMALL))
     assert "LeftSemi" in plan
     assert "PushedFilters" in plan
+
+
+def test_q19_pushes_disjunction_to_both_scans(spark, registry_queries):
+    """Catalyst must split the OR-of-ANDs: each side's single-table
+    residual (quantity bands / brand+size bands) reaches ITS parquet scan
+    as an Or(...) pushed filter — the complex-predicate-pushdown
+    archetype."""
+    plan = _plan(registry_queries["rel_q19_disjunctive"](spark, SF_SMALL))
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 2
+    assert all("Or(" in ln for ln in scans), scans
+    assert "BroadcastHashJoin" in plan
