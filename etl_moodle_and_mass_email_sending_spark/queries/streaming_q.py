@@ -329,3 +329,53 @@ WHERE window_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM base)
 """
 
 register("stream_sliding_counts", stream_sliding_counts, STREAM_SLIDING_COUNTS_SQL)
+
+
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join as a real
+    stream. Bounded-replay emission: inner matches land in batch 1;
+    null-padded clicks emit in the final watermark-advance batch for
+    every click whose join window the global watermark closed."""
+    from ..streaming import joins
+
+    ev = sw.stream_events(spark, sf_dir)
+    joined = joins.clicks_errors_outer_join(ev)
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    ck = tempfile.mkdtemp(prefix="ck_soj_")
+    return sw.run_to_memory_sink(joined, name, ck)
+
+
+# Emission model for the bounded replay: the global watermark after the
+# single data batch is min(max click_ts, max error_ts) − 10 min
+# (ms-truncated, matching Spark's event-time stats); a left row
+# null-emits iff it has no match AND its join window closed:
+# click_ts + 300 s < watermark.
+STREAM_OUTER_JOIN_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), e AS (
+  SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS error_ts
+  FROM events WHERE event_type = 'error'
+), wm AS (
+  SELECT least(
+    (SELECT epoch_ms(max(click_ts)) FROM c),
+    (SELECT epoch_ms(max(error_ts)) FROM e)
+  ) - 600000 AS w_ms
+), matched AS (
+  SELECT c.click_id, c.user_id, c.click_ts, e.error_id, e.error_ts
+  FROM c JOIN e ON c.user_id = e.user_id
+   AND e.error_ts >= c.click_ts
+   AND e.error_ts <= c.click_ts + INTERVAL 300 SECOND
+)
+SELECT * FROM matched
+UNION ALL
+SELECT c.click_id, c.user_id, c.click_ts,
+       CAST(NULL AS BIGINT) AS error_id,
+       CAST(NULL AS TIMESTAMP) AS error_ts
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+  AND epoch_ms(c.click_ts) + 300000 < wm.w_ms
+"""
+
+register("stream_outer_join", stream_outer_join, STREAM_OUTER_JOIN_SQL)

@@ -119,6 +119,7 @@ _DEMOTED = [
     "stream_sliding_counts",
     "sim_hard_negatives",
     "rel_q19_disjunctive",
+    "stream_outer_join",
 ]
 
 

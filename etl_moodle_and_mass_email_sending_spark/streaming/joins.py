@@ -111,3 +111,50 @@ def enrich_with_segment(
             "sum_value",
         )
     )
+
+
+def clicks_errors_outer_join(
+    events: DataFrame,
+    interval_seconds: int = INTERVAL_S,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every click emits — with
+    its matching errors, or null-padded once the error-side watermark
+    passes ``click_ts + interval`` and eviction proves no match can
+    still arrive. The null-emission-on-eviction is the outer join's
+    whole mechanism: it cannot emit earlier (a match might still come)
+    and must emit on state timeout (else unmatched rows are lost)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark_delay)
+    )
+    return clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {interval_seconds} SECOND")
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "error_id",
+        "error_ts",
+    )
