@@ -2268,3 +2268,139 @@ register(
     WHERE {_Q19_SQL_BRANCH}
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q15_top_supplier — TPC-H Q15 shape: the revenue view + "suppliers
+# hitting the maximum" correlated filter, decorrelated to a broadcast
+# one-row max joined back (no second scan of the fact: the view frame is
+# reused for both the max and the final filter).
+# --------------------------------------------------------------------------
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, l = (load_table(spark, sf_dir, t) for t in ("supplier", "lineitem"))
+    revenue_view = (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))), "18,4")
+            ).cast("double").alias("total_revenue")
+        )
+    )
+    mx = revenue_view.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue_view.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue"),
+        )
+    )
+
+
+register(
+    "rel_q15_top_supplier",
+    _q15,
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_q8_market_share — TPC-H Q8 shape: a nation's share of regional
+# revenue per year, via conditional aggregation over the full dim chain
+# (order-customer-nation-region on the demand side, supplier-nation on
+# the supply side, both chains broadcast; the DOUBLE division runs once
+# after both DECIMAL sums finalize).
+# --------------------------------------------------------------------------
+
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n, c, s, o, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    )
+    demand = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = _dec(_dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))), "18,4")
+    target = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01")
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(demand), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(target).alias("_t"),
+            F.sum(rev).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_t").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("mkt_share"),
+            F.col("_all").cast("double").alias("region_revenue"),
+        )
+    )
+
+
+register(
+    "rel_q8_market_share",
+    _q8,
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS rev,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+           CAST(sum(rev) AS DOUBLE) AS region_revenue
+    FROM base GROUP BY o_year
+    """,
+)

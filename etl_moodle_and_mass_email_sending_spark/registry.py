@@ -120,6 +120,8 @@ _DEMOTED = [
     "sim_hard_negatives",
     "rel_q19_disjunctive",
     "stream_outer_join",
+    "rel_q15_top_supplier",
+    "rel_q8_market_share",
 ]
 
 
