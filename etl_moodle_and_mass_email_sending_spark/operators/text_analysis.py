@@ -1488,3 +1488,105 @@ def sql_dsir_weights(corpus_sql: str) -> str:
     FROM grams JOIN lm USING (bucket)
     GROUP BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (the rolling-hash boundary trick of rsync /
+# LBFS / FastCDC, applied at token granularity): a chunk boundary falls
+# AFTER any token whose portable hash ≡ 0 (mod CDC_DIVISOR), so chunk
+# boundaries depend only on LOCAL content — insert one sentence into a
+# document and only the chunks touching it change, unlike fixed-size
+# chunking where every downstream chunk shifts. That stability is what
+# makes CDC the dedup-pipeline standard: identical passages in different
+# documents produce identical chunks, findable by digest equality.
+#
+# Emitted per chunk: (doc_id, chunk_id, n_tokens, digest,
+# n_occurrences) — the global digest count surfaces cross-document
+# repeated passages directly.
+#
+# 100 TB shape: boundary flags and the running chunk id are one window
+# pass partitioned by doc_id (per-doc state, embarrassingly parallel
+# across docs); chunk assembly is a (doc_id, chunk_id) groupBy on the
+# same partitioning; the occurrence count shuffles 16-byte digests only.
+# --------------------------------------------------------------------------
+
+CDC_DIVISOR = 32  # expected chunk length in tokens
+_CDC_SEED = 93
+
+
+def cdc_chunks(corpus: DataFrame) -> DataFrame:
+    """Token-level content-defined chunks with global duplicate counts."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash32
+
+    toks = corpus.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPARK_FTOKS)).alias("pos", "tok"),
+    )
+    bounded = toks.withColumn(
+        "_b", (F.pmod(hash32(F.col("tok"), seed=_CDC_SEED), F.lit(CDC_DIVISOR)) == 0).cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = bounded.withColumn(
+        "chunk_id", F.coalesce(F.sum("_b").over(w), F.lit(0)).cast("bigint")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, tok))), s -> s.tok)"
+                ),
+            )
+        ).alias("digest"),
+    )
+    wd = Window.partitionBy("digest")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        "digest",
+        F.count("*").over(wd).alias("n_occurrences"),
+    )
+
+
+def sql_cdc_chunks(corpus_sql: str) -> str:
+    from ..functions.hashing import sql_hash32_lambda
+
+    h = sql_hash32_lambda(_CDC_SEED, "tok")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.pos - 1 AS pos, t.tok
+      FROM (SELECT doc_id, {_DUCK_FTOKS} AS ts FROM ({corpus_sql})),
+           LATERAL (
+             SELECT unnest(ts) AS tok,
+                    generate_subscripts(ts, 1) AS pos
+           ) t
+    ),
+    bounded AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN ({h}) % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS b
+      FROM toks
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS chunk_id
+      FROM bounded
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id, count(*) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS digest
+      FROM chunked GROUP BY doc_id, chunk_id
+    )
+    SELECT doc_id, chunk_id, n_tokens, digest,
+           count(*) OVER (PARTITION BY digest) AS n_occurrences
+    FROM chunks
+    """

@@ -885,3 +885,11 @@ register(
     similarity.hard_negatives,
     similarity.sql_hard_negatives(),
 )
+
+register(
+    "text_cdc_chunks",
+    lambda spark, sf_dir: text_analysis.cdc_chunks(
+        dedup.dup_corpus(spark, sf_dir)
+    ),
+    text_analysis.sql_cdc_chunks(_CORPUS_SQL),
+)

@@ -122,6 +122,7 @@ _DEMOTED = [
     "stream_outer_join",
     "rel_q15_top_supplier",
     "rel_q8_market_share",
+    "text_cdc_chunks",
 ]
 
 

@@ -735,3 +735,37 @@ def test_bloom_prejoin_has_no_false_negatives(spark):
         assert r["n_bloom_pass"] >= r["n_true_match"]
         assert r["n_false_pos"] == r["n_bloom_pass"] - r["n_true_match"]
         assert r["n_probe"] >= r["n_bloom_pass"]
+
+
+def test_cdc_chunk_stability_and_dedup(spark):
+    """CDC's selling point: identical passages chunk identically across
+    documents (the planted exact copies produce all-duplicate digests),
+    and a local edit only perturbs chunks near it."""
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        dedup,
+        text_analysis as ta,
+    )
+
+    out = ta.cdc_chunks(dedup.dup_corpus(spark, SF_SMALL))
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every chunk of an exact copy (doc_id = original + offset) is a
+    # duplicate of the original's chunk
+    originals = {
+        d
+        for d in by_doc
+        if d < dedup.EXACT_COPY_OFFSET
+        and d + dedup.EXACT_COPY_OFFSET in by_doc
+    }
+    assert originals
+    for d in list(originals)[:10]:
+        copy = by_doc[d + dedup.EXACT_COPY_OFFSET]
+        assert {c["digest"] for c in copy} == {c["digest"] for c in by_doc[d]}
+        assert all(c["n_occurrences"] >= 2 for c in copy)
+    # chunk ids are contiguous from 0 and token counts are positive
+    for d, cs in list(by_doc.items())[:20]:
+        ids = sorted(c["chunk_id"] for c in cs)
+        assert ids == list(range(len(ids)))
+        assert all(c["n_tokens"] > 0 for c in cs)
