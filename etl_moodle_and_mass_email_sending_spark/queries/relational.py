@@ -2404,3 +2404,53 @@ register(
     FROM base GROUP BY o_year
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q17_small_quantity — TPC-H Q17 shape: the correlated per-part
+# average (l_quantity < 0.2 * avg over that part) decorrelated into an
+# explicit per-part aggregate joined back — the fact scans once for the
+# averages and once for the probe, both group/join keyed on l_partkey
+# (one shuffle partitioning reused), with the brand dim broadcast.
+# --------------------------------------------------------------------------
+
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, l = (load_table(spark, sf_dir, t) for t in ("part", "lineitem"))
+    brand = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    avgq = l.groupBy("l_partkey").agg(
+        # 6-decimal round keeps the threshold comparison identical across
+        # engines (avg is accumulation-order-dependent in the last ulp)
+        F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("_thr")
+    )
+    return (
+        l.join(F.broadcast(brand), l.l_partkey == F.col("p_partkey"))
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+register(
+    "rel_q17_small_quantity",
+    _q17,
+    """
+    WITH thr AS (
+      SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN thr USING (l_partkey)
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < thr
+    """,
+)

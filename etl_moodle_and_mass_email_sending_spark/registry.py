@@ -123,6 +123,7 @@ _DEMOTED = [
     "rel_q15_top_supplier",
     "rel_q8_market_share",
     "text_cdc_chunks",
+    "rel_q17_small_quantity",
 ]
 
 

@@ -405,3 +405,39 @@ def test_distributed_scan_tolerates_schema_drift(spark, tmp_path):
     assert by_name["omar"]["rut"] is None
     assert by_name["omar"]["email"] is None
     assert "Telefono" not in {c for r in out for c in r.asDict()}
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """Hive-layout write + partition-pruned read: the filtered scan's
+    plan must carry the predicate as a PartitionFilter (directory
+    pruning, not row filtering), results must match a plain filter, and
+    the layout must not explode into tasks x partitions files."""
+    import glob
+    import os
+
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.sinks.partitioned import (
+        read_partition_pruned,
+        write_partitioned,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert sorted(os.path.basename(d) for d in glob.glob(f"{path}/lang=*")) == sorted(
+        f"lang={lg}" for lg in langs
+    )
+    # repartition-by-key keeps each partition dir to a handful of files
+    for d in glob.glob(f"{path}/lang=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) <= 4
+    pruned = read_partition_pruned(spark, path, lang=langs[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan
+    # the partition predicate must be IN the partition filters, and the
+    # scan must not fall back to a row-level data filter on lang
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("lang" in ln.split("PartitionFilters")[1].split("]")[0] for ln in pf), pf
+    expect = docs.filter(docs["lang"] == langs[0]).count()
+    assert pruned.count() == expect
