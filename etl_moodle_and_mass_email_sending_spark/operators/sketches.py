@@ -302,9 +302,16 @@ def bloom_prejoin_stats(
     # probe each DISTINCT (key, group) once, weighted by its row count —
     # repeated keys share one membership verdict (and at 100 TB the probe
     # table is the pre-aggregated scan, not the raw fact)
-    key_groups = probe.groupBy(
-        F.col(probe_key).alias("_k"), F.col(group_col)
-    ).agg(F.count("*").alias("_n"))
+    # localCheckpoint: three consumers (bucket probe, true-match semi
+    # join, n_probe fold) — the barrier stops the probe scan + distinct
+    # aggregate re-executing per consumer
+    key_groups = (
+        probe.groupBy(F.col(probe_key).alias("_k"), F.col(group_col))
+        .agg(F.count("*").alias("_n"))
+        # lazy: materializes (and caches) inside the consuming job itself
+        # instead of an extra eager job — measured faster at both scales
+        .localCheckpoint(eager=False)
+    )
     pb = key_groups.select(
         "_k",
         group_col,
@@ -324,7 +331,10 @@ def bloom_prejoin_stats(
         .filter(F.col("_hit") == F.col("_need"))
     )
     build_keys = build.select(F.col(build_key).alias("_k")).distinct()
-    n_probe = probe.groupBy(group_col).agg(F.count("*").alias("n_probe"))
+    # n_probe folds from key_groups (no second scan of the probe table)
+    n_probe = key_groups.groupBy(group_col).agg(
+        F.sum("_n").alias("n_probe")
+    )
     n_pass = passed.groupBy(group_col).agg(
         F.sum("_n").alias("n_bloom_pass")
     )
@@ -384,7 +394,8 @@ def sql_bloom_prejoin_stats(
       ) GROUP BY 1, 2, 3
     ),
     n_probe AS (
-      SELECT {group_col}, count(*) AS n_probe FROM ({probe_sql}) GROUP BY 1
+      SELECT {group_col}, CAST(sum(n) AS BIGINT) AS n_probe
+      FROM key_groups GROUP BY 1
     ),
     n_pass AS (
       SELECT {group_col}, CAST(sum(n) AS BIGINT) AS n_bloom_pass
