@@ -2454,3 +2454,61 @@ register(
       AND l_quantity < thr
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q22_dormant_customers — TPC-H Q22 shape (phone-cntrycode grouping
+# adapted to nation — the testbed carries no phone column): wealthy
+# customers (acctbal above the global positive-balance average — a
+# broadcast one-row scalar, not a correlated rescan) with NO orders
+# since 2000 (LeftAnti), grouped by nation. Combines the scalar-subquery
+# decorrelation and anti-join machinery in one certified plan.
+# --------------------------------------------------------------------------
+
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, c, o = (
+        load_table(spark, sf_dir, t) for t in ("nation", "customer", "orders")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("_avg")
+    )
+    recent = o.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    wealthy = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+    )
+    return (
+        wealthy.join(recent, wealthy.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(_dec(F.col("c_acctbal"))).cast("double"), 6
+            ).alias("total_acctbal"),
+        )
+    )
+
+
+register(
+    "rel_q22_dormant_customers",
+    _q22,
+    """
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 6) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n_name, count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS total_acctbal
+    FROM customer, avg_bal
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n_name
+    """,
+)

@@ -124,6 +124,7 @@ _DEMOTED = [
     "rel_q8_market_share",
     "text_cdc_chunks",
     "rel_q17_small_quantity",
+    "rel_q22_dormant_customers",
 ]
 
 
