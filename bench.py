@@ -58,6 +58,16 @@ HEADLINE = [
     "text_gopher_rules",
     "text_dsir_weights",
     "sim_semantic_dedup",
+    # round-4 additions benched from round 5 on (VERDICT r4 item 6)
+    "rel_q8_market_share",
+    "rel_q15_top_supplier",
+    "rel_q17_small_quantity",
+    "rel_q19_disjunctive",
+    "rel_q22_dormant_customers",
+    "rel_cms_heavy_hitters",
+    "rel_bloom_prejoin",
+    "text_cdc_chunks",
+    "sim_hard_negatives",
     # capstone composition
     "llm_corpus_pipeline",
 ]
@@ -108,21 +118,36 @@ def main() -> None:
         spread[name] = [min(samples), max(samples)]
         total += med
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "sf": float(sf),
-                "warmup_runs": 1,
-                "timed_runs": timed_runs,
-                "aggregation": "median",
-            }
-        )
+    # The driver captures only the last ~2 KB of stdout; round 4's line
+    # (medians + per-query spread) outgrew that and failed to parse
+    # ("parsed": null in BENCH_r04.json). The printed line now carries
+    # compact medians only; the full detail (spread, run counts,
+    # methodology) goes to BENCH_DETAIL.json in the repo root.
+    detail = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "sf": float(sf),
+        "warmup_runs": 1,
+        "timed_runs": timed_runs,
+        "aggregation": "median",
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in times.items()},
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
     )
+    print(line)
     spark.stop()
 
 

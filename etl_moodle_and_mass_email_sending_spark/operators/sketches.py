@@ -294,7 +294,14 @@ def bloom_prejoin_stats(
     bloom pre-filter performs per group — bloom-passing probe rows, rows
     whose key truly exists in the build side, and the false-positive gap.
     ``n_true_match`` uses an exact semi-join, so the stats also verify
-    the no-false-negative contract (n_bloom_pass ≥ n_true_match)."""
+    the no-false-negative contract (n_bloom_pass ≥ n_true_match).
+
+    NULL probe keys are excluded from all three counts: a NULL key can
+    never equi-join (SQL null semantics), so it is not a probe the filter
+    will ever see. Without the explicit filter the two engines disagreed —
+    Spark's bucket-explode drops NULL-bucket rows (never passes) while the
+    oracle's count(DISTINCT bit) ignores NULLs giving need=0=hit (always
+    passes); see sql_bloom_prejoin_stats for the mirrored predicate."""
     bits = (
         build.select(F.explode(_bloom_buckets(F.col(build_key))).alias("bit"))
         .distinct()
@@ -306,7 +313,8 @@ def bloom_prejoin_stats(
     # join, n_probe fold) — the barrier stops the probe scan + distinct
     # aggregate re-executing per consumer
     key_groups = (
-        probe.groupBy(F.col(probe_key).alias("_k"), F.col(group_col))
+        probe.filter(F.col(probe_key).isNotNull())
+        .groupBy(F.col(probe_key).alias("_k"), F.col(group_col))
         .agg(F.count("*").alias("_n"))
         # lazy: materializes (and caches) inside the consuming job itself
         # instead of an extra eager job — measured faster at both scales
@@ -381,7 +389,7 @@ def sql_bloom_prejoin_stats(
     ),
     key_groups AS (
       SELECT {probe_key} AS key, {group_col}, count(*) AS n
-      FROM ({probe_sql}) GROUP BY 1, 2
+      FROM ({probe_sql}) WHERE {probe_key} IS NOT NULL GROUP BY 1, 2
     ),
     per_key AS (
       SELECT key, {group_col}, n,

@@ -2060,7 +2060,11 @@ register(
 # --------------------------------------------------------------------------
 # rel_q10_returned_items — TPC-H Q10 shape: revenue lost to returns per
 # customer, top 20. The fact side filters to l_returnflag = 'R' at the
-# scan; customer⨝nation broadcast; one groupBy(custkey) shuffle.
+# scan; only NATION is broadcast (a true fixed-size dim) — customer is
+# fact-proportional (scales with SF), so the customer join shuffles and
+# AQE picks the strategy at runtime, matching rel_q22's dim-chain
+# posture (VERDICT r4 flagged the earlier forced customer broadcast as
+# an OOM at 100 TB).
 # --------------------------------------------------------------------------
 
 
@@ -2084,7 +2088,7 @@ def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(revenue)
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -2418,10 +2422,20 @@ register(
 def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, l = (load_table(spark, sf_dir, t) for t in ("part", "lineitem"))
     brand = p.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    avgq = l.groupBy("l_partkey").agg(
-        # 6-decimal round keeps the threshold comparison identical across
-        # engines (avg is accumulation-order-dependent in the last ulp)
-        F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("_thr")
+    # The brand dim restricts the probe to ~1/25 of parts, so the average
+    # side is semi-joined down to the SAME partkeys before its groupBy —
+    # otherwise the full lineitem keyspace shuffles to compute thresholds
+    # the final join then discards (the one scale-killer VERDICT r4 found).
+    # Result-identical: the probe join already restricts to brand partkeys.
+    avgq = (
+        l.join(F.broadcast(brand), l.l_partkey == brand.p_partkey, "leftsemi")
+        .groupBy("l_partkey")
+        .agg(
+            # 6-decimal round keeps the threshold comparison identical
+            # across engines (avg is accumulation-order-dependent in the
+            # last ulp)
+            F.round(F.lit(0.2) * F.avg("l_quantity"), 6).alias("_thr")
+        )
     )
     return (
         l.join(F.broadcast(brand), l.l_partkey == F.col("p_partkey"))
@@ -2442,7 +2456,9 @@ register(
     """
     WITH thr AS (
       SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS thr
-      FROM lineitem GROUP BY l_partkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+      GROUP BY l_partkey
     )
     SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
              AS avg_yearly,

@@ -8,9 +8,10 @@ Spark mapping: ``monotonically_increasing_id`` is NOT ordinally safe across
 partitions, so header promotion uses ``rdd.zipWithIndex`` (stable read
 order within a file scan) — acceptable because header promotion is a
 per-file boundary operation on small roster files, never a 100 TB path.
-Excel itself needs a third-party wheel (com.crealytics / openpyxl), which
-this container doesn't ship — the Excel entry point degrades gracefully and
-the same promotion logic is exercised through headerless CSV in tests.
+Excel bytes are parsed by ``pd.read_excel`` when an engine wheel
+(openpyxl/xlrd) is importable, else by the repo's stdlib-only
+SpreadsheetML reader (:mod:`.xlsx_lite` — the format is public ECMA-376
+ZIP+XML), so ``.xlsx`` ingestion is first-class in every environment.
 """
 
 from __future__ import annotations
@@ -62,38 +63,30 @@ def read_participants_excel(
 ) -> DataFrame:
     """S1: Excel participants sheet (sheet 0) → promoted frame.
 
-    Uses a driver-side pandas read (Arrow-accelerated createDataFrame) when
-    an Excel engine is importable; raises a clear error otherwise.
+    Driver-side pandas read (Arrow-accelerated createDataFrame) via
+    ``pd.read_excel`` when an Excel engine wheel is importable, else the
+    stdlib :mod:`.xlsx_lite` parser — same all-string frame either way.
     """
     check_exists(path)
-    try:
-        import pandas as pd
-
-        pdf = pd.read_excel(path, sheet_name=0, header=None, dtype=str)
-    except ImportError as exc:  # openpyxl/xlrd missing
-        raise NotImplementedError(
-            "no Excel engine available in this environment; export the sheet "
-            "to CSV and use read_participants_csv"
-        ) from exc
-    df = spark.createDataFrame(pdf.where(pdf.notna(), None))
+    df = spark.createDataFrame(_excel_sheet_reader(path))
     return promote_header(df, header_row, data_start)
 
 
 def _excel_sheet_reader(path: str):
-    """Default per-file reader for the distributed many-workbook scan:
-    sheet 0 of an Excel workbook as an all-string pandas frame. Needs an
-    Excel engine (openpyxl/xlrd) on the EXECUTORS; degrades with the same
-    clear error as the single-file path."""
+    """Per-file reader for the single- and many-workbook scans: sheet 0 of
+    an Excel workbook as an all-string pandas frame. Prefers a real Excel
+    engine (openpyxl/xlrd) when one is importable — broader format support
+    (xls, xlsb via extras) — and falls back to the repo's stdlib
+    SpreadsheetML reader, which covers the .xlsx subset rosters use."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=0, header=None, dtype=str)
-    except ImportError as exc:  # openpyxl/xlrd missing
-        raise NotImplementedError(
-            "no Excel engine available on the executors; export sheets to "
-            "CSV and pass reader=csv_sheet_reader"
-        ) from exc
-    return pdf.where(pdf.notna(), None)
+        return pdf.where(pdf.notna(), None)
+    except ImportError:  # openpyxl/xlrd missing → stdlib parser
+        from .xlsx_lite import read_sheet_pandas
+
+        return read_sheet_pandas(path, sheet=0)
 
 
 def csv_sheet_reader(path: str):
@@ -153,11 +146,17 @@ def read_participants_many(
                         k: v for k, v in RENAME_MAP.items() if k in data.columns
                     }
                 )
+                # explicit index: when a workbook yields NONE of the
+                # canonical columns the dict would be all scalars and
+                # pd.DataFrame raises an opaque "must pass an index"
+                # executor error — with the index, absent columns become
+                # null Series of the right length instead
                 out = pd.DataFrame(
                     {
                         c: (data[c] if c in data.columns else None)
                         for c in out_cols
-                    }
+                    },
+                    index=data.index,
                 )
                 out["source_file"] = path
                 yield out

@@ -184,12 +184,10 @@ def test_xlsx_fixture_is_regenerable(tmp_path):
 
 def test_excel_end_to_end(spark):
     """S1 against a REAL .xlsx binary (4 junk rows, trailing-space header):
-    read → rename → normalize, full pipeline. Skips cleanly when no Excel
-    engine wheel is installed (this container ships none); the promotion
-    logic itself stays covered via the CSV path above."""
+    read → rename → normalize, full pipeline. Runs everywhere: with no
+    Excel engine wheel installed (this container ships none) the reader
+    falls back to the repo's stdlib SpreadsheetML parser (xlsx_lite)."""
     import os
-
-    import pytest
 
     from etl_moodle_and_mass_email_sending_spark.plans.moodle import (
         MoodleParams,
@@ -203,10 +201,7 @@ def test_excel_end_to_end(spark):
     path = os.path.join(
         os.path.dirname(__file__), "fixtures", "participants.xlsx"
     )
-    try:
-        raw = read_participants_excel(spark, path)
-    except NotImplementedError:
-        pytest.skip("no Excel engine available in this environment")
+    raw = read_participants_excel(spark, path)
     df = rename_participant_columns(raw)
     assert {"rut", "nombres", "apellidos", "email"} <= set(df.columns)
     rows = {
@@ -441,3 +436,176 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     assert pf and any("lang" in ln.split("PartitionFilters")[1].split("]")[0] for ln in pf), pf
     expect = docs.filter(docs["lang"] == langs[0]).count()
     assert pruned.count() == expect
+
+
+# --------------------------------------------------------------------------
+# stdlib SpreadsheetML reader (xlsx_lite) — the no-wheel fallback engine.
+# The committed fixture uses inlineStr cells; real Excel writes a
+# sharedStrings table, so these tests build that layout too.
+# --------------------------------------------------------------------------
+
+
+def _write_shared_strings_xlsx(path, sheets):
+    """Minimal sharedStrings-style workbook (the layout Excel itself
+    writes): ``sheets`` is a list of (name, rows) where a row is a list of
+    (col_letter_ref_or_None, type, value) triples already XML-encoded by
+    the caller's choice of helper below."""
+    import zipfile
+
+    sheet_overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+        'worksheet+xml"/>'
+        for i in range(len(sheets))
+    )
+    wb_sheets = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (name, _) in enumerate(sheets)
+    )
+    wb_rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    parts = {
+        "[Content_Types].xml": (
+            '<?xml version="1.0"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/sharedStrings.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+            'sharedStrings+xml"/>' + sheet_overrides + "</Types>"
+        ),
+        "_rels/.rels": (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships"><Relationship Id="rId1" Type="http://schemas'
+            '.openxmlformats.org/officeDocument/2006/relationships/'
+            'officeDocument" Target="xl/workbook.xml"/></Relationships>'
+        ),
+        "xl/workbook.xml": (
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="http://'
+            'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{wb_sheets}</sheets></workbook>"
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            f'2006/relationships">{wb_rels}</Relationships>'
+        ),
+        # shared strings incl. a rich-text run entry (index 2)
+        "xl/sharedStrings.xml": (
+            f'<?xml version="1.0"?><sst xmlns="{ns}" count="3" uniqueCount='
+            '"3"><si><t>hello</t></si>'
+            '<si><t xml:space="preserve">trailing </t></si>'
+            "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+        ),
+    }
+    for i, (_, body) in enumerate(sheets):
+        parts[f"xl/worksheets/sheet{i + 1}.xml"] = (
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f"<sheetData>{body}</sheetData></worksheet>"
+        )
+    with zipfile.ZipFile(path, "w") as z:
+        for name, content in parts.items():
+            z.writestr(name, content)
+
+
+def test_xlsx_lite_shared_strings_types_and_sparse(tmp_path):
+    """Shared strings (incl. rich-text runs), booleans, numbers, sparse
+    cell refs with gaps, and a row with no r attribute all surface as the
+    pandas-read-excel-equivalent all-string grid."""
+    from etl_moodle_and_mass_email_sending_spark.sources.xlsx_lite import (
+        read_sheet,
+    )
+
+    body = (
+        # row 1: shared string, number, boolean — sparse: D1 skipped, E1 set
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1"><v>42.5</v></c>'
+        '<c r="C1" t="b"><v>1</v></c>'
+        '<c r="E1" t="s"><v>1</v></c>'
+        "</row>"
+        # row 3 (row 2 entirely absent): rich text + formula-string cell
+        '<row r="3">'
+        '<c r="A3" t="s"><v>2</v></c>'
+        '<c r="B3" t="str"><v>computed</v></c>'
+        "</row>"
+        # no r attributes at all → sequential placement (row 4, cols A,B)
+        "<row><c t=\"s\"><v>0</v></c><c><v>7</v></c></row>"
+    )
+    p = tmp_path / "t.xlsx"
+    _write_shared_strings_xlsx(str(p), [("S1", body)])
+    rows = read_sheet(str(p))
+    assert rows[0] == ["hello", "42.5", "TRUE", None, "trailing "]
+    assert rows[1] == [None] * 5
+    assert rows[2] == ["rich", "computed", None, None, None]
+    assert rows[3] == ["hello", "7", None, None, None]
+
+
+def test_xlsx_lite_sheet_selection_and_errors(tmp_path):
+    """Sheet 0 follows WORKBOOK tab order; out-of-range sheet raises."""
+    import pytest
+
+    from etl_moodle_and_mass_email_sending_spark.sources.xlsx_lite import (
+        read_sheet,
+    )
+
+    first = '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+    second = '<row r="1"><c r="A1" t="s"><v>1</v></c></row>'
+    p = tmp_path / "two.xlsx"
+    _write_shared_strings_xlsx(str(p), [("Uno", first), ("Dos", second)])
+    assert read_sheet(str(p), sheet=0) == [["hello"]]
+    assert read_sheet(str(p), sheet=1) == [["trailing "]]
+    with pytest.raises(IndexError):
+        read_sheet(str(p), sheet=2)
+
+
+def test_participants_many_xlsx_default_reader(spark, tmp_path):
+    """The distributed many-workbook scan now ingests REAL .xlsx with its
+    DEFAULT reader (stdlib fallback on wheel-free executors), including a
+    workbook yielding none of the canonical columns — which must surface
+    as null columns, not the pandas all-scalar-dict error."""
+    import os
+    import shutil
+
+    from etl_moodle_and_mass_email_sending_spark.sources.excel import (
+        read_participants_many,
+    )
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "participants.xlsx"
+    )
+    a = tmp_path / "a.xlsx"
+    shutil.copy(fixture, a)
+    # workbook with an alien header — none of the canonical columns
+    alien = (
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>2</v></c></row>'
+        '<row r="4"><c r="A4" t="str"><v>Curso</v></c>'
+        '<c r="B4" t="str"><v>Nota</v></c></row>'
+        '<row r="5"><c r="A5" t="str"><v>mat-101</v></c>'
+        '<c r="B5"><v>6.5</v></c></row>'
+    )
+    b = tmp_path / "b.xlsx"
+    _write_shared_strings_xlsx(str(b), [("Alien", alien)])
+    out = read_participants_many(spark, [str(a), str(b)]).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(os.path.basename(r.source_file), []).append(r)
+    assert len(by_file["a.xlsx"]) == 8  # fixture's 8 data rows
+    emails = {r.email for r in by_file["a.xlsx"]}
+    assert "mjperez@u.cl" in emails
+    # alien workbook: 1 data row, all canonical columns null
+    (alien_row,) = by_file["b.xlsx"]
+    assert (alien_row.rut, alien_row.nombres, alien_row.apellidos,
+            alien_row.email) == (None, None, None, None)
