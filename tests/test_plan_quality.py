@@ -284,3 +284,42 @@ def test_q19_pushes_disjunction_to_both_scans(spark, registry_queries):
     assert len(scans) == 2
     assert all("Or(" in ln for ln in scans), scans
     assert "BroadcastHashJoin" in plan
+
+
+def test_q17_brand_filter_restricts_both_fact_scans(spark, registry_queries):
+    """Q17's average side must be semi-joined down to the brand partkeys
+    BEFORE its groupBy — both lineitem consumers sit under a join/semi-join
+    against the broadcast brand dim, so the full keyspace never shuffles
+    to compute thresholds the probe then discards (VERDICT r4's one
+    scale-killer)."""
+    plan = _plan(registry_queries["rel_q17_small_quantity"](spark, SF_SMALL))
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    lineitem_scans = [ln for ln in scans if "l_partkey" in ln]
+    assert len(lineitem_scans) == 2, scans
+    # the semi-join restriction: one LeftSemi against the brand keys, and
+    # the brand predicate pushed into the part scan
+    assert "LeftSemi" in plan
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    # both lineitem paths join/semi-join broadcast brand keys — no plain
+    # full-keyspace aggregate remains (every HashAggregate keyed on
+    # l_partkey sits above a broadcast join in this tree)
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastExchange") >= 2
+
+
+def test_q22_scalar_is_broadcast_not_rescanned(spark, registry_queries):
+    """Q22's global-average threshold must be a one-row broadcast joined
+    over customer (BroadcastNestedLoopJoin on a singleton is fine — that
+    IS the decorrelated scalar), never a correlated per-row rescan; the
+    no-recent-orders predicate must lower to LeftAnti."""
+    plan = _plan(registry_queries["rel_q22_dormant_customers"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    # the scalar side: an aggregate under a BroadcastExchange /
+    # nested-loop-with-singleton — and customer scans exactly twice
+    # (once for the scalar, once as the probe), not once per row
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    customer_scans = [ln for ln in scans if "c_acctbal" in ln]
+    assert len(customer_scans) == 2, scans
+    assert "BroadcastExchange" in plan
+    # the date filter reaches the orders scan feeding the anti join
+    assert any("o_orderdate" in ln and "PushedFilters" in ln for ln in scans) or \
+        "GreaterThanOrEqual(o_orderdate" in plan

@@ -421,3 +421,86 @@ class TestStreamEventsTsTypes:
             ("2026-01-01T00:00:00", "b"): 1,
             ("2026-01-01T01:00:00", "a"): 1,
         }
+
+
+class TestStreamOuterJoinEviction:
+    def test_null_emission_fires_on_later_trigger_eviction(
+        self, spark, tmp_path
+    ):
+        """Pins the outer join's actual mechanism (VERDICT r4 item 8): the
+        null-padded row for an unmatched click is emitted by WATERMARK
+        EVICTION — in a strictly LATER trigger than the inner match, only
+        once late data advances the watermark past click_ts + interval —
+        and a click whose eviction horizon the final watermark never
+        passes is (correctly) not emitted at all."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark.streaming import joins
+
+        t0 = 1_700_000_000  # any fixed epoch base
+        src = tmp_path / "ev_src"
+        src.mkdir()
+        # batch 0: C1 (matched by E1 inside the 300 s interval) and C2
+        # (never matched — its null row must come from eviction later)
+        a = src / "a.csv"
+        a.write_text(
+            "event_id,user_id,event_type,ts\n"
+            f"C1,1,click,{t0 + 1000}\n"
+            f"C2,2,click,{t0 + 1000}\n"
+            f"E1,1,error,{t0 + 1100}\n"
+        )
+        # batch 1: late traffic on BOTH sides (multipleWatermarkPolicy=min:
+        # each branch's watermark must advance) far enough that the global
+        # watermark (3000-600=2400) passes C2's horizon (1000+300=1300)
+        # but NOT C9's own horizon (3000+300=3300)
+        b = src / "b.csv"
+        b.write_text(
+            "event_id,user_id,event_type,ts\n"
+            f"C9,9,click,{t0 + 3000}\n"
+            f"E9,8,error,{t0 + 3000}\n"
+        )
+        # the file source processes oldest-modified first: force the order
+        os.utime(a, (t0, t0))
+        os.utime(b, (t0 + 100, t0 + 100))
+
+        raw = (
+            spark.readStream.schema(
+                "event_id string, user_id long, event_type string, ts long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src), header=True)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        out = joins.clicks_errors_outer_join(raw)
+        batches: list[tuple[int, list]] = []
+
+        def sink(df, batch_id):
+            batches.append((batch_id, df.collect()))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        emitted = {
+            r.click_id: (bid, r.error_id)
+            for bid, rows in batches
+            for r in rows
+        }
+        # the inner match emits as data arrives
+        assert emitted["C1"][1] == "E1"
+        # the unmatched click emits null-padded, via eviction, in a
+        # strictly later trigger than the match
+        assert emitted["C2"][1] is None
+        assert emitted["C2"][0] > emitted["C1"][0]
+        # C9's horizon (3300) is beyond the final watermark (2400): state
+        # correctly holds it — no premature null emission
+        assert "C9" not in emitted
+        # exactly one row per emitted click — eviction never duplicates
+        n_rows = sum(len(rows) for _, rows in batches)
+        assert n_rows == 2
