@@ -264,3 +264,82 @@ def sql_pagerank(nodes_sql: str, edges_sql: str) -> str:
     SELECT id, round(pr, 6) AS pagerank
     FROM r{PAGERANK_ITERATIONS}
     """
+
+
+# --------------------------------------------------------------------------
+# Triangle counting — per-node triangle participation over an undirected
+# graph. The classic distributed formulation (node-ordered edge
+# orientation, e.g. Suri & Vassilvitskii WWW'11 "Counting Triangles and
+# the Curse of the Last Reducer"): orient every edge small-id → large-id,
+# join wedges on the shared middle vertex, close them against the edge
+# set — each triangle (a<b<c) is produced exactly once, so no /3 or /6
+# correction and no duplicate pressure. Both joins are equi-joins (wedge
+# join keyed on the mid vertex, closing join on the (a,c) pair); at 100 TB
+# scale the production refinement is DEGREE-ordered orientation (the
+# paper's fix for the "last reducer" hot vertex) — id-ordering is kept
+# here because the oracle must replay the exact same orientation and the
+# LSH dup graph this feeds has bounded degree by construction.
+# --------------------------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) undirected (either orientation, self-loops
+    ignored) → (id, n_triangles) for every node in ≥1 triangle."""
+    src, dst = edges.columns[:2]
+    # canonical orientation a<b, deduped (an undirected input may carry
+    # both directions of the same edge)
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        # consumed three times (both wedge legs + the closing probe):
+        # materialize once
+        .localCheckpoint(eager=False)
+    )
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("b"),
+            F.col("y.b").alias("c"),
+        )
+        .alias("w")
+    )
+    triangles = wedges.join(
+        e.alias("z"),
+        (F.col("w.a") == F.col("z.a")) & (F.col("w.c") == F.col("z.b")),
+        "leftsemi",
+    )
+    return (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def sql_triangle_counts(edges_sql: str) -> str:
+    """DuckDB twin: identical orientation, wedge join and closure."""
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    tri AS (
+      SELECT x.a, x.b, y.b AS c
+      FROM e x
+      JOIN e y ON x.b = y.a
+      WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = x.a AND z.b = y.b)
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY id
+    """

@@ -1590,3 +1590,113 @@ def sql_cdc_chunks(corpus_sql: str) -> str:
            count(*) OVER (PARTITION BY digest) AS n_occurrences
     FROM chunks
     """
+
+
+# --------------------------------------------------------------------------
+# Token entropy — per-document Shannon entropy of the token distribution,
+# a quality/repetition signal (boilerplate and spam sit at low entropy;
+# the Gopher rules use the same intuition through ratio proxies). One
+# pass: H = log2(n) - sum(c*log2(c))/n over the per-(doc, token) counts,
+# so the plan is two keyed aggregations (map-side combined) and NO join
+# back — the algebraic identity replaces the usual count⨝total join.
+# --------------------------------------------------------------------------
+
+
+def token_entropy(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, entropy): token-level Shannon
+    entropy per document (empty docs drop — no distribution to measure)."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = toks.groupBy("doc_id", "token").agg(F.count("*").alias("_c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("_c") * F.log2("_c")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log2("n_tokens") - F.col("_s") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+    )
+
+
+def sql_token_entropy(corpus_sql: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS token
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS ts FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(ts) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    cnt AS (
+      SELECT doc_id, token, count(*) AS c
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+    FROM cnt GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# BPE merge candidates — corpus-wide adjacent-character-pair frequencies
+# inside whitespace tokens: exactly the statistic a byte-pair-encoding
+# tokenizer trainer (Sennrich et al. 2016) computes for its first merge
+# decision, at corpus scale. The pair explosion is ~chars(corpus) rows
+# but partial-aggregates map-side before the single pair-keyed shuffle;
+# the top-k is a total order (count desc, pair asc) so the cut is
+# deterministic across engines.
+# --------------------------------------------------------------------------
+
+BPE_TOP_N = 50
+
+
+def bpe_merge_candidates(corpus: DataFrame, top_n: int = BPE_TOP_N) -> DataFrame:
+    """(pair, n_occurrences): the ``top_n`` most frequent adjacent
+    character pairs within tokens — BPE's first-iteration merge table."""
+    words = corpus.select(
+        F.explode(F.expr(_SPARK_TOKS)).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(top_n)
+    )
+
+
+def sql_bpe_merge_candidates(corpus_sql: str, top_n: int = BPE_TOP_N) -> str:
+    return f"""
+    WITH words AS (
+      SELECT t.tok AS w
+      FROM (SELECT {_DUCK_TOKS} AS ts FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(ts) AS tok) t
+      WHERE length(t.tok) >= 2
+    ),
+    pairs AS (
+      SELECT t.p AS pair
+      FROM (
+        SELECT list_transform(range(1, length(w)),
+                              i -> substr(w, CAST(i AS INTEGER), 2)) AS ps
+        FROM words
+      ), LATERAL (SELECT unnest(ps) AS p) t
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {top_n}
+    """

@@ -893,3 +893,50 @@ register(
     ),
     text_analysis.sql_cdc_chunks(_CORPUS_SQL),
 )
+
+
+# --------------------------------------------------------------------------
+# graph_triangles — per-node triangle participation over the MinHash-LSH
+# near-dup graph (operators/components.py::triangle_counts, the
+# node-ordered-orientation formulation). Dup clusters that are cliques
+# (true multi-way duplicates) light up with high counts; chains from
+# LSH band collisions show zero — a cluster-quality diagnostic on the
+# same edge set pagerank and connected-components consume.
+# --------------------------------------------------------------------------
+
+
+def _graph_triangles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import triangle_counts
+
+    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    return triangle_counts(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _sql_graph_triangles() -> str:
+    from ..operators.components import sql_triangle_counts
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return sql_triangle_counts(
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({pairs})"
+    )
+
+
+register("graph_triangles", _graph_triangles, _sql_graph_triangles())
+
+register(
+    "text_token_entropy",
+    lambda spark, sf_dir: text_analysis.token_entropy(_docs(spark, sf_dir)),
+    text_analysis.sql_token_entropy(_DOCS_SQL),
+)
+
+register(
+    "text_bpe_merges",
+    lambda spark, sf_dir: text_analysis.bpe_merge_candidates(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_bpe_merge_candidates(_DOCS_SQL),
+)

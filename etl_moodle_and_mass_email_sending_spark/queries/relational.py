@@ -2364,8 +2364,11 @@ def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             l.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(demand), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), l.l_suppkey == F.col("s_suppkey"))
+        # demand (customer-derived) and supp_nation (supplier-derived) are
+        # fact-proportional — no forced broadcast; AQE picks the strategy
+        # (same posture as rel_q10/rel_q22; only region/nation broadcast)
+        .join(demand, o.o_custkey == F.col("c_custkey"), "leftsemi")
+        .join(supp_nation, l.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.sum(target).alias("_t"),
@@ -2526,5 +2529,403 @@ register(
           AND o_orderdate >= TIMESTAMP '2000-01-01'
       )
     GROUP BY n_name
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q2_min_price_supplier — TPC-H Q2 shape (the testbed has no partsupp
+# table, so lineitem plays the part-supplier offer relation): for each
+# STANDARD small part, the EUROPE supplier(s) quoting the minimum price.
+# The correlated MIN subquery decorrelates into a per-part aggregate
+# joined back on (partkey, price); both consumers of the offers frame
+# shuffle on l_partkey (one partitioning reused), part filter broadcast
+# semi-joined into the fact scan, supplier→nation→region dim chain
+# broadcast only at the nation/region tier (supplier is fact-
+# proportional at real TPC-H scale).
+# --------------------------------------------------------------------------
+
+
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s, n, r, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("part", "supplier", "nation", "region", "lineitem")
+    )
+    part_f = p.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    supp_eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            n.n_regionkey == r.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        l.join(F.broadcast(part_f), l.l_partkey == part_f.p_partkey, "leftsemi")
+        .join(supp_eu, l.l_suppkey == supp_eu.s_suppkey)
+        .select(
+            "l_partkey", "l_extendedprice", "s_name", "s_acctbal", "n_name"
+        )
+        # two consumers (min aggregate + the join-back probe): materialize
+        # the offer frame once instead of re-running the joins per consumer
+        .localCheckpoint(eager=False)
+    )
+    # the aggregate renames its key: minp derives FROM offers, so keeping
+    # the name would make the join-back a same-lineage ambiguity
+    minp = offers.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("l_extendedprice").alias("_min_price")
+    )
+    return (
+        offers.join(
+            minp,
+            (F.col("l_partkey") == F.col("_mk"))
+            & (F.col("l_extendedprice") == F.col("_min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            F.col("l_extendedprice").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+register(
+    "rel_q2_min_price_supplier",
+    _q2,
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_extendedprice, s_name, s_acctbal, n_name
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND l_partkey IN (
+          SELECT p_partkey FROM part
+          WHERE p_type = 'STANDARD' AND p_size < 15
+        )
+    ),
+    minp AS (
+      SELECT l_partkey, min(l_extendedprice) AS min_price
+      FROM offers GROUP BY l_partkey
+    )
+    SELECT DISTINCT o.l_partkey AS p_partkey, s_name, n_name,
+           round(s_acctbal, 2) AS s_acctbal,
+           o.l_extendedprice AS min_price
+    FROM offers o
+    JOIN minp m ON o.l_partkey = m.l_partkey
+              AND o.l_extendedprice = m.min_price
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q9_product_profit — TPC-H Q9 shape: profit on a product line
+# (p_name LIKE '%widget%') by supplier nation and order year. The part
+# filter broadcast-semi-joins into the lineitem scan FIRST (~13% of
+# parts → the orders join input shrinks before the big shuffle); orders
+# joins on l_orderkey (fact-fact, shuffle); nation broadcasts onto
+# supplier, the supplier join left to AQE (fact-proportional).
+# --------------------------------------------------------------------------
+
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s, n, o, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("part", "supplier", "nation", "orders", "lineitem")
+    )
+    part_f = p.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    supp_nation = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", "n_name")
+    amount = F.sum(
+        _dec(
+            _dec(F.col("l_extendedprice")) * (1 - _dec(F.col("l_discount"))),
+            "18,4",
+        )
+    ).cast("double")
+    return (
+        l.join(F.broadcast(part_f), l.l_partkey == part_f.p_partkey, "leftsemi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(supp_nation, l.l_suppkey == supp_nation.s_suppkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(amount, 6).alias("sum_profit"))
+    )
+
+
+register(
+    "rel_q9_product_profit",
+    _q9,
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+             AS DOUBLE), 6) AS sum_profit
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q11_important_stock — TPC-H Q11 shape: per-part value held by one
+# nation's suppliers, kept only where it exceeds a FRACTION of the
+# nation's total (a one-row broadcast scalar, the same decorrelation as
+# rel_q22): group-by + global-threshold HAVING. The value frame
+# aggregates ONCE and is reused for both the total and the per-part
+# filter via a lazy checkpoint barrier.
+# --------------------------------------------------------------------------
+
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, n, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("supplier", "nation", "lineitem")
+    )
+    nat_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+        s.s_nationkey == n.n_nationkey,
+        "leftsemi",
+    ).select("s_suppkey")
+    per_part = (
+        l.join(nat_supp, l.l_suppkey == nat_supp.s_suppkey, "leftsemi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec(F.col("l_extendedprice"))).alias("_val"))
+        # consumed twice (global total + the threshold filter): barrier
+        # stops the scan + groupBy re-executing per consumer
+        .localCheckpoint(eager=False)
+    )
+    total = per_part.agg(
+        (F.sum("_val") * F.lit(0.001).cast("decimal(8,4)")).alias("_thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") > F.col("_thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_val").cast("double").alias("part_value"),
+        )
+    )
+
+
+register(
+    "rel_q11_important_stock",
+    _q11,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+      FROM lineitem
+      WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+      )
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE val > (SELECT sum(val) * CAST(0.001 AS DECIMAL(8,4)) FROM per_part)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q16_supplier_count — TPC-H Q16 shape: distinct-supplier counts per
+# part attribute triple, EXCLUDING a complaint set (the NOT IN subquery
+# → broadcast anti-join; the testbed's stand-in for Q16's complaint
+# suppliers is negative account balance). Distinct-agg shuffles on the
+# (brand, type, size) grouping after the join — count(DISTINCT) lowers
+# to the two-shuffle Expand form Spark plans for exact distincts.
+# --------------------------------------------------------------------------
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s, l = (
+        load_table(spark, sf_dir, t) for t in ("part", "supplier", "lineitem")
+    )
+    part_f = p.filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 14, 23, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(part_f), l.l_partkey == part_f.p_partkey)
+        .join(F.broadcast(bad_supp), l.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
+
+
+register(
+    "rel_q16_supplier_count",
+    _q16,
+    """
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q20_excess_shippers — TPC-H Q20 shape: the nested semi-join chain.
+# Suppliers (in NATION_7) who moved more than 180 units of 'small%'
+# parts during 1997: inner per-supplier aggregate over the part-
+# restricted fact → HAVING → semi-join into supplier. The part filter
+# broadcast-semi-joins into the scan; the supplier probe is the tiny
+# aggregated survivors frame.
+# --------------------------------------------------------------------------
+
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, s, n, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("part", "supplier", "nation", "lineitem")
+    )
+    part_f = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    movers = (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part_f), l.l_partkey == part_f.p_partkey, "leftsemi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"), "18,2")).alias("_qty"))
+        .filter(F.col("_qty") > 180)
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            s.s_nationkey == n.n_nationkey,
+            "leftsemi",
+        )
+        .join(movers, s.s_suppkey == movers.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_qty").cast("double").alias("qty_moved"),
+        )
+    )
+
+
+register(
+    "rel_q20_excess_shippers",
+    _q20,
+    """
+    WITH movers AS (
+      SELECT l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180
+    )
+    SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS qty_moved
+    FROM supplier
+    JOIN movers ON s_suppkey = l_suppkey
+    WHERE s_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'
+    )
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_q21_sole_blame — TPC-H Q21 shape: the EXISTS + NOT-EXISTS double
+# correlation ("the supplier whose line is the ONLY problem on a multi-
+# supplier order"). The testbed has no receipt/commit dates, so the
+# problem marker is l_returnflag = 'R' on finished ('F') orders. Both
+# correlated quantifiers decorrelate into ONE per-order aggregate pass:
+# n_suppliers (EXISTS another supplier), n_flagged + the flagged key
+# (NOT EXISTS another flagged supplier) — no per-row rescans, one
+# shuffle on orderkey, then a count per supplier.
+# --------------------------------------------------------------------------
+
+
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, o, l = (
+        load_table(spark, sf_dir, t)
+        for t in ("supplier", "orders", "lineitem")
+    )
+    per_supp = (
+        l.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            l.l_orderkey == F.col("o_orderkey"),
+            "leftsemi",
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("_has_r"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum("_has_r").alias("_n_flagged"),
+        F.max(F.when(F.col("_has_r") == 1, F.col("l_suppkey"))).alias("_blame"),
+    )
+    blamed = per_order.filter(
+        (F.col("_n_supp") >= 2) & (F.col("_n_flagged") == 1)
+    )
+    return (
+        blamed.groupBy("_blame")
+        .agg(F.count("*").alias("numwait"))
+        .join(s, F.col("_blame") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+register(
+    "rel_q21_sole_blame",
+    _q21,
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+      FROM lineitem
+      WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      )
+      GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(has_r) AS n_flagged,
+             max(CASE WHEN has_r = 1 THEN l_suppkey END) AS blame
+      FROM per_supp GROUP BY 1
+    )
+    SELECT s_name, numwait FROM (
+      SELECT blame, CAST(count(*) AS BIGINT) AS numwait
+      FROM per_order
+      WHERE n_supp >= 2 AND n_flagged = 1
+      GROUP BY blame
+    ) JOIN supplier ON blame = s_suppkey
     """,
 )

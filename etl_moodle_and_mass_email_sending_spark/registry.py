@@ -123,6 +123,17 @@ _DEMOTED = [
     "rel_percentiles",
     "rel_data_quality",
     "rel_sessionize",
+    # --- round-5 additions: start life in the tail (standing policy —
+    # promote into the certification window in round 6) ------------------
+    "rel_q2_min_price_supplier",
+    "rel_q9_product_profit",
+    "rel_q11_important_stock",
+    "rel_q16_supplier_count",
+    "rel_q20_excess_shippers",
+    "rel_q21_sole_blame",
+    "graph_triangles",
+    "text_token_entropy",
+    "text_bpe_merges",
 ]
 
 

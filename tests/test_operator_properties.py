@@ -416,3 +416,88 @@ def test_bloom_prejoin_never_false_negative_on_random_input(
         assert r["n_true_match"] == true
         assert r["n_bloom_pass"] >= true
         assert r["n_false_pos"] == r["n_bloom_pass"] - true
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        max_size=40,
+    )
+)
+def test_triangle_counts_match_bruteforce(spark_mod, edges):
+    """Node-ordered wedge closure equals the O(n^3) reference count on
+    arbitrary graphs (self-loops and duplicate/reversed edges ignored)."""
+    from itertools import combinations
+
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        triangle_counts,
+    )
+
+    spark = spark_mod
+    e_df = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(e_df).collect()}
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for e in eset for n in e}
+    want: dict[int, int] = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= eset:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+def test_token_entropy_known_values(spark_mod):
+    """Uniform tokens → log2(k); single repeated token → 0; empty → no row."""
+    import math
+
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    spark = spark_mod
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform over 4 → H = 2
+            (2, "x x x x x"),        # degenerate → H = 0
+            (3, "a a b b"),          # uniform over 2 → H = 1
+            (4, "  "),               # empty after trim → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["entropy"] == round(math.log2(4), 6) == 2.0
+    assert out[1]["n_distinct"] == 4
+    assert out[2]["entropy"] == 0.0
+    assert out[3]["entropy"] == 1.0
+    assert out[3]["n_tokens"] == 4
+
+
+def test_bpe_merge_candidates_counts_adjacent_pairs(spark_mod):
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        bpe_merge_candidates,
+    )
+
+    spark = spark_mod
+    docs = spark.createDataFrame(
+        [(1, "banana bandana"), (2, "an a")],  # 1-char token 'a' ignored
+        "doc_id long, text string",
+    )
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in bpe_merge_candidates(docs, top_n=100).collect()
+    }
+    # banana: ba an na an na | bandana: ba an nd da an na | an: an
+    assert got["an"] == 5
+    assert got["na"] == 3
+    assert got["ba"] == 2
+    assert got["nd"] == 1 and got["da"] == 1
+    assert sum(got.values()) == 5 + 3 + 2 + 1 + 1
