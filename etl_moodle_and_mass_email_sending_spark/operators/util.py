@@ -19,7 +19,9 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     chunk_documents 1.07→0.41 s, decontaminate gram stage 5.7→0.36 s.
 
     Use ONLY before genuinely heavy per-row stages: for cheap codegen'd
-    expressions (e.g. fingerprints' flat array passes) the exchange costs
-    more than it buys (measured 0.30→0.45 s).
+    expressions the exchange costs more than it buys. (The old example
+    here — fingerprints — stopped being cheap when the rolling hash
+    added a second interpreted md5 pass; round 5 re-measured it at
+    0.73 s → 0.20 s WITH the spread and switched it over.)
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
