@@ -2798,18 +2798,20 @@ register(
 
 # --------------------------------------------------------------------------
 # rel_q20_excess_shippers — TPC-H Q20 shape: the nested semi-join chain.
-# Suppliers (in NATION_7) who moved more than 180 units of 'small%'
-# parts during 1997: inner per-supplier aggregate over the part-
-# restricted fact → HAVING → semi-join into supplier. The part filter
-# broadcast-semi-joins into the scan; the supplier probe is the tiny
-# aggregated survivors frame.
+# ASIA suppliers who moved more than 120 units of 'small%' parts during
+# 1997: inner per-supplier aggregate over the part-restricted fact →
+# HAVING → semi-join into supplier. The part filter broadcast-semi-joins
+# into the scan; the supplier probe is the tiny aggregated survivors
+# frame. (Region-level restriction rather than Q20's single nation: the
+# sf0.001 testbed carries 10 suppliers across 10 nations, so any one
+# nation is empty there and the parity sweep would trivially 0-row.)
 # --------------------------------------------------------------------------
 
 
 def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p, s, n, l = (
+    p, s, n, r, l = (
         load_table(spark, sf_dir, t)
-        for t in ("part", "supplier", "nation", "lineitem")
+        for t in ("part", "supplier", "nation", "region", "lineitem")
     )
     part_f = p.filter(F.col("p_name").like("small%")).select("p_partkey")
     movers = (
@@ -2820,12 +2822,17 @@ def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part_f), l.l_partkey == part_f.p_partkey, "leftsemi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec(F.col("l_quantity"), "18,2")).alias("_qty"))
-        .filter(F.col("_qty") > 180)
+        .filter(F.col("_qty") > 120)
     )
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+        "leftsemi",
+    ).select("n_nationkey")
     return (
         s.join(
-            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
-            s.s_nationkey == n.n_nationkey,
+            F.broadcast(asia_nations),
+            s.s_nationkey == asia_nations.n_nationkey,
             "leftsemi",
         )
         .join(movers, s.s_suppkey == movers.l_suppkey)
@@ -2849,13 +2856,15 @@ register(
         AND l_shipdate < TIMESTAMP '1998-01-01'
         AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
       GROUP BY l_suppkey
-      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 180
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 120
     )
     SELECT s_suppkey, s_name, CAST(qty AS DOUBLE) AS qty_moved
     FROM supplier
     JOIN movers ON s_suppkey = l_suppkey
     WHERE s_nationkey IN (
-      SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7'
+      SELECT n_nationkey FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
     )
     """,
 )
