@@ -68,6 +68,16 @@ HEADLINE = [
     "rel_bloom_prejoin",
     "text_cdc_chunks",
     "sim_hard_negatives",
+    # round-5 additions
+    "rel_q2_min_price_supplier",
+    "rel_q9_product_profit",
+    "rel_q11_important_stock",
+    "rel_q16_supplier_count",
+    "rel_q20_excess_shippers",
+    "rel_q21_sole_blame",
+    "graph_triangles",
+    "text_token_entropy",
+    "text_bpe_merges",
     # capstone composition
     "llm_corpus_pipeline",
 ]
