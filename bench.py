@@ -78,6 +78,7 @@ HEADLINE = [
     "graph_triangles",
     "text_token_entropy",
     "text_bpe_merges",
+    "sim_pq_topk",
     # capstone composition
     "llm_corpus_pipeline",
 ]

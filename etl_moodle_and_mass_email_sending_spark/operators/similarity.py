@@ -761,3 +761,172 @@ def sql_hard_negatives() -> str:
       FROM sims
     ) WHERE rank <= {HARD_NEG_K}
     """
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the billion-vector scale path (Jégou
+# et al. TPAMI 2011; the FAISS IVFPQ architecture): split each DIM=64
+# vector into PQ_M=8 subvectors, train a PQ_K=16-codeword codebook per
+# subspace (same deterministic seed + one unrolled Lloyd iteration as
+# kmeans_refined_assign), encode the corpus as 8 small codes, and answer
+# queries by Asymmetric Distance Computation — the query's exact
+# distance to every codeword (a 10×8×16 lookup table, broadcast) summed
+# over the code columns.
+#
+# Scale shape: the corpus is touched twice (encode, then the ADC scan) —
+# both times joined only against BROADCAST frames (codebooks, LUT); the
+# single shuffle is the final per-(query, vec) sum, which partial-
+# aggregates map-side. Memory story: 64 doubles/vector → 8 bytes/vector
+# of codes, the whole point of PQ at 10^9 vectors.
+#
+# Numeric parity: L2² is computed via the dot-product identity
+# |a-b|² = a·a − 2a·b + b·b (DuckDB has list_dot_product but no
+# zip_with), codebook means round to 6 decimals (exactly the
+# kmeans_refined_assign policy), per-subspace assignment ranks by the
+# ROUNDED distance with the codeword id as tie-break, and the final ADC
+# sum rounds to 6 before ranking with vec_id tie-break.
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace
+PQ_SUB = DIM // PQ_M  # dims per subvector
+
+
+def _l2sq_spark(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"round(({na}) - 2 * ({dot}) + ({nb}), 6)"
+
+
+def _l2sq_duck(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+def _subvectors(v: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): the PQ_M slices of every vector."""
+    slices = F.array(
+        *[F.slice("vec", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    return v.select("vec_id", F.posexplode(slices).alias("m", "sub"))
+
+
+def _pq_codebooks(subs: DataFrame) -> DataFrame:
+    """(m, cid, cvec): per-subspace codebooks — seeds are the first PQ_K
+    vectors' subvectors, refined by one Lloyd iteration (assign by L2²,
+    element-wise mean rounded to 6)."""
+    seed = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
+    )
+    d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("_d"), F.col("cid"))
+    a1 = (
+        subs.join(F.broadcast(seed), "m")
+        .select("vec_id", "m", "sub", "cid", d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return a1.groupBy("m", "cid").agg(
+        F.array(
+            *[F.round(F.avg(F.col("sub")[i]), 6) for i in range(PQ_SUB)]
+        ).alias("cvec")
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank): top-K nearest corpus vectors
+    per query by PQ asymmetric distance (self-match excluded)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    subs = _subvectors(v).localCheckpoint(eager=False)  # feeds train+encode
+    books = _pq_codebooks(subs)
+    d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("_d"), F.col("cid"))
+    codes = (
+        subs.join(F.broadcast(books), "m")
+        .select("vec_id", "m", "cid", d)
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    # the ADC lookup table: exact distance from each query subvector to
+    # every codeword — N_QUERIES × PQ_M × PQ_K rows, broadcast
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(books), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            F.col("cid").alias("code"),
+            F.expr(_l2sq_spark("sub", "cvec")).alias("_d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_pq_topk() -> str:
+    d_seed = _l2sq_duck("s.sub", "c.cvec")
+    d_lut = _l2sq_duck("s.sub", "b.cvec")
+    sub_means = ", ".join(
+        f"round(avg(sub[{i + 1}]), 6)" for i in range(PQ_SUB)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, vec FROM ({_DUCK_VECTORS})),
+    subs AS (
+      SELECT vec_id, CAST(t.r AS INTEGER) AS m,
+             vec[(t.r * {PQ_SUB} + 1):((t.r + 1) * {PQ_SUB})] AS sub
+      FROM v CROSS JOIN range({PQ_M}) t(r)
+    ),
+    seed AS (
+      SELECT m, vec_id AS cid, sub AS cvec FROM subs WHERE vec_id < {PQ_K}
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, cid FROM (
+        SELECT s.vec_id, s.m, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_seed}, c.cid) AS rn
+        FROM subs s JOIN seed c USING (m)
+      ) WHERE rn = 1
+    ),
+    books AS (
+      SELECT m, cid, [{sub_means}] AS cvec
+      FROM a1 GROUP BY m, cid
+    ),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT s.vec_id, s.m, b.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_lut}, b.cid) AS rn
+        FROM subs s JOIN books b USING (m)
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT s.vec_id AS query_id, s.m, b.cid AS code, {d_lut} AS d
+      FROM subs s JOIN books b USING (m)
+      WHERE s.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id, round(sum(l.d), 6) AS adc_dist
+      FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """

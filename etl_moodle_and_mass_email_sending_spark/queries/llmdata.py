@@ -940,3 +940,9 @@ register(
     ),
     text_analysis.sql_bpe_merge_candidates(_DOCS_SQL),
 )
+
+register(
+    "sim_pq_topk",
+    similarity.pq_topk,
+    similarity.sql_pq_topk(),
+)

@@ -134,6 +134,7 @@ _DEMOTED = [
     "graph_triangles",
     "text_token_entropy",
     "text_bpe_merges",
+    "sim_pq_topk",
 ]
 
 

@@ -769,3 +769,33 @@ def test_cdc_chunk_stability_and_dedup(spark):
         ids = sorted(c["chunk_id"] for c in cs)
         assert ids == list(range(len(ids)))
         assert all(c["n_tokens"] > 0 for c in cs)
+
+
+def test_pq_encoding_is_complete_and_books_are_refined(spark):
+    """Every corpus vector encodes to exactly PQ_M codes (one per
+    subspace, codewords within [0, PQ_K)), and the refined codebooks
+    carry PQ_SUB-dim centroids for every (m, cid) the corpus uses."""
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity as S
+    from tests.conftest import SF_SMALL
+
+    v = S._vectors(spark, SF_SMALL).select("vec_id", "vec")
+    n_vec = v.count()
+    subs = S._subvectors(v)
+    assert subs.count() == n_vec * S.PQ_M
+    books = S._pq_codebooks(subs).collect()
+    assert all(len(r["cvec"]) == S.PQ_SUB for r in books)
+    assert all(0 <= r["cid"] < S.PQ_K for r in books)
+    out = S.pq_topk(spark, SF_SMALL)
+    rows = out.collect()
+    # exactly TOP_K ranked neighbors per query, no self-matches
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["vec_id"] != r["query_id"]
+    assert len(per_q) == S.N_QUERIES
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, S.TOP_K + 1))
+        dists = [r["adc_dist"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert dists == sorted(dists)

@@ -323,3 +323,15 @@ def test_q22_scalar_is_broadcast_not_rescanned(spark, registry_queries):
     # the date filter reaches the orders scan feeding the anti join
     assert any("o_orderdate" in ln and "PushedFilters" in ln for ln in scans) or \
         "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_pq_topk_joins_only_broadcast_frames(spark, registry_queries):
+    """PQ ANN: the corpus is joined only against broadcast frames
+    (seed/refined codebooks + the query ADC lookup table) — no sort-merge
+    join and no cartesian anywhere; the only shuffle is the final
+    per-(query, vec) partial-aggregated sum."""
+    plan = _plan(registry_queries["sim_pq_topk"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("HashAggregate") >= 2  # partial+final ADC sum
