@@ -930,3 +930,165 @@ def sql_pq_topk() -> str:
       FROM adc
     ) WHERE rank <= {TOP_K}
     """
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style two-stage retrieval (Kusupati et al., NeurIPS 2022:
+# MRL embeddings are trained so a prefix of the vector is itself a valid
+# lower-dim embedding). Stage 1 scores every corpus vector with only the
+# first MRL_DIM=16 dims and keeps MRL_CAND candidates per query; stage 2
+# re-ranks the candidates with the exact full-dim cosine.
+#
+# Scale shape: stage 1 reads 1/4 of the vector payload (in a real layout
+# the prefix is a SEPARATE narrow column — Parquet column pruning makes
+# the coarse scan 4× cheaper, the same reason MRL+adaptive retrieval is
+# the funnel architecture in vector stores); the corpus is never
+# shuffled — queries broadcast in stage 1, the (N_QUERIES × MRL_CAND)-row
+# candidate list broadcasts back onto the corpus scan in stage 2. The
+# only shuffles are the two per-query top-k windows over tiny frames.
+#
+# Numeric parity: both stages round cosine to 6 before ranking, ties by
+# vec_id — same policy as every other ANN here.
+# --------------------------------------------------------------------------
+
+MRL_DIM = 16  # prefix dims for the coarse stage
+MRL_CAND = 30  # candidates per query surviving stage 1
+
+
+def mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, cosine, rank): exact-rerank top-K restricted to
+    each query's MRL_CAND prefix-cosine candidates (self-match excluded)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    pv = v.withColumn("pvec", F.slice("vec", 1, MRL_DIM))
+    q = pv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("pvec").alias("pqvec"),
+    )
+    pcos = F.expr(_spark_cosine("pqvec", "pvec")).alias("pcos")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("vec_id")
+    )
+    cand = (
+        pv.crossJoin(F.broadcast(q.select("query_id", "pqvec")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", pcos)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= MRL_CAND)
+        .select("query_id", "vec_id")
+    )
+    cos = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        v.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q.select("query_id", "qvec")), "query_id")
+        .select("query_id", "vec_id", cos)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_mrl_topk() -> str:
+    pcos = _duck_cosine("q.pqvec", "p.pvec")
+    cos = _duck_cosine("q.qvec", "v.vec")
+    return f"""
+    WITH v AS (SELECT vec_id, vec FROM ({_DUCK_VECTORS})),
+    pv AS (SELECT vec_id, vec, vec[1:{MRL_DIM}] AS pvec FROM v),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, pvec AS pqvec
+          FROM pv WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, p.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY {pcos} DESC, p.vec_id) AS rn
+        FROM pv p CROSS JOIN q WHERE p.vec_id <> q.query_id
+      ) WHERE rn <= {MRL_CAND}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT c.query_id, c.vec_id, {cos} AS cosine,
+             CAST(row_number() OVER (PARTITION BY c.query_id
+                  ORDER BY {cos} DESC, c.vec_id) AS INTEGER) AS rank
+      FROM cand c
+      JOIN v ON c.vec_id = v.vec_id
+      JOIN q ON c.query_id = q.query_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# Mutual k-NN graph over LSH buckets — the candidate graph that feeds
+# graph-side curation (connected components, PageRank, SemDeDup's cluster
+# graph all consume a k-NN edge list). Directed edges = each node's
+# KNN_K best bucket-mates by cosine; an undirected edge survives only if
+# BOTH endpoints chose each other (mutual k-NN — the standard symmetric
+# pruning that kills hub nodes in high-dim spaces).
+#
+# Scale shape: candidate generation is the within-bucket self-join (the
+# near-dup argument: uniform sign-bit buckets, no O(N²) term); the
+# mutuality check self-joins the DIRECTED edge list on the reversed key —
+# that list is N·KNN_K rows, tiny next to the candidate stage, and the
+# join keys (src, dst) are unskewed. No driver-side state; every stage is
+# a bucket- or key-partitioned shuffle.
+#
+# Numeric parity: cosine rounds to 6 before ranking (vec_id tie-break);
+# the mutual join compares exact (src, dst) pairs so both engines keep
+# identical edges; output is canonicalized src < dst.
+# --------------------------------------------------------------------------
+
+KNN_K = 3  # directed out-degree before mutual pruning
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cosine): mutual k-NN edges (src < dst) within LSH
+    buckets."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    bucketed = v.withColumn("bucket", F.expr(_spark_bucket("vec")))
+    a = bucketed.select(
+        F.col("vec_id").alias("src"), F.col("vec").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("dst"), F.col("vec").alias("vb"), "bucket"
+    )
+    cos = F.expr(_spark_cosine("va", "vb")).alias("cosine")
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    directed = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= KNN_K)
+        .select("src", "dst", "cosine")
+        # consumed twice by the mutuality self-join; the barrier stops
+        # Spark re-running the bucket self-join per side
+        .localCheckpoint()
+    )
+    rev = directed.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        directed.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "cosine")
+    )
+
+
+def sql_knn_graph() -> str:
+    cos = _duck_cosine("a.vec", "b.vec")
+    return f"""
+    WITH v AS (SELECT vec_id, vec, {_duck_bucket('vec')} AS bucket
+               FROM ({_DUCK_VECTORS})),
+    directed AS (
+      SELECT src, dst, cosine FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY {cos} DESC, b.vec_id) AS rn
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      ) WHERE rn <= {KNN_K}
+    )
+    SELECT d.src, d.dst, d.cosine
+    FROM directed d
+    JOIN directed r ON d.src = r.dst AND d.dst = r.src
+    WHERE d.src < d.dst
+    """

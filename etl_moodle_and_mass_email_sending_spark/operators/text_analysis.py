@@ -1709,3 +1709,200 @@ def sql_bpe_merge_candidates(corpus_sql: str, top_n: int = BPE_TOP_N) -> str:
     ORDER BY n_occurrences DESC, pair
     LIMIT {top_n}
     """
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al., ACL 2022 "Deduplicating Training
+# Data Makes Language Models Better": ExactSubstr removes spans ≥50
+# tokens shared verbatim between documents; their implementation is a
+# single-node suffix array). Distributed re-expression: hash every
+# SUBSTR_K-token window, attribute each distinct window to its minimum
+# doc_id ("owner"), and measure per-document the fraction of windows
+# already owned by an earlier document — docs over SUBSTR_DUP_FRAC are
+# flagged exactly like ExactSubstr's removal pass.
+#
+# Scale shape: this is the MapReduce dual of the suffix array — no
+# global sort, no single-node index. Shuffle 1 keys on the 32-bit window
+# hash (uniform by construction, map-side combine for min/count);
+# shuffle 2 is the per-doc rollup on doc_id. Both are linear in corpus
+# token count; nothing is quadratic and nothing collects.
+#
+# Docs with fewer than SUBSTR_K tokens have no windows and drop (no
+# span of length K can be shared).
+# --------------------------------------------------------------------------
+
+SUBSTR_K = 5  # tokens per window (the paper's 50, scaled to testbed docs)
+SUBSTR_DUP_FRAC = 0.5
+
+
+def substring_dedup(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_fraction, flagged):
+    per-doc distinct K-token windows, how many are owned by an earlier
+    doc, and the ExactSubstr-style removal flag."""
+    from ..functions.hashing import hash32
+
+    wins_expr = (
+        f"CASE WHEN size({_SPARK_FTOKS}) >= {SUBSTR_K} THEN "
+        f"transform(sequence(1, size({_SPARK_FTOKS}) - {SUBSTR_K} + 1), "
+        f"i -> concat_ws(' ', slice({_SPARK_FTOKS}, i, {SUBSTR_K}))) "
+        "ELSE array() END"
+    )
+    wins = (
+        corpus.select("doc_id", F.explode(F.expr(wins_expr)).alias("w"))
+        .select("doc_id", hash32(F.col("w")).alias("whash"))
+        .distinct()
+        # consumed by both the owner aggregation and the join back;
+        # the barrier stops the tokenize+window scan running twice
+        .localCheckpoint(eager=False)
+    )
+    owners = wins.groupBy("whash").agg(F.min("doc_id").alias("_owner"))
+    return (
+        wins.join(owners, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("_owner") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_fraction"),
+            (
+                F.col("n_dup_windows") / F.col("n_windows")
+                >= SUBSTR_DUP_FRAC
+            ).alias("flagged"),
+        )
+    )
+
+
+def sql_substring_dedup(corpus_sql: str) -> str:
+    from ..functions.hashing import sql_hash32
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_FTOKS} AS tk FROM ({corpus_sql})
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, {sql_hash32('w')} AS whash FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(tk) >= {SUBSTR_K} THEN
+            list_transform(generate_series(1, len(tk) - {SUBSTR_K} + 1),
+              i -> array_to_string(tk[i:(i + {SUBSTR_K} - 1)], ' '))
+          ELSE CAST([] AS VARCHAR[]) END) AS w
+        FROM toks)
+    ),
+    owners AS (SELECT whash, min(doc_id) AS owner FROM wins GROUP BY 1)
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           CAST(sum(CASE WHEN o.owner < w.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_windows,
+           round(CAST(sum(CASE WHEN o.owner < w.doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS dup_fraction,
+           (CAST(sum(CASE WHEN o.owner < w.doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*)) >= {SUBSTR_DUP_FRAC} AS flagged
+    FROM wins w JOIN owners o USING (whash)
+    GROUP BY w.doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Linear quality classifier — the fastText-style filter (Joulin et al.
+# 2016) used as the GPT-3/CCNet "looks like reference text" gate: score
+# a document as sigmoid(mean of per-token weights), where each token
+# maps to one of QC_BUCKETS hashed feature buckets with a fixed weight.
+# A real deployment loads trained weights; here the weight table is
+# DERIVED deterministically from the portable hash (bucket b's weight =
+# hash32('qc§b') mapped to [-1, 1], precomputed on the driver and
+# inlined as a literal array) so both engines score identically with no
+# model artifact.
+#
+# Numeric parity: per-token weights are INTEGER thousandths summed
+# exactly (integer addition is order-independent, so Spark's partial
+# aggregation and DuckDB's sequential sum agree bit-for-bit); the single
+# divide and the sigmoid happen once per doc on the agreed sum, rounded
+# to 6.
+#
+# Scale shape: one corpus scan, explode → hash → element_at against a
+# broadcast-inlined 64-int literal, one map-side-combining groupBy on
+# doc_id. JVM-side end to end; no UDF, no model file, no shuffle beyond
+# the rollup.
+# --------------------------------------------------------------------------
+
+QC_BUCKETS = 64
+QC_SEED = "qc"
+
+
+def _qc_weights() -> list[int]:
+    """Per-bucket weights in integer thousandths ∈ [-1000, 1000]."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{QC_SEED}{SEED_SEP}{b}".encode()).hexdigest()[:8], 16)
+        % 2001
+        - 1000
+        for b in range(QC_BUCKETS)
+    ]
+
+
+def quality_classifier(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, quality_prob, keep): hashed-linear classifier
+    probability per doc (empty docs drop — nothing to score)."""
+    from ..functions.hashing import hash32
+
+    w = _qc_weights()
+    arr = F.array(*[F.lit(x) for x in w])
+    toks = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
+    )
+    wint = F.element_at(
+        arr, (hash32(F.col("token")) % QC_BUCKETS).cast("int") + 1
+    )
+    return (
+        toks.select("doc_id", wint.alias("_w"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("_w").alias("_s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                1.0
+                / (
+                    1.0
+                    + F.exp(
+                        -(F.col("_s") / 1000.0 / F.col("n_tokens"))
+                    )
+                ),
+                6,
+            ).alias("quality_prob"),
+            (F.col("_s") > 0).alias("keep"),
+        )
+    )
+
+
+def sql_quality_classifier(corpus_sql: str) -> str:
+    from ..functions.hashing import sql_hash32
+
+    w = _qc_weights()
+    arr = "[" + ", ".join(str(x) for x in w) + "]"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_FTOKS}) AS token FROM ({corpus_sql})
+    ),
+    weighted AS (
+      SELECT doc_id,
+             ({arr})[CAST({sql_hash32('token')} % {QC_BUCKETS} AS INTEGER) + 1]
+               AS w
+      FROM toks
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(CAST(sum(w) AS DOUBLE) / 1000.0
+                 / count(*)))), 6) AS quality_prob,
+           (sum(w) > 0) AS keep
+    FROM weighted GROUP BY doc_id
+    """

@@ -946,3 +946,29 @@ register(
     similarity.pq_topk,
     similarity.sql_pq_topk(),
 )
+
+register(
+    "sim_mrl_topk",
+    similarity.mrl_topk,
+    similarity.sql_mrl_topk(),
+)
+
+register(
+    "sim_knn_graph",
+    similarity.knn_graph,
+    similarity.sql_knn_graph(),
+)
+
+register(
+    "text_substring_dedup",
+    lambda spark, sf_dir: text_analysis.substring_dedup(_docs(spark, sf_dir)),
+    text_analysis.sql_substring_dedup(_DOCS_SQL),
+)
+
+register(
+    "text_quality_classifier",
+    lambda spark, sf_dir: text_analysis.quality_classifier(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_quality_classifier(_DOCS_SQL),
+)

@@ -2938,3 +2938,51 @@ register(
     ) JOIN supplier ON blame = s_suppkey
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_q12_late_priority — TPC-H Q12 shape (SQL ref: dbgen queries/12.sql):
+# per ship-mode counts of urgent vs non-urgent orders among late-delivered
+# lines. The synthetic lineitem has no l_shipmode/l_receiptdate, so the
+# shape keeps Q12's two defining features — a cross-table date predicate
+# (shipped > 60 days after order placement) and the conditional-priority
+# split — keyed on l_returnflag. The lateness predicate references both
+# sides, so it cannot be pushed below the join; the join itself is
+# fact-to-fact on l_orderkey (both sides shuffle-partition on the key, AQE
+# picks sort-merge; neither side is broadcastable at scale). Only the
+# three needed columns survive each scan.
+# --------------------------------------------------------------------------
+
+
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "rel_q12_late_priority",
+    _q12,
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)

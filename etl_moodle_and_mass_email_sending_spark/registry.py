@@ -135,6 +135,9 @@ _DEMOTED = [
     "text_token_entropy",
     "text_bpe_merges",
     "sim_pq_topk",
+    "rel_q12_late_priority",
+    "sim_mrl_topk",
+    "sim_knn_graph",
 ]
 
 
