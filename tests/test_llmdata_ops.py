@@ -799,3 +799,103 @@ def test_pq_encoding_is_complete_and_books_are_refined(spark):
         assert sorted(r["rank"] for r in rs) == list(range(1, S.TOP_K + 1))
         dists = [r["adc_dist"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert dists == sorted(dists)
+
+
+def test_mrl_rerank_recall_floor(spark):
+    """The MRL funnel's re-rank is exact, so its top-K must overlap the
+    brute-force top-K substantially (the prefix stage only risks losing
+    neighbors whose prefix cosine falls outside the candidate pool)."""
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity as S
+
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in S.topk_bruteforce(spark, SF_SMALL).collect()
+    }
+    mrl_rows = S.mrl_topk(spark, SF_SMALL).collect()
+    mrl = {(r["query_id"], r["vec_id"]) for r in mrl_rows}
+    recall = len(mrl & bf) / len(bf)
+    # i.i.d. random vectors are the worst case for a prefix funnel (the
+    # prefix carries only 1/4 of the direction, unlike trained MRL
+    # embeddings) — so the floor is modest, but it must decisively beat
+    # the random-candidate baseline of MRL_CAND/N
+    n = S._vectors(spark, SF_SMALL).count()
+    assert recall >= 0.3
+    assert recall > 3 * S.MRL_CAND / n
+    # exactly TOP_K ranked rows per query, self-match excluded
+    per_q = {}
+    for r in mrl_rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["vec_id"] != r["query_id"]
+    assert len(per_q) == S.N_QUERIES
+    for rs in per_q.values():
+        assert sorted(r["rank"] for r in rs) == list(range(1, S.TOP_K + 1))
+
+
+def test_knn_graph_edges_are_mutual_and_canonical(spark):
+    """Every surviving edge is canonical (src < dst) and appears once;
+    mutuality bounds each node's degree by KNN_K; edges carry a valid
+    cosine and connect bucket-mates of the directed stage."""
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity as S
+
+    rows = S.knn_graph(spark, SF_SMALL).collect()
+    assert rows, "graph is empty"
+    edges = [(r["src"], r["dst"]) for r in rows]
+    assert len(edges) == len(set(edges))
+    assert all(s < d for s, d in edges)
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+    deg = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    assert max(deg.values()) <= S.KNN_K
+
+
+def test_substring_dedup_flags_planted_copies(spark):
+    """Exact copies share every K-token window with their original, so
+    the copy's dup_fraction is 1.0 and it is flagged; an original whose
+    windows are corpus-unique stays unflagged."""
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        dedup,
+        text_analysis as ta,
+    )
+
+    out = {
+        r["doc_id"]: r
+        for r in ta.substring_dedup(dedup.dup_corpus(spark, SF_SMALL)).collect()
+    }
+    copies = [
+        d
+        for d in out
+        if dedup.EXACT_COPY_OFFSET <= d < dedup.NEAR_COPY_OFFSET
+    ]
+    assert copies
+    for d in copies:
+        assert out[d]["dup_fraction"] == 1.0
+        assert out[d]["flagged"]
+        orig = out[d - dedup.EXACT_COPY_OFFSET]
+        assert orig["n_windows"] == out[d]["n_windows"]
+    # counts are consistent
+    for r in out.values():
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+
+
+def test_quality_classifier_prob_matches_keep_and_is_deterministic(spark):
+    """quality_prob is a valid probability, keep is exactly the
+    prob > 0.5 decision (integer-sum sign), and re-running scores
+    identically (no RNG, no model state)."""
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        dedup,
+        text_analysis as ta,
+    )
+
+    corpus = dedup.dup_corpus(spark, SF_SMALL)
+    rows = {r["doc_id"]: r for r in ta.quality_classifier(corpus).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 < r["quality_prob"] < 1.0
+        if r["quality_prob"] != 0.5:
+            assert r["keep"] == (r["quality_prob"] > 0.5)
+    again = {r["doc_id"]: r for r in ta.quality_classifier(corpus).collect()}
+    assert {d: r["quality_prob"] for d, r in rows.items()} == {
+        d: r["quality_prob"] for d, r in again.items()
+    }

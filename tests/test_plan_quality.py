@@ -335,3 +335,59 @@ def test_pq_topk_joins_only_broadcast_frames(spark, registry_queries):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
     assert plan.count("HashAggregate") >= 2  # partial+final ADC sum
+
+
+def test_q12_join_is_shuffled_fact_fact_with_pruned_scans(
+    spark, registry_queries
+):
+    """Q12's orderkey join is fact-to-fact: neither side may broadcast
+    (orders scales with SF), and both scans read only the three needed
+    columns."""
+    plan = _plan(registry_queries["rel_q12_late_priority"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_quantity" not in plan  # lineitem scan pruned
+    assert "o_totalprice" not in plan  # orders scan pruned
+
+
+def test_knn_graph_candidates_join_on_buckets(spark, registry_queries):
+    """The k-NN graph's candidate stage must be the bucket equi-join, not
+    an all-pairs product, and the mutuality stage an equi-join on the
+    reversed edge key."""
+    plan = _plan(registry_queries["sim_knn_graph"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the directed stage sits behind its localCheckpoint barrier (it
+    # shows as Scan ExistingRDD here — the same _spark_bucket equi-join
+    # is plan-asserted via the ANN test), so what must be visible is the
+    # mutuality equi-join on the reversed (src, dst) edge key
+    assert "SortMergeJoin [src" in plan or "ShuffledHashJoin [src" in plan
+
+
+def test_mrl_rerank_broadcasts_candidates_onto_corpus(
+    spark, registry_queries
+):
+    """Stage 2 must bring the tiny candidate list TO the corpus scan
+    (BroadcastHashJoin), never shuffle the corpus; stage 1's only
+    non-equi operator is the deliberate broadcast of the query batch."""
+    plan = _plan(registry_queries["sim_mrl_topk"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_substring_dedup_shuffles_window_hashes_with_partial_agg(
+    spark, registry_queries
+):
+    """The owner aggregation keys on the 32-bit window hash and must
+    partial-aggregate map-side before the exchange."""
+    plan = _plan(registry_queries["text_substring_dedup"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_quality_classifier_stays_jvm_side(spark, registry_queries):
+    """The classifier is pure column expressions: no Python evaluation
+    anywhere in the plan."""
+    plan = _plan(registry_queries["text_quality_classifier"](spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
