@@ -343,3 +343,88 @@ def sql_triangle_counts(edges_sql: str) -> str:
     )
     GROUP BY id
     """
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling) — the degeneracy filter
+# used on dup/citation graphs to isolate densely-duplicated cores from
+# incidental LSH chains. Classic iterative peeling: repeatedly delete
+# every node whose current degree is below K, until no deletion happens
+# (here: a FIXED number of unrolled rounds, so the oracle replays the
+# identical computation; the dup graphs this feeds converge in 2-3
+# rounds because chain tails are short).
+#
+# Scale shape per round: one degree aggregation (map-side combine on the
+# node key) + two semi-joins filtering the edge list against the
+# survivor set — all key-partitioned equi-joins, no broadcast of
+# anything fact-sized, with a localCheckpoint barrier per round exactly
+# like pagerank/connected_components (without it round r re-executes
+# rounds 1..r-1).
+# --------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """edges(src, dst) undirected (either orientation, self-loops
+    ignored) → (id, degree): nodes surviving ``rounds`` of < k peeling,
+    with their degree in the surviving subgraph."""
+    src, dst = edges.columns[:2]
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("a").alias("id"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    )
+    for _ in range(rounds):
+        deg = sym.groupBy("id").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        sym = (
+            sym.join(keep, "id", "leftsemi")
+            .join(keep.select(F.col("id").alias("nb")), "nb", "leftsemi")
+            .localCheckpoint(eager=False)
+        )
+    return sym.groupBy("id").agg(F.count("*").alias("degree"))
+
+
+def sql_kcore(
+    edges_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """DuckDB twin: the same fixed-round peeling as chained CTEs."""
+    ctes = [
+        f"""raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    sym0 AS (
+      SELECT a AS id, b AS nb FROM e
+      UNION ALL
+      SELECT b AS id, a AS nb FROM e
+    )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""keep{r} AS (
+      SELECT id FROM sym{r} GROUP BY id HAVING count(*) >= {k}
+    ),
+    sym{r + 1} AS (
+      SELECT s.id, s.nb FROM sym{r} s
+      WHERE s.id IN (SELECT id FROM keep{r})
+        AND s.nb IN (SELECT id FROM keep{r})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, count(*) AS degree FROM sym{rounds} GROUP BY id
+    """
+    )

@@ -972,3 +972,35 @@ register(
     ),
     text_analysis.sql_quality_classifier(_DOCS_SQL),
 )
+
+
+# --------------------------------------------------------------------------
+# graph_kcore — densely-duplicated cores of the MinHash-LSH near-dup
+# graph (operators/components.py::kcore, fixed-round < K peeling). True
+# multi-way duplicate cliques survive 2-core peeling; incidental LSH
+# band-collision chains peel away — the companion diagnostic to
+# graph_triangles on the same edge set.
+# --------------------------------------------------------------------------
+
+
+def _graph_kcore(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import kcore
+
+    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    return kcore(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _sql_graph_kcore() -> str:
+    from ..operators.components import sql_kcore
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return sql_kcore(
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({pairs})"
+    )
+
+
+register("graph_kcore", _graph_kcore, _sql_graph_kcore())

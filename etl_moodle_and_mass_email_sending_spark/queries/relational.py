@@ -2986,3 +2986,45 @@ register(
     ORDER BY l_returnflag
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_grouping_sets — GROUPING SETS with an ASYMMETRIC set list:
+# ((lang), (source)) — two independent one-dimension slices computed in
+# ONE scan, which neither ROLLUP nor CUBE can express (rollup nests,
+# cube powersets; both would add unwanted sets). Spark's Expand operator
+# replicates each input row once per set before a single partial+final
+# aggregation — at 100 TB that is one fact scan instead of two, at the
+# cost of a 2× expanded shuffle input that map-side combine collapses to
+# |langs| + |sources| groups.
+# --------------------------------------------------------------------------
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["lang"], ["source"]], "lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+register(
+    "rel_grouping_sets",
+    _grouping_sets,
+    """
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY GROUPING SETS ((lang), (source))
+    """,
+)

@@ -138,6 +138,8 @@ _DEMOTED = [
     "rel_q12_late_priority",
     "sim_mrl_topk",
     "sim_knn_graph",
+    "graph_kcore",
+    "rel_grouping_sets",
 ]
 
 

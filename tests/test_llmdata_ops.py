@@ -899,3 +899,22 @@ def test_quality_classifier_prob_matches_keep_and_is_deterministic(spark):
     assert {d: r["quality_prob"] for d, r in rows.items()} == {
         d: r["quality_prob"] for d, r in again.items()
     }
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    """A hand-built graph: a 4-clique (every node degree 3) survives
+    2-core peeling; a pendant chain hanging off it peels away round by
+    round; an isolated edge vanishes in round 1."""
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        kcore,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    lone = [(20, 21)]
+    edges = spark.createDataFrame(
+        clique + chain + lone, ["src", "dst"]
+    )
+    out = {r["id"]: r["degree"] for r in kcore(edges).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(d == 3 for d in out.values())

@@ -391,3 +391,13 @@ def test_quality_classifier_stays_jvm_side(spark, registry_queries):
     plan = _plan(registry_queries["text_quality_classifier"](spark, SF_SMALL))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_grouping_sets_is_one_scan_with_expand(spark, registry_queries):
+    """The asymmetric GROUPING SETS must compute both slices from ONE
+    documents scan via Expand + a single partial/final aggregation —
+    never two scans unioned."""
+    plan = _plan(registry_queries["rel_grouping_sets"](spark, SF_SMALL))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
