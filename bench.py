@@ -79,6 +79,13 @@ HEADLINE = [
     "text_token_entropy",
     "text_bpe_merges",
     "sim_pq_topk",
+    "rel_q12_late_priority",
+    "sim_mrl_topk",
+    "sim_knn_graph",
+    "text_substring_dedup",
+    "text_quality_classifier",
+    "graph_kcore",
+    "rel_grouping_sets",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1739,17 +1739,29 @@ def substring_dedup(corpus: DataFrame) -> DataFrame:
     """(doc_id, n_windows, n_dup_windows, dup_fraction, flagged):
     per-doc distinct K-token windows, how many are owned by an earlier
     doc, and the ExactSubstr-style removal flag."""
-    from ..functions.hashing import hash32
+    from ..functions.hashing import hash32_expr_lambda
 
+    # Hash each token ONCE (md5 per token), then derive every window's
+    # hash as a Rabin-Karp polynomial fold over the K-token integer
+    # slice — no per-window string building and no per-window md5
+    # (measured at sf0.1: 4.9 s → 1.2 s median). The `_th` projection is
+    # referenced three times below; Spark's CollapseProject keeps the
+    # expensive alias materialized instead of inlining it (the same
+    # tokenize-once pattern as fingerprints).
+    toks_h = f"transform({_SPARK_FTOKS}, t -> {hash32_expr_lambda(83)})"
     wins_expr = (
-        f"CASE WHEN size({_SPARK_FTOKS}) >= {SUBSTR_K} THEN "
-        f"transform(sequence(1, size({_SPARK_FTOKS}) - {SUBSTR_K} + 1), "
-        f"i -> concat_ws(' ', slice({_SPARK_FTOKS}, i, {SUBSTR_K}))) "
+        f"CASE WHEN size(_th) >= {SUBSTR_K} THEN "
+        f"transform(sequence(1, size(_th) - {SUBSTR_K} + 1), "
+        f"i -> aggregate(slice(_th, i, {SUBSTR_K}), cast(0 as bigint), "
+        f"(acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD})) "
         "ELSE array() END"
     )
     wins = (
-        corpus.select("doc_id", F.explode(F.expr(wins_expr)).alias("w"))
-        .select("doc_id", hash32(F.col("w")).alias("whash"))
+        # the window fan-out (tokenize + per-position fold) is
+        # interpreted lambda work — spread the 1-3-partition scan first
+        spread_for_compute(corpus)
+        .select("doc_id", F.expr(toks_h).alias("_th"))
+        .select("doc_id", F.explode(F.expr(wins_expr)).alias("whash"))
         .distinct()
         # consumed by both the owner aggregation and the join back;
         # the barrier stops the tokenize+window scan running twice
@@ -1781,20 +1793,25 @@ def substring_dedup(corpus: DataFrame) -> DataFrame:
 
 
 def sql_substring_dedup(corpus_sql: str) -> str:
-    from ..functions.hashing import sql_hash32
+    from ..functions.hashing import sql_hash32_lambda
 
     return f"""
     WITH toks AS (
-      SELECT doc_id, {_DUCK_FTOKS} AS tk FROM ({corpus_sql})
+      SELECT doc_id,
+             list_transform({_DUCK_FTOKS}, t -> {sql_hash32_lambda(83)})
+               AS th
+      FROM ({corpus_sql})
     ),
     wins AS (
-      SELECT DISTINCT doc_id, {sql_hash32('w')} AS whash FROM (
-        SELECT doc_id, unnest(
-          CASE WHEN len(tk) >= {SUBSTR_K} THEN
-            list_transform(generate_series(1, len(tk) - {SUBSTR_K} + 1),
-              i -> array_to_string(tk[i:(i + {SUBSTR_K} - 1)], ' '))
-          ELSE CAST([] AS VARCHAR[]) END) AS w
-        FROM toks)
+      SELECT DISTINCT doc_id, unnest(
+          CASE WHEN len(th) >= {SUBSTR_K} THEN
+            list_transform(generate_series(1, len(th) - {SUBSTR_K} + 1),
+              i -> list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                             th[i:(i + {SUBSTR_K} - 1)]),
+                (acc, h) -> (acc * {ROLLING_BASE} + h) % {ROLLING_MOD}))
+          ELSE CAST([] AS BIGINT[]) END) AS whash
+      FROM toks
     ),
     owners AS (SELECT whash, min(doc_id) AS owner FROM wins GROUP BY 1)
     SELECT w.doc_id,
