@@ -86,6 +86,9 @@ HEADLINE = [
     "text_quality_classifier",
     "graph_kcore",
     "rel_grouping_sets",
+    "rel_kmv_setops",
+    "text_weighted_sample",
+    "mm_clip_align",
     # capstone composition
     "llm_corpus_pipeline",
 ]

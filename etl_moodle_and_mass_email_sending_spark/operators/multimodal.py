@@ -710,3 +710,103 @@ def sql_detect_silence_runs(threshold: int = SILENCE_THRESHOLD) -> str:
            min(energy) AS min_energy
     FROM runs GROUP BY doc_id, grp
     """
+
+
+# --------------------------------------------------------------------------
+# Image–text alignment scoring — the LAION-style pairing filter: embed
+# the image (here the fake strided-byte-mean features; a real CLIP
+# vision tower plugs into extract_features with the same schema), embed
+# the caption text (hashed bag-of-words into the SAME N_FEATURES dims —
+# deterministic integer sums, the stand-in for the CLIP text tower),
+# and keep pairs whose cosine clears a threshold. At web-crawl scale
+# this is the operator that decides which (image, alt-text) pairs enter
+# the training set.
+#
+# Scale shape: the image side is the Arrow-batched mapInPandas feature
+# pass (one scan); the text side is one explode + map-side-combining
+# groupBy building 8 integer sums per doc; the pairing is a doc_id
+# equi-join of two frames that are 1:1 with the corpus — AQE picks the
+# join; nothing fans out. Integer text sums are order-independent, so
+# the only float math is one cosine per pair, rounded to 6.
+# --------------------------------------------------------------------------
+
+CLIP_THRESHOLD = 0.5
+
+
+def clip_align(
+    media: DataFrame, docs: DataFrame, engine: str = "fake"
+) -> DataFrame:
+    """(doc_id, clip_score, keep): caption↔image cosine for every image
+    doc (captionless/tokenless docs drop — no text tower input)."""
+    from ..functions.hashing import hash32
+
+    feats = extract_features(
+        media.filter(F.col("media_type") == "image"), engine=engine
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(trim(lower(text)), '\\\\s+'), t -> t != '')")
+        ).alias("token"),
+    )
+    h = hash32(F.col("token"))
+    temb = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(N_FEATURES)).alias("_b"),
+        F.pmod(h, F.lit(1000)).alias("_v"),
+    ).groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("_b") == i, F.col("_v")).otherwise(0)).alias(
+                f"_t{i}"
+            )
+            for i in range(N_FEATURES)
+        ]
+    )
+    dot = sum(
+        F.col(f"feat_{i}") * F.col(f"_t{i}") for i in range(N_FEATURES)
+    )
+    na = F.sqrt(sum(F.col(f"feat_{i}") ** 2 for i in range(N_FEATURES)))
+    nb = F.sqrt(sum(F.col(f"_t{i}") ** 2 for i in range(N_FEATURES)))
+    return (
+        feats.join(temb, "doc_id")
+        .filter(nb > 0)
+        .select(
+            "doc_id",
+            F.round(dot / (na * nb), 6).alias("clip_score"),
+        )
+        .withColumn("keep", F.col("clip_score") >= CLIP_THRESHOLD)
+    )
+
+
+def sql_clip_align() -> str:
+    """DuckDB twin: same fake towers, same cosine."""
+    from ..functions.hashing import sql_hash32
+
+    h = sql_hash32("token")
+    tsums = ", ".join(
+        f"CAST(sum(CASE WHEN ({h}) % {N_FEATURES} = {i} "
+        f"THEN ({h}) % 1000 ELSE 0 END) AS BIGINT) AS t{i}"
+        for i in range(N_FEATURES)
+    )
+    dot = " + ".join(f"f.feat_{i} * t.t{i}" for i in range(N_FEATURES))
+    na = " + ".join(f"f.feat_{i} * f.feat_{i}" for i in range(N_FEATURES))
+    nb = " + ".join(f"t.t{i} * t.t{i}" for i in range(N_FEATURES))
+    return f"""
+    WITH feats AS (
+      SELECT * FROM ({sql_extract_features()}) WHERE media_type = 'image'
+    ),
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+        string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    ),
+    temb AS (
+      SELECT doc_id, {tsums} FROM toks GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS clip_score,
+           round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) >= {CLIP_THRESHOLD}
+             AS keep
+    FROM feats f JOIN temb t ON f.doc_id = t.doc_id
+    WHERE sqrt({nb}) > 0
+    """

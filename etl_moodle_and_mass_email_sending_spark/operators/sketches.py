@@ -425,3 +425,167 @@ def sql_bloom_prejoin_stats(
     LEFT JOIN n_pass USING ({group_col})
     LEFT JOIN n_true USING ({group_col})
     """
+
+
+# --------------------------------------------------------------------------
+# KMV set operations — union/intersection cardinality from mergeable
+# synopses, the actual subject of Beyer et al. SIGMOD'07 ("...Under
+# Multiset Operations"): two KMV sketches merge by keeping the k
+# smallest of the combined hash sets (union estimate (k-1)/h_k), and
+# the intersection estimate is ρ·Û where ρ is the fraction of the
+# merged top-k present in BOTH input sketches. This is what replaces
+# "count distinct users in A∪B / A∩B" when A and B each have billions
+# of members: the only full-data work is one distinct-pair shuffle and
+# the salted top-k; the merge/ρ algebra runs on ≤2k 8-byte hashes.
+#
+# Determinism: same md5-top-60-bit hash fraction as kmv_distinct, exact
+# top-k both engines, exact-count substitution when the union holds
+# fewer than k keys — so the approximate answer hash-gates exactly.
+# --------------------------------------------------------------------------
+
+
+def kmv_setops(
+    df: DataFrame,
+    part_col: str,
+    key_col: str,
+    a: str,
+    b: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """One row: exact and KMV-estimated |A|, |B|, |A∪B|, |A∩B| where
+    A/B are the distinct ``key_col`` populations with ``part_col`` = a/b."""
+    pairs = (
+        df.filter(F.col(part_col).isin(a, b))
+        .select(part_col, key_col)
+        .distinct()
+        # consumed by the sketch path AND the exact path
+        .localCheckpoint(eager=False)
+    )
+    hashed = pairs.select(
+        part_col,
+        _hash_frac(F.col(key_col)).alias("_frac"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(KMV_SALTS)).alias("_salt"),
+    )
+    w1 = Window.partitionBy(part_col, "_salt").orderBy("_frac")
+    stage1 = hashed.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy(part_col).orderBy("_frac")
+    topk = (
+        stage1.withColumn("_gr", F.row_number().over(w2))
+        .filter(F.col("_gr") <= k)
+        .select(part_col, "_frac")
+    )
+    # per-hash membership flags, then the merged top-k (≤ 2k rows — the
+    # single-partition window is over the SKETCH, never the data)
+    flags = topk.groupBy("_frac").agg(
+        F.max(F.when(F.col(part_col) == a, 1).otherwise(0)).alias("_in_a"),
+        F.max(F.when(F.col(part_col) == b, 1).otherwise(0)).alias("_in_b"),
+    )
+    wm = Window.partitionBy(F.lit(1)).orderBy("_frac")
+    merged = flags.withColumn("_rn", F.row_number().over(wm)).filter(
+        F.col("_rn") <= k
+    )
+    sketch = merged.agg(
+        F.max("_frac").alias("_hk"),
+        F.count("*").alias("_n_merged"),
+        F.sum(F.col("_in_a") * F.col("_in_b")).alias("_n_both"),
+    )
+    per_key = pairs.groupBy(key_col).agg(
+        F.max(F.when(F.col(part_col) == a, 1).otherwise(0)).alias("_ha"),
+        F.max(F.when(F.col(part_col) == b, 1).otherwise(0)).alias("_hb"),
+    )
+    exact = per_key.agg(
+        F.sum("_ha").alias("n_exact_a"),
+        F.sum("_hb").alias("n_exact_b"),
+        F.count("*").alias("n_exact_union"),
+        F.sum(F.col("_ha") * F.col("_hb")).alias("n_exact_intersection"),
+    )
+    union_est = F.when(
+        F.col("n_exact_union") < k, F.col("n_exact_union").cast("double")
+    ).otherwise(F.round((F.lit(k) - F.lit(1)) / F.col("_hk"), 6))
+    return (
+        exact.crossJoin(F.broadcast(sketch))
+        .withColumn("kmv_union", union_est)
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_union",
+            "n_exact_intersection",
+            "kmv_union",
+            F.round(
+                F.col("_n_both") / F.col("_n_merged") * F.col("kmv_union"),
+                6,
+            ).alias("kmv_intersection"),
+        )
+    )
+
+
+def sql_kmv_setops(
+    table_sql: str,
+    part_col: str,
+    key_col: str,
+    a: str,
+    b: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB twin: identical hash, merge, ρ algebra."""
+    frac = (
+        f"CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) / {float(_SCALE)!r}"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT {part_col} AS part, {key_col} FROM ({table_sql})
+      WHERE {part_col} IN ('{a}', '{b}')
+    ),
+    hashed AS (SELECT part, {frac} AS frac FROM pairs),
+    topk AS (
+      SELECT part, frac FROM (
+        SELECT part, frac,
+               row_number() OVER (PARTITION BY part ORDER BY frac) AS rn
+        FROM hashed
+      ) WHERE rn <= {k}
+    ),
+    flags AS (
+      SELECT frac,
+             max(CASE WHEN part = '{a}' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN part = '{b}' THEN 1 ELSE 0 END) AS in_b
+      FROM topk GROUP BY 1
+    ),
+    merged AS (
+      SELECT * FROM (
+        SELECT frac, in_a, in_b,
+               row_number() OVER (ORDER BY frac) AS rn
+        FROM flags
+      ) WHERE rn <= {k}
+    ),
+    sketch AS (
+      SELECT max(frac) AS hk, count(*) AS n_merged,
+             sum(in_a * in_b) AS n_both
+      FROM merged
+    ),
+    per_key AS (
+      SELECT {key_col},
+             max(CASE WHEN part = '{a}' THEN 1 ELSE 0 END) AS ha,
+             max(CASE WHEN part = '{b}' THEN 1 ELSE 0 END) AS hb
+      FROM pairs GROUP BY 1
+    ),
+    exact AS (
+      SELECT CAST(sum(ha) AS BIGINT) AS n_exact_a,
+             CAST(sum(hb) AS BIGINT) AS n_exact_b,
+             count(*) AS n_exact_union,
+             CAST(sum(ha * hb) AS BIGINT) AS n_exact_intersection
+      FROM per_key
+    )
+    SELECT n_exact_a, n_exact_b, n_exact_union, n_exact_intersection,
+           CASE WHEN n_exact_union < {k}
+                THEN CAST(n_exact_union AS DOUBLE)
+                ELSE round(({k} - 1) / hk, 6) END AS kmv_union,
+           round(CAST(n_both AS DOUBLE) / n_merged *
+                 (CASE WHEN n_exact_union < {k}
+                       THEN CAST(n_exact_union AS DOUBLE)
+                       ELSE round(({k} - 1) / hk, 6) END), 6)
+             AS kmv_intersection
+    FROM exact CROSS JOIN sketch
+    """

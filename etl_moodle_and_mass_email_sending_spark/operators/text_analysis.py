@@ -1923,3 +1923,87 @@ def sql_quality_classifier(corpus_sql: str) -> str:
            (sum(w) > 0) AS keep
     FROM weighted GROUP BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement — the
+# Efraimidis–Spirakis A-ES scheme (IPL 2006): draw u_i ~ U(0,1), rank
+# by key_i = u_i^(1/w_i), keep the top n. Equivalently rank ln(u)/w
+# descending (monotone transform), which is how both engines compute it
+# here. "Sample training docs proportionally to length/quality weight"
+# is the standard dup-aware mixture draw; u_i comes from the portable
+# md5 top-60-bit fraction of doc_id, so the sample is reproducible and
+# oracle-checkable — no RNG state.
+#
+# Scale shape: one scan + the same salted two-stage top-n as the KMV
+# sketch (stage 1 ranks within (stratum, salt) shards so no task ever
+# sorts a whole stratum; stage 2 ranks the ≤ salts·n survivors). The
+# ranking key rounds to 12 with doc_id tie-break so both engines pick
+# the identical sample.
+# --------------------------------------------------------------------------
+
+WSAMPLE_N = 25
+WSAMPLE_SALTS = 16
+_WS_SCALE = 16**15
+
+
+def weighted_sample(
+    corpus: DataFrame, n: int = WSAMPLE_N
+) -> DataFrame:
+    """(lang, doc_id, n_chars, rank): per-language weighted sample of n
+    docs, weight = n_chars (longer docs proportionally likelier)."""
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"WS{SEED_SEP}"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(_WS_SCALE))
+    )
+    keyed = corpus.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("_key"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(WSAMPLE_SALTS)).alias(
+            "_salt"
+        ),
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("_key").desc(), "doc_id"
+    )
+    stage1 = keyed.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= n
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("_key").desc(), "doc_id")
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+def sql_weighted_sample(corpus_sql: str, n: int = WSAMPLE_N) -> str:
+    u = (
+        f"CAST('0x' || substr(md5('WS{SEED_SEP}' || CAST(doc_id AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) / {float(_WS_SCALE)!r}"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             round(ln({u}) / n_chars, 12) AS key
+      FROM ({corpus_sql})
+    )
+    SELECT lang, doc_id, n_chars, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                  ORDER BY key DESC, doc_id) AS rank
+      FROM keyed
+    ) WHERE rank <= {n}
+    """

@@ -1004,3 +1004,30 @@ def _sql_graph_kcore() -> str:
 
 
 register("graph_kcore", _graph_kcore, _sql_graph_kcore())
+
+
+def _docs_weighted(spark, sf_dir):
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
+register(
+    "text_weighted_sample",
+    lambda spark, sf_dir: text_analysis.weighted_sample(
+        _docs_weighted(spark, sf_dir)
+    ),
+    text_analysis.sql_weighted_sample(
+        "SELECT lang, doc_id, n_chars FROM documents"
+    ),
+)
+
+register(
+    "mm_clip_align",
+    lambda spark, sf_dir: multimodal.clip_align(
+        multimodal.media_table(spark, sf_dir), _docs(spark, sf_dir)
+    ),
+    multimodal.sql_clip_align(),
+)

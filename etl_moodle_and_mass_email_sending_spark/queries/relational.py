@@ -3028,3 +3028,30 @@ register(
     FROM documents GROUP BY GROUPING SETS ((lang), (source))
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_kmv_setops — union/intersection cardinality of the click vs
+# purchase user populations from merged KMV sketches (Beyer et al.
+# SIGMOD'07 multiset operations; operators/sketches.py::kmv_setops).
+# Exact counts ride along so the estimate's error is visible in the
+# result itself.
+# --------------------------------------------------------------------------
+
+register(
+    "rel_kmv_setops",
+    lambda spark, sf_dir: _sketches.kmv_setops(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "user_id",
+        "click",
+        "purchase",
+    ),
+    _sketches.sql_kmv_setops(
+        "SELECT event_type, user_id FROM events",
+        "event_type",
+        "user_id",
+        "click",
+        "purchase",
+    ),
+)

@@ -140,6 +140,9 @@ _DEMOTED = [
     "sim_knn_graph",
     "graph_kcore",
     "rel_grouping_sets",
+    "rel_kmv_setops",
+    "text_weighted_sample",
+    "mm_clip_align",
 ]
 
 

@@ -918,3 +918,84 @@ def test_kcore_peels_chains_keeps_cliques(spark):
     out = {r["id"]: r["degree"] for r in kcore(edges).collect()}
     assert set(out) == {0, 1, 2, 3}
     assert all(d == 3 for d in out.values())
+
+
+def test_kmv_setops_tracks_exact_counts(spark):
+    """Inclusion-exclusion sanity: union + intersection = |A| + |B|
+    exactly, and both KMV estimates land within 35% of the exact values
+    (k=64 → σ ≈ 1/√62 ≈ 13%)."""
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.operators import sketches
+
+    row = sketches.kmv_setops(
+        load_table(spark, SF_SMALL, "events"),
+        "event_type",
+        "user_id",
+        "click",
+        "purchase",
+    ).collect()[0]
+    assert (
+        row["n_exact_union"] + row["n_exact_intersection"]
+        == row["n_exact_a"] + row["n_exact_b"]
+    )
+    assert row["kmv_union"] == pytest.approx(row["n_exact_union"], rel=0.35)
+    assert row["kmv_intersection"] == pytest.approx(
+        row["n_exact_intersection"], rel=0.35, abs=3.0
+    )
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """A-ES draws must over-represent heavy docs: the sampled mean
+    n_chars exceeds the population mean per language, sample size and
+    ranks are exact, and the draw is reproducible."""
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        text_analysis as ta,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    rows = ta.weighted_sample(docs).collect()
+    pop = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang").agg(
+            __import__("pyspark.sql.functions", fromlist=["avg"]).avg(
+                "n_chars"
+            ).alias("m")
+        ).collect()
+    }
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang
+    heavier = 0
+    for lang, rs in by_lang.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+        if sum(r["n_chars"] for r in rs) / len(rs) > pop[lang]:
+            heavier += 1
+    # weighting must show: sampled mean beats population mean in most strata
+    assert heavier >= len(by_lang) - 1
+    again = ta.weighted_sample(docs).collect()
+    assert {(r["lang"], r["doc_id"]) for r in again} == {
+        (r["lang"], r["doc_id"]) for r in rows
+    }
+
+
+def test_clip_align_scores_bounded_and_only_images(spark):
+    """Alignment scores are valid cosines over non-negative towers
+    (∈ (0, 1]), only image docs appear, and keep mirrors the threshold."""
+    from etl_moodle_and_mass_email_sending_spark.operators import multimodal
+
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    media = multimodal.media_table(spark, SF_SMALL)
+    rows = multimodal.clip_align(media, docs).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 3 == 0  # media_table maps doc_id%3==0 → image
+        assert 0.0 < r["clip_score"] <= 1.0
+        assert r["keep"] == (r["clip_score"] >= multimodal.CLIP_THRESHOLD)
