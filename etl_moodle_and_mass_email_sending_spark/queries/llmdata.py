@@ -1031,3 +1031,42 @@ register(
     ),
     multimodal.sql_clip_align(),
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_soft_weights — SoftDeDup: instead of DELETING near-duplicates,
+# downweight them (sampling weight 1/|cluster|), so a duplicated
+# document contributes one document's worth of probability mass in
+# total. The gentler alternative to hard dedup when duplicates carry
+# legitimate signal (boilerplate-heavy domains). Composition: the same
+# connected-component clusters as dedup_components, one groupBy for
+# sizes, one weight expression — singleton docs keep weight 1.0.
+# --------------------------------------------------------------------------
+
+
+def _dedup_soft_weights(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import dedup_clusters
+
+    corpus = dedup.dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    return dedup_clusters(corpus, pairs).select(
+        "doc_id",
+        F.col("component").alias("cluster"),
+        "cluster_size",
+        F.round(1.0 / F.col("cluster_size"), 6).alias("weight"),
+    )
+
+
+def _sql_dedup_soft_weights() -> str:
+    return f"""
+    SELECT doc_id, component AS cluster, cluster_size,
+           round(1.0 / cluster_size, 6) AS weight
+    FROM ({_sql_dedup_components()})
+    """
+
+
+register(
+    "dedup_soft_weights", _dedup_soft_weights, _sql_dedup_soft_weights()
+)

@@ -143,6 +143,7 @@ _DEMOTED = [
     "rel_kmv_setops",
     "text_weighted_sample",
     "mm_clip_align",
+    "dedup_soft_weights",
 ]
 
 
