@@ -89,6 +89,7 @@ HEADLINE = [
     "rel_kmv_setops",
     "text_weighted_sample",
     "mm_clip_align",
+    "dedup_soft_weights",
     # capstone composition
     "llm_corpus_pipeline",
 ]
