@@ -90,6 +90,7 @@ HEADLINE = [
     "text_weighted_sample",
     "mm_clip_align",
     "dedup_soft_weights",
+    "graph_bfs_depth",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -428,3 +428,93 @@ def sql_kcore(
     SELECT id, count(*) AS degree FROM sym{rounds} GROUP BY id
     """
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS depth (unrolled) — "how far is every document from a
+# seed set" over the dup graph: distance-to-nearest-seed labels, the
+# primitive behind influence/contamination radius queries (e.g. every
+# doc within 2 hops of a known-bad cluster). Classic synchronous
+# frontier relaxation, unrolled BFS_ROUNDS times so the oracle replays
+# it exactly: dist_{r+1}(v) = min(dist_r(v), min over neighbors u of
+# dist_r(u) + 1).
+#
+# Scale shape per round: one join of the CURRENT distance frame against
+# the symmetric edge list (keyed on the node — equi-join, unskewed by
+# LSH-bucket construction), one min-aggregation with map-side combine,
+# and a localCheckpoint barrier (the components/pagerank lesson). Nodes
+# never reached in BFS_ROUNDS hops are omitted (unbounded distance).
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 2
+
+
+def bfs_depth(
+    edges: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS
+) -> DataFrame:
+    """edges(src, dst) undirected, seeds(id) → (id, depth): min hops
+    from any seed, for every node within ``rounds`` hops."""
+    src, dst = edges.columns[:2]
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    sym = e.select(F.col("a").alias("id"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("id"), F.col("a").alias("nb"))
+    ).localCheckpoint(eager=False)
+    dist = seeds.select("id", F.lit(0).alias("depth"))
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(
+                dist.select(F.col("id").alias("nb"), "depth"), "nb"
+            )
+            .select("id", (F.col("depth") + 1).alias("depth"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def sql_bfs_depth(
+    edges_sql: str, seeds_sql: str, rounds: int = BFS_ROUNDS
+) -> str:
+    """DuckDB twin: identical unrolled relaxation as chained CTEs."""
+    ctes = [
+        f"""raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    sym AS (
+      SELECT a AS id, b AS nb FROM e
+      UNION ALL
+      SELECT b AS id, a AS nb FROM e
+    ),
+    dist0 AS (SELECT id, 0 AS depth FROM ({seeds_sql}))"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""dist{r + 1} AS (
+      SELECT id, min(depth) AS depth FROM (
+        SELECT id, depth FROM dist{r}
+        UNION ALL
+        SELECT s.id, d.depth + 1 AS depth
+        FROM sym s JOIN dist{r} d ON s.nb = d.id
+      ) GROUP BY id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT id, CAST(depth AS INTEGER) AS depth FROM dist{rounds}
+    """
+    )

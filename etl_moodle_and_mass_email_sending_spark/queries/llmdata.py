@@ -1070,3 +1070,41 @@ def _sql_dedup_soft_weights() -> str:
 register(
     "dedup_soft_weights", _dedup_soft_weights, _sql_dedup_soft_weights()
 )
+
+
+# --------------------------------------------------------------------------
+# graph_bfs_depth — contamination-radius labeling over the near-dup
+# graph: distance-to-nearest-seed for every doc within BFS_ROUNDS hops
+# of the seed set (every 101st base doc — the stand-in for a known-bad
+# list). operators/components.py::bfs_depth.
+# --------------------------------------------------------------------------
+
+
+def _graph_bfs_depth(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import bfs_depth
+
+    corpus = dedup.dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    seeds = corpus.filter(
+        (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 100000)
+    ).select(F.col("doc_id").alias("id"))
+    return bfs_depth(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        seeds,
+    )
+
+
+def _sql_graph_bfs_depth() -> str:
+    from ..operators.components import sql_bfs_depth
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return sql_bfs_depth(
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({pairs})",
+        f"SELECT doc_id AS id FROM ({_CORPUS_SQL}) "
+        "WHERE doc_id % 101 = 0 AND doc_id < 100000",
+    )
+
+
+register("graph_bfs_depth", _graph_bfs_depth, _sql_graph_bfs_depth())

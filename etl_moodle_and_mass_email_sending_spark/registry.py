@@ -144,6 +144,7 @@ _DEMOTED = [
     "text_weighted_sample",
     "mm_clip_align",
     "dedup_soft_weights",
+    "graph_bfs_depth",
 ]
 
 

@@ -999,3 +999,21 @@ def test_clip_align_scores_bounded_and_only_images(spark):
         assert r["doc_id"] % 3 == 0  # media_table maps doc_id%3==0 → image
         assert 0.0 < r["clip_score"] <= 1.0
         assert r["keep"] == (r["clip_score"] >= multimodal.CLIP_THRESHOLD)
+
+
+def test_bfs_depth_hand_graph(spark):
+    """Path graph 0-1-2-3-4 with seed {0}: depths are hop counts capped
+    at BFS_ROUNDS; node 4 (3 hops) is absent; a disconnected seed stays
+    at depth 0."""
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        BFS_ROUNDS,
+        bfs_depth,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], ["id"])
+    out = {r["id"]: r["depth"] for r in bfs_depth(edges, seeds).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 99: 0}
+    assert BFS_ROUNDS == 2
