@@ -379,3 +379,40 @@ WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
 """
 
 register("stream_outer_join", stream_outer_join, STREAM_OUTER_JOIN_SQL)
+
+
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch lakehouse-MERGE pattern run as a real stream:
+    drain the event stream through streaming/upsert_stream.py (per-batch
+    latest-per-key reduction → idempotent snapshot merge) and return the
+    final snapshot. For the bounded single-file replay every event lands
+    in micro-batch 1, so the snapshot is exactly the batch latest-per-key
+    — the SQL oracle (µs-truncated ts ordering, event_id tie-break, the
+    same ordering the sink applies)."""
+    import os
+
+    from ..streaming import upsert_stream
+
+    base = tempfile.mkdtemp(prefix="ups_q_")
+    snap = os.path.join(base, "snapshot")
+    q = upsert_stream.start_upsert_stream(
+        sw.stream_events(spark, sf_dir),
+        snap,
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(snap).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+STREAM_UPSERT_LATEST_SQL = """
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+register("stream_upsert_latest", stream_upsert_latest, STREAM_UPSERT_LATEST_SQL)

@@ -145,6 +145,7 @@ _DEMOTED = [
     "mm_clip_align",
     "dedup_soft_weights",
     "graph_bfs_depth",
+    "stream_upsert_latest",
 ]
 
 
