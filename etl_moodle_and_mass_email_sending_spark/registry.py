@@ -125,6 +125,8 @@ _DEMOTED = [
     "rel_sessionize",
     # --- round-5 additions: start life in the tail (standing policy —
     # promote into the certification window in round 6) ------------------
+    "text_substring_dedup",
+    "text_quality_classifier",
     "rel_q2_min_price_supplier",
     "rel_q9_product_profit",
     "rel_q11_important_stock",
