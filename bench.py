@@ -91,6 +91,7 @@ HEADLINE = [
     "mm_clip_align",
     "dedup_soft_weights",
     "graph_bfs_depth",
+    "rel_hll_distinct",
     # capstone composition
     "llm_corpus_pipeline",
 ]
@@ -160,16 +161,30 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    line = json.dumps(
-        {
+    # Guard the printed line against the driver's ~2 KB tail capture
+    # (BENCH_r04.json failed to parse when the line outgrew it). If the
+    # full per-query dict would not fit, drop the cheapest queries from
+    # the PRINTED dict (full detail is always in BENCH_DETAIL.json) and
+    # mark the truncation.
+    def render(qdict: dict[str, float], truncated: bool) -> str:
+        payload = {
             "metric": "headline_query_wall_seconds",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in times.items()},
+            "queries": {k: round(v, 2) for k, v in qdict.items()},
             "sf": float(sf),
-        },
-        separators=(",", ":"),
-    )
+        }
+        if truncated:
+            payload["queries_truncated"] = True
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = render(times, False)
+    if len(line) > 1900:
+        by_cost = sorted(times, key=times.get, reverse=True)
+        keep = dict.fromkeys(by_cost)
+        while len(line) > 1900 and len(keep) > 1:
+            keep.popitem()
+            line = render({k: times[k] for k in keep}, True)
     print(line)
     spark.stop()
 

@@ -589,3 +589,134 @@ def sql_kmv_setops(
              AS kmv_intersection
     FROM exact CROSS JOIN sketch
     """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch — the register-based counterpart to the
+# KMV sketch above (Flajolet et al., "HyperLogLog: the analysis of a
+# near-optimal cardinality estimation algorithm", AofA'07; the HLL++
+# variant backs Spark's own approx_count_distinct, which is not
+# bit-reproducible across engines and therefore cannot hash-gate).
+#
+# Determinism strategy (same spirit as KMV): the key hash is md5's top
+# 60 bits; the low p bits pick the register, the remaining 60-p bits w
+# give rho = (leading zeros of w) + 1 = (60 - p) + 1 - bitlength(w).
+# The harmonic sum Σ 2^-M_j is computed EXACTLY in integers by scaling
+# by 2^(60-p+1): each register contributes 2^(61-p-M_j) and each empty
+# register 2^(61-p), a bigint sum (≤ m·2^55 < 2^62 at p=6) immune to
+# float addition order — the one place a naive HLL would diverge
+# between engines. Only the final α·m²·2^(61-p)/S division is floating
+# point, a single deterministic IEEE op on both sides.
+#
+# Scale: one map-side-combining shuffle of (group, register) pairs
+# (≤ m rows per group survive the partial max), then a tiny final agg.
+# Unlike KMV's top-k there is no window sort at all, so this is the
+# cheaper sketch at very high cardinality; KMV stays the choice when
+# set operations (union/intersection) must compose.
+# --------------------------------------------------------------------------
+
+HLL_P = 6  # m = 64 registers; alpha_64 per the HLL paper
+_HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.709
+_HLL_WBITS = 60 - HLL_P  # bits left after the register index
+_HLL_SCALE_POW = _HLL_WBITS + 1  # 2^-rho scaled exactly, rho in [1, 55]
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group exact distinct count alongside the deterministic HLL
+    estimate — (group, n_exact, hll_estimate)."""
+    m, p = _HLL_M, HLL_P
+    pairs = df.select(group_col, key_col).distinct()
+    v = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # integer division, NOT `/` (double's 53-bit mantissa would corrupt
+    # the 60-bit hash)
+    hashed = pairs.select(
+        group_col,
+        F.pmod(v, F.lit(m)).alias("_idx"),
+        v.alias("_v"),
+    ).withColumn("_w", F.expr(f"_v DIV {m}"))
+    rho = F.when(
+        F.col("_w") > 0,
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("_w"))),
+    ).otherwise(F.lit(_HLL_WBITS + 1))
+    regs = (
+        hashed.withColumn("_rho", rho)
+        .groupBy(group_col, "_idx")
+        .agg(F.max("_rho").alias("_mj"))
+    )
+    sums = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({_HLL_SCALE_POW} - _mj AS INT))"
+            )
+        ).alias("_s_used"),
+        F.count("*").alias("_n_regs"),
+    )
+    exact = pairs.groupBy(group_col).agg(F.count("*").alias("n_exact"))
+    scale = float(1 << _HLL_SCALE_POW)
+    s_total = F.col("_s_used") + (F.lit(m) - F.col("_n_regs")) * F.lit(
+        1 << _HLL_SCALE_POW
+    )
+    e_raw = F.lit(_HLL_ALPHA * m * m) * F.lit(scale) / s_total.cast(
+        "double"
+    )
+    zeros = F.lit(m) - F.col("_n_regs")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return exact.join(sums, on=group_col).select(
+        group_col, "n_exact", F.round(est, 4).alias("hll_estimate")
+    )
+
+
+def sql_hll_distinct(table_sql: str, group_col: str, key_col: str) -> str:
+    """DuckDB oracle: identical hash, register math, exact integer
+    harmonic sum, and correction branch."""
+    m, sp = _HLL_M, _HLL_SCALE_POW
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT {group_col}, {key_col} FROM ({table_sql})
+    ),
+    hashed AS (
+      SELECT {group_col},
+             CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS v
+      FROM pairs
+    ),
+    rhos AS (
+      SELECT {group_col}, v % {m} AS idx,
+             CASE WHEN v // {m} > 0
+                  THEN {sp} - length(bin(v // {m}))
+                  ELSE {sp} END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT {group_col}, idx, max(rho) AS mj FROM rhos GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT {group_col},
+             sum(1::BIGINT << CAST({sp} - mj AS INT))::BIGINT AS s_used,
+             count(*) AS n_regs
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT {group_col}, count(*) AS n_exact FROM pairs GROUP BY 1
+    ),
+    est AS (
+      SELECT s.{group_col}, e.n_exact,
+             {_HLL_ALPHA * m * m!r} * {float(1 << sp)!r} /
+               CAST(s.s_used + ({m} - s.n_regs) * (1::BIGINT << {sp})
+                    AS DOUBLE) AS e_raw,
+             {m} - s.n_regs AS zeros
+      FROM sums s JOIN exact e USING ({group_col})
+    )
+    SELECT {group_col}, n_exact,
+           round(CASE WHEN e_raw <= {2.5 * m!r} AND zeros > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                      ELSE e_raw END, 4) AS hll_estimate
+    FROM est
+    """

@@ -853,6 +853,28 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_hll_distinct — deterministic HyperLogLog sketch: distinct
+# event_ids per event_type (thousands per group, so the raw estimator
+# branch is exercised, unlike the 150-user KMV demo above). Registers
+# (not top-k) — a single
+# map-side-combining shuffle, no window sort; the cheaper sketch at
+# very high cardinality (operators/sketches.py has the exact-integer
+# harmonic-sum determinism story).
+# --------------------------------------------------------------------------
+
+
+register(
+    "rel_hll_distinct",
+    lambda spark, sf_dir: _sketches.hll_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "event_id"
+    ),
+    _sketches.sql_hll_distinct(
+        "SELECT event_type, event_id FROM events", "event_type", "event_id"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
 # rel_q13_custdist — TPC-H Q13 shape: LEFT OUTER join customer→orders
 # with a predicate ON THE JOIN (not a post-filter — customers whose only
 # orders are urgent must still appear with count 0), per-customer order

@@ -148,6 +148,7 @@ _DEMOTED = [
     "dedup_soft_weights",
     "graph_bfs_depth",
     "stream_upsert_latest",
+    "rel_hll_distinct",
 ]
 
 

@@ -501,3 +501,27 @@ def test_bpe_merge_candidates_counts_adjacent_pairs(spark_mod):
     assert got["ba"] == 2
     assert got["nd"] == 1 and got["da"] == 1
     assert sum(got.values()) == 5 + 3 + 2 + 1 + 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+)
+def test_hll_estimate_tracks_exact_on_random_cardinality(spark_mod, n):
+    """For ANY distinct-key cardinality, the deterministic HLL estimate
+    is within the m=64 sketch's plausible band (|err| < 5 sigma, sigma
+    ~= 1.04/sqrt(64) ~= 13%) of the exact count, exact counts are
+    exact, and duplicates never move the estimate (insert-idempotence:
+    HLL registers are max-merged)."""
+    from etl_moodle_and_mass_email_sending_spark.operators import sketches
+
+    spark = spark_mod
+    rows = [("g", i) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, key long")
+    out = sketches.hll_distinct(df, "grp", "key").collect()
+    assert len(out) == 1 and out[0]["n_exact"] == n
+    est = out[0]["hll_estimate"]
+    assert abs(est - n) <= max(5.0, 5 * 0.13 * n), (n, est)
+    dup = spark.createDataFrame(rows * 3, "grp string, key long")
+    out2 = sketches.hll_distinct(dup, "grp", "key").collect()
+    assert out2[0]["hll_estimate"] == est
