@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_soft_weights",
     "graph_bfs_depth",
     "rel_hll_distinct",
+    "sim_ivfpq_topk",
     # capstone composition
     "llm_corpus_pipeline",
 ]

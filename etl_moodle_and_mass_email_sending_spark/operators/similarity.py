@@ -1092,3 +1092,191 @@ def sql_knn_graph() -> str:
     JOIN directed r ON d.src = r.dst AND d.dst = r.src
     WHERE d.src < d.dst
     """
+
+
+# --------------------------------------------------------------------------
+# IVFPQ — the full FAISS IndexIVFPQ composition (Jégou et al. TPAMI
+# 2011 §IV): coarse quantizer (the IVF centroids above) partitions the
+# corpus into inverted lists, each vector stores the PQ code of its
+# RESIDUAL (vec − centroid), and a query scans only its NPROBE closest
+# lists using a per-(query, list) ADC lookup table built from the
+# query's residual in that list. Residual encoding is what separates
+# IVFPQ from flat PQ: residuals concentrate near 0, so the same PQ_K
+# codewords quantize them with far less error.
+#
+# Scale shape: coarse assignment broadcasts C centroids against the
+# corpus scan; PQ training/encoding broadcasts the codebooks; the LUT
+# (N_QUERIES · NPROBE · PQ_M · PQ_K rows) broadcasts against the codes
+# scan restricted by list id — the corpus is never shuffled, and the
+# single aggregation (the ADC sum) partial-aggregates map-side. At 10^9
+# vectors the per-vector state is 8 code bytes + a list id, the IVFPQ
+# memory story.
+#
+# Numeric parity: residual subtraction is exact IEEE double math on
+# both engines; everything downstream reuses the PQ rounding policy
+# (codebook means and distances rounded to 6 before ranking).
+# --------------------------------------------------------------------------
+
+
+def _residual_assign(
+    v: DataFrame, cent: DataFrame, n_best: int
+) -> DataFrame:
+    """(vec_id, cid, rvec): the vector's residual against each of its
+    ``n_best`` closest coarse centroids."""
+    cos = F.expr(_spark_cosine("vec", "cvec")).alias("_ccos")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_ccos").desc(), F.col("cid")
+    )
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "vec", "cid", "cvec", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_best)
+        .select(
+            "vec_id",
+            "cid",
+            F.expr("zip_with(vec, cvec, (x, c) -> x - c)").alias("rvec"),
+        )
+    )
+
+
+def _residual_subs(assigned: DataFrame) -> DataFrame:
+    """(vec_id, cid, m, sub): PQ_M subvector slices of each residual."""
+    slices = F.array(
+        *[F.slice("rvec", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    return assigned.select(
+        "vec_id", "cid", F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank): top-K corpus vectors per
+    query by IVFPQ asymmetric distance over residual codes, searched
+    only within the query's NPROBE inverted lists."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    cent = _centroids(v)
+    # corpus: 1-best list + residual; feeds PQ training AND encoding
+    assigned = _residual_assign(v, cent, n_best=1).localCheckpoint(
+        eager=False
+    )
+    rsubs = _residual_subs(assigned)
+    books = _pq_codebooks(rsubs.drop("cid")).withColumnRenamed(
+        "cid", "code"
+    )
+    d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
+    w_enc = Window.partitionBy("vec_id", "cid", "m").orderBy(
+        F.col("_d"), F.col("code")
+    )
+    codes = (
+        rsubs.join(F.broadcast(books), "m")
+        .select("vec_id", "cid", "m", "code", d)
+        .withColumn("_rn", F.row_number().over(w_enc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid", "m", "code")
+    )
+    # query side: NPROBE residuals per query, one ADC table per list
+    qsubs = _residual_subs(
+        _residual_assign(
+            v.filter(F.col("vec_id") < N_QUERIES), cent, n_best=NPROBE
+        )
+    ).withColumnRenamed("vec_id", "query_id")
+    lut = qsubs.join(F.broadcast(books), "m").select(
+        "query_id", "cid", "m", "code",
+        F.expr(_l2sq_spark("sub", "cvec")).alias("_d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["cid", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("_d"), 6).alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_ivfpq_topk() -> str:
+    cos = _duck_cosine("s.vec", "c.cvec")
+    d_seed = _l2sq_duck("s.sub", "c.cvec")
+    d_book = _l2sq_duck("s.sub", "b.cvec")
+    resid = (
+        f"list_transform(range(1, {DIM + 1}), i -> vec[i] - cvec[i])"
+    )
+    sub_means = ", ".join(
+        f"round(avg(sub[{i + 1}]), 6)" for i in range(PQ_SUB)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, vec FROM ({_DUCK_VECTORS})),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM v
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, cid, {resid} AS rvec FROM (
+        SELECT s.vec_id, s.vec, c.cid, c.cvec,
+               row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY {cos} DESC, c.cid) AS rn
+        FROM v s CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    rsubs AS (
+      SELECT vec_id, cid, CAST(t.r AS INTEGER) AS m,
+             rvec[(t.r * {PQ_SUB} + 1):((t.r + 1) * {PQ_SUB})] AS sub
+      FROM assigned CROSS JOIN range({PQ_M}) t(r)
+    ),
+    seed AS (
+      SELECT m, vec_id AS cid, sub AS cvec FROM rsubs
+      WHERE vec_id < {PQ_K}
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, cid FROM (
+        SELECT s.vec_id, s.m, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_seed}, c.cid) AS rn
+        FROM rsubs s JOIN seed c USING (m)
+      ) WHERE rn = 1
+    ),
+    books AS (
+      SELECT m, cid AS code, [{sub_means}] AS cvec
+      FROM a1 GROUP BY m, cid
+    ),
+    codes AS (
+      SELECT vec_id, cid, m, code FROM (
+        SELECT s.vec_id, s.cid, s.m, b.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.cid, s.m
+                    ORDER BY {d_book}, b.code) AS rn
+        FROM rsubs s JOIN books b USING (m)
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid, {resid} AS rvec FROM (
+        SELECT s.vec_id, s.vec, c.cid, c.cvec,
+               row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY {cos} DESC, c.cid) AS rn
+        FROM v s CROSS JOIN cent c WHERE s.vec_id < {N_QUERIES}
+      ) WHERE rn <= {NPROBE}
+    ),
+    qsubs AS (
+      SELECT query_id, cid, CAST(t.r AS INTEGER) AS m,
+             rvec[(t.r * {PQ_SUB} + 1):((t.r + 1) * {PQ_SUB})] AS sub
+      FROM probes CROSS JOIN range({PQ_M}) t(r)
+    ),
+    lut AS (
+      SELECT s.query_id, s.cid, s.m, b.code, {d_book} AS d
+      FROM qsubs s JOIN books b USING (m)
+    ),
+    adc AS (
+      SELECT l.query_id, c.vec_id, round(sum(l.d), 6) AS adc_dist
+      FROM codes c
+      JOIN lut l ON c.cid = l.cid AND c.m = l.m AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+      SELECT query_id, vec_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+      FROM adc
+    ) WHERE rank <= {TOP_K}
+    """

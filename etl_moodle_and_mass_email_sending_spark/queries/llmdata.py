@@ -948,6 +948,12 @@ register(
 )
 
 register(
+    "sim_ivfpq_topk",
+    similarity.ivfpq_topk,
+    similarity.sql_ivfpq_topk(),
+)
+
+register(
     "sim_mrl_topk",
     similarity.mrl_topk,
     similarity.sql_mrl_topk(),

@@ -149,6 +149,7 @@ _DEMOTED = [
     "graph_bfs_depth",
     "stream_upsert_latest",
     "rel_hll_distinct",
+    "sim_ivfpq_topk",
 ]
 
 

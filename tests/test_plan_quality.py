@@ -401,3 +401,16 @@ def test_grouping_sets_is_one_scan_with_expand(spark, registry_queries):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
     assert "partial_count" in plan
+
+
+def test_ivfpq_topk_never_shuffles_the_corpus(spark, registry_queries):
+    """IVFPQ: coarse centroids, PQ codebooks, and the per-list ADC
+    lookup table are all broadcast against corpus-side scans — no
+    sort-merge join and no cartesian against the big side (the only
+    crossJoin is corpus x broadcast-centroids, which Spark plans as
+    BroadcastNestedLoop over the 8-row dim, not a shuffle)."""
+    plan = _plan(registry_queries["sim_ivfpq_topk"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    assert plan.count("HashAggregate") >= 2  # partial+final ADC sum
