@@ -93,6 +93,7 @@ HEADLINE = [
     "graph_bfs_depth",
     "rel_hll_distinct",
     "sim_ivfpq_topk",
+    "text_ngram_novelty",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -2007,3 +2007,102 @@ def sql_weighted_sample(corpus_sql: str, n: int = WSAMPLE_N) -> str:
       FROM keyed
     ) WHERE rank <= {n}
     """
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty — the corpus-level counterpart to the intra-document
+# repetition stats above: for each document, the fraction of its
+# DISTINCT word trigrams that appear in no other document. Low novelty
+# marks template/boilerplate-heavy documents whose content is shared
+# across the corpus (the signal behind RefinedWeb-style "copied
+# spans" pruning); high novelty marks unique contributions worth
+# keeping at full sampling weight.
+#
+# Scale: trigrams never leave the executor as strings — each is
+# reduced to the md5-top-60-bit hash (the KMV/sketch hashing scheme,
+# identical literal arithmetic in DuckDB), so both shuffles (the
+# per-trigram document-frequency groupBy and the per-doc rollup) carry
+# (8-byte hash, doc_id) pairs. Both aggregations partial-aggregate
+# map-side; nothing is quadratic in corpus size.
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, n_unique, novelty): distinct-trigram count,
+    how many of those occur in no other doc, and their ratio (NULL for
+    docs shorter than 3 tokens)."""
+    tris = f"""CASE WHEN size({_SPARK_FTOKS}) >= 3
+        THEN transform(array({_SPARK_FTOKS}), tk ->
+               transform(sequence(2, size(tk) - 1),
+                         i -> concat_ws(' ', tk[i-2], tk[i-1], tk[i])))[0]
+        ELSE array() END"""
+    tri_h = (
+        "CAST(conv(substring(md5(tri), 1, 15), 16, 10) AS BIGINT)"
+    )
+    per_doc = (
+        corpus.select("doc_id", F.explode_outer(F.expr(tris)).alias("tri"))
+        .select("doc_id", F.expr(tri_h).alias("h"))
+        .distinct()
+    )
+    docfreq = per_doc.filter(F.col("h").isNotNull()).groupBy("h").agg(
+        F.count("*").alias("df")
+    )
+    return (
+        per_doc.join(docfreq, on="h", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("df").alias("n_trigrams"),
+            F.coalesce(
+                F.sum(F.when(F.col("df") == 1, 1)), F.lit(0)
+            ).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_unique",
+            F.when(
+                F.col("n_trigrams") > 0,
+                F.round(
+                    F.col("n_unique") / F.col("n_trigrams"), 6
+                ),
+            ).alias("novelty"),
+        )
+    )
+
+
+def sql_ngram_novelty(corpus_sql: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_FTOKS} AS tk FROM ({corpus_sql})
+    ),
+    tris AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+             THEN list_transform(generate_series(1, len(tk) - 2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+             ELSE [] END AS tri
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substr(md5(t.tg), 1, 15) AS BIGINT) AS h
+      FROM tris LEFT JOIN LATERAL (SELECT unnest(tri) AS tg) t ON true
+    ),
+    docfreq AS (
+      SELECT h, count(*) AS df FROM per_doc
+      WHERE h IS NOT NULL GROUP BY 1
+    ),
+    rolled AS (
+      SELECT p.doc_id,
+             count(d.df) AS n_trigrams,
+             CAST(coalesce(sum(CASE WHEN d.df = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_unique
+      FROM per_doc p LEFT JOIN docfreq d USING (h)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_trigrams, n_unique,
+           CASE WHEN n_trigrams > 0
+                THEN round(CAST(n_unique AS DOUBLE) / n_trigrams, 6)
+           END AS novelty
+    FROM rolled
+    """

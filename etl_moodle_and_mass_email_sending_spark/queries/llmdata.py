@@ -948,6 +948,12 @@ register(
 )
 
 register(
+    "text_ngram_novelty",
+    lambda spark, sf_dir: text_analysis.ngram_novelty(_docs(spark, sf_dir)),
+    text_analysis.sql_ngram_novelty(_DOCS_SQL),
+)
+
+register(
     "sim_ivfpq_topk",
     similarity.ivfpq_topk,
     similarity.sql_ivfpq_topk(),

@@ -150,6 +150,7 @@ _DEMOTED = [
     "stream_upsert_latest",
     "rel_hll_distinct",
     "sim_ivfpq_topk",
+    "text_ngram_novelty",
 ]
 
 
