@@ -1280,3 +1280,85 @@ def sql_ivfpq_topk() -> str:
       FROM adc
     ) WHERE rank <= {TOP_K}
     """
+
+
+# --------------------------------------------------------------------------
+# ANN recall evaluation — score every approximate index in this module
+# against the exact brute-force ground truth: per (query, method),
+# recall@TOP_K = |approx top-K ∩ exact top-K| / TOP_K. This is the eval
+# harness that decides the recall/cost dial (LSH planes, IVF nprobe, PQ
+# codebook size) before a configuration is let loose on the full
+# corpus; FAISS ships the same measurement as its index benchmark.
+#
+# Scale: ground truth is computed once for the N_QUERIES batch; each
+# comparison joins two ≤ N_QUERIES·TOP_K frames — evaluation cost is
+# independent of corpus size beyond what the indexes themselves scan.
+# --------------------------------------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, method, n_hits, recall): recall@TOP_K of each ANN
+    method (lsh / ivf / pq / ivfpq) against the exact top-K."""
+    truth = topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id"
+    ).localCheckpoint(eager=False)  # reused by all four comparisons
+    methods = [
+        ("ivf", ivf_topk),
+        ("ivfpq", ivfpq_topk),
+        ("lsh", ann_lsh_topk),
+        ("pq", pq_topk),
+    ]
+    out = None
+    for name, fn in methods:
+        approx = fn(spark, sf_dir).select(
+            "query_id", "vec_id", F.lit(1).alias("_hit")
+        )
+        scored = (
+            truth.join(approx, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+            .select(
+                "query_id",
+                F.lit(name).alias("method"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(TOP_K), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def sql_ann_recall_eval() -> str:
+    def arm(name: str, approx_sql: str) -> str:
+        return f"""
+        SELECT t.query_id, '{name}' AS method,
+               CAST(coalesce(sum(a.hit), 0) AS BIGINT) AS n_hits,
+               round(CAST(coalesce(sum(a.hit), 0) AS DOUBLE)
+                     / {TOP_K}, 6) AS recall
+        FROM truth t LEFT JOIN (
+          SELECT query_id, vec_id, 1 AS hit FROM ({approx_sql})
+        ) a USING (query_id, vec_id)
+        GROUP BY t.query_id
+        """
+
+    arms = " UNION ALL ".join(
+        arm(name, sql)
+        for name, sql in [
+            ("ivf", sql_ivf_topk()),
+            ("ivfpq", sql_ivfpq_topk()),
+            ("lsh", sql_ann_lsh_topk()),
+            ("pq", sql_pq_topk()),
+        ]
+    )
+    return f"""
+    WITH truth AS (
+      SELECT query_id, vec_id FROM ({sql_topk_bruteforce()})
+    )
+    {arms}
+    """

@@ -960,6 +960,12 @@ register(
 )
 
 register(
+    "sim_ann_recall",
+    similarity.ann_recall_eval,
+    similarity.sql_ann_recall_eval(),
+)
+
+register(
     "sim_mrl_topk",
     similarity.mrl_topk,
     similarity.sql_mrl_topk(),

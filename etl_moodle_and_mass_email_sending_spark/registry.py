@@ -151,6 +151,7 @@ _DEMOTED = [
     "rel_hll_distinct",
     "sim_ivfpq_topk",
     "text_ngram_novelty",
+    "sim_ann_recall",
 ]
 
 
