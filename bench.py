@@ -94,6 +94,7 @@ HEADLINE = [
     "rel_hll_distinct",
     "sim_ivfpq_topk",
     "text_ngram_novelty",
+    "graph_label_prop",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1362,3 +1362,88 @@ def sql_ann_recall_eval() -> str:
     )
     {arms}
     """
+
+
+# --------------------------------------------------------------------------
+# Label propagation over the mutual k-NN graph — weak supervision for
+# corpus curation: a small seeded subset (every 5th vector keeps its
+# label, standing in for the hand-audited sample) votes labels onto
+# its graph neighbors; one unrolled majority-vote round, ties broken
+# by the smaller label id, nodes with no labeled neighbor stay NULL.
+# The `correct` column scores the propagation against the held-back
+# truth — the measurement that says whether embedding geometry is
+# strong enough to stretch a 20% labeling budget over the corpus.
+#
+# Scale: one join of the (N·KNN_K)-row edge list against the seed
+# frame, one majority groupBy on (node, label) — both partial-aggregate;
+# nothing touches raw vectors after the k-NN graph is built.
+# --------------------------------------------------------------------------
+
+LP_SEED_MOD = 5  # vec_id % 5 == 0 keeps its label
+
+
+def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, true_label, predicted_label, n_votes, correct): one
+    majority-vote propagation round from the seeded 20% onto the rest
+    of the mutual k-NN graph."""
+    v = _vectors(spark, sf_dir).select("vec_id", "label")
+    edges = knn_graph(spark, sf_dir).select("src", "dst")
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = v.filter(F.col("vec_id") % LP_SEED_MOD == 0).select(
+        F.col("vec_id").alias("dst"), F.col("label").alias("nlabel")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel")
+    )
+    pred = (
+        und.join(seeds, "dst")
+        .groupBy("src", "nlabel")
+        .agg(F.count("*").alias("n_votes"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("src", "nlabel", "n_votes")
+    )
+    return (
+        v.filter(F.col("vec_id") % LP_SEED_MOD != 0)
+        .join(pred, v.vec_id == pred.src, "left")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("nlabel").alias("predicted_label"),
+            F.coalesce("n_votes", F.lit(0)).cast("bigint").alias(
+                "n_votes"
+            ),
+            (F.col("nlabel") == F.col("label")).alias("correct"),
+        )
+    )
+
+
+def sql_label_prop() -> str:
+    return f"""
+    WITH edges AS (SELECT src, dst FROM ({sql_knn_graph()})),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION ALL SELECT dst AS src, src AS dst FROM edges
+    ),
+    v AS (SELECT vec_id, label FROM ({_DUCK_VECTORS})),
+    seeds AS (
+      SELECT vec_id AS dst, label AS nlabel FROM v
+      WHERE vec_id % {LP_SEED_MOD} = 0
+    ),
+    pred AS (
+      SELECT src, nlabel, n_votes FROM (
+        SELECT src, nlabel, count(*) AS n_votes,
+               row_number() OVER (PARTITION BY src
+                    ORDER BY count(*) DESC, nlabel) AS rn
+        FROM und JOIN seeds USING (dst)
+        GROUP BY src, nlabel
+      ) WHERE rn = 1
+    )
+    SELECT v.vec_id, v.label AS true_label, p.nlabel AS predicted_label,
+           CAST(coalesce(p.n_votes, 0) AS BIGINT) AS n_votes,
+           p.nlabel = v.label AS correct
+    FROM v LEFT JOIN pred p ON v.vec_id = p.src
+    WHERE v.vec_id % {LP_SEED_MOD} <> 0
+    """

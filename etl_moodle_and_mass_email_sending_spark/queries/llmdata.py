@@ -972,6 +972,12 @@ register(
 )
 
 register(
+    "graph_label_prop",
+    similarity.label_prop,
+    similarity.sql_label_prop(),
+)
+
+register(
     "sim_knn_graph",
     similarity.knn_graph,
     similarity.sql_knn_graph(),

@@ -152,6 +152,7 @@ _DEMOTED = [
     "sim_ivfpq_topk",
     "text_ngram_novelty",
     "sim_ann_recall",
+    "graph_label_prop",
 ]
 
 
