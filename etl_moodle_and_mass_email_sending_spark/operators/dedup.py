@@ -686,3 +686,117 @@ def sql_fuzzy_match_pairs(
     WHERE dirty_token <> clean_token
       AND levenshtein(dirty_token, clean_token) <= {max_dist}
     """
+
+
+# --------------------------------------------------------------------------
+# MinHash calibration — est-vs-exact Jaccard over EVERY LSH candidate
+# pair (no threshold): est_jaccard is the K=16 signature-agreement
+# fraction, jaccard the exact shingle-set value, abs_err their gap.
+# This is the measurement that tunes the bands×rows dial: the sketch's
+# ±1/sqrt(K) noise and the candidate set's composition are visible in
+# one frame, the same way sim_ann_recall scores the ANN indexes. Same
+# narrow-bands candidate machinery as the verified form above; both
+# verify expressions evaluate once per pair, not once per shared band.
+# --------------------------------------------------------------------------
+
+
+def minhash_calibration(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard, abs_err) for every LSH
+    candidate pair."""
+    docs = _spread(corpus).select(
+        "doc_id",
+        F.expr(_SPARK_SHINGLES).alias("sh"),
+        F.expr(_SPARK_MINHASH_SIG).alias("sig"),
+    ).localCheckpoint()
+    bands = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+                  array_join(transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),
+                             x -> cast(x as string)), '-'))"""
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    side_a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    side_b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    est = F.round(
+        F.size(
+            F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")
+        )
+        / F.lit(float(MINHASH_K)),
+        6,
+    ).alias("est_jaccard")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter.cast("double") / union, 6).alias("jaccard")
+    out = (
+        cand.join(side_a, on="doc_a")
+        .join(side_b, on="doc_b")
+        .select("doc_a", "doc_b", est, jac)
+    )
+    return out.withColumn(
+        "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6)
+    )
+
+
+def sql_minhash_calibration(corpus_sql: str) -> str:
+    sig = sql_minhash_signatures(corpus_sql)
+    agree = (
+        f"CAST(len(list_filter(generate_series(1, {MINHASH_K}), "
+        f"i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {MINHASH_K}"
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM ({corpus_sql})
+    ),
+    sigs AS ({sig}),
+    docs AS (SELECT s.doc_id, sh.sh, s.sig FROM sigs s JOIN sh USING (doc_id)),
+    bands AS (
+      SELECT doc_id, b.band, b.key FROM docs,
+      LATERAL (
+        SELECT i AS band,
+               array_to_string(list_transform(sig[i * {LSH_ROWS} + 1 : i * {LSH_ROWS} + {LSH_ROWS}],
+                               x -> CAST(x AS VARCHAR)), '-') AS key
+        FROM (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS i)
+      ) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             round({agree}, 6) AS est_jaccard,
+             round({jac}, 6) AS jaccard
+      FROM cand c
+      JOIN docs sa ON sa.doc_id = c.doc_a
+      JOIN docs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, est_jaccard, jaccard,
+           round(abs(est_jaccard - jaccard), 6) AS abs_err
+    FROM scored
+    """

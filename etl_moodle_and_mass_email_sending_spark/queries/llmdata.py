@@ -32,6 +32,12 @@ register(
 )
 
 register(
+    "dedup_minhash_calibration",
+    lambda spark, sf_dir: dedup.minhash_calibration(dedup.dup_corpus(spark, sf_dir)),
+    dedup.sql_minhash_calibration(_CORPUS_SQL),
+)
+
+register(
     "dedup_simhash",
     lambda spark, sf_dir: dedup.simhash_pairs(dedup.dup_corpus(spark, sf_dir)),
     dedup.sql_simhash_pairs(_CORPUS_SQL),

@@ -153,6 +153,7 @@ _DEMOTED = [
     "text_ngram_novelty",
     "sim_ann_recall",
     "graph_label_prop",
+    "dedup_minhash_calibration",
 ]
 
 
