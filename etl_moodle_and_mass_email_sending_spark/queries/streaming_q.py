@@ -416,3 +416,79 @@ SELECT user_id, event_id, event_type, value FROM (
 """
 
 register("stream_upsert_latest", stream_upsert_latest, STREAM_UPSERT_LATEST_SQL)
+
+
+def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online MinHash-LSH near-dedup run as a REAL multi-batch stream:
+    the dup corpus is staged as four arrival chunks (doc_id ranges,
+    increasing mtimes) and replayed one file per trigger, so the
+    band/signature index genuinely accumulates across micro-batches in
+    streaming/neardup_stream.py. The admit/drop semantics are
+    order-independent (dropped iff ANY smaller-doc_id near-dup exists,
+    kept-or-dropped), so the exact batch oracle below holds regardless
+    of how the replay batches — the staging only exercises the
+    stateful-index path. The global-sort ntile here is staging harness,
+    not operator: a production stream arrives pre-ordered by time."""
+    import os
+    import shutil
+
+    from ..operators import dedup
+    from ..streaming import neardup_stream
+
+    base = tempfile.mkdtemp(prefix="ndf_")
+    stage = os.path.join(base, "stage")
+    os.makedirs(stage)
+    corpus = dedup.dup_corpus(spark, sf_dir).select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    chunked = corpus.withColumn("_chunk", F.ntile(4).over(w))
+    t0 = 1_700_000_000
+    for i in range(1, 5):
+        part_dir = os.path.join(base, f"w{i}")
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    docs = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = neardup_stream.start_near_dup_filter_stream(
+        docs,
+        os.path.join(base, "store"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "out"))
+
+
+def _near_dup_filter_sql() -> str:
+    from ..operators import dedup
+
+    pairs = dedup.sql_minhash_lsh_pairs(dedup.sql_dup_corpus())
+    return f"""
+    WITH pairs AS ({pairs}),
+    agg AS (
+      SELECT doc_b AS doc_id, count(*) AS n FROM pairs GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_earlier_dups,
+           coalesce(a.n, 0) > 0 AS dropped
+    FROM ({dedup.sql_dup_corpus()}) c LEFT JOIN agg a USING (doc_id)
+    """
+
+
+register(
+    "stream_near_dup_filter",
+    stream_near_dup_filter,
+    _near_dup_filter_sql(),
+)

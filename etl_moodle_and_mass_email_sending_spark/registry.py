@@ -154,6 +154,7 @@ _DEMOTED = [
     "sim_ann_recall",
     "graph_label_prop",
     "dedup_minhash_calibration",
+    "stream_near_dup_filter",
 ]
 
 

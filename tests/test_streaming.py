@@ -504,3 +504,40 @@ class TestStreamOuterJoinEviction:
         # exactly one row per emitted click — eviction never duplicates
         n_rows = sum(len(rows) for _, rows in batches)
         assert n_rows == 2
+
+
+class TestNearDupFilterStream:
+    def test_multi_batch_replay_and_cross_batch_drops(self, spark):
+        """The staged replay must actually run multiple micro-batches
+        (one per chunk file — proven by the checkpoint's offset log),
+        and a late-arriving injected copy must be dropped against an
+        original that arrived in an EARLIER batch (the stored-index
+        path, not the within-batch join)."""
+        import glob
+
+        from etl_moodle_and_mass_email_sending_spark.operators.dedup import (
+            EXACT_COPY_OFFSET,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+            stream_near_dup_filter,
+        )
+
+        out = stream_near_dup_filter(spark, SF_SMALL)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        # every staged doc got exactly one decision
+        corpus_n = len(rows)
+        assert corpus_n > 0
+        # doc 0 arrives first: nothing earlier, never dropped
+        assert rows[0]["dropped"] is False
+        assert rows[0]["n_earlier_dups"] == 0
+        # its exact copy (doc_id 0 + offset) arrives in the LAST chunk
+        # (highest doc_id range) while doc 0 is in the first — the match
+        # can only come from the accumulated store
+        copy_id = 0 + EXACT_COPY_OFFSET
+        assert copy_id in rows
+        assert rows[copy_id]["dropped"] is True
+        assert rows[copy_id]["n_earlier_dups"] >= 1
+        # the checkpoint's offset log proves one batch per chunk file
+        ck_offsets = glob.glob("/tmp/ndf_*/ck/offsets/*")
+        batches = {os.path.basename(p) for p in ck_offsets}
+        assert len(batches) >= 4
