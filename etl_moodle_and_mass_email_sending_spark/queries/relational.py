@@ -853,6 +853,24 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_benford_check — first-significant-digit Benford audit over order
+# totals (operators/quality_checks.py): the data-quality screen for
+# amount columns, 9 spine rows with per-digit chi-square terms.
+# --------------------------------------------------------------------------
+
+from ..operators import quality_checks as _qc  # noqa: E402
+
+
+register(
+    "rel_benford_check",
+    lambda spark, sf_dir: _qc.benford_check(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    ),
+    _qc.sql_benford_check("SELECT * FROM orders", "o_totalprice"),
+)
+
+
+# --------------------------------------------------------------------------
 # rel_hll_distinct — deterministic HyperLogLog sketch: distinct
 # event_ids per event_type (thousands per group, so the raw estimator
 # branch is exercised, unlike the 150-user KMV demo above). Registers

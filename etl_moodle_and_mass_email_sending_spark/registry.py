@@ -155,6 +155,7 @@ _DEMOTED = [
     "graph_label_prop",
     "dedup_minhash_calibration",
     "stream_near_dup_filter",
+    "rel_benford_check",
 ]
 
 
