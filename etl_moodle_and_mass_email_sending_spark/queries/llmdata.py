@@ -56,6 +56,12 @@ register(
 )
 
 register(
+    "sim_ann_multiprobe_topk",
+    similarity.ann_multiprobe_topk,
+    similarity.sql_ann_multiprobe_topk(),
+)
+
+register(
     "sim_ivf_topk",
     similarity.ivf_topk,
     similarity.sql_ivf_topk(),

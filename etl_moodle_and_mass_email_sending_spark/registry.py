@@ -156,6 +156,7 @@ _DEMOTED = [
     "dedup_minhash_calibration",
     "stream_near_dup_filter",
     "rel_benford_check",
+    "sim_ann_multiprobe_topk",
 ]
 
 
