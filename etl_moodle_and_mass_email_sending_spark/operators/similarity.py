@@ -1558,3 +1558,114 @@ def sql_ann_multiprobe_topk() -> str:
       FROM sims
     ) WHERE rank <= {TOP_K}
     """
+
+
+# --------------------------------------------------------------------------
+# Graph modularity of the label partition — Newman's Q over the mutual
+# k-NN graph with communities = embedding labels: Q = Σ_c [L_c/m −
+# (d_c/2m)²]. High per-label terms mean the label structure aligns
+# with embedding geometry (edges stay inside labels); terms near 0
+# mean the graph ignores the labels — the companion measurement to
+# graph_label_prop (propagation can only work where modularity says
+# the geometry supports it).
+#
+# Scale: after the k-NN graph, one broadcast of the (vec_id, label)
+# map onto the edge list (labels are fact-proportional but the JOIN is
+# a key-partitioned equi-join if too big to broadcast — here the map
+# is narrow ints), one degree rollup, one per-label rollup; the scalar
+# m broadcasts.
+# --------------------------------------------------------------------------
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_nodes, internal_edges, degree_sum, q_term) per label
+    over the mutual k-NN graph; Q = sum(q_term)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "label")
+    edges = knn_graph(spark, sf_dir).select("src", "dst")
+    lab = v.select(F.col("vec_id").alias("node"), "label")
+    labeled = (
+        edges.join(
+            lab.select(
+                F.col("node").alias("src"), F.col("label").alias("la")
+            ),
+            on="src",
+        )
+        .join(
+            lab.select(
+                F.col("node").alias("dst"), F.col("label").alias("lb")
+            ),
+            on="dst",
+        )
+        .localCheckpoint(eager=False)  # feeds m, degrees, internal
+    )
+    m = labeled.agg(F.count("*").alias("_m"))
+    internal = (
+        labeled.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    und = labeled.select(F.col("la").alias("label")).unionByName(
+        labeled.select(F.col("lb").alias("label"))
+    )
+    degs = und.groupBy("label").agg(F.count("*").alias("degree_sum"))
+    nodes = v.groupBy("label").agg(F.count("*").alias("n_nodes"))
+    return (
+        nodes.join(internal, on="label", how="left")
+        .join(degs, on="label", how="left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            F.coalesce("degree_sum", F.lit(0))
+            .cast("bigint")
+            .alias("degree_sum"),
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)) / F.col("_m")
+                - F.pow(
+                    F.coalesce("degree_sum", F.lit(0))
+                    / (F.lit(2.0) * F.col("_m")),
+                    2,
+                ),
+                6,
+            ).alias("q_term"),
+        )
+    )
+
+
+def sql_graph_modularity() -> str:
+    return f"""
+    WITH edges AS (SELECT src, dst FROM ({sql_knn_graph()})),
+    v AS (SELECT vec_id, label FROM ({_DUCK_VECTORS})),
+    labeled AS (
+      SELECT e.src, e.dst, a.label AS la, b.label AS lb
+      FROM edges e
+      JOIN v a ON e.src = a.vec_id
+      JOIN v b ON e.dst = b.vec_id
+    ),
+    m AS (SELECT count(*) AS _m FROM labeled),
+    internal AS (
+      SELECT la AS label, count(*) AS internal_edges
+      FROM labeled WHERE la = lb GROUP BY 1
+    ),
+    degs AS (
+      SELECT label, count(*) AS degree_sum FROM (
+        SELECT la AS label FROM labeled
+        UNION ALL SELECT lb AS label FROM labeled
+      ) GROUP BY 1
+    ),
+    nodes AS (SELECT label, count(*) AS n_nodes FROM v GROUP BY 1)
+    SELECT n.label, n.n_nodes,
+           CAST(coalesce(i.internal_edges, 0) AS BIGINT)
+             AS internal_edges,
+           CAST(coalesce(d.degree_sum, 0) AS BIGINT) AS degree_sum,
+           round(CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / m._m
+                 - pow(CAST(coalesce(d.degree_sum, 0) AS DOUBLE)
+                       / (2.0 * m._m), 2), 6) AS q_term
+    FROM nodes n
+    LEFT JOIN internal i USING (label)
+    LEFT JOIN degs d USING (label)
+    CROSS JOIN m
+    """

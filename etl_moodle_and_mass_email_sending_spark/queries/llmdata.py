@@ -984,6 +984,12 @@ register(
 )
 
 register(
+    "graph_modularity",
+    similarity.graph_modularity,
+    similarity.sql_graph_modularity(),
+)
+
+register(
     "graph_label_prop",
     similarity.label_prop,
     similarity.sql_label_prop(),

@@ -157,6 +157,7 @@ _DEMOTED = [
     "stream_near_dup_filter",
     "rel_benford_check",
     "sim_ann_multiprobe_topk",
+    "graph_modularity",
 ]
 
 
