@@ -525,3 +525,41 @@ def test_hll_estimate_tracks_exact_on_random_cardinality(spark_mod, n):
     dup = spark.createDataFrame(rows * 3, "grp string, key long")
     out2 = sketches.hll_distinct(dup, "grp", "key").collect()
     assert out2[0]["hll_estimate"] == est
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark_mod):
+    """Multi-probe LSH candidates are a superset of the single-bucket
+    candidates (probe list contains the exact bucket), so per-query
+    recall@K must never decrease — the structural guarantee behind the
+    lsh_mp arm of sim_ann_recall."""
+    from tests.conftest import SF_SMALL
+
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        similarity,
+    )
+
+    rec = {
+        (r["query_id"], r["method"]): r["recall"]
+        for r in similarity.ann_recall_eval(spark_mod, SF_SMALL).collect()
+    }
+    qids = {q for q, _ in rec}
+    assert qids
+    for q in qids:
+        assert rec[(q, "lsh_mp")] >= rec[(q, "lsh")], q
+
+
+def test_modularity_identities(spark_mod):
+    """Structural identities of Newman's Q over any graph/partition:
+    Σ degree_sum = 2m, Σ internal_edges ≤ m, and Σ q_term ∈ [-0.5, 1]."""
+    from tests.conftest import SF_SMALL
+
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        similarity,
+    )
+
+    rows = similarity.graph_modularity(spark_mod, SF_SMALL).collect()
+    m2 = sum(r["degree_sum"] for r in rows)
+    internal = sum(r["internal_edges"] for r in rows)
+    q = sum(r["q_term"] for r in rows)
+    assert m2 % 2 == 0 and internal <= m2 // 2
+    assert -0.5 <= q <= 1.0
