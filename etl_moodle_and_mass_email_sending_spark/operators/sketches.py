@@ -622,10 +622,14 @@ _HLL_WBITS = 60 - HLL_P  # bits left after the register index
 _HLL_SCALE_POW = _HLL_WBITS + 1  # 2^-rho scaled exactly, rho in [1, 55]
 
 
-def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
-    """Per-group exact distinct count alongside the deterministic HLL
-    estimate — (group, n_exact, hll_estimate)."""
-    m, p = _HLL_M, HLL_P
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """(group, _idx, _mj): the per-group register state — max-merged,
+    so registers from separate partitions/batches/streams combine with
+    a plain groupBy-max into the identical state (the property the
+    streaming variant exploits)."""
+    m = _HLL_M
     pairs = df.select(group_col, key_col).distinct()
     v = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
@@ -641,11 +645,16 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         F.col("_w") > 0,
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("_w"))),
     ).otherwise(F.lit(_HLL_WBITS + 1))
-    regs = (
+    return (
         hashed.withColumn("_rho", rho)
         .groupBy(group_col, "_idx")
         .agg(F.max("_rho").alias("_mj"))
     )
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """(group, hll_estimate) from a register-state frame."""
+    m = _HLL_M
     sums = regs.groupBy(group_col).agg(
         F.sum(
             F.expr(
@@ -655,7 +664,6 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         ).alias("_s_used"),
         F.count("*").alias("_n_regs"),
     )
-    exact = pairs.groupBy(group_col).agg(F.count("*").alias("n_exact"))
     scale = float(1 << _HLL_SCALE_POW)
     s_total = F.col("_s_used") + (F.lit(m) - F.col("_n_regs")) * F.lit(
         1 << _HLL_SCALE_POW
@@ -668,8 +676,21 @@ def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
         (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(e_raw)
-    return exact.join(sums, on=group_col).select(
-        group_col, "n_exact", F.round(est, 4).alias("hll_estimate")
+    return sums.select(group_col, F.round(est, 4).alias("hll_estimate"))
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group exact distinct count alongside the deterministic HLL
+    estimate — (group, n_exact, hll_estimate)."""
+    est = hll_estimate(hll_registers(df, group_col, key_col), group_col)
+    exact = (
+        df.select(group_col, key_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(est, on=group_col).select(
+        group_col, "n_exact", "hll_estimate"
     )
 
 

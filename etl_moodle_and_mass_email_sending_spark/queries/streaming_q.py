@@ -492,3 +492,66 @@ register(
     stream_near_dup_filter,
     _near_dup_filter_sql(),
 )
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count via HLL register max-merge
+    (streaming/hll_stream.py), replayed as four real micro-batches
+    (event_id-range chunks, increasing mtimes). Register merge is
+    order-independent, so the streamed sketch state — and therefore the
+    estimate — is bit-identical to the batch sketch, which is what lets
+    this approximate STREAMING aggregate hash-gate against the batch
+    oracle exactly."""
+    import os
+    import shutil
+
+    from ..streaming import hll_stream
+    from ..operators import sketches
+
+    base = tempfile.mkdtemp(prefix="hll_q_")
+    stage = os.path.join(base, "stage")
+    os.makedirs(stage)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id"
+    )
+    w = Window.orderBy("event_id")
+    chunked = ev.withColumn("_chunk", F.ntile(4).over(w))
+    t0 = 1_700_000_000
+    for i in range(1, 5):
+        part_dir = os.path.join(base, f"w{i}")
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store = os.path.join(base, "store")
+    q = hll_stream.start_hll_stream(
+        stream, store, os.path.join(base, "ck")
+    )
+    q.awaitTermination()
+    regs = spark.read.parquet(os.path.join(store, "regs"))
+    return sketches.hll_estimate(regs, "event_type")
+
+
+def _stream_hll_sql() -> str:
+    from ..operators import sketches
+
+    inner = sketches.sql_hll_distinct(
+        "SELECT event_type, event_id FROM events", "event_type", "event_id"
+    )
+    return f"SELECT event_type, hll_estimate FROM ({inner})"
+
+
+register("stream_hll_distinct", stream_hll_distinct, _stream_hll_sql())

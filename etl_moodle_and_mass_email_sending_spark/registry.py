@@ -158,6 +158,7 @@ _DEMOTED = [
     "rel_benford_check",
     "sim_ann_multiprobe_topk",
     "graph_modularity",
+    "stream_hll_distinct",
 ]
 
 
