@@ -414,3 +414,34 @@ def test_ivfpq_topk_never_shuffles_the_corpus(spark, registry_queries):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 3
     assert plan.count("HashAggregate") >= 2  # partial+final ADC sum
+
+
+def test_label_prop_and_modularity_avoid_cartesian(
+    spark, registry_queries
+):
+    """The k-NN-graph consumers stay equi-join-shaped: no cartesian
+    anywhere, and the only nested-loop join allowed is the bucketed
+    candidate stage's broadcast against the tiny query frame."""
+    for name in ("graph_label_prop", "graph_modularity"):
+        plan = _plan(registry_queries[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ngram_novelty_partial_aggregates_hashed_trigrams(
+    spark, registry_queries
+):
+    """Novelty shuffles 8-byte trigram hashes with map-side partial
+    aggregation — no raw trigram strings cross the wire after the
+    projection, and both rollups partial-aggregate."""
+    plan = _plan(registry_queries["text_ngram_novelty"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 rollups
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "doc_id" in plan
+
+
+def test_benford_broadcasts_the_scalar_total(spark, registry_queries):
+    """The 9-row spine joins the digit counts and the scalar total via
+    broadcast — the orders scan must appear without a sort-merge join."""
+    plan = _plan(registry_queries["rel_benford_check"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
