@@ -741,3 +741,147 @@ def sql_hll_distinct(table_sql: str, group_col: str, key_col: str) -> str:
                       ELSE e_raw END, 4) AS hll_estimate
     FROM est
     """
+
+
+# --------------------------------------------------------------------------
+# Bottom-k-sample quantile sketch — mergeable quantile estimation from
+# a DETERMINISTIC uniform sample: the k rows whose md5 hash fractions
+# (the KMV hash) are smallest form a uniform random sample of the
+# group, decided by arithmetic both engines share; the quantile
+# estimate is the nearest-rank quantile OF THE SAMPLE (pure row
+# selection — no interpolation arithmetic, so the estimate is a value
+# that literally occurs in the data and compares bit-exactly).
+# Bottom-k samples merge like KMV sketches (bottom-k of a union = merge
+# of bottom-ks), which is what a 1000-executor tree-aggregation or a
+# streaming store needs. The exact nearest-rank quantiles ship
+# alongside for error measurement — that side is the expensive full
+# per-group sort, the thing the sketch exists to avoid at scale.
+# NULL values are excluded (no order position).
+# --------------------------------------------------------------------------
+
+QSK_K = 64
+QSK_QS = (0.5, 0.9)
+
+
+def sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = QSK_K,
+) -> DataFrame:
+    """(group, n_rows, exact_p50, exact_p90, est_p50, est_p90):
+    nearest-rank quantiles, exact and from the bottom-k hash sample."""
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        group_col, key_col, value_col
+    )
+    hashed = src.select(
+        group_col,
+        F.col(key_col).alias("_k"),
+        F.col(value_col).alias("_v"),
+        _hash_frac(F.col(key_col)).alias("_frac"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(KMV_SALTS)).alias(
+            "_salt"
+        ),
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_frac", "_k")
+    s1 = hashed.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_frac", "_k")
+    sample = (
+        s1.withColumn("_gr", F.row_number().over(w2))
+        .filter(F.col("_gr") <= k)
+        .select(group_col, "_k", "_v")
+    )
+
+    def ranked(frame: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy(group_col).orderBy("_v", "_k")
+        n = Window.partitionBy(group_col)
+        r = frame.withColumn("_r", F.row_number().over(w)).withColumn(
+            "_n", F.count("*").over(n)
+        )
+        aggs = [
+            F.max(
+                F.when(
+                    F.col("_r")
+                    == F.ceil(F.lit(q) * F.col("_n")).cast("int"),
+                    F.col("_v"),
+                )
+            ).alias(f"{tag}_p{int(q * 100)}")
+            for q in QSK_QS
+        ]
+        return r.groupBy(group_col).agg(*aggs)
+
+    n_rows = src.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    exact = ranked(
+        hashed.select(group_col, "_k", "_v"), "exact"
+    )
+    est = ranked(sample, "est")
+    return (
+        n_rows.join(exact, on=group_col)
+        .join(est, on=group_col)
+        .select(
+            group_col, "n_rows",
+            "exact_p50", "exact_p90", "est_p50", "est_p90",
+        )
+    )
+
+
+def sql_sample_quantiles(
+    table_sql: str,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    k: int = QSK_K,
+) -> str:
+    """DuckDB oracle: identical hash sample (single-stage bottom-k —
+    the two-stage Spark form computes the identical set) and identical
+    nearest-rank selection."""
+    return f"""
+    WITH src AS (
+      SELECT {group_col} AS g, {key_col} AS k, {value_col} AS v,
+             CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)
+                  AS BIGINT) / {float(_SCALE)!r} AS frac
+      FROM ({table_sql}) WHERE {value_col} IS NOT NULL
+    ),
+    sample AS (
+      SELECT g, k, v FROM (
+        SELECT g, k, v,
+               row_number() OVER (PARTITION BY g ORDER BY frac, k) AS rn
+        FROM src
+      ) WHERE rn <= {k}
+    ),
+    exact_r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, k) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM src
+    ),
+    est_r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, k) AS r,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM sample
+    ),
+    exact AS (
+      SELECT g,
+             max(CASE WHEN r = CAST(ceil(0.5 * n) AS INTEGER)
+                      THEN v END) AS exact_p50,
+             max(CASE WHEN r = CAST(ceil(0.9 * n) AS INTEGER)
+                      THEN v END) AS exact_p90
+      FROM exact_r GROUP BY g
+    ),
+    est AS (
+      SELECT g,
+             max(CASE WHEN r = CAST(ceil(0.5 * n) AS INTEGER)
+                      THEN v END) AS est_p50,
+             max(CASE WHEN r = CAST(ceil(0.9 * n) AS INTEGER)
+                      THEN v END) AS est_p90
+      FROM est_r GROUP BY g
+    ),
+    nn AS (SELECT g, count(*) AS n_rows FROM src GROUP BY g)
+    SELECT nn.g AS {group_col}, nn.n_rows,
+           exact.exact_p50, exact.exact_p90, est.est_p50, est.est_p90
+    FROM nn JOIN exact USING (g) JOIN est USING (g)
+    """

@@ -853,6 +853,26 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_quantile_sketch — mergeable bottom-k-sample quantile estimation
+# (operators/sketches.py): nearest-rank p50/p90 of event values from a
+# deterministic 64-row hash sample, exact twins alongside.
+# --------------------------------------------------------------------------
+
+
+register(
+    "rel_quantile_sketch",
+    lambda spark, sf_dir: _sketches.sample_quantiles(
+        load_table(spark, sf_dir, "events"),
+        "event_type", "event_id", "value",
+    ),
+    _sketches.sql_sample_quantiles(
+        "SELECT event_type, event_id, value FROM events",
+        "event_type", "event_id", "value",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
 # rel_benford_check — first-significant-digit Benford audit over order
 # totals (operators/quality_checks.py): the data-quality screen for
 # amount columns, 9 spine rows with per-digit chi-square terms.

@@ -159,6 +159,7 @@ _DEMOTED = [
     "sim_ann_multiprobe_topk",
     "graph_modularity",
     "stream_hll_distinct",
+    "rel_quantile_sketch",
 ]
 
 
