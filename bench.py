@@ -95,6 +95,11 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "text_ngram_novelty",
     "graph_label_prop",
+    "dedup_minhash_calibration",
+    "sim_ann_multiprobe_topk",
+    "graph_modularity",
+    "rel_benford_check",
+    "rel_quantile_sketch",
     # capstone composition
     "llm_corpus_pipeline",
 ]
