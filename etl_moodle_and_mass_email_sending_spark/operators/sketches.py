@@ -196,10 +196,7 @@ def cms_heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     estimate (ties broken by key). ``n_exact`` rides along to expose the
     sketch's one-sided error (estimate ≥ exact, always)."""
     keyed = df.select(F.col(key_col).alias("key"))
-    cells = keyed.select(F.explode(_cms_bucket_structs()).alias("c")).select(
-        "c.r", "c.bucket"
-    )
-    counters = cells.groupBy("r", "bucket").agg(F.count("*").alias("_cnt"))
+    counters = cms_counters(df, key_col)
     keys = keyed.groupBy("key").agg(F.count("*").alias("n_exact"))
     key_cells = keys.select(
         "key", "n_exact", F.explode(_cms_bucket_structs()).alias("c")
@@ -885,3 +882,35 @@ def sql_sample_quantiles(
            exact.exact_p50, exact.exact_p90, est.est_p50, est.est_p90
     FROM nn JOIN exact USING (g) JOIN est USING (g)
     """
+
+
+def cms_counters(df: DataFrame, key_col: str) -> DataFrame:
+    """(r, bucket, _cnt): the CMS counter table for a key column — the
+    sum-mergeable state (counters from separate batches/partitions ADD;
+    the streaming variant exploits exactly that)."""
+    keyed = df.select(F.col(key_col).alias("key"))
+    cells = keyed.select(
+        F.explode(_cms_bucket_structs()).alias("c")
+    ).select("c.r", "c.bucket")
+    return cells.groupBy("r", "bucket").agg(F.count("*").alias("_cnt"))
+
+
+def cms_probe(
+    counters: DataFrame, keys: DataFrame, key_col: str
+) -> DataFrame:
+    """(key, cms_estimate): the CMS frequency estimate for an external
+    probe key set. Cells the data never touched count 0 (left join) —
+    the estimate for an absent key is its collision mass, possibly 0."""
+    probe_cells = keys.select(F.col(key_col).alias("key")).select(
+        "key", F.explode(_cms_bucket_structs()).alias("c")
+    ).select("key", "c.r", "c.bucket")
+    return (
+        probe_cells.join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy("key")
+        .agg(
+            F.min(F.coalesce("_cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("cms_estimate")
+        )
+        .select(F.col("key").alias(key_col), "cms_estimate")
+    )

@@ -555,3 +555,90 @@ def _stream_hll_sql() -> str:
 
 
 register("stream_hll_distinct", stream_hll_distinct, _stream_hll_sql())
+
+
+def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS frequency tracking (streaming/cms_stream.py):
+    per-user event counts sketched into 1024 sum-merged counter cells
+    across four real micro-batches, then point-queried for the fixed
+    user_id 0..99 probe spine. Counter addition is order-independent,
+    so the streamed table — and every probe — is bit-identical to the
+    batch sketch (the additive sibling of stream_hll_distinct)."""
+    import os
+    import shutil
+
+    from ..operators import sketches
+    from ..streaming import cms_stream
+
+    base = tempfile.mkdtemp(prefix="cms_q_")
+    stage = os.path.join(base, "stage")
+    os.makedirs(stage)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    w = Window.orderBy("event_id")
+    chunked = ev.withColumn("_chunk", F.ntile(4).over(w))
+    t0 = 1_700_000_000
+    for i in range(1, 5):
+        part_dir = os.path.join(base, f"w{i}")
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store = os.path.join(base, "store")
+    q = cms_stream.start_cms_stream(
+        stream, store, os.path.join(base, "ck")
+    )
+    q.awaitTermination()
+    counters = spark.read.parquet(os.path.join(store, "counters"))
+    spine = spark.range(100).select(F.col("id").alias("user_id"))
+    return sketches.cms_probe(counters, spine, "user_id")
+
+
+def _stream_cms_sql() -> str:
+    from ..functions.hashing import SEED_SEP
+    from ..operators.sketches import CMS_ROWS, CMS_WIDTH
+
+    bucket = (
+        f"CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '{SEED_SEP}' || "
+        f"CAST(key AS VARCHAR)), 1, 8) AS BIGINT) % {CMS_WIDTH}"
+    )
+    return f"""
+    WITH keyed AS (SELECT user_id AS key FROM events),
+    cells AS (
+      SELECT t.r, {bucket} AS bucket
+      FROM keyed CROSS JOIN range({CMS_ROWS}) t(r)
+    ),
+    counters AS (
+      SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    spine AS (SELECT unnest(generate_series(0, 99)) AS key),
+    probe_cells AS (
+      SELECT key, t.r, {bucket} AS bucket
+      FROM spine CROSS JOIN range({CMS_ROWS}) t(r)
+    ),
+    est AS (
+      SELECT p.key, min(coalesce(c.cnt, 0)) AS cms_estimate
+      FROM probe_cells p
+      LEFT JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+      GROUP BY 1
+    )
+    SELECT key AS user_id, CAST(cms_estimate AS BIGINT) AS cms_estimate
+    FROM est
+    """
+
+
+register("stream_cms_counts", stream_cms_counts, _stream_cms_sql())

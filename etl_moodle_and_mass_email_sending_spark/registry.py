@@ -160,6 +160,7 @@ _DEMOTED = [
     "graph_modularity",
     "stream_hll_distinct",
     "rel_quantile_sketch",
+    "stream_cms_counts",
 ]
 
 
