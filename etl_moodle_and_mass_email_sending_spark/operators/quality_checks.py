@@ -155,3 +155,166 @@ def sql_benford_check(table_sql: str, value_col: str) -> str:
              AS chi2_term
     FROM spine s LEFT JOIN obs o USING (digit) CROSS JOIN total t
     """
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit — the privacy counterpart to the Benford screen:
+# group rows by their quasi-identifier tuple and report, for each k
+# threshold, how many equivalence classes (and member rows) fall below
+# it — the re-identification exposure a release of this table carries
+# (Sweeney 2002). One groupBy on the QI tuple + a 3-row threshold
+# spine; class counts broadcast.
+# --------------------------------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity(df, qi_cols: list[str]):
+    """(k, n_classes_below, n_rows_exposed, min_class_size): per
+    threshold, equivalence classes smaller than k and the rows in
+    them."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    classes = df.groupBy(*qi_cols).agg(F.count("*").alias("_sz"))
+    spine = spark.createDataFrame(
+        [(k,) for k in K_ANON_THRESHOLDS], "k int"
+    )
+    return (
+        spine.crossJoin(classes)
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_sz") < F.col("k"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_classes_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("_sz") < F.col("k"), F.col("_sz"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_rows_exposed"),
+            F.min("_sz").alias("min_class_size"),
+        )
+    )
+
+
+def sql_k_anonymity(table_sql: str, qi_cols: list[str]) -> str:
+    qi = ", ".join(qi_cols)
+    ks = ", ".join(str(k) for k in K_ANON_THRESHOLDS)
+    return f"""
+    WITH classes AS (
+      SELECT {qi}, count(*) AS sz FROM ({table_sql}) GROUP BY {qi}
+    ),
+    spine AS (SELECT CAST(unnest([{ks}]) AS INTEGER) AS k)
+    SELECT k,
+           CAST(coalesce(sum(CASE WHEN sz < k THEN 1 END), 0) AS BIGINT)
+             AS n_classes_below,
+           CAST(coalesce(sum(CASE WHEN sz < k THEN sz END), 0) AS BIGINT)
+             AS n_rows_exposed,
+           min(sz) AS min_class_size
+    FROM spine CROSS JOIN classes
+    GROUP BY k
+    """
+
+
+# --------------------------------------------------------------------------
+# PSI drift check — population stability index between two cohorts of
+# the same column (the standard model/data drift monitor): 10
+# equal-width bins over the global [min, max], per-bin shares p (cohort
+# A) and q (cohort B), psi_term = (p − q)·ln(p/q) with the
+# conventional 1e-4 floor for empty bins. Σ psi_term < 0.1 is the
+# usual "no drift" reading. One scan for the global extremes
+# (broadcast back), one binned rollup per cohort. ln is IEEE-stable
+# across both engines (the certified unigram-LM operators already
+# hash-gate on it).
+# --------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_FLOOR = 1e-4
+
+
+def psi_drift(df, value_col: str, cohort_col):
+    """(bin, n_a, n_b, p_a, p_b, psi_term): drift of ``value_col``
+    between cohort 0 and cohort 1 (``cohort_col`` expression in
+    {0,1})."""
+    from pyspark.sql import functions as F
+
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"), cohort_col.alias("_c")
+    )
+    ext = src.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    binned = src.crossJoin(F.broadcast(ext)).select(
+        "_c",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(
+                (F.col("_v") - F.col("_lo"))
+                / ((F.col("_hi") - F.col("_lo")) / F.lit(PSI_BINS))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.coalesce(F.sum(F.when(F.col("_c") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("_c") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    p = F.greatest(F.col("n_a") / F.col("_ta"), F.lit(PSI_FLOOR))
+    q = F.greatest(F.col("n_b") / F.col("_tb"), F.lit(PSI_FLOOR))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_a", "n_b",
+            F.round(F.col("n_a") / F.col("_ta"), 6).alias("p_a"),
+            F.round(F.col("n_b") / F.col("_tb"), 6).alias("p_b"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+
+
+def sql_psi_drift(
+    table_sql: str, value_col: str, cohort_sql: str
+) -> str:
+    return f"""
+    WITH src AS (
+      SELECT {value_col} AS v, {cohort_sql} AS c FROM ({table_sql})
+      WHERE {value_col} IS NOT NULL
+    ),
+    ext AS (SELECT min(v) AS lo, max(v) AS hi FROM src),
+    binned AS (
+      SELECT c,
+             CAST(least({PSI_BINS - 1},
+                  floor((v - lo) / ((hi - lo) / {PSI_BINS})))
+                  AS INTEGER) AS bin
+      FROM src CROSS JOIN ext
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(coalesce(sum(CASE WHEN c = 0 THEN 1 END), 0) AS BIGINT)
+               AS n_a,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+               AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM counts)
+    SELECT bin, n_a, n_b,
+           round(CAST(n_a AS DOUBLE) / ta, 6) AS p_a,
+           round(CAST(n_b AS DOUBLE) / tb, 6) AS p_b,
+           round((greatest(CAST(n_a AS DOUBLE) / ta, {PSI_FLOOR!r})
+                  - greatest(CAST(n_b AS DOUBLE) / tb, {PSI_FLOOR!r}))
+                 * ln(greatest(CAST(n_a AS DOUBLE) / ta, {PSI_FLOOR!r})
+                      / greatest(CAST(n_b AS DOUBLE) / tb, {PSI_FLOOR!r})),
+                 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """

@@ -853,6 +853,56 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_k_anonymity — privacy audit over customer quasi-identifiers
+# (nation, market segment): per k threshold, equivalence classes and
+# rows below it (operators/quality_checks.py).
+# --------------------------------------------------------------------------
+
+
+from ..operators import quality_checks as _qc  # noqa: E402
+
+
+register(
+    "rel_k_anonymity",
+    lambda spark, sf_dir: _qc.k_anonymity(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+    ),
+    _qc.sql_k_anonymity(
+        "SELECT * FROM customer", ["c_nationkey", "c_mktsegment"]
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_psi_drift — population-stability-index drift of event values
+# between the even/odd event-id cohorts (a deterministic stand-in for
+# week-over-week snapshots): 10 global equal-width bins, per-bin
+# (p − q)·ln(p/q) with the conventional 1e-4 floor.
+# --------------------------------------------------------------------------
+
+
+def _psi(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _qc.psi_drift(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        (F.col("event_id") % 2).cast("int"),
+    )
+
+
+register(
+    "rel_psi_drift",
+    _psi,
+    _qc.sql_psi_drift(
+        "SELECT * FROM events", "value",
+        "CAST(event_id % 2 AS INTEGER)",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
 # rel_quantile_sketch — mergeable bottom-k-sample quantile estimation
 # (operators/sketches.py): nearest-rank p50/p90 of event values from a
 # deterministic 64-row hash sample, exact twins alongside.
@@ -877,8 +927,6 @@ register(
 # totals (operators/quality_checks.py): the data-quality screen for
 # amount columns, 9 spine rows with per-digit chi-square terms.
 # --------------------------------------------------------------------------
-
-from ..operators import quality_checks as _qc  # noqa: E402
 
 
 register(

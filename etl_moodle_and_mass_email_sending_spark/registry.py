@@ -161,6 +161,8 @@ _DEMOTED = [
     "stream_hll_distinct",
     "rel_quantile_sketch",
     "stream_cms_counts",
+    "rel_k_anonymity",
+    "rel_psi_drift",
 ]
 
 
