@@ -642,3 +642,93 @@ def _stream_cms_sql() -> str:
 
 
 register("stream_cms_counts", stream_cms_counts, _stream_cms_sql())
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile estimation from the bottom-k hash sample
+    (streaming/sample_stream.py — the RANK-merge member of the
+    mergeable-sketch trio): four real micro-batches maintain per-group
+    samples + exact row counts, then nearest-rank p50/p90 come off the
+    drained sample. The hash fraction is a pure key function, so the
+    streamed sample equals the batch sample bit-for-bit and the batch
+    oracle applies unchanged (minus its exact-quantile twin columns,
+    which would need every value retained — the thing the sketch
+    exists to avoid)."""
+    import os
+    import shutil
+
+    from ..streaming import sample_stream
+
+    base = tempfile.mkdtemp(prefix="bks_q_")
+    stage = os.path.join(base, "stage")
+    os.makedirs(stage)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.orderBy("event_id")
+    chunked = ev.withColumn("_chunk", F.ntile(4).over(w))
+    t0 = 1_700_000_000
+    for i in range(1, 5):
+        part_dir = os.path.join(base, f"w{i}")
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.parquet(part_dir)
+        )
+        src = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
+        shutil.move(os.path.join(part_dir, src), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store = os.path.join(base, "store")
+    q = sample_stream.start_bottomk_stream(
+        stream, store, os.path.join(base, "ck")
+    )
+    q.awaitTermination()
+    sample = spark.read.parquet(os.path.join(store, "sample"))
+    counts = spark.read.parquet(os.path.join(store, "counts"))
+    wr = Window.partitionBy("g").orderBy("_v", "_k")
+    wn = Window.partitionBy("g")
+    r = sample.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_n", F.count("*").over(wn)
+    )
+    est = r.groupBy("g").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("_r")
+                    == F.ceil(F.lit(qq) * F.col("_n")).cast("int"),
+                    F.col("_v"),
+                )
+            ).alias(f"est_p{int(qq * 100)}")
+            for qq in (0.5, 0.9)
+        ]
+    )
+    return counts.join(est, on="g").select(
+        F.col("g").alias("event_type"), "n_rows", "est_p50", "est_p90"
+    )
+
+
+def _stream_quantile_sql() -> str:
+    from ..operators import sketches
+
+    inner = sketches.sql_sample_quantiles(
+        "SELECT event_type, event_id, value FROM events",
+        "event_type", "event_id", "value",
+    )
+    return (
+        "SELECT event_type, n_rows, est_p50, est_p90 "
+        f"FROM ({inner})"
+    )
+
+
+register(
+    "stream_quantile_sketch", stream_quantile_sketch, _stream_quantile_sql()
+)

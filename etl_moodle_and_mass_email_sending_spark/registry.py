@@ -163,6 +163,7 @@ _DEMOTED = [
     "stream_cms_counts",
     "rel_k_anonymity",
     "rel_psi_drift",
+    "stream_quantile_sketch",
 ]
 
 
