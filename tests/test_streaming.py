@@ -541,3 +541,49 @@ class TestNearDupFilterStream:
         ck_offsets = glob.glob("/tmp/ndf_*/ck/offsets/*")
         batches = {os.path.basename(p) for p in ck_offsets}
         assert len(batches) >= 4
+
+
+class TestSketchStreams:
+    def test_hll_and_sample_streams_accumulate_across_batches(
+        self, spark
+    ):
+        """The sketch streams must genuinely merge across micro-batches:
+        after the 4-chunk replay the HLL estimate and the bottom-k
+        quantile sample must equal their batch twins computed over ALL
+        events — state from batch 1 surviving to batch 4 is the only way
+        that holds (each chunk alone holds a quarter of the keys)."""
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            sketches,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+            stream_hll_distinct,
+            stream_quantile_sketch,
+        )
+
+        streamed_hll = {
+            r["event_type"]: r["hll_estimate"]
+            for r in stream_hll_distinct(spark, SF_SMALL).collect()
+        }
+        batch_hll = {
+            r["event_type"]: r["hll_estimate"]
+            for r in sketches.hll_distinct(
+                load_table(spark, SF_SMALL, "events"),
+                "event_type", "event_id",
+            ).collect()
+        }
+        assert streamed_hll == batch_hll and streamed_hll
+        streamed_q = {
+            r["event_type"]: (r["n_rows"], r["est_p50"], r["est_p90"])
+            for r in stream_quantile_sketch(spark, SF_SMALL).collect()
+        }
+        batch_q = {
+            r["event_type"]: (r["n_rows"], r["est_p50"], r["est_p90"])
+            for r in sketches.sample_quantiles(
+                load_table(spark, SF_SMALL, "events"),
+                "event_type", "event_id", "value",
+            ).collect()
+        }
+        assert streamed_q == batch_q and streamed_q
