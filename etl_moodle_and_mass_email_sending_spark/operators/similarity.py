@@ -256,14 +256,16 @@ def ivf_assign(v: DataFrame, cent: DataFrame, n_best: int = 1) -> DataFrame:
     )
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: exact top-K restricted to the query's NPROBE inverted
-    lists (query_id, vec_id, cosine, rank)."""
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
+    """IVF ANN: exact top-K restricted to the query's ``nprobe``
+    inverted lists (query_id, vec_id, cosine, rank)."""
     v = _vectors(spark, sf_dir).select("vec_id", "vec")
     cent = _centroids(v)
     corpus = ivf_assign(v, cent, n_best=1)
     probes = ivf_assign(
-        v.filter(F.col("vec_id") < N_QUERIES), cent, n_best=NPROBE
+        v.filter(F.col("vec_id") < N_QUERIES), cent, n_best=nprobe
     ).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "cid"
     )
@@ -293,7 +295,7 @@ def _duck_ivf_assign(src: str, n_best: int) -> str:
     """
 
 
-def sql_ivf_topk() -> str:
+def sql_ivf_topk(nprobe: int = NPROBE) -> str:
     cos = _duck_cosine("q.qvec", "v.vec")
     return f"""
     WITH base AS ({_DUCK_VECTORS}),
@@ -302,7 +304,7 @@ def sql_ivf_topk() -> str:
     corpus AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
     probes AS (
       SELECT vec_id AS query_id, vec AS qvec, cid FROM (
-        {_duck_ivf_assign(f"SELECT vec_id, vec FROM base WHERE vec_id < {N_QUERIES}", NPROBE)}
+        {_duck_ivf_assign(f"SELECT vec_id, vec FROM base WHERE vec_id < {N_QUERIES}", nprobe)}
       )
     ),
     sims AS (
@@ -1668,4 +1670,70 @@ def sql_graph_modularity() -> str:
     LEFT JOIN internal i USING (label)
     LEFT JOIN degs d USING (label)
     CROSS JOIN m
+    """
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe sweep — the recall/cost dial measured end to end: recall@K
+# per query at nprobe ∈ {1, 2, 4} against the exact ground truth. The
+# per-nprobe candidate cost grows linearly (each probe adds one
+# inverted list's vectors) while recall climbs toward 1 at nprobe = C;
+# this frame is the evidence behind choosing the production setting
+# (FAISS's nprobe benchmark, as sim_ann_recall is its index benchmark).
+# --------------------------------------------------------------------------
+
+IVF_SWEEP = (1, 2, 4)
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nprobe, query_id, n_hits, recall): recall@TOP_K of IVF at each
+    swept nprobe setting."""
+    truth = topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id"
+    ).localCheckpoint(eager=False)
+    out = None
+    for np_ in IVF_SWEEP:
+        approx = ivf_topk(spark, sf_dir, nprobe=np_).select(
+            "query_id", "vec_id", F.lit(1).alias("_hit")
+        )
+        scored = (
+            truth.join(approx, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "query_id",
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(TOP_K), 6).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def sql_ivf_nprobe_sweep() -> str:
+    def arm(np_: int) -> str:
+        return f"""
+        SELECT {np_} AS nprobe, t.query_id,
+               CAST(coalesce(sum(a.hit), 0) AS BIGINT) AS n_hits,
+               round(CAST(coalesce(sum(a.hit), 0) AS DOUBLE)
+                     / {TOP_K}, 6) AS recall
+        FROM truth t LEFT JOIN (
+          SELECT query_id, vec_id, 1 AS hit FROM ({sql_ivf_topk(np_)})
+        ) a USING (query_id, vec_id)
+        GROUP BY t.query_id
+        """
+
+    arms = " UNION ALL ".join(arm(np_) for np_ in IVF_SWEEP)
+    return f"""
+    WITH truth AS (
+      SELECT query_id, vec_id FROM ({sql_topk_bruteforce()})
+    )
+    {arms}
     """

@@ -972,6 +972,12 @@ register(
 )
 
 register(
+    "sim_ivf_nprobe_sweep",
+    similarity.ivf_nprobe_sweep,
+    similarity.sql_ivf_nprobe_sweep(),
+)
+
+register(
     "sim_ann_recall",
     similarity.ann_recall_eval,
     similarity.sql_ann_recall_eval(),

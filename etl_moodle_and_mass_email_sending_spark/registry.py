@@ -164,6 +164,7 @@ _DEMOTED = [
     "rel_k_anonymity",
     "rel_psi_drift",
     "stream_quantile_sketch",
+    "sim_ivf_nprobe_sweep",
 ]
 
 
