@@ -418,31 +418,24 @@ SELECT user_id, event_id, event_type, value FROM (
 register("stream_upsert_latest", stream_upsert_latest, STREAM_UPSERT_LATEST_SQL)
 
 
-def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Online MinHash-LSH near-dedup run as a REAL multi-batch stream:
-    the dup corpus is staged as four arrival chunks (doc_id ranges,
-    increasing mtimes) and replayed one file per trigger, so the
-    band/signature index genuinely accumulates across micro-batches in
-    streaming/neardup_stream.py. The admit/drop semantics are
-    order-independent (dropped iff ANY smaller-doc_id near-dup exists,
-    kept-or-dropped), so the exact batch oracle below holds regardless
-    of how the replay batches — the staging only exercises the
-    stateful-index path. The global-sort ntile here is staging harness,
-    not operator: a production stream arrives pre-ordered by time."""
+def _stage_ordered_chunks(df, order_col: str, n_chunks: int = 4) -> str:
+    """Stage a bounded frame as ``n_chunks`` single-file parquet chunks
+    (ordered ranges of ``order_col``, strictly increasing mtimes) under
+    a fresh temp dir, so a file-source replay with maxFilesPerTrigger=1
+    runs one REAL micro-batch per chunk in arrival order. Shared by the
+    four sketch/dedup streams. Test-harness staging, not an operator: a
+    production stream arrives pre-chunked by time; the global-sort
+    ntile is confined to the testbed frame."""
     import os
     import shutil
 
-    from ..operators import dedup
-    from ..streaming import neardup_stream
-
-    base = tempfile.mkdtemp(prefix="ndf_")
+    base = tempfile.mkdtemp(prefix="stage_")
     stage = os.path.join(base, "stage")
     os.makedirs(stage)
-    corpus = dedup.dup_corpus(spark, sf_dir).select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    chunked = corpus.withColumn("_chunk", F.ntile(4).over(w))
+    w = Window.orderBy(order_col)
+    chunked = df.withColumn("_chunk", F.ntile(n_chunks).over(w))
     t0 = 1_700_000_000
-    for i in range(1, 5):
+    for i in range(1, n_chunks + 1):
         part_dir = os.path.join(base, f"w{i}")
         (
             chunked.filter(F.col("_chunk") == i)
@@ -456,6 +449,28 @@ def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dst = os.path.join(stage, f"chunk{i:02d}.parquet")
         shutil.move(os.path.join(part_dir, src), dst)
         os.utime(dst, (t0 + i, t0 + i))
+    return stage
+
+
+def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online MinHash-LSH near-dedup run as a REAL multi-batch stream:
+    the dup corpus is staged as four arrival chunks (doc_id ranges,
+    increasing mtimes) and replayed one file per trigger, so the
+    band/signature index genuinely accumulates across micro-batches in
+    streaming/neardup_stream.py. The admit/drop semantics are
+    order-independent (dropped iff ANY smaller-doc_id near-dup exists,
+    kept-or-dropped), so the exact batch oracle below holds regardless
+    of how the replay batches — the staging only exercises the
+    stateful-index path. The global-sort ntile here is staging harness,
+    not operator: a production stream arrives pre-ordered by time."""
+    import os
+
+    from ..operators import dedup
+    from ..streaming import neardup_stream
+
+    base = tempfile.mkdtemp(prefix="ndf_")
+    corpus = dedup.dup_corpus(spark, sf_dir).select("doc_id", "text")
+    stage = _stage_ordered_chunks(corpus, "doc_id")
     docs = (
         spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1)
@@ -503,34 +518,15 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     this approximate STREAMING aggregate hash-gate against the batch
     oracle exactly."""
     import os
-    import shutil
 
     from ..streaming import hll_stream
     from ..operators import sketches
 
     base = tempfile.mkdtemp(prefix="hll_q_")
-    stage = os.path.join(base, "stage")
-    os.makedirs(stage)
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id"
     )
-    w = Window.orderBy("event_id")
-    chunked = ev.withColumn("_chunk", F.ntile(4).over(w))
-    t0 = 1_700_000_000
-    for i in range(1, 5):
-        part_dir = os.path.join(base, f"w{i}")
-        (
-            chunked.filter(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.parquet(part_dir)
-        )
-        src = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    stage = _stage_ordered_chunks(ev, "event_id")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -565,34 +561,15 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the streamed table — and every probe — is bit-identical to the
     batch sketch (the additive sibling of stream_hll_distinct)."""
     import os
-    import shutil
 
     from ..operators import sketches
     from ..streaming import cms_stream
 
     base = tempfile.mkdtemp(prefix="cms_q_")
-    stage = os.path.join(base, "stage")
-    os.makedirs(stage)
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id"
     )
-    w = Window.orderBy("event_id")
-    chunked = ev.withColumn("_chunk", F.ntile(4).over(w))
-    t0 = 1_700_000_000
-    for i in range(1, 5):
-        part_dir = os.path.join(base, f"w{i}")
-        (
-            chunked.filter(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.parquet(part_dir)
-        )
-        src = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    stage = _stage_ordered_chunks(ev, "event_id")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -655,33 +632,14 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would need every value retained — the thing the sketch
     exists to avoid)."""
     import os
-    import shutil
 
     from ..streaming import sample_stream
 
     base = tempfile.mkdtemp(prefix="bks_q_")
-    stage = os.path.join(base, "stage")
-    os.makedirs(stage)
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    w = Window.orderBy("event_id")
-    chunked = ev.withColumn("_chunk", F.ntile(4).over(w))
-    t0 = 1_700_000_000
-    for i in range(1, 5):
-        part_dir = os.path.join(base, f"w{i}")
-        (
-            chunked.filter(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.parquet(part_dir)
-        )
-        src = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        os.utime(dst, (t0 + i, t0 + i))
+    stage = _stage_ordered_chunks(ev, "event_id")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
