@@ -518,3 +518,50 @@ def sql_bfs_depth(
     SELECT id, CAST(depth AS INTEGER) AS depth FROM dist{rounds}
     """
     )
+
+
+# --------------------------------------------------------------------------
+# Degree-distribution profile — the first diagnostic anyone runs on a
+# candidate-pair graph: n_nodes per degree, plus each degree's share.
+# A near-dup graph whose distribution has a heavy tail (a few nodes
+# with hundreds of edges) signals boilerplate hubs that will blow up
+# clustering; the profile is how you catch that BEFORE running the
+# iterative ops. One degree rollup + one histogram rollup, both
+# map-side combining; totals broadcast.
+# --------------------------------------------------------------------------
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes, node_share): histogram of undirected node
+    degrees over an (src, dst) edge list."""
+    und = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    degs = und.groupBy("node").agg(F.count("*").alias("degree"))
+    hist = degs.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").alias("_t"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(F.col("n_nodes") / F.col("_t"), 6).alias(
+                "node_share"
+            ),
+        )
+    )
+
+
+def sql_degree_distribution(edges_sql: str) -> str:
+    return f"""
+    WITH und AS (
+      SELECT src AS node FROM ({edges_sql})
+      UNION ALL SELECT dst AS node FROM ({edges_sql})
+    ),
+    degs AS (SELECT node, count(*) AS degree FROM und GROUP BY 1),
+    hist AS (SELECT degree, count(*) AS n_nodes FROM degs GROUP BY 1),
+    tot AS (SELECT sum(n_nodes) AS t FROM hist)
+    SELECT degree, n_nodes,
+           round(CAST(n_nodes AS DOUBLE) / t, 6) AS node_share
+    FROM hist CROSS JOIN tot
+    """

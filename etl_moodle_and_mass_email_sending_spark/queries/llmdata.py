@@ -1054,6 +1054,40 @@ def _sql_graph_kcore() -> str:
 register("graph_kcore", _graph_kcore, _sql_graph_kcore())
 
 
+# --------------------------------------------------------------------------
+# graph_degree_profile — degree histogram of the near-dup graph
+# (operators/components.py::degree_distribution): the hub-detection
+# diagnostic run BEFORE the iterative graph ops.
+# --------------------------------------------------------------------------
+
+
+def _graph_degree_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import degree_distribution
+
+    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    return degree_distribution(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _sql_graph_degree_profile() -> str:
+    from ..operators.components import sql_degree_distribution
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return sql_degree_distribution(
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({pairs})"
+    )
+
+
+register(
+    "graph_degree_profile",
+    _graph_degree_profile,
+    _sql_graph_degree_profile(),
+)
+
+
 def _docs_weighted(spark, sf_dir):
     from ..catalog import load_table
 

@@ -165,6 +165,7 @@ _DEMOTED = [
     "rel_psi_drift",
     "stream_quantile_sketch",
     "sim_ivf_nprobe_sweep",
+    "graph_degree_profile",
 ]
 
 
