@@ -14,7 +14,7 @@ lambdas (which evaluate interpreted, outside codegen) are preceded by
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2105,4 +2105,114 @@ def sql_ngram_novelty(corpus_sql: str) -> str:
                 THEN round(CAST(n_unique AS DOUBLE) / n_trigrams, 6)
            END AS novelty
     FROM rolled
+    """
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit — the corpus-statistics health check: natural
+# language follows freq ∝ rank^s with s ≈ −1 (Zipf's law); a corpus
+# whose fitted slope is far off is word-soup, boilerplate, or spam-
+# stuffed. Fit = closed-form OLS of ln(freq) on ln(rank) over each
+# language's top-ZIPF_TOP terms; the log pairs are rounded to 9
+# decimals and accumulated as DECIMALs (the rel_trend_slope recipe), so
+# the five sums — and therefore the slope — are order-independent and
+# deterministic cross-engine.
+#
+# Scale: one token-count groupBy (map-side combine), a per-lang top-N
+# window over (lang, count) pairs — N·|langs| rows rank, never the
+# corpus — then spine-sized OLS arithmetic.
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 100
+
+
+def zipf_fit(corpus: DataFrame) -> DataFrame:
+    """(lang, n_terms, slope, intercept): per-language OLS fit of
+    ln(freq) ~ ln(rank) over the top-ZIPF_TOP terms."""
+    counts = (
+        corpus.select(
+            "lang", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP
+    )
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    y = F.round(F.log(F.col("cnt").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    sums = ranked.select("lang", x.alias("x"), y.alias("y")).groupBy(
+        "lang"
+    ).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n_terms").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    return sums.select(
+        "lang",
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+def sql_zipf_fit(corpus_sql: str) -> str:
+    return f"""
+    WITH counts AS (
+      SELECT lang, t.token, count(*) AS cnt
+      FROM (SELECT lang, {_DUCK_FTOKS} AS toks FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(toks) AS token) t
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, cnt,
+             row_number() OVER (PARTITION BY lang
+                  ORDER BY cnt DESC, token) AS rank
+      FROM counts QUALIFY rank <= {ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT lang,
+             CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9))
+               AS x,
+             CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9))
+               AS y
+      FROM ranked
+    ),
+    sums AS (
+      SELECT lang, count(*) AS n_terms,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT lang, n_terms,
+           round((n_terms * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / nullif(n_terms * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+                 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((n_terms * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / nullif(n_terms * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                              0)) * CAST(sx AS DOUBLE))
+                 / n_terms, 6) AS intercept
+    FROM sums
     """

@@ -960,6 +960,12 @@ register(
 )
 
 register(
+    "text_zipf_fit",
+    lambda spark, sf_dir: text_analysis.zipf_fit(_docs(spark, sf_dir)),
+    text_analysis.sql_zipf_fit(_DOCS_SQL),
+)
+
+register(
     "text_ngram_novelty",
     lambda spark, sf_dir: text_analysis.ngram_novelty(_docs(spark, sf_dir)),
     text_analysis.sql_ngram_novelty(_DOCS_SQL),

@@ -166,6 +166,7 @@ _DEMOTED = [
     "stream_quantile_sketch",
     "sim_ivf_nprobe_sweep",
     "graph_degree_profile",
+    "text_zipf_fit",
 ]
 
 
