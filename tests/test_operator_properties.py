@@ -563,3 +563,58 @@ def test_modularity_identities(spark_mod):
     q = sum(r["q_term"] for r in rows)
     assert m2 % 2 == 0 and internal <= m2 // 2
     assert -0.5 <= q <= 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=120,
+        unique=True,
+    ),
+    split=st.integers(min_value=0, max_value=120),
+)
+def test_bottomk_sample_is_rank_mergeable(spark_mod, keys, split):
+    """The property the streaming quantile sketch rests on: for ANY
+    partition of the rows into two batches, re-ranking the union of the
+    two batches' bottom-k sets equals the bottom-k of all data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators.sketches import (
+        _hash_frac,
+    )
+
+    spark = spark_mod
+    k = 16
+    split = min(split, len(keys))
+
+    def bottomk(rows):
+        if not rows:
+            return None
+        df = spark.createDataFrame(
+            [("g", kk, float(kk % 7)) for kk in rows],
+            "g string, _k long, _v double",
+        ).withColumn("_frac", _hash_frac(F.col("_k")))
+        w = Window.partitionBy("g").orderBy("_frac", "_k")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    full = {r["_k"] for r in bottomk(keys).collect()}
+    parts = [bottomk(keys[:split]), bottomk(keys[split:])]
+    parts = [p for p in parts if p is not None]
+    merged_df = parts[0]
+    for p in parts[1:]:
+        merged_df = merged_df.unionByName(p)
+    w = Window.partitionBy("g").orderBy("_frac", "_k")
+    merged = {
+        r["_k"]
+        for r in merged_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .collect()
+    }
+    assert merged == full
