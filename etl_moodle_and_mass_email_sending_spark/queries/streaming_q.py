@@ -690,3 +690,95 @@ def _stream_quantile_sql() -> str:
 register(
     "stream_quantile_sketch", stream_quantile_sketch, _stream_quantile_sql()
 )
+
+
+def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bloom watchlist (streaming/bloom_stream.py — the
+    OR-merge member of the sketch-stream family): user_id bloom bucket
+    ids union-distinct across four real micro-batches, then a fixed
+    user_id 0..199 spine probes membership. Set union is idempotent and
+    order-independent, so the streamed bitset — and every probe —
+    matches the batch bloom exactly, no false negatives included."""
+    import os
+
+    from ..operators.sketches import _bloom_buckets
+    from ..streaming import bloom_stream
+
+    base = tempfile.mkdtemp(prefix="blm_q_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    stage = _stage_ordered_chunks(ev, "event_id")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    store = os.path.join(base, "store")
+    q = bloom_stream.start_bloom_stream(
+        stream, store, os.path.join(base, "ck")
+    )
+    q.awaitTermination()
+    bits = spark.read.parquet(os.path.join(store, "bits"))
+    spine = spark.range(200).select(F.col("id").alias("user_id"))
+    probe = spine.select(
+        "user_id",
+        F.explode(_bloom_buckets(F.col("user_id"))).alias("bit"),
+        F.size(_bloom_buckets(F.col("user_id"))).alias("_need"),
+    )
+    return (
+        probe.join(
+            bits.withColumn("_hit", F.lit(1)), on="bit", how="left"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("_need").alias("_need"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("_got"),
+        )
+        .select(
+            "user_id",
+            F.col("_got").cast("int").alias("n_buckets_hit"),
+            (F.col("_got") == F.col("_need")).alias("bloom_hit"),
+        )
+    )
+
+
+def _stream_bloom_sql() -> str:
+    from ..functions.hashing import SEED_SEP
+    from ..operators.sketches import BLOOM_BITS, BLOOM_HASHES
+
+    def bucket(r: int, key: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('{r}{SEED_SEP}' || "
+            f"CAST({key} AS VARCHAR)), 1, 8) AS BIGINT) % {BLOOM_BITS}"
+        )
+
+    seen_arms = " UNION ALL ".join(
+        f"SELECT {bucket(r, 'user_id')} AS bit FROM events "
+        f"WHERE user_id IS NOT NULL"
+        for r in range(BLOOM_HASHES)
+    )
+    probe_arms = " UNION ALL ".join(
+        f"SELECT key, {bucket(r, 'key')} AS bit FROM spine"
+        for r in range(BLOOM_HASHES)
+    )
+    return f"""
+    WITH bits AS (SELECT DISTINCT bit FROM ({seen_arms})),
+    spine AS (SELECT unnest(generate_series(0, 199)) AS key),
+    probe AS (SELECT DISTINCT key, bit FROM ({probe_arms})),
+    need AS (SELECT key, count(*) AS need FROM probe GROUP BY 1),
+    got AS (
+      SELECT p.key, count(b.bit) AS got
+      FROM probe p LEFT JOIN bits b USING (bit)
+      GROUP BY 1
+    )
+    SELECT n.key AS user_id,
+           CAST(g.got AS INTEGER) AS n_buckets_hit,
+           g.got = n.need AS bloom_hit
+    FROM need n JOIN got g USING (key)
+    """
+
+
+register(
+    "stream_bloom_membership", stream_bloom_membership, _stream_bloom_sql()
+)

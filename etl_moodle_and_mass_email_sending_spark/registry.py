@@ -167,6 +167,7 @@ _DEMOTED = [
     "sim_ivf_nprobe_sweep",
     "graph_degree_profile",
     "text_zipf_fit",
+    "stream_bloom_membership",
 ]
 
 
