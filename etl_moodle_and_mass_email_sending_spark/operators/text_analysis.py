@@ -2216,3 +2216,54 @@ def sql_zipf_fit(corpus_sql: str) -> str:
                  / n_terms, 6) AS intercept
     FROM sums
     """
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the eval for lang_id, in the same
+# measure-your-pipeline family as sim_ann_recall: declared vs predicted
+# language with per-cell share of the declared language's documents
+# (row-normalized recall). The diagonal is per-language recall; big
+# off-diagonal cells say which languages the stopword heuristic
+# confuses — the evidence for promoting the classifier before trusting
+# its routing decisions. One lang_id pass + one (declared, predicted)
+# rollup + a broadcast per-declared total.
+# --------------------------------------------------------------------------
+
+
+def langid_confusion(corpus: DataFrame) -> DataFrame:
+    """(lang_declared, lang_pred, n_docs, row_share): the confusion
+    matrix of the stopword language classifier."""
+    pred = lang_id(corpus).select("lang_declared", "lang_pred")
+    cells = pred.groupBy("lang_declared", "lang_pred").agg(
+        F.count("*").alias("n_docs")
+    )
+    rows = cells.groupBy("lang_declared").agg(
+        F.sum("n_docs").alias("_row_total")
+    )
+    return cells.join(F.broadcast(rows), on="lang_declared").select(
+        "lang_declared",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_row_total"), 6).alias(
+            "row_share"
+        ),
+    )
+
+
+def sql_langid_confusion(corpus_sql: str) -> str:
+    return f"""
+    WITH pred AS (
+      SELECT lang_declared, lang_pred FROM ({sql_lang_id(corpus_sql)})
+    ),
+    cells AS (
+      SELECT lang_declared, lang_pred, count(*) AS n_docs
+      FROM pred GROUP BY 1, 2
+    ),
+    rows_t AS (
+      SELECT lang_declared, sum(n_docs) AS row_total
+      FROM cells GROUP BY 1
+    )
+    SELECT c.lang_declared, c.lang_pred, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / r.row_total, 6) AS row_share
+    FROM cells c JOIN rows_t r USING (lang_declared)
+    """

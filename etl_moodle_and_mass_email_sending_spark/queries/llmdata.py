@@ -960,6 +960,12 @@ register(
 )
 
 register(
+    "text_langid_confusion",
+    lambda spark, sf_dir: text_analysis.langid_confusion(_docs(spark, sf_dir)),
+    text_analysis.sql_langid_confusion(_DOCS_SQL),
+)
+
+register(
     "text_zipf_fit",
     lambda spark, sf_dir: text_analysis.zipf_fit(_docs(spark, sf_dir)),
     text_analysis.sql_zipf_fit(_DOCS_SQL),

@@ -168,6 +168,7 @@ _DEMOTED = [
     "graph_degree_profile",
     "text_zipf_fit",
     "stream_bloom_membership",
+    "text_langid_confusion",
 ]
 
 
