@@ -853,6 +853,68 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_time_weighted_avg — TWAP of event values per event_type: each
+# reading holds until the next one (lead over (ts, event_id)), so its
+# weight is that holding duration in microseconds; the final row of a
+# series carries no weight. The weighted sum accumulates as
+# DECIMAL(18,6)-value x bigint-micros products (exact, order-
+# independent — the rel_trend_slope recipe), so the average is
+# deterministic cross-engine. The timeseries-analytics answer to "what
+# was the average PRICE, not the average of the readings" when
+# readings are irregular. One window pass + one partial-aggregated
+# groupBy.
+# --------------------------------------------------------------------------
+
+
+def _time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    span = (
+        e.select("event_type", "ts", "event_id", "value")
+        .withColumn("_w", nxt - F.unix_micros(F.col("ts")))
+        .filter(F.col("_w").isNotNull())
+    )
+    wsum = F.sum(
+        F.round(F.col("value"), 6).cast("decimal(18,6)") * F.col("_w")
+    )
+    return span.groupBy("event_type").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("_w").alias("total_micros"),
+        F.round(
+            wsum.cast("double") / F.sum("_w").cast("double"), 6
+        ).alias("twap"),
+    )
+
+
+register(
+    "rel_time_weighted_avg",
+    _time_weighted_avg,
+    """
+    WITH src AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    span AS (
+      SELECT event_type,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) - epoch_us(ts) AS w
+      FROM src
+    )
+    SELECT event_type, count(*) AS n_obs,
+           CAST(sum(w) AS BIGINT) AS total_micros,
+           round(CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+             AS twap
+    FROM span WHERE w IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_k_anonymity — privacy audit over customer quasi-identifiers
 # (nation, market segment): per k threshold, equivalence classes and
 # rows below it (operators/quality_checks.py).

@@ -169,6 +169,7 @@ _DEMOTED = [
     "text_zipf_fit",
     "stream_bloom_membership",
     "text_langid_confusion",
+    "rel_time_weighted_avg",
 ]
 
 
