@@ -565,3 +565,88 @@ def sql_degree_distribution(edges_sql: str) -> str:
            round(CAST(n_nodes AS DOUBLE) / t, 6) AS node_share
     FROM hist CROSS JOIN tot
     """
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity — Pearson correlation of endpoint degrees over
+# the edge list (Newman 2002): positive = hubs attach to hubs (social-
+# graph shape), negative = hubs attach to leaves (star/boilerplate
+# shape — for a near-dup graph, one template matched by many one-off
+# docs). Completes the graph-profile family (degree histogram →
+# assortativity → modularity). Every sum in the closed form is a sum
+# of INTEGER degree products over edges — exact, order-independent,
+# no decimal scaffolding needed; only the final correlation divides
+# doubles.
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """(n_edges, assortativity): Newman's degree correlation over the
+    undirected edge list, NULL when degenerate (all degrees equal)."""
+    und = edges.select("src", "dst").unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    degs = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # each undirected edge contributes BOTH orientations — the standard
+    # symmetrized form of the coefficient
+    pairs = (
+        und.join(degs, on="src")
+        .withColumnRenamed("deg", "da")
+        .join(
+            degs.select(
+                F.col("src").alias("dst"), F.col("deg").alias("db")
+            ),
+            on="dst",
+        )
+    )
+    sums = pairs.agg(
+        F.count("*").alias("m2"),
+        F.sum(F.col("da") * F.col("db")).alias("sab"),
+        F.sum(F.col("da")).alias("sa"),
+        F.sum(F.col("db")).alias("sb"),
+        F.sum(F.col("da") * F.col("da")).alias("saa"),
+        F.sum(F.col("db") * F.col("db")).alias("sbb"),
+    )
+    m2, sab, sa, sb, saa, sbb = (
+        F.col(c).cast("double")
+        for c in ("m2", "sab", "sa", "sb", "saa", "sbb")
+    )
+    num = m2 * sab - sa * sb
+    den = F.sqrt(m2 * saa - sa * sa) * F.sqrt(m2 * sbb - sb * sb)
+    return sums.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.try_divide(num, den), 6).alias("assortativity"),
+    )
+
+
+def sql_degree_assortativity(edges_sql: str) -> str:
+    return f"""
+    WITH und AS (
+      SELECT src, dst FROM ({edges_sql})
+      UNION ALL SELECT dst AS src, src AS dst FROM ({edges_sql})
+    ),
+    degs AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+    pairs AS (
+      SELECT a.deg AS da, b.deg AS db
+      FROM und
+      JOIN degs a ON und.src = a.node
+      JOIN degs b ON und.dst = b.node
+    ),
+    sums AS (
+      SELECT count(*) AS m2,
+             sum(da * db) AS sab, sum(da) AS sa, sum(db) AS sb,
+             sum(da * da) AS saa, sum(db * db) AS sbb
+      FROM pairs
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round((m2 * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / nullif(sqrt(m2 * CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                          * sqrt(m2 * CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)),
+                          0), 6) AS assortativity
+    FROM sums
+    """

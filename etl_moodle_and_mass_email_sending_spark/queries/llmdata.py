@@ -1093,6 +1093,32 @@ def _sql_graph_degree_profile() -> str:
     )
 
 
+def _graph_assortativity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import degree_assortativity
+
+    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    return degree_assortativity(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _sql_graph_assortativity() -> str:
+    from ..operators.components import sql_degree_assortativity
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return sql_degree_assortativity(
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({pairs})"
+    )
+
+
+register(
+    "graph_assortativity",
+    _graph_assortativity,
+    _sql_graph_assortativity(),
+)
+
 register(
     "graph_degree_profile",
     _graph_degree_profile,

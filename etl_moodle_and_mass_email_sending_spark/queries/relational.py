@@ -853,6 +853,59 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_gap_detection — ingest-completeness monitor: per event_type, the
+# inter-arrival gaps longer than GAP_THRESHOLD (lead over event time).
+# A pipeline that silently stops delivering a source shows up here
+# before any downstream metric moves. Same one-window shape as the
+# TWAP below; microsecond integer arithmetic, no float risk.
+# --------------------------------------------------------------------------
+
+GAP_THRESHOLD_MICROS = 3_600_000_000  # 1 hour
+
+
+def _gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        e.select("event_type", "ts", "event_id")
+        .withColumn("_next", nxt)
+        .withColumn(
+            "gap_micros", F.col("_next") - F.unix_micros(F.col("ts"))
+        )
+        .filter(F.col("gap_micros") > GAP_THRESHOLD_MICROS)
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("gap_start_micros"),
+            F.col("_next").alias("gap_end_micros"),
+            "gap_micros",
+        )
+    )
+
+
+register(
+    "rel_gap_detection",
+    _gap_detection,
+    f"""
+    WITH src AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, epoch_us(ts) AS gap_start_micros,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS gap_end_micros
+      FROM src
+    )
+    SELECT event_type, gap_start_micros, gap_end_micros,
+           gap_end_micros - gap_start_micros AS gap_micros
+    FROM gaps
+    WHERE gap_end_micros - gap_start_micros > {GAP_THRESHOLD_MICROS}
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_time_weighted_avg — TWAP of event values per event_type: each
 # reading holds until the next one (lead over (ts, event_id)), so its
 # weight is that holding duration in microseconds; the final row of a

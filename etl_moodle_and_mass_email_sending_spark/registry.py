@@ -170,6 +170,8 @@ _DEMOTED = [
     "stream_bloom_membership",
     "text_langid_confusion",
     "rel_time_weighted_avg",
+    "rel_gap_detection",
+    "graph_assortativity",
 ]
 
 
