@@ -459,6 +459,58 @@ def _sql_dedup_components() -> str:
 register("dedup_components", _dedup_components, _sql_dedup_components())
 
 
+# --------------------------------------------------------------------------
+# dedup_cluster_profile — size histogram of the near-dup clusters: how
+# many singletons, pairs, triples, ... the corpus carries, plus each
+# size's share of DOCUMENTS (not clusters). The one-line answer to
+# "how duplicated is this corpus" that gates whether hard dedup, soft
+# weights, or nothing is worth running. One rollup over the
+# (doc, cluster_size) frame dedup_components already computes.
+# --------------------------------------------------------------------------
+
+
+def _dedup_cluster_profile(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    clustered = _dedup_components(spark, sf_dir)
+    hist = clustered.groupBy("cluster_size").agg(
+        (F.count("*") / F.col("cluster_size"))
+        .cast("bigint")
+        .alias("n_clusters"),
+        F.count("*").alias("n_docs"),
+    )
+    tot = hist.agg(F.sum("n_docs").alias("_t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_t"), 6).alias("doc_share"),
+    )
+
+
+def _sql_dedup_cluster_profile() -> str:
+    return f"""
+    WITH clustered AS ({_sql_dedup_components()}),
+    hist AS (
+      SELECT cluster_size,
+             CAST(count(*) / cluster_size AS BIGINT) AS n_clusters,
+             count(*) AS n_docs
+      FROM clustered GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_docs) AS t FROM hist)
+    SELECT cluster_size, n_clusters, n_docs,
+           round(CAST(n_docs AS DOUBLE) / t, 6) AS doc_share
+    FROM hist CROSS JOIN tot
+    """
+
+
+register(
+    "dedup_cluster_profile",
+    _dedup_cluster_profile,
+    _sql_dedup_cluster_profile(),
+)
+
+
 # dedup_keep_best — the canonical-selection step after clustering: keep
 # the highest-quality member of each near-dup cluster, report the drops.
 def _dedup_keep_best(spark, sf_dir):

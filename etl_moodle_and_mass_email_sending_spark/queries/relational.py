@@ -853,6 +853,101 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_order_reconciliation — the classic cross-table financial audit:
+# per order, o_totalprice vs the recomputed
+# sum(extendedprice * (1 - discount) * (1 + tax)) over its lineitems,
+# bucketed into exact / within-1% / mismatched / no-lineitems counts.
+# All money math in DECIMAL (exact, order-independent); the join is
+# fact-to-fact on orderkey (shuffle, never broadcast — the q12
+# posture). On real ingest this is the reconciliation gate between an
+# order header feed and a line-level feed.
+# --------------------------------------------------------------------------
+
+
+def _order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            _dec(F.col("l_extendedprice"))
+            * (F.lit(1).cast("decimal(3,2)") - _dec(F.col("l_discount"), "4,2"))
+            * (F.lit(1).cast("decimal(3,2)") + _dec(F.col("l_tax"), "4,2"))
+        ).alias("_line_total"),
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum("_line_total").alias("_computed")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec(F.col("o_totalprice")).alias("_stated")
+    )
+    joined = o.join(
+        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        "_stated",
+        "_computed",
+        F.when(F.col("_computed").isNull(), F.lit("no_lineitems"))
+        .when(F.col("_computed") == F.col("_stated"), F.lit("exact"))
+        .when(
+            F.abs(
+                F.col("_computed").cast("double")
+                - F.col("_stated").cast("double")
+            )
+            <= F.col("_stated").cast("double") * 0.01,
+            F.lit("within_1pct"),
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("status"),
+    )
+    tot = joined.groupBy().agg(F.count("*").alias("_t"))
+    return (
+        joined.groupBy("status")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("_t"), 6).alias("share"),
+        )
+    )
+
+
+register(
+    "rel_order_reconciliation",
+    _order_reconciliation,
+    """
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2))
+                    - CAST(l_discount AS DECIMAL(4,2)))
+                 * (CAST(1 AS DECIMAL(3,2))
+                    + CAST(l_tax AS DECIMAL(4,2)))) AS computed
+      FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT CASE
+               WHEN r.computed IS NULL THEN 'no_lineitems'
+               WHEN r.computed = CAST(o.o_totalprice AS DECIMAL(18,2))
+                 THEN 'exact'
+               WHEN abs(CAST(r.computed AS DOUBLE)
+                        - CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                               AS DOUBLE))
+                    <= CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                            AS DOUBLE) * 0.01
+                 THEN 'within_1pct'
+               ELSE 'mismatch'
+             END AS status
+      FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+    ),
+    tot AS (SELECT count(*) AS t FROM joined)
+    SELECT status, count(*) AS n_orders,
+           round(CAST(count(*) AS DOUBLE) / t, 6) AS share
+    FROM joined CROSS JOIN tot
+    GROUP BY status, t
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_gap_detection — ingest-completeness monitor: per event_type, the
 # inter-arrival gaps longer than GAP_THRESHOLD (lead over event time).
 # A pipeline that silently stops delivering a source shows up here

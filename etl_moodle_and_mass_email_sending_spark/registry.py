@@ -172,6 +172,8 @@ _DEMOTED = [
     "rel_time_weighted_avg",
     "rel_gap_detection",
     "graph_assortativity",
+    "dedup_cluster_profile",
+    "rel_order_reconciliation",
 ]
 
 
