@@ -100,6 +100,14 @@ HEADLINE = [
     "graph_modularity",
     "rel_benford_check",
     "rel_quantile_sketch",
+    "graph_degree_profile",
+    "graph_assortativity",
+    "text_zipf_fit",
+    "text_langid_confusion",
+    "rel_time_weighted_avg",
+    "rel_gap_detection",
+    "dedup_cluster_profile",
+    "rel_order_reconciliation",
     # capstone composition
     "llm_corpus_pipeline",
 ]

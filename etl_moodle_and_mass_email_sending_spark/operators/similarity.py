@@ -1737,3 +1737,43 @@ def sql_ivf_nprobe_sweep() -> str:
     )
     {arms}
     """
+
+
+# --------------------------------------------------------------------------
+# IVF list-balance profile — the index-health diagnostic behind probe
+# latency: per inverted list, its vector count and share. A hot list
+# (share ≫ 1/C) means every query probing it scans far more than
+# N/C·nprobe candidates — the signal to re-train centroids or split
+# lists, caught from the assignment frame alone before any search
+# runs. One broadcast-assign pass + one count rollup.
+# --------------------------------------------------------------------------
+
+
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, n_vectors, share): inverted-list occupancy of the IVF
+    coarse quantizer."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    assigned = ivf_assign(v, _centroids(v), n_best=1)
+    hist = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_vectors")
+    )
+    tot = hist.agg(F.sum("n_vectors").alias("_t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("_t"), 6).alias("share"),
+    )
+
+
+def sql_ivf_list_balance() -> str:
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
+             WHERE vec_id < {N_CENTROIDS}),
+    corpus AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
+    hist AS (SELECT cid, count(*) AS n_vectors FROM corpus GROUP BY 1),
+    tot AS (SELECT sum(n_vectors) AS t FROM hist)
+    SELECT cid, n_vectors,
+           round(CAST(n_vectors AS DOUBLE) / t, 6) AS share
+    FROM hist CROSS JOIN tot
+    """

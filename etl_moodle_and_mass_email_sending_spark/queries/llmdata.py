@@ -1036,6 +1036,12 @@ register(
 )
 
 register(
+    "sim_ivf_list_balance",
+    similarity.ivf_list_balance,
+    similarity.sql_ivf_list_balance(),
+)
+
+register(
     "sim_ivf_nprobe_sweep",
     similarity.ivf_nprobe_sweep,
     similarity.sql_ivf_nprobe_sweep(),

@@ -853,6 +853,67 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_arrival_disorder — how out-of-order is the event feed: per
+# event_type, adjacent-pair inversions in ARRIVAL order (event_id)
+# where event TIME goes backwards, plus the maximum backwards jump.
+# This is the measurement that picks a streaming watermark delay — the
+# watermark must cover the observed lateness, and this op reads it off
+# the data instead of guessing. One lag() window in event_id order;
+# microsecond integer arithmetic.
+# --------------------------------------------------------------------------
+
+
+def _arrival_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    d = (
+        e.select("event_type", "event_id", "ts")
+        .withColumn("_late", prev - F.unix_micros(F.col("ts")))
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("_late") > 0, 1)), F.lit(0)
+        ).cast("bigint").alias("n_inversions"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("_late") > 0, 1)), F.lit(0))
+            / F.count("*"),
+            6,
+        ).alias("inversion_rate"),
+        F.coalesce(
+            F.max(F.when(F.col("_late") > 0, F.col("_late"))), F.lit(0)
+        ).alias("max_lateness_micros"),
+    )
+
+
+register(
+    "rel_arrival_disorder",
+    _arrival_disorder,
+    """
+    WITH src AS (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    lagged AS (
+      SELECT event_type,
+             lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                  ORDER BY event_id) - epoch_us(ts) AS late
+      FROM src
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(coalesce(sum(CASE WHEN late > 0 THEN 1 END), 0)
+                AS BIGINT) AS n_inversions,
+           round(CAST(coalesce(sum(CASE WHEN late > 0 THEN 1 END), 0)
+                      AS DOUBLE) / count(*), 6) AS inversion_rate,
+           coalesce(max(CASE WHEN late > 0 THEN late END), 0)
+             AS max_lateness_micros
+    FROM lagged GROUP BY event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_order_reconciliation — the classic cross-table financial audit:
 # per order, o_totalprice vs the recomputed
 # sum(extendedprice * (1 - discount) * (1 + tax)) over its lineitems,

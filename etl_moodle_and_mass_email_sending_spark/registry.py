@@ -174,6 +174,8 @@ _DEMOTED = [
     "graph_assortativity",
     "dedup_cluster_profile",
     "rel_order_reconciliation",
+    "sim_ivf_list_balance",
+    "rel_arrival_disorder",
 ]
 
 
