@@ -108,6 +108,8 @@ HEADLINE = [
     "rel_gap_detection",
     "dedup_cluster_profile",
     "rel_order_reconciliation",
+    "sim_ivf_list_balance",
+    "rel_arrival_disorder",
     # capstone composition
     "llm_corpus_pipeline",
 ]

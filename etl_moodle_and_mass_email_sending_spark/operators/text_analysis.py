@@ -2267,3 +2267,151 @@ def sql_langid_confusion(corpus_sql: str) -> str:
            round(CAST(c.n_docs AS DOUBLE) / r.row_total, 6) AS row_share
     FROM cells c JOIN rows_t r USING (lang_declared)
     """
+
+
+# --------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit — Zipf's companion: vocabulary size
+# grows as V ≈ K·N^β with β ≈ 0.4–0.6 for natural text. A corpus whose
+# β is near 0 is a closed vocabulary (template spam); near 1, random
+# strings (every token new). Deciles come from doc_id ranges against a
+# broadcast max (NO global sort — the ntile alternative would
+# single-partition-sort every doc id at scale); cumulative token and
+# vocab counts come from two rollups folded over a 10-row spine (a
+# token's first-appearance decile is just min(decile)); the β fit is
+# the decimal-exact OLS recipe over the 10 (ln N, ln V) points.
+# --------------------------------------------------------------------------
+
+HEAPS_DECILES = 10
+
+
+def heaps_law(corpus: DataFrame) -> DataFrame:
+    """(decile, cum_tokens, cum_vocab, heaps_beta): vocabulary growth
+    across doc_id-ordered tenths of the corpus, with the fitted Heaps
+    exponent repeated on every row."""
+    mx = corpus.agg(F.max("doc_id").alias("_mx"))
+    toks = (
+        corpus.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(HEAPS_DECILES - 1),
+                F.floor(
+                    F.lit(HEAPS_DECILES)
+                    * F.col("doc_id")
+                    / (F.col("_mx") + 1)
+                ),
+            )
+            .cast("int")
+            .alias("dec"),
+            F.explode(F.expr(_SPARK_FTOKS)).alias("token"),
+        )
+    )
+    per_dec = toks.groupBy("dec").agg(F.count("*").alias("_n_toks"))
+    first_seen = (
+        toks.groupBy("token")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count("*").alias("_n_new"))
+    )
+    spark = corpus.sparkSession
+    spine = spark.range(HEAPS_DECILES).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        spine.join(per_dec, spine.decile == per_dec.dec, "left")
+        .drop("dec")
+        .join(first_seen, spine.decile == first_seen.dec, "left")
+        .drop("dec")
+        .select(
+            "decile",
+            F.sum(F.coalesce("_n_toks", F.lit(0))).over(w).alias(
+                "cum_tokens"
+            ),
+            F.sum(F.coalesce("_n_new", F.lit(0))).over(w).alias(
+                "cum_vocab"
+            ),
+        )
+    )
+    x = F.round(F.log(F.col("cum_tokens").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    y = F.round(F.log(F.col("cum_vocab").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    pts = curve.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).select(x.alias("x"), y.alias("y"))
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    beta = F.round(
+        F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx), 6
+    ).alias("heaps_beta")
+    fit = sums.select(beta)
+    return curve.crossJoin(F.broadcast(fit))
+
+
+def sql_heaps_law(corpus_sql: str) -> str:
+    d = HEAPS_DECILES
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM ({corpus_sql})),
+    toks AS (
+      SELECT CAST(least({d - 1}, (({d} * doc_id) // (m + 1)))
+                  AS INTEGER) AS dec,
+             t.token
+      FROM ({corpus_sql}) CROSS JOIN mx,
+           LATERAL (SELECT unnest({_DUCK_FTOKS}) AS token) t
+    ),
+    per_dec AS (SELECT dec, count(*) AS n_toks FROM toks GROUP BY 1),
+    first_seen AS (
+      SELECT dec, count(*) AS n_new FROM (
+        SELECT token, min(dec) AS dec FROM toks GROUP BY 1
+      ) GROUP BY 1
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(0, {d - 1})) AS INTEGER)
+        AS decile
+    ),
+    curve AS (
+      SELECT s.decile,
+             sum(coalesce(p.n_toks, 0)) OVER (ORDER BY s.decile)
+               AS cum_tokens,
+             sum(coalesce(f.n_new, 0)) OVER (ORDER BY s.decile)
+               AS cum_vocab
+      FROM spine s
+      LEFT JOIN per_dec p ON s.decile = p.dec
+      LEFT JOIN first_seen f ON s.decile = f.dec
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS x,
+             CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS y
+      FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0
+    ),
+    sums AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    ),
+    fit AS (
+      SELECT round((n * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / nullif(n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                            0), 6) AS heaps_beta
+      FROM sums
+    )
+    SELECT c.decile, CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(c.cum_vocab AS BIGINT) AS cum_vocab, f.heaps_beta
+    FROM curve c CROSS JOIN fit f
+    """

@@ -1012,6 +1012,12 @@ register(
 )
 
 register(
+    "text_heaps_law",
+    lambda spark, sf_dir: text_analysis.heaps_law(_docs(spark, sf_dir)),
+    text_analysis.sql_heaps_law(_DOCS_SQL),
+)
+
+register(
     "text_langid_confusion",
     lambda spark, sf_dir: text_analysis.langid_confusion(_docs(spark, sf_dir)),
     text_analysis.sql_langid_confusion(_DOCS_SQL),

@@ -176,6 +176,7 @@ _DEMOTED = [
     "rel_order_reconciliation",
     "sim_ivf_list_balance",
     "rel_arrival_disorder",
+    "text_heaps_law",
 ]
 
 
