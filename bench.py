@@ -110,6 +110,7 @@ HEADLINE = [
     "rel_order_reconciliation",
     "sim_ivf_list_balance",
     "rel_arrival_disorder",
+    "text_heaps_law",
     # capstone composition
     "llm_corpus_pipeline",
 ]
