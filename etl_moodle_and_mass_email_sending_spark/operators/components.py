@@ -650,3 +650,75 @@ def sql_degree_assortativity(edges_sql: str) -> str:
                           0), 6) AS assortativity
     FROM sums
     """
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient — C_v = 2·T_v / (d_v·(d_v−1)) over the
+# canonical undirected edge set: how close each node's neighborhood is
+# to a clique. For a near-dup graph, C ≈ 1 neighborhoods are true
+# multi-way duplicate groups (every copy matches every copy); low C
+# with high degree is the transitive-chain / hub signature that hard
+# dedup would over-merge — the per-node refinement of what
+# graph_kcore and graph_assortativity say globally. Triangle counts
+# and degrees are integer-exact; one division at the end.
+# --------------------------------------------------------------------------
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(id, degree, n_triangles, clustering_coeff) for every node of
+    degree ≥ 2 (the coefficient is undefined below that)."""
+    src, dst = edges.columns[:2]
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .distinct()
+    )
+    degs = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        degs.filter(F.col("degree") >= 2)
+        .join(tri, on="id", how="left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                F.lit(2) * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def sql_clustering_coefficients(edges_sql: str) -> str:
+    tri = sql_triangle_counts(edges_sql)
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ),
+    degs AS (
+      SELECT id, count(*) AS degree FROM (
+        SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e
+      ) GROUP BY 1
+    ),
+    tri AS ({tri})
+    SELECT d.id, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(t.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM degs d LEFT JOIN tri t USING (id)
+    WHERE d.degree >= 2
+    """

@@ -1157,6 +1157,33 @@ def _sql_graph_degree_profile() -> str:
     )
 
 
+def _graph_clustering(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.components import clustering_coefficients
+
+    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    return clustering_coefficients(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+
+
+def _sql_graph_clustering() -> str:
+    from ..operators.components import sql_clustering_coefficients
+
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return sql_clustering_coefficients(
+        f"SELECT doc_a AS src, doc_b AS dst FROM ({pairs})"
+    )
+
+
+register(
+    "graph_clustering_coeff",
+    _graph_clustering,
+    _sql_graph_clustering(),
+)
+
+
 def _graph_assortativity(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -853,6 +853,49 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_dow_hour_profile — the weekly traffic heatmap: events per
+# (day-of-week, hour) cell with each cell's share of total — seasonal
+# capacity planning and anomaly baselining in one rollup. dayofweek is
+# computed in UTC on the µs-truncated event time, identical in both
+# engines (DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday — aligned
+# by the -1 shift).
+# --------------------------------------------------------------------------
+
+
+def _dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.dayofweek(F.col("ts")) - 1).cast("int").alias("dow"),
+        F.hour(F.col("ts")).cast("int").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    tot = cells.agg(F.sum("n_events").alias("_t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("_t"), 6).alias("share"),
+    )
+
+
+register(
+    "rel_dow_hour_profile",
+    _dow_hour_profile,
+    """
+    WITH cells AS (
+      SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n_events) AS t FROM cells)
+    SELECT dow, hour, n_events,
+           round(CAST(n_events AS DOUBLE) / t, 6) AS share
+    FROM cells CROSS JOIN tot
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_arrival_disorder — how out-of-order is the event feed: per
 # event_type, adjacent-pair inversions in ARRIVAL order (event_id)
 # where event TIME goes backwards, plus the maximum backwards jump.

@@ -177,6 +177,8 @@ _DEMOTED = [
     "sim_ivf_list_balance",
     "rel_arrival_disorder",
     "text_heaps_law",
+    "graph_clustering_coeff",
+    "rel_dow_hour_profile",
 ]
 
 
