@@ -2415,3 +2415,70 @@ def sql_heaps_law(corpus_sql: str) -> str:
            CAST(c.cum_vocab AS BIGINT) AS cum_vocab, f.heaps_beta
     FROM curve c CROSS JOIN fit f
     """
+
+
+# --------------------------------------------------------------------------
+# Token burstiness — Church & Gale's observation: content words are
+# BURSTY (when a document mentions a topic word once it mentions it
+# again), function words are not. burstiness = total occurrences /
+# containing documents; high values mark topical vocabulary, values
+# near 1 mark glue words — the signal behind stopword-list induction
+# and keyword weighting. One explode + one (token, doc) rollup + a
+# top-N window over token totals, never corpus rows.
+# --------------------------------------------------------------------------
+
+BURSTY_TOP = 50
+
+
+def token_burstiness(corpus: DataFrame) -> DataFrame:
+    """(token, n_occurrences, n_docs, burstiness) for the BURSTY_TOP
+    most frequent tokens."""
+    occ = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
+    )
+    stats = occ.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    # salted two-stage top-N (the KMV pattern): no single task ever
+    # sorts the whole vocabulary's stats
+    salt = F.pmod(F.xxhash64("token"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    )
+    stage1 = stats.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= BURSTY_TOP
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        stage1.withColumn("_gr", F.row_number().over(w))
+        .filter(F.col("_gr") <= BURSTY_TOP)
+        .select(
+            "token",
+            "n_occurrences",
+            "n_docs",
+            F.round(
+                F.col("n_occurrences") / F.col("n_docs"), 6
+            ).alias("burstiness"),
+        )
+    )
+
+
+def sql_token_burstiness(corpus_sql: str) -> str:
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, t.token
+      FROM (SELECT doc_id, {_DUCK_FTOKS} AS toks FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(toks) AS token) t
+    ),
+    stats AS (
+      SELECT token, count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM occ GROUP BY 1
+    )
+    SELECT token, n_occurrences, n_docs,
+           round(CAST(n_occurrences AS DOUBLE) / n_docs, 6)
+             AS burstiness
+    FROM stats
+    ORDER BY n_occurrences DESC, token LIMIT {BURSTY_TOP}
+    """

@@ -1012,6 +1012,12 @@ register(
 )
 
 register(
+    "text_burstiness",
+    lambda spark, sf_dir: text_analysis.token_burstiness(_docs(spark, sf_dir)),
+    text_analysis.sql_token_burstiness(_DOCS_SQL),
+)
+
+register(
     "text_heaps_law",
     lambda spark, sf_dir: text_analysis.heaps_law(_docs(spark, sf_dir)),
     text_analysis.sql_heaps_law(_DOCS_SQL),

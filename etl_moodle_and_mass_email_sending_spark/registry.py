@@ -179,6 +179,7 @@ _DEMOTED = [
     "text_heaps_law",
     "graph_clustering_coeff",
     "rel_dow_hour_profile",
+    "text_burstiness",
 ]
 
 
