@@ -853,6 +853,93 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_revenue_gini — revenue-concentration audit per market segment:
+# the Gini coefficient over per-customer order revenue (customers with
+# no orders included at zero — concentration among the eligible
+# population, not just the buyers). Closed form over ranked values
+# G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with revenue in exact DECIMAL and
+# ranks integer, so both sums are order-independent; the per-segment
+# rank window is the exact computation's inherent sort (the sampled
+# alternative at extreme scale is rel_quantile_sketch's bottom-k
+# machinery).
+# --------------------------------------------------------------------------
+
+
+def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dec(F.sum(_dec(F.col("o_totalprice")))).alias("_rev"))
+    )
+    base = c.join(rev, c.c_custkey == rev.o_custkey, "left").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.coalesce("_rev", F.lit(0).cast("decimal(18,2)")).alias("rev"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    sums = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("_srev"),
+        F.sum(F.col("_i") * F.col("rev")).alias("_sirev"),
+    )
+    n = F.col("n_customers").cast("double")
+    g = F.round(
+        F.lit(2.0)
+        * F.col("_sirev").cast("double")
+        / (n * F.col("_srev").cast("double"))
+        - (n + 1) / n,
+        6,
+    )
+    return sums.select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("_srev").cast("double").alias("total_revenue"),
+        g.alias("gini"),
+    )
+
+
+register(
+    "rel_revenue_gini",
+    _revenue_gini,
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             coalesce(r.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+      FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, rev,
+             row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY rev, c_custkey) AS i
+      FROM base
+    ),
+    sums AS (
+      SELECT c_mktsegment, count(*) AS n_customers,
+             sum(rev) AS srev, sum(i * rev) AS sirev
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n_customers,
+           CAST(srev AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(sirev AS DOUBLE)
+                 / (n_customers * CAST(srev AS DOUBLE))
+                 - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6)
+             AS gini
+    FROM sums
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_dow_hour_profile — the weekly traffic heatmap: events per
 # (day-of-week, hour) cell with each cell's share of total — seasonal
 # capacity planning and anomaly baselining in one rollup. dayofweek is

@@ -180,6 +180,7 @@ _DEMOTED = [
     "graph_clustering_coeff",
     "rel_dow_hour_profile",
     "text_burstiness",
+    "rel_revenue_gini",
 ]
 
 
