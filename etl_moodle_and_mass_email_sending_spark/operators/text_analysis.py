@@ -2482,3 +2482,150 @@ def sql_token_burstiness(corpus_sql: str) -> str:
     FROM stats
     ORDER BY n_occurrences DESC, token LIMIT {BURSTY_TOP}
     """
+
+
+# --------------------------------------------------------------------------
+# Jensen–Shannon divergence between source token distributions — the
+# data-mixture diagnostic: which sources say the same things (JSD ≈ 0,
+# dedup across them matters) and which bring genuinely different text
+# (JSD high, mixture weights matter). Distributions are over the
+# corpus-wide top-JSD_VOCAB tokens plus an OOV bucket (so every
+# distribution sums to 1 on a SHARED support); each pair's divergence
+# is ½KL(p‖m) + ½KL(q‖m) with per-term values rounded to 9 decimals
+# and summed as DECIMALs — order-independent, the trend-slope recipe.
+# Pair count is |sources|², token work is one explode + one
+# (source, token) rollup; the pairwise stage sees only the
+# |sources|·(vocab+1) distribution matrix.
+# --------------------------------------------------------------------------
+
+JSD_VOCAB = 100
+
+
+def js_divergence_sources(corpus: DataFrame) -> DataFrame:
+    """(source_a, source_b, jsd) for every ordered source pair
+    (a < b)."""
+    spark = corpus.sparkSession
+    occ = corpus.select(
+        "source", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
+    )
+    totals_tok = occ.groupBy("token").agg(F.count("*").alias("_n"))
+    salt = F.pmod(F.xxhash64("token"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("_n").desc(), F.col("token")
+    )
+    w2 = Window.orderBy(F.col("_n").desc(), F.col("token"))
+    top = (
+        totals_tok.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= JSD_VOCAB)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= JSD_VOCAB)
+        .select("token")
+    )
+    mapped = occ.join(F.broadcast(top.withColumn("_in", F.lit(1))),
+                      on="token", how="left").select(
+        "source",
+        F.when(F.col("_in").isNotNull(), F.col("token"))
+        .otherwise(F.lit("<oov>"))
+        .alias("tok"),
+    )
+    counts = mapped.groupBy("source", "tok").agg(
+        F.count("*").alias("_c")
+    )
+    src_tot = counts.groupBy("source").agg(F.sum("_c").alias("_t"))
+    support = top.select(F.col("token").alias("tok")).unionByName(
+        spark.createDataFrame([("<oov>",)], "tok string")
+    )
+    dist = (
+        src_tot.crossJoin(F.broadcast(support))
+        .join(counts, on=["source", "tok"], how="left")
+        .select(
+            "source",
+            "tok",
+            (
+                F.coalesce("_c", F.lit(0)) / F.col("_t")
+            ).alias("p"),
+        )
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("p").alias("pa"),
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("p").alias("pb"),
+    )
+    term = (
+        F.when(
+            F.col("pa") > 0,
+            F.col("pa")
+            * F.log(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb"))),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("pb") > 0,
+            F.col("pb")
+            * F.log(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb"))),
+        ).otherwise(F.lit(0.0))
+    ) * F.lit(0.5)
+    return (
+        a.join(b, on="tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .filter((F.col("pa") > 0) | (F.col("pb") > 0))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(term, 9).cast("decimal(18,9)").alias("_term"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.sum("_term").cast("double"), 6).alias("jsd"))
+    )
+
+
+def sql_js_divergence_sources(corpus_sql: str) -> str:
+    v = JSD_VOCAB
+    return f"""
+    WITH occ AS (
+      SELECT source, t.token
+      FROM (SELECT source, {_DUCK_FTOKS} AS toks FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(toks) AS token) t
+    ),
+    top AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS n FROM occ GROUP BY 1
+      ) ORDER BY n DESC, token LIMIT {v}
+    ),
+    mapped AS (
+      SELECT source,
+             CASE WHEN token IN (SELECT token FROM top)
+                  THEN token ELSE '<oov>' END AS tok
+      FROM occ
+    ),
+    counts AS (
+      SELECT source, tok, count(*) AS c FROM mapped GROUP BY 1, 2
+    ),
+    src_tot AS (SELECT source, sum(c) AS t FROM counts GROUP BY 1),
+    support AS (
+      SELECT token AS tok FROM top UNION ALL SELECT '<oov>'
+    ),
+    dist AS (
+      SELECT st.source, s.tok,
+             CAST(coalesce(c.c, 0) AS DOUBLE) / st.t AS p
+      FROM src_tot st CROSS JOIN support s
+      LEFT JOIN counts c ON c.source = st.source AND c.tok = s.tok
+    ),
+    terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(round(0.5 * (
+               CASE WHEN a.p > 0
+                    THEN a.p * ln(2.0 * a.p / (a.p + b.p)) ELSE 0 END
+               + CASE WHEN b.p > 0
+                      THEN b.p * ln(2.0 * b.p / (a.p + b.p)) ELSE 0 END
+             ), 9) AS DECIMAL(18,9)) AS term
+      FROM dist a JOIN dist b ON a.tok = b.tok AND a.source < b.source
+      WHERE a.p > 0 OR b.p > 0
+    )
+    SELECT source_a, source_b,
+           round(CAST(sum(term) AS DOUBLE), 6) AS jsd
+    FROM terms GROUP BY 1, 2
+    """

@@ -83,6 +83,14 @@ register(
 _DOCS_SQL = "SELECT doc_id, text, lang FROM documents"
 
 
+def _docs_sourced(spark, sf_dir):
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+
+
 def _docs(spark, sf_dir):
     from ..catalog import load_table
 
@@ -1009,6 +1017,16 @@ register(
     "sim_pq_topk",
     similarity.pq_topk,
     similarity.sql_pq_topk(),
+)
+
+register(
+    "text_js_divergence",
+    lambda spark, sf_dir: text_analysis.js_divergence_sources(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_js_divergence_sources(
+        "SELECT doc_id, text, source FROM documents"
+    ),
 )
 
 register(

@@ -181,6 +181,7 @@ _DEMOTED = [
     "rel_dow_hour_profile",
     "text_burstiness",
     "rel_revenue_gini",
+    "text_js_divergence",
 ]
 
 
