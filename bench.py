@@ -111,6 +111,11 @@ HEADLINE = [
     "sim_ivf_list_balance",
     "rel_arrival_disorder",
     "text_heaps_law",
+    "graph_clustering_coeff",
+    "rel_dow_hour_profile",
+    "text_burstiness",
+    "rel_revenue_gini",
+    "text_js_divergence",
     # capstone composition
     "llm_corpus_pipeline",
 ]
