@@ -800,3 +800,105 @@ def sql_minhash_calibration(corpus_sql: str) -> str:
            round(abs(est_jaccard - jaccard), 6) AS abs_err
     FROM scored
     """
+
+
+# --------------------------------------------------------------------------
+# Threshold sweep — dedup-aggressiveness sensitivity: for each cut τ,
+# how many candidate pairs and how many distinct documents the near-dup
+# graph would contain at est_jaccard ≥ τ. The one-frame answer to "how
+# much does the corpus shrink if we tighten/loosen the dedup
+# threshold", read off ONE LSH pass (the candidate machinery runs
+# once; the sweep reuses its est column against a 3-row spine).
+# --------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = (0.3, 0.5, 0.7)
+
+
+def threshold_sweep(corpus: DataFrame) -> DataFrame:
+    """(threshold, n_pairs, n_docs): candidate-pair and affected-doc
+    counts at each est-Jaccard cut."""
+    sigs = minhash_signatures(corpus).localCheckpoint()
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+                  array_join(transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),
+                             x -> cast(x as string)), '-'))"""
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band", "key",
+    )
+    est = (
+        F.size(
+            F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")
+        )
+        / F.lit(float(MINHASH_K))
+    ).alias("est")
+    pairs = (
+        a.join(b, on=["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", est)
+        .distinct()
+    )
+    spark = corpus.sparkSession
+    spine = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = spine.join(pairs, F.col("est") >= F.col("threshold"))
+    return (
+        hits.select(
+            "threshold",
+            "doc_a",
+            "doc_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc"),
+        )
+        .groupBy("threshold")
+        .agg(
+            (F.countDistinct("doc_a", "doc_b")).alias("n_pairs"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+    )
+
+
+def sql_threshold_sweep(corpus_sql: str) -> str:
+    sig = sql_minhash_signatures(corpus_sql)
+    ts = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH sigs AS ({sig}),
+    bands AS (
+      SELECT doc_id, sig, b.band, b.key FROM sigs,
+      LATERAL (
+        SELECT i AS band,
+               array_to_string(list_transform(sig[i * {LSH_ROWS} + 1 : i * {LSH_ROWS} + {LSH_ROWS}],
+                               x -> CAST(x AS VARCHAR)), '-') AS key
+        FROM (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS i)
+      ) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_filter(generate_series(1, {MINHASH_K}),
+                      i -> a.sig[i] = b.sig[i])) AS DOUBLE) / {MINHASH_K}
+               AS est
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         AND a.doc_id < b.doc_id
+    ),
+    spine AS (SELECT * FROM (VALUES {ts}) v(threshold)),
+    hits AS (
+      SELECT s.threshold, p.doc_a, p.doc_b
+      FROM spine s JOIN pairs p ON p.est >= s.threshold
+    )
+    SELECT threshold,
+           count(DISTINCT (doc_a, doc_b)) AS n_pairs,
+           count(DISTINCT doc) AS n_docs
+    FROM hits, LATERAL (SELECT unnest([doc_a, doc_b]) AS doc) d
+    GROUP BY threshold
+    """

@@ -810,3 +810,88 @@ def sql_clip_align() -> str:
     FROM feats f JOIN temb t ON f.doc_id = t.doc_id
     WHERE sqrt({nb}) > 0
     """
+
+
+# --------------------------------------------------------------------------
+# pHash Hamming-distance histogram — the image twin of the MinHash
+# calibration: for every candidate image pair (same 16-bit hash
+# prefix (8 bits) — the blocking key that keeps this off the all-pairs cliff),
+# the Hamming distance between their 64-bit perceptual hashes, rolled
+# into a histogram. The histogram's valley is where the dedup
+# threshold belongs; without this frame the threshold is folklore.
+# Integer character comparisons end to end — exact parity.
+# --------------------------------------------------------------------------
+
+PHASH_BLOCK_PREFIX = 8
+
+
+def phash_hamming_histogram(
+    docs: DataFrame, engine: str = "fake"
+) -> DataFrame:
+    """(hamming, n_pairs): candidate-pair Hamming distances over
+    prefix-blocked perceptual hashes."""
+    images = docs.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5("text"), PAYLOAD_REPEAT)).alias("payload"),
+    )
+    hashed = phash_images(images, engine=engine).withColumn(
+        "block", F.substring("phash", 1, PHASH_BLOCK_PREFIX)
+    ).localCheckpoint()
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"),
+        "block",
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
+        "block",
+    )
+    ham = F.expr(
+        f"size(filter(sequence(1, {PHASH_BITS}), "
+        f"i -> substring(ha, i, 1) != substring(hb, i, 1)))"
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def sql_phash_hamming_histogram(corpus_sql: str) -> str:
+    b = PHASH_BITS
+    return f"""
+    WITH img AS (
+      SELECT doc_id, repeat(md5(text), {PAYLOAD_REPEAT}) AS payload_hex
+      FROM ({corpus_sql})
+    ),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, {b}),
+                 j -> CAST(CAST('0x' || substr(payload_hex, 2 * j + 1, 2)
+                      AS INTEGER) AS BIGINT)) AS p
+      FROM img
+    ),
+    h AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, {b}),
+                 j -> CASE WHEN p[CAST(j AS INTEGER) + 1] * {b} > list_sum(p)
+                      THEN '1' ELSE '0' END), '') AS phash
+      FROM px
+    ),
+    blocked AS (
+      SELECT doc_id, phash,
+             substr(phash, 1, {PHASH_BLOCK_PREFIX}) AS block
+      FROM h
+    ),
+    pairs AS (
+      SELECT len(list_filter(range(1, {b} + 1),
+                 i -> substr(a.phash, CAST(i AS INTEGER), 1)
+                      <> substr(b.phash, CAST(i AS INTEGER), 1)))
+               AS hamming
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(hamming AS INTEGER) AS hamming, count(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """

@@ -32,6 +32,12 @@ register(
 )
 
 register(
+    "dedup_threshold_sweep",
+    lambda spark, sf_dir: dedup.threshold_sweep(dedup.dup_corpus(spark, sf_dir)),
+    dedup.sql_threshold_sweep(_CORPUS_SQL),
+)
+
+register(
     "dedup_minhash_calibration",
     lambda spark, sf_dir: dedup.minhash_calibration(dedup.dup_corpus(spark, sf_dir)),
     dedup.sql_minhash_calibration(_CORPUS_SQL),
@@ -143,6 +149,14 @@ register(
         multimodal.media_table(spark, sf_dir), engine="fake"
     ),
     multimodal.sql_resize_images(),
+)
+
+register(
+    "mm_phash_hamming_hist",
+    lambda spark, sf_dir: multimodal.phash_hamming_histogram(
+        _docs(spark, sf_dir)
+    ),
+    multimodal.sql_phash_hamming_histogram(_DOCS_SQL),
 )
 
 register(

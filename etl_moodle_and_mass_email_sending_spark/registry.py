@@ -182,6 +182,8 @@ _DEMOTED = [
     "text_burstiness",
     "rel_revenue_gini",
     "text_js_divergence",
+    "dedup_threshold_sweep",
+    "mm_phash_hamming_hist",
 ]
 
 
