@@ -116,6 +116,8 @@ HEADLINE = [
     "text_burstiness",
     "rel_revenue_gini",
     "text_js_divergence",
+    "dedup_threshold_sweep",
+    "mm_phash_hamming_hist",
     # capstone composition
     "llm_corpus_pipeline",
 ]
