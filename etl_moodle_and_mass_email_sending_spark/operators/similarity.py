@@ -1777,3 +1777,100 @@ def sql_ivf_list_balance() -> str:
            round(CAST(n_vectors AS DOUBLE) / t, 6) AS share
     FROM hist CROSS JOIN tot
     """
+
+
+# --------------------------------------------------------------------------
+# Embedding centroid drift — ML-ops monitoring for the vector space
+# itself: per label, the L2 distance between the even-cohort and
+# odd-cohort centroids (vec_id parity standing in for
+# yesterday/today). A drifting centroid means the upstream encoder or
+# the data changed — every ANN index and clustering built on these
+# vectors silently degrades, and this frame catches it first.
+# Determinism: each component rounds to 9 decimals and sums as a
+# DECIMAL (float32 inputs carry ~7 significant digits, so nothing
+# material is lost), making the per-dimension means exact; the final
+# sqrt of the squared-difference sum is one deterministic double op.
+# Scale: one scan, one partial-aggregated groupBy per cohort onto
+# |labels|·DIM cells.
+# --------------------------------------------------------------------------
+
+
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_a, n_b, centroid_shift): L2 distance between the two
+    cohorts' per-label centroids."""
+    v = _vectors(spark, sf_dir).select(
+        "label",
+        (F.col("vec_id") % 2).alias("_c"),
+        *[
+            F.round(F.col("vec")[i], 9)
+            .cast("decimal(18,9)")
+            .alias(f"_d{i}")
+            for i in range(DIM)
+        ],
+    )
+    agg = v.groupBy("label").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_c") == 0, 1)), F.lit(0)
+        ).cast("bigint").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_b"),
+        *[
+            F.sum(
+                F.when(F.col("_c") == 0, F.col(f"_d{i}"))
+            ).alias(f"_sa{i}")
+            for i in range(DIM)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("_c") == 1, F.col(f"_d{i}"))
+            ).alias(f"_sb{i}")
+            for i in range(DIM)
+        ],
+    )
+    diff_sq = sum(
+        (
+            F.col(f"_sa{i}").cast("double") / F.col("n_a")
+            - F.col(f"_sb{i}").cast("double") / F.col("n_b")
+        )
+        ** 2
+        for i in range(DIM)
+    )
+    return agg.select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(F.sqrt(diff_sq), 6).alias("centroid_shift"),
+    )
+
+
+def sql_centroid_drift() -> str:
+    comps = ",\n             ".join(
+        f"sum(CASE WHEN c = 0 THEN CAST(round(vec[{i + 1}], 9) "
+        f"AS DECIMAL(18,9)) END) AS sa{i},"
+        f" sum(CASE WHEN c = 1 THEN CAST(round(vec[{i + 1}], 9) "
+        f"AS DECIMAL(18,9)) END) AS sb{i}"
+        for i in range(DIM)
+    )
+    diff = " + ".join(
+        f"pow(CAST(sa{i} AS DOUBLE) / n_a "
+        f"- CAST(sb{i} AS DOUBLE) / n_b, 2)"
+        for i in range(DIM)
+    )
+    return f"""
+    WITH v AS (
+      SELECT label, vec_id % 2 AS c, vec FROM ({_DUCK_VECTORS})
+    ),
+    agg AS (
+      SELECT label,
+             CAST(coalesce(sum(CASE WHEN c = 0 THEN 1 END), 0)
+                  AS BIGINT) AS n_a,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_b,
+             {comps}
+      FROM v GROUP BY label
+    )
+    SELECT label, n_a, n_b,
+           round(sqrt({diff}), 6) AS centroid_shift
+    FROM agg
+    """

@@ -1080,6 +1080,12 @@ register(
 )
 
 register(
+    "sim_centroid_drift",
+    similarity.centroid_drift,
+    similarity.sql_centroid_drift(),
+)
+
+register(
     "sim_ivf_list_balance",
     similarity.ivf_list_balance,
     similarity.sql_ivf_list_balance(),

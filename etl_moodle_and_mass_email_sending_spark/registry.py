@@ -184,6 +184,7 @@ _DEMOTED = [
     "text_js_divergence",
     "dedup_threshold_sweep",
     "mm_phash_hamming_hist",
+    "sim_centroid_drift",
 ]
 
 
