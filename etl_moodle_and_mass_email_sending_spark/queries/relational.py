@@ -853,6 +853,95 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_abc_analysis — ABC/Pareto inventory classification: parts sorted
+# by lineitem revenue; class A = parts covering the first 80% of
+# cumulative revenue, B = next 15%, C = the tail. The classic
+# inventory-policy rollup. Revenue is exact DECIMAL; the cumulative
+# window is the method's inherent global sort over the PART-level
+# rollup (|parts| rows, not lineitems; at extreme scale the deciles
+# sketch is the sampled stand-in). Class boundaries compare exact
+# decimals so classification is deterministic.
+# --------------------------------------------------------------------------
+
+
+def _abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            _dec(F.sum(_dec(F.col("l_extendedprice")))).alias("_rev")
+        )
+    )
+    tot = rev.agg(F.sum("_rev").alias("_t"))
+    w = Window.orderBy(F.col("_rev").desc(), F.col("l_partkey"))
+    ranked = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("_rev").over(w))
+    )
+    cls = (
+        F.when(
+            F.col("_cum") * 100 <= F.col("_t") * 80, F.lit("A")
+        )
+        .when(F.col("_cum") * 100 <= F.col("_t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    out = ranked.select(cls.alias("abc_class"), "_rev")
+    tot2 = out.agg(F.sum("_rev").alias("_t2"))
+    return (
+        out.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("_rev").alias("_crev"),
+        )
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("_crev").cast("double").alias("class_revenue"),
+            F.round(
+                F.col("_crev").cast("double")
+                / F.col("_t2").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+register(
+    "rel_abc_analysis",
+    _abc_analysis,
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev) AS t FROM rev),
+    ranked AS (
+      SELECT rev, t,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+      FROM rev CROSS JOIN tot
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                  WHEN cum * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    ),
+    tot2 AS (SELECT sum(rev) AS t2 FROM classed)
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) AS class_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(t2 AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed CROSS JOIN tot2
+    GROUP BY abc_class, t2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_revenue_gini — revenue-concentration audit per market segment:
 # the Gini coefficient over per-customer order revenue (customers with
 # no orders included at zero — concentration among the eligible

@@ -185,6 +185,7 @@ _DEMOTED = [
     "dedup_threshold_sweep",
     "mm_phash_hamming_hist",
     "sim_centroid_drift",
+    "rel_abc_analysis",
 ]
 
 
