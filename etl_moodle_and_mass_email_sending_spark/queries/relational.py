@@ -853,6 +853,115 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_market_basket — association rules over order baskets: for the
+# top part pairs co-occurring in orders, support (pair orders / all
+# orders), confidence (pair / antecedent) and lift (confidence /
+# consequent support). The within-order self-join is bounded by basket
+# size (TPC-H baskets are ≤ 7 lines, so ≤ 21 pairs per order — no
+# quadratic blowup), and every measure is a ratio of exact integer
+# counts. Canonical pair orientation part_a < part_b; top-20 by pair
+# count with pair-id tie-break.
+# --------------------------------------------------------------------------
+
+
+def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_orderkey").alias("_n"))
+    )
+    part_orders = li.groupBy("l_partkey").agg(
+        F.count("*").alias("_po")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, on="ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    salt = F.pmod(F.xxhash64("pa", "pb"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("n_pair").desc(), F.col("pa"), F.col("pb")
+    )
+    w2 = Window.orderBy(F.col("n_pair").desc(), F.col("pa"), F.col("pb"))
+    top = (
+        pairs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= 20)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= 20)
+    )
+    pa_cnt = part_orders.select(
+        F.col("l_partkey").alias("pa"), F.col("_po").alias("_na")
+    )
+    pb_cnt = part_orders.select(
+        F.col("l_partkey").alias("pb"), F.col("_po").alias("_nb")
+    )
+    return (
+        top.join(F.broadcast(pa_cnt), on="pa")
+        .join(F.broadcast(pb_cnt), on="pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("_na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_pair") / F.col("_na"))
+                / (F.col("_nb") / F.col("_n")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+register(
+    "rel_market_basket",
+    _market_basket,
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+    part_orders AS (
+      SELECT l_partkey, count(*) AS po FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT pa, pb, n_pair FROM pairs
+      ORDER BY n_pair DESC, pa, pb LIMIT 20
+    )
+    SELECT t.pa AS part_a, t.pb AS part_b, t.n_pair,
+           round(CAST(t.n_pair AS DOUBLE) / n.n, 6) AS support,
+           round(CAST(t.n_pair AS DOUBLE) / ca.po, 6) AS confidence,
+           round((CAST(t.n_pair AS DOUBLE) / ca.po)
+                 / (CAST(cb.po AS DOUBLE) / n.n), 6) AS lift
+    FROM top t
+    JOIN part_orders ca ON t.pa = ca.l_partkey
+    JOIN part_orders cb ON t.pb = cb.l_partkey
+    CROSS JOIN n_orders n
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_abc_analysis — ABC/Pareto inventory classification: parts sorted
 # by lineitem revenue; class A = parts covering the first 80% of
 # cumulative revenue, B = next 15%, C = the tail. The classic

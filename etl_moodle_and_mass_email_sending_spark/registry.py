@@ -186,6 +186,7 @@ _DEMOTED = [
     "mm_phash_hamming_hist",
     "sim_centroid_drift",
     "rel_abc_analysis",
+    "rel_market_basket",
 ]
 
 
