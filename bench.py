@@ -118,6 +118,9 @@ HEADLINE = [
     "text_js_divergence",
     "dedup_threshold_sweep",
     "mm_phash_hamming_hist",
+    "sim_centroid_drift",
+    "rel_abc_analysis",
+    "rel_market_basket",
     # capstone composition
     "llm_corpus_pipeline",
 ]
