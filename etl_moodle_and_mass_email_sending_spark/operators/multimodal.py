@@ -895,3 +895,79 @@ def sql_phash_hamming_histogram(corpus_sql: str) -> str:
     SELECT CAST(hamming AS INTEGER) AS hamming, count(*) AS n_pairs
     FROM pairs GROUP BY 1
     """
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup — the audio member of the dedup family (text
+# has MinHash, images aHash): the fingerprint is the energy-delta sign
+# sequence over the STFT-style frames above (does energy rise or fall
+# frame to frame — the Shazam-family invariant, robust to gain), and
+# duplicate groups are exact fingerprint matches. Bits derive from the
+# integer frame energies, so parity is exact; the fingerprint assembly
+# is an ordered aggregation per doc (frames per doc are bounded by
+# payload_len/hop, so the per-group sort is tiny).
+# --------------------------------------------------------------------------
+
+
+def audio_fingerprint_dedup(
+    media: DataFrame, engine: str = "fake"
+) -> DataFrame:
+    """(doc_id, fingerprint, n_copies, canonical_id): energy-delta
+    fingerprints over audio rows with exact-match duplicate groups."""
+    frames = audio_frame_energy(media, engine=engine)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    bits = (
+        frames.withColumn("_next", F.lead("energy").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.when(F.col("_next") > F.col("energy"), F.lit("1"))
+            .otherwise(F.lit("0"))
+            .alias("bit"),
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("frame_idx", "bit"))
+                ),
+                lambda s: s["bit"],
+            ),
+            "",
+        ).alias("fingerprint")
+    )
+    wf = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count("*").over(wf).alias("n_copies"),
+        F.min("doc_id").over(wf).alias("canonical_id"),
+    )
+
+
+def sql_audio_fingerprint_dedup() -> str:
+    frames = sql_audio_frame_energy()
+    return f"""
+    WITH frames AS ({frames}),
+    bits AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN lead(energy) OVER (PARTITION BY doc_id
+                       ORDER BY frame_idx) > energy
+                  THEN '1' ELSE '0' END AS bit,
+             lead(energy) OVER (PARTITION BY doc_id
+                  ORDER BY frame_idx) AS nxt
+      FROM frames
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(bit, '' ORDER BY frame_idx) AS fingerprint
+      FROM bits WHERE nxt IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS n_copies,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+    FROM fp
+    """

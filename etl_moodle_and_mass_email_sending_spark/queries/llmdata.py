@@ -160,6 +160,14 @@ register(
 )
 
 register(
+    "mm_audio_fp_dedup",
+    lambda spark, sf_dir: multimodal.audio_fingerprint_dedup(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_audio_fingerprint_dedup(),
+)
+
+register(
     "mm_sample_frames",
     lambda spark, sf_dir: multimodal.sample_frames(
         multimodal.media_table(spark, sf_dir), every_n=2, engine="fake"

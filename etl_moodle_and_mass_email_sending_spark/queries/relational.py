@@ -853,6 +853,66 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_new_vs_returning — daily growth accounting: per event date,
+# active users split into first-ever-seen (new) and returning. The
+# first-seen date is one min-aggregate per user; the daily split is
+# one distinct (date, user) rollup joined against it — the DAU/new/
+# returning panel every activation dashboard starts from.
+# --------------------------------------------------------------------------
+
+
+def _new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day as a STRING — pandas date vs datetime64 dtypes diverge
+    # between the two engines' conversions, strings cannot
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = e.distinct()
+    first = daily.groupBy("user_id").agg(F.min("day").alias("_first"))
+    return (
+        daily.join(first, on="user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.coalesce(
+                F.sum(F.when(F.col("day") == F.col("_first"), 1)),
+                F.lit(0),
+            ).cast("bigint").alias("n_new"),
+        )
+        .select(
+            "day",
+            "n_active",
+            "n_new",
+            (F.col("n_active") - F.col("n_new")).alias("n_returning"),
+        )
+    )
+
+
+register(
+    "rel_new_vs_returning",
+    _new_vs_returning,
+    """
+    WITH daily AS (
+      SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(day) AS first_day FROM daily GROUP BY 1
+    )
+    SELECT d.day, count(*) AS n_active,
+           CAST(coalesce(sum(CASE WHEN d.day = f.first_day THEN 1 END),
+                         0) AS BIGINT) AS n_new,
+           count(*) - CAST(coalesce(sum(CASE WHEN d.day = f.first_day
+                                         THEN 1 END), 0) AS BIGINT)
+             AS n_returning
+    FROM daily d JOIN first f USING (user_id)
+    GROUP BY d.day
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_market_basket — association rules over order baskets: for the
 # top part pairs co-occurring in orders, support (pair orders / all
 # orders), confidence (pair / antecedent) and lift (confidence /

@@ -187,6 +187,8 @@ _DEMOTED = [
     "sim_centroid_drift",
     "rel_abc_analysis",
     "rel_market_basket",
+    "mm_audio_fp_dedup",
+    "rel_new_vs_returning",
 ]
 
 
