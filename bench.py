@@ -121,6 +121,8 @@ HEADLINE = [
     "sim_centroid_drift",
     "rel_abc_analysis",
     "rel_market_basket",
+    "mm_audio_fp_dedup",
+    "rel_new_vs_returning",
     # capstone composition
     "llm_corpus_pipeline",
 ]
