@@ -2629,3 +2629,78 @@ def sql_js_divergence_sources(corpus_sql: str) -> str:
            round(CAST(sum(term) AS DOUBLE), 6) AS jsd
     FROM terms GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# OOV rate by source — tokenizer-coverage health per source: the share
+# of token occurrences falling outside the corpus-wide top-OOV_VOCAB
+# vocabulary. A source whose OOV rate spikes is changing register
+# (new domain, new language, spam) and will tokenize badly against a
+# vocabulary trained on yesterday's mix — the per-source drill-down
+# behind text_js_divergence's pairwise view. Same one-explode +
+# salted-top-N machinery; per-source rollup is |sources| rows.
+# --------------------------------------------------------------------------
+
+OOV_VOCAB = 1000
+
+
+def oov_rate_by_source(corpus: DataFrame) -> DataFrame:
+    """(source, n_tokens, n_oov, oov_rate) against the corpus-wide
+    top-OOV_VOCAB vocabulary."""
+    occ = corpus.select(
+        "source", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
+    )
+    totals = occ.groupBy("token").agg(F.count("*").alias("_n"))
+    salt = F.pmod(F.xxhash64("token"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("_n").desc(), F.col("token")
+    )
+    w2 = Window.orderBy(F.col("_n").desc(), F.col("token"))
+    top = (
+        totals.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= OOV_VOCAB)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= OOV_VOCAB)
+        .select("token", F.lit(1).alias("_in"))
+    )
+    return (
+        occ.join(F.broadcast(top), on="token", how="left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_in").isNull(), 1)), F.lit(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+def sql_oov_rate_by_source(corpus_sql: str) -> str:
+    return f"""
+    WITH occ AS (
+      SELECT source, t.token
+      FROM (SELECT source, {_DUCK_FTOKS} AS toks FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(toks) AS token) t
+    ),
+    top AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS n FROM occ GROUP BY 1
+      ) ORDER BY n DESC, token LIMIT {OOV_VOCAB}
+    )
+    SELECT source, count(*) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN token NOT IN
+                    (SELECT token FROM top) THEN 1 END), 0) AS BIGINT)
+             AS n_oov,
+           round(CAST(coalesce(sum(CASE WHEN token NOT IN
+                    (SELECT token FROM top) THEN 1 END), 0) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM occ GROUP BY source
+    """

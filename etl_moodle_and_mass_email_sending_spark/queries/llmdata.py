@@ -1042,6 +1042,16 @@ register(
 )
 
 register(
+    "text_oov_rate",
+    lambda spark, sf_dir: text_analysis.oov_rate_by_source(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_oov_rate_by_source(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+register(
     "text_js_divergence",
     lambda spark, sf_dir: text_analysis.js_divergence_sources(
         _docs_sourced(spark, sf_dir)

@@ -853,6 +853,72 @@ register(
 
 
 # --------------------------------------------------------------------------
+# rel_ship_lag_by_nation — operational fulfillment metric: days from
+# order date to line ship date, averaged per supplier nation. The
+# orderkey join is fact-to-fact (q12 posture: shuffle, never
+# broadcast); supplier and nation are broadcast dims; the day
+# difference is an exact integer, so the average is sum/count exact
+# until the final division.
+# --------------------------------------------------------------------------
+
+
+def _ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(lag).alias("_slag"),
+            F.max(lag).alias("max_ship_days"),
+        )
+        .select(
+            "n_name",
+            "n_lineitems",
+            F.round(
+                F.col("_slag") / F.col("n_lineitems"), 6
+            ).alias("avg_ship_days"),
+            "max_ship_days",
+        )
+    )
+
+
+register(
+    "rel_ship_lag_by_nation",
+    _ship_lag,
+    """
+    SELECT n.n_name,
+           count(*) AS n_lineitems,
+           round(CAST(sum(datediff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE)))
+                      AS DOUBLE) / count(*), 6) AS avg_ship_days,
+           CAST(max(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)))
+                AS INTEGER) AS max_ship_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # rel_new_vs_returning — daily growth accounting: per event date,
 # active users split into first-ever-seen (new) and returning. The
 # first-seen date is one min-aggregate per user; the daily split is

@@ -189,6 +189,8 @@ _DEMOTED = [
     "rel_market_basket",
     "mm_audio_fp_dedup",
     "rel_new_vs_returning",
+    "rel_ship_lag_by_nation",
+    "text_oov_rate",
 ]
 
 
