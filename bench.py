@@ -123,6 +123,8 @@ HEADLINE = [
     "rel_market_basket",
     "mm_audio_fp_dedup",
     "rel_new_vs_returning",
+    "rel_ship_lag_by_nation",
+    "text_oov_rate",
     # capstone composition
     "llm_corpus_pipeline",
 ]
