@@ -2,7 +2,9 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
@@ -25,3 +27,113 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     0.73 s → 0.20 s WITH the spread and switched it over.)
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _ranged_with_offsets(
+    df: DataFrame,
+    order_by: list[Column],
+    offset_of: Column,
+    num_partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Range-partition ``df`` on ``order_by`` and compute one broadcastable
+    offset row per partition: ``_off`` = the sum of ``offset_of`` over all
+    EARLIER partitions. The building block of the two-pass (zipWithIndex
+    style) global prefix computations below — the only data-sized steps are
+    the range shuffle and a partition-local sort; the cross-partition
+    carry lives in a |partitions|-row frame.
+
+    localCheckpoint: both passes consume the ranged frame; the barrier
+    guarantees ONE evaluation of the range shuffle so the sampled
+    partition boundaries (and thus ``_pid``) cannot diverge between jobs.
+    (Same contract as sinks/smtp.py's send-order stamp, the pattern's
+    first user.)
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per_part = ranged.groupBy("_pid").agg(offset_of.alias("_v"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_part.select(
+        "_pid", F.coalesce(F.sum("_v").over(woff), F.lit(0)).alias("_off")
+    )
+    return ranged, offsets
+
+
+def two_pass_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based dense row rank by ``order_by`` WITHOUT a single-task
+    sort: rank = (count of rows in earlier range partitions) +
+    per-partition row_number. ``order_by`` must be a total order (include
+    a tiebreaker column) for the result to be deterministic."""
+    ranged, offsets = _ranged_with_offsets(
+        df, order_by, F.count(F.lit(1)), num_partitions
+    )
+    wlocal = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        ranged.withColumn("_local", F.row_number().over(wlocal))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(
+            out_col, (F.col("_off") + F.col("_local")).cast("long")
+        )
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def two_pass_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in ``order_by`` order WITHOUT an
+    unpartitioned window: per-partition cumulative sum + the broadcast sum
+    of earlier partitions' totals. Exact when ``value_col`` is integral or
+    decimal (partial sums reassociate); ``order_by`` must be a total
+    order for determinism."""
+    ranged, offsets = _ranged_with_offsets(
+        df, order_by, F.sum(value_col), num_partitions
+    )
+    wlocal = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_local", F.sum(value_col).over(wlocal))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_local"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def ntile_from_rank(
+    rank: Column, total: Column, n_buckets: int
+) -> Column:
+    """Reproduce SQL ``ntile(n) OVER (ORDER BY ...)`` from a global
+    1-based rank and the total row count — the piece that lets a
+    two-pass rank replace a global-window ntile. ntile semantics: the
+    first ``total % n`` buckets get ``total div n + 1`` rows, the rest
+    get ``total div n``."""
+    q = (total / n_buckets).cast("long")
+    r = total % n_buckets
+    big = r * (q + 1)  # rows living in the (q+1)-sized buckets
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(
+            # greatest(q, 1): when total < n_buckets, q = 0 and every row
+            # takes the first branch; the guard only keeps the unevaluated
+            # division well-defined.
+            r + ((rank - 1 - big) / F.greatest(q, F.lit(1))).cast("long") + 1
+        )
+        .cast("int")
+    )

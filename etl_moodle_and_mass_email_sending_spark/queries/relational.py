@@ -1092,14 +1092,18 @@ register(
 # by lineitem revenue; class A = parts covering the first 80% of
 # cumulative revenue, B = next 15%, C = the tail. The classic
 # inventory-policy rollup. Revenue is exact DECIMAL; the cumulative
-# window is the method's inherent global sort over the PART-level
-# rollup (|parts| rows, not lineitems; at extreme scale the deciles
-# sketch is the sampled stand-in). Class boundaries compare exact
+# sum over the PART-level rollup (|parts| rows, not lineitems — but
+# still growing linearly with SF) runs as the TWO-PASS prefix sum
+# (range-partition on revenue desc + broadcast earlier-partition
+# totals), not an unpartitioned window (VERDICT r5 item 4). Exact:
+# decimal partial sums reassociate. Class boundaries compare exact
 # decimals so classification is deterministic.
 # --------------------------------------------------------------------------
 
 
 def _abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import two_pass_running_sum
+
     rev = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
@@ -1108,11 +1112,12 @@ def _abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = rev.agg(F.sum("_rev").alias("_t"))
-    w = Window.orderBy(F.col("_rev").desc(), F.col("l_partkey"))
-    ranked = (
-        rev.crossJoin(F.broadcast(tot))
-        .withColumn("_cum", F.sum("_rev").over(w))
-    )
+    ranked = two_pass_running_sum(
+        rev,
+        [F.col("_rev").desc(), F.col("l_partkey")],
+        "_rev",
+        out_col="_cum",
+    ).crossJoin(F.broadcast(tot))
     cls = (
         F.when(
             F.col("_cum") * 100 <= F.col("_t") * 80, F.lit("A")
@@ -2002,16 +2007,17 @@ register(
 # sweep-line encoding: sessions → (+1 at start, −1 one µs past end — closed
 # intervals, so instantaneous sessions still count), deltas
 # pre-aggregated PER TIMESTAMP (what makes the running sum deterministic
-# under ties), one global ordered running sum, then a per-day max. The
-# global ordering is the only non-partitioned window here — its input is
-# the distinct change-point frame (two rows per session, pre-summed), not
-# the event stream, which is what keeps a single-task sort acceptable; at
-# extreme scale the same prefix-sum decomposes into the two-pass
-# per-partition offsets pattern used by sinks/smtp.py's index stamp.
+# under ties), a TWO-PASS global running sum (range-partition on t,
+# per-partition cumulative sum, broadcast earlier-partition totals — no
+# unpartitioned window anywhere: the change-point frame is
+# O(distinct event timestamps), fact-sized at 100 TB), then a per-day max.
+# VERDICT r5 item 2: same pattern as sinks/smtp.py's send-order stamp,
+# now shared via operators/util.two_pass_running_sum.
 # --------------------------------------------------------------------------
 
 
 def _session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import two_pass_running_sum
     from .streaming_q import rel_sessionize
 
     sess = rel_sessionize(spark, sf_dir)
@@ -2030,8 +2036,9 @@ def _session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.sum("d").alias("delta"))
     )
-    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    swept = deltas.withColumn("concurrent", F.sum("delta").over(run))
+    swept = two_pass_running_sum(
+        deltas, [F.col("t")], "delta", out_col="concurrent"
+    )
     return (
         swept.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
         .agg(F.max("concurrent").alias("max_concurrent"))
@@ -2553,13 +2560,18 @@ register(
 # zvalue and cut into 32 range buckets — exactly what
 # repartitionByRange(zvalue) does before a layout-optimizing write, so
 # each bucket (file) has tight min/max on BOTH keys and scans filtering
-# on either dimension prune files. The ntile stands in for the range
-# split so the assignment is oracle-checkable.
+# on either dimension prune files. The bucket split reproduces ntile(32)
+# semantics exactly (so the assignment stays oracle-checkable) but is
+# computed scale-safely: two-pass global rank (range-partition on
+# (zvalue, event_id) + per-partition row_number + broadcast offsets) and
+# bucket arithmetic from (rank, total) — no global-window single-task
+# sort over the fact table (VERDICT r5 item 3).
 # --------------------------------------------------------------------------
 
 
 def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import zorder_value
+    from ..operators.util import ntile_from_rank, two_pass_rank
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -2569,13 +2581,24 @@ def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epoch_hour"),
     )
     z = e.withColumn("zvalue", zorder_value("user_id", "epoch_hour"))
-    w = Window.orderBy("zvalue", "event_id")
-    return z.select(
-        "event_id",
-        "user_id",
-        "epoch_hour",
-        "zvalue",
-        F.ntile(32).over(w).cast("int").alias("file_bucket"),
+    ranked = two_pass_rank(
+        z, [F.col("zvalue"), F.col("event_id")], out_col="_rank"
+    )
+    # total row count as a broadcast 1-row aggregate over the ranked frame
+    # (cheap: the rank's range shuffle is checkpointed) — never collected
+    # driver-side.
+    total = ranked.agg(F.max("_rank").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "event_id",
+            "user_id",
+            "epoch_hour",
+            "zvalue",
+            ntile_from_rank(
+                F.col("_rank"), F.col("_n"), 32
+            ).alias("file_bucket"),
+        )
     )
 
 
