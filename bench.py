@@ -125,6 +125,11 @@ HEADLINE = [
     "rel_new_vs_returning",
     "rel_ship_lag_by_nation",
     "text_oov_rate",
+    # round-6: the two-pass prefix-sum rewrites + the one-pass k-anonymity
+    # (benched from this round so the scale-safe forms have a perf record)
+    "rel_session_concurrency",
+    "rel_zorder_layout",
+    "rel_k_anonymity",
     # capstone composition
     "llm_corpus_pipeline",
 ]

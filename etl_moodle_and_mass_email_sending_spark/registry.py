@@ -28,26 +28,75 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-5 ROTATION (exactly what VERDICT r4
-# item 1 prescribes): the window is the 24 entries that have NEVER had an
-# external green row — the six documented deferrals plus all 18 round-4
-# additions — plus 26 rotations of already-certified entries. After this
-# round every pre-round-5 query has an external certification on record.
-# The 26 rotations are: all 12 ref_* SURVEY-parity queries (including
-# ref_send_counter, whose implementation was REWRITTEN to the two-pass
-# range-partition stamp in round 4 after its r2/r3 certification — the
-# ADVICE r4 note; holding it in-window re-certifies the new code
-# externally) and 14 high-traffic LLM-data/relational entries last
-# certified in r2/r3, among them the two text queries whose round-4
-# timings regressed (text_fingerprint, text_unigram_logprob).
-# All demoted entries REMAIN registered and locally gated:
-# tests/test_oracle_parity.py checks every oracle-gated entry regardless
-# of order, and tests/driver_sim.py (no names) sweeps all of them in the
-# exact external harness. Round-5 ADDITIONS start life in the tail
+# entries in iteration order. ROUND-6 ROTATION (VERDICT r5 items 1-4):
+# the window is 48 of the 66 round-5 additions that have never had an
+# external green row — including every query whose IMPLEMENTATION changed
+# this round (rel_k_anonymity one-pass rewrite, dedup_soft_weights /
+# dedup_cluster_profile on the staged cluster frame, sim_centroid_drift
+# narrow-plan rewrite, rel_abc_analysis two-pass prefix sum) — plus the
+# two r4-certified queries REWRITTEN this round to the scale-safe
+# two-pass form (rel_session_concurrency, rel_zorder_layout; holding
+# rewritten code in-window re-certifies the new code externally, the
+# ref_send_counter precedent). The remaining 18 round-5 additions are the
+# round-7 queue (marked below). All demoted entries REMAIN registered and
+# locally gated: tests/test_oracle_parity.py checks every oracle-gated
+# entry regardless of order, and tests/driver_sim.py sweeps all of them
+# in the exact external harness. Round-6 ADDITIONS start life in the tail
 # (standing policy: promote only after a driver-sim green, rotate into
-# the window in round 6).
+# the window in round 7).
 _DEMOTED = [
-    # --- certified green in CORRECTNESS_r04 (the round-4 window) ---------
+    # --- certified green in CORRECTNESS_r05 (the round-5 window) ---------
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "sim_ivf_topk",
+    "sim_embedding_near_dup",
+    "text_fingerprint",
+    "rel_asof_join",
+    "text_unigram_logprob",
+    "dedup_components",
+    "llm_corpus_pipeline",
+    "dedup_jaccard_lsh_verified",
+    "text_gopher_rules",
+    "text_dsir_weights",
+    "sim_semantic_dedup",
+    "sim_hard_negatives",
+    "text_cdc_chunks",
+    "ref_roster_normalize",
+    "ref_roster_segments",
+    "ref_pick_email",
+    "ref_mail_variant_old",
+    "ref_mail_variant_moodle",
+    "ref_mail_variant_fallback",
+    "ref_template_render",
+    "ref_password_patterns",
+    "ref_preview_limit",
+    "ref_send_counter",
+    "ref_header_promotion",
+    "ref_duplicate_usernames",
+    "rel_q1_pricing_summary",
+    "rel_supplier_part_volume",
+    "rel_running_total",
+    "rel_distinct_parts",
+    "rel_setops",
+    "rel_rollup",
+    "rel_q6_forecast_revenue",
+    "rel_q4_order_priority",
+    "rel_q10_returned_items",
+    "rel_q14_promo_share",
+    "rel_cms_heavy_hitters",
+    "rel_bloom_prejoin",
+    "rel_q19_disjunctive",
+    "rel_q15_top_supplier",
+    "rel_q8_market_share",
+    "rel_q17_small_quantity",
+    "rel_q22_dormant_customers",
+    "stream_sliding_counts",
+    "stream_outer_join",
+    # --- certified green in CORRECTNESS_r04 ------------------------------
     "sim_kmeans_refine",
     "mm_sample_frames",
     "text_sequence_pack",
@@ -80,7 +129,6 @@ _DEMOTED = [
     "rel_funnel_stages",
     "rel_retention",
     "rel_scd2_history",
-    "rel_session_concurrency",
     "rel_value_deciles",
     "rel_value_outliers",
     "rel_event_pmi",
@@ -88,7 +136,6 @@ _DEMOTED = [
     "rel_snapshot_diff",
     "rel_winsorize",
     "rel_skew_salted_join",
-    "rel_zorder_layout",
     "rel_event_transitions",
     "rel_trend_slope",
     "rel_chi_square",
@@ -98,7 +145,7 @@ _DEMOTED = [
     "stream_dedup",
     "stream_enrich",
     "stream_trending",
-    # --- certified green in r02 AND r03, not picked as a round-5 rotation
+    # --- certified green in r02 AND r03 ----------------------------------
     "text_token_stats",
     "text_lang_id",
     "text_quality_score",
@@ -123,56 +170,10 @@ _DEMOTED = [
     "rel_percentiles",
     "rel_data_quality",
     "rel_sessionize",
-    # --- round-5 additions: start life in the tail (standing policy —
-    # promote into the certification window in round 6) ------------------
-    "text_substring_dedup",
-    "text_quality_classifier",
-    "rel_q2_min_price_supplier",
-    "rel_q9_product_profit",
-    "rel_q11_important_stock",
-    "rel_q16_supplier_count",
-    "rel_q20_excess_shippers",
-    "rel_q21_sole_blame",
-    "graph_triangles",
-    "text_token_entropy",
-    "text_bpe_merges",
-    "sim_pq_topk",
-    "rel_q12_late_priority",
-    "sim_mrl_topk",
-    "sim_knn_graph",
-    "graph_kcore",
-    "rel_grouping_sets",
-    "rel_kmv_setops",
-    "text_weighted_sample",
-    "mm_clip_align",
-    "dedup_soft_weights",
-    "graph_bfs_depth",
-    "stream_upsert_latest",
-    "rel_hll_distinct",
-    "sim_ivfpq_topk",
-    "text_ngram_novelty",
-    "sim_ann_recall",
-    "graph_label_prop",
-    "dedup_minhash_calibration",
-    "stream_near_dup_filter",
-    "rel_benford_check",
-    "sim_ann_multiprobe_topk",
-    "graph_modularity",
-    "stream_hll_distinct",
-    "rel_quantile_sketch",
-    "stream_cms_counts",
-    "rel_k_anonymity",
-    "rel_psi_drift",
-    "stream_quantile_sketch",
-    "sim_ivf_nprobe_sweep",
-    "graph_degree_profile",
-    "text_zipf_fit",
-    "stream_bloom_membership",
-    "text_langid_confusion",
-    "rel_time_weighted_avg",
+    # --- ROUND-7 QUEUE: the 18 round-5 additions not yet externally
+    # certified (driver-sim green; rotate into the round-7 window) --------
     "rel_gap_detection",
     "graph_assortativity",
-    "dedup_cluster_profile",
     "rel_order_reconciliation",
     "sim_ivf_list_balance",
     "rel_arrival_disorder",
@@ -184,8 +185,6 @@ _DEMOTED = [
     "text_js_divergence",
     "dedup_threshold_sweep",
     "mm_phash_hamming_hist",
-    "sim_centroid_drift",
-    "rel_abc_analysis",
     "rel_market_basket",
     "mm_audio_fp_dedup",
     "rel_new_vs_returning",
