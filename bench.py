@@ -130,6 +130,13 @@ HEADLINE = [
     "rel_session_concurrency",
     "rel_zorder_layout",
     "rel_k_anonymity",
+    # round-6 additions
+    "text_lexical_diversity",
+    "text_tokenizer_fertility",
+    "text_line_dedup",
+    "text_ppl_buckets",
+    "sim_cluster_purity",
+    "rel_correlation_matrix",
     # capstone composition
     "llm_corpus_pipeline",
 ]

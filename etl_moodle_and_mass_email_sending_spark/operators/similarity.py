@@ -1886,3 +1886,83 @@ def sql_centroid_drift() -> str:
            round(sqrt({diff}), 6) AS centroid_shift
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# IVF cluster purity — clustering-quality audit against the labels: for
+# each inverted list (nearest-centroid assignment, same deterministic
+# seed centroids as ivf_topk), the majority label and its share. A
+# low-purity list means the coarse quantizer disagrees with the
+# semantic labels — nprobe must rise (recall pays) or the centroids
+# need retraining. The standard health check run before trusting an
+# IVF index.
+#
+# 100 TB shape: the 8-row centroid frame broadcasts; assignment is a
+# scan-side argmax (corpus never shuffles for it — same plan as
+# ivf_assign); the purity rollup shuffles only (cid, label) cells.
+# --------------------------------------------------------------------------
+
+
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, n_vectors, majority_label, purity): per inverted list, the
+    majority label's share of assigned vectors."""
+    v = _vectors(spark, sf_dir)
+    cent = _centroids(v.select("vec_id", "vec"))
+    cos = F.expr(_spark_cosine("vec", "cvec")).alias("_c")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_c").desc(), F.col("cid")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "cid", cos)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+    )
+    per = assigned.groupBy("cid", "label").agg(
+        F.count("*").alias("_n")
+    )
+    wmaj = Window.partitionBy("cid").orderBy(
+        F.col("_n").desc(), F.col("label")
+    )
+    maj = per.withColumn("_r", F.row_number().over(wmaj)).filter(
+        F.col("_r") == 1
+    )
+    tot = per.groupBy("cid").agg(F.sum("_n").alias("_nt"))
+    return maj.join(tot, "cid").select(
+        "cid",
+        F.col("_nt").cast("bigint").alias("n_vectors"),
+        F.col("label").alias("majority_label"),
+        F.round(F.col("_n").cast("double") / F.col("_nt"), 6).alias(
+            "purity"
+        ),
+    )
+
+
+def sql_cluster_purity() -> str:
+    cos = _duck_cosine("s.vec", "c.cvec")
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
+             WHERE vec_id < {N_CENTROIDS}),
+    assigned AS (
+      SELECT vec_id, label, cid FROM (
+        SELECT s.vec_id, s.label, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                    ORDER BY {cos} DESC, c.cid) AS r
+        FROM base s CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    per AS (SELECT cid, label, count(*) AS n FROM assigned GROUP BY 1, 2),
+    tot AS (SELECT cid, sum(n) AS nt FROM per GROUP BY 1),
+    maj AS (
+      SELECT cid, label, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY cid
+                       ORDER BY n DESC, label) AS r
+        FROM per
+      ) WHERE r = 1
+    )
+    SELECT m.cid, CAST(t.nt AS BIGINT) AS n_vectors,
+           m.label AS majority_label,
+           round(CAST(m.n AS DOUBLE) / t.nt, 6) AS purity
+    FROM maj m JOIN tot t USING (cid)
+    """

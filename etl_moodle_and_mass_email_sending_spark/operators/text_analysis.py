@@ -2704,3 +2704,251 @@ def sql_oov_rate_by_source(corpus_sql: str) -> str:
                  / count(*), 6) AS oov_rate
     FROM occ GROUP BY source
     """
+
+
+# --------------------------------------------------------------------------
+# Lexical diversity — type-token ratio + hapax-legomena ratio per
+# document, the classic lexical-richness screens (low TTR = template /
+# boilerplate text; high hapax share = OCR noise or gibberish). Both are
+# standard curation features next to the Gopher rules.
+#
+# 100 TB shape: explode → ONE hash shuffle on (doc_id, token) with
+# map-side partial aggregation, then a doc-keyed rollup that partial-
+# aggregates too. No corpus-sized frame is ever collected or windowed.
+# --------------------------------------------------------------------------
+
+
+def lexical_diversity(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, hapax_ratio); docs with zero
+    non-blank tokens are absent (nothing to measure)."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKS)).alias("token")
+    ).filter(F.col("token") != "")
+    per_word = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("_n")
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("_n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.count("*") / F.sum("_n"), 6).alias("ttr"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("_n") == 1, 1)), F.lit(0))
+            / F.sum("_n"),
+            6,
+        ).alias("hapax_ratio"),
+    )
+
+
+def sql_lexical_diversity(corpus_sql: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM ({corpus_sql}),
+           LATERAL (SELECT unnest({_DUCK_TOKS}) AS token) t
+      WHERE t.token <> ''
+    ),
+    per_word AS (
+      SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) / sum(n), 6) AS ttr,
+           round(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0)
+                 / sum(n), 6) AS hapax_ratio
+    FROM per_word GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility — BPE-ish tokens per whitespace word and chars per
+# BPE token, per language: the standard tokenizer-efficiency audit (a
+# high-fertility language pays more sequence length per word, which
+# skews mixture budgeting). Pure column expressions + one tiny rollup.
+# --------------------------------------------------------------------------
+
+
+def tokenizer_fertility(corpus: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_bpe_tokens, fertility, chars_per_token) — corpus
+    needs doc_id/text/lang."""
+    bpe = F.size(
+        F.expr(
+            "regexp_extract_all(text, '"
+            + _BPE_RX.replace("\\", "\\\\")
+            + "', 0)"
+        )
+    )
+    base = corpus.select(
+        "lang",
+        F.expr(_N_TOKS_SPARK).cast("bigint").alias("_w"),
+        bpe.cast("bigint").alias("_b"),
+        F.length("text").cast("bigint").alias("_c"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_b").cast("bigint").alias("n_bpe_tokens"),
+        F.round(F.sum("_b") / F.sum("_w"), 6).alias("fertility"),
+        F.round(F.sum("_c") / F.sum("_b"), 6).alias("chars_per_token"),
+    )
+
+
+def sql_tokenizer_fertility(corpus_sql: str) -> str:
+    return f"""
+    WITH base AS (
+      SELECT lang,
+             CAST({_N_TOKS_DUCK} AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS BIGINT)
+               AS b,
+             CAST(length(text) AS BIGINT) AS c
+      FROM ({corpus_sql})
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+           round(sum(b) / sum(w), 6) AS fertility,
+           round(sum(c) / sum(b), 6) AS chars_per_token
+    FROM base GROUP BY lang
+    """
+
+
+# --------------------------------------------------------------------------
+# C4-style line dedup — the famous "remove any line occurring ≥ 3 times
+# in the corpus" rule (C4 / CCNet), adapted to the testbed's
+# newline-free documents by defining a "line" as a non-overlapping
+# LINE_WORDS-word segment (the trailing short segment counts). Reports
+# the per-document duplicated-segment ratio; a production pipeline
+# filters or strips on it.
+#
+# 100 TB shape: segments hash to 16-byte md5 before any shuffle; the
+# corpus-frequency rollup groups BY the hash (map-side partial
+# aggregation bounds reducer traffic at O(distinct segments)); the
+# flag-back join is hash-keyed on the same column. The interpreted
+# transform/slice fan-out is preceded by spread_for_compute.
+# --------------------------------------------------------------------------
+
+LINE_WORDS = 16
+LINE_DUP_MIN = 3
+
+
+def line_dedup(corpus: DataFrame) -> DataFrame:
+    """(doc_id, n_segments, n_dup_segments, dup_ratio): share of the
+    doc's LINE_WORDS-word segments occurring >= LINE_DUP_MIN times
+    corpus-wide."""
+    words = F.expr(f"filter({_SPARK_TOKS}, t -> t <> '')")
+    base = spread_for_compute(
+        corpus.select("doc_id", words.alias("_w")).filter(
+            F.size("_w") > 0
+        )
+    )
+    segs_expr = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(_w) / {LINE_WORDS}.0) AS INT) - 1), "
+        f"i -> md5(array_join(slice(_w, i * {LINE_WORDS} + 1, {LINE_WORDS}), ' ')))"
+    )
+    segs = base.select("doc_id", F.explode(segs_expr).alias("_h"))
+    freq = segs.groupBy("_h").agg(F.count("*").alias("_n"))
+    return (
+        segs.join(freq, "_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") >= LINE_DUP_MIN, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_segments"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") >= LINE_DUP_MIN, 1)),
+                    F.lit(0),
+                )
+                / F.count("*"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def sql_line_dedup(corpus_sql: str) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter({_DUCK_TOKS}, t -> t <> '') AS w
+      FROM ({corpus_sql})
+    ),
+    nz AS (SELECT * FROM words WHERE len(w) > 0),
+    segs AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[(g.i * {LINE_WORDS} + 1):(g.i * {LINE_WORDS} + {LINE_WORDS})],
+               ' ')) AS h
+      FROM nz,
+           LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(len(w) / {LINE_WORDS}.0) AS INT) - 1)) AS i) g
+    ),
+    freq AS (SELECT h, count(*) AS n FROM segs GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(coalesce(sum(CASE WHEN n >= {LINE_DUP_MIN} THEN 1 END), 0)
+                AS BIGINT) AS n_dup_segments,
+           round(coalesce(sum(CASE WHEN n >= {LINE_DUP_MIN} THEN 1 END), 0)
+                 / count(*), 6) AS dup_ratio
+    FROM segs JOIN freq USING (h)
+    GROUP BY doc_id
+    """
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity buckets — rank documents per language by their
+# unigram-LM score (higher avg logprob = lower perplexity = cleaner
+# text) and cut each language into head / middle / tail thirds — the
+# exact bucketing CCNet uses to stratify CommonCrawl quality. Bucketing
+# is by RANK (ntile semantics), not by score threshold, so it is fully
+# deterministic under ties (doc_id tiebreak).
+#
+# 100 TB shape: the rank is the GROUPED two-pass form
+# (operators/util.two_pass_rank_in_groups) — a per-language
+# Window.orderBy would funnel each language (billions of docs) through
+# one task. Per-language totals broadcast back; bucket arithmetic
+# reproduces ntile(3) exactly, so the oracle is a plain windowed ntile.
+# --------------------------------------------------------------------------
+
+
+def ppl_buckets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, lang, avg_logprob, ppl_bucket): per-language
+    head/middle/tail thirds by unigram-LM score."""
+    from .util import ntile_from_rank, two_pass_rank_in_groups
+
+    scored = unigram_logprob(corpus).select("doc_id", "avg_logprob")
+    labeled = scored.join(corpus.select("doc_id", "lang"), "doc_id")
+    ranked = two_pass_rank_in_groups(
+        labeled,
+        "lang",
+        [F.col("avg_logprob").desc(), F.col("doc_id")],
+        out_col="_rank",
+    )
+    totals = ranked.groupBy("lang").agg(F.count("*").alias("_n"))
+    tile = ntile_from_rank(F.col("_rank"), F.col("_n"), 3)
+    bucket = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.join(F.broadcast(totals), "lang").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("ppl_bucket")
+    )
+
+
+def sql_ppl_buckets(corpus_sql: str) -> str:
+    return f"""
+    WITH scored AS ({sql_unigram_logprob(corpus_sql)}),
+    j AS (
+      SELECT s.doc_id, c.lang, s.avg_logprob
+      FROM scored s JOIN ({corpus_sql}) c USING (doc_id)
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM j
+    """

@@ -1412,3 +1412,43 @@ def _sql_graph_bfs_depth() -> str:
 
 
 register("graph_bfs_depth", _graph_bfs_depth, _sql_graph_bfs_depth())
+
+
+# --------------------------------------------------------------------------
+# Round-6 additions (start life in the registry tail per the standing
+# promotion policy; rotate into the certification window in round 7).
+# --------------------------------------------------------------------------
+
+register(
+    "text_lexical_diversity",
+    lambda spark, sf_dir: text_analysis.lexical_diversity(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_lexical_diversity(_DOCS_SQL),
+)
+
+register(
+    "text_tokenizer_fertility",
+    lambda spark, sf_dir: text_analysis.tokenizer_fertility(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_tokenizer_fertility(_DOCS_SQL),
+)
+
+register(
+    "text_line_dedup",
+    lambda spark, sf_dir: text_analysis.line_dedup(_docs(spark, sf_dir)),
+    text_analysis.sql_line_dedup(_DOCS_SQL),
+)
+
+register(
+    "text_ppl_buckets",
+    lambda spark, sf_dir: text_analysis.ppl_buckets(_docs(spark, sf_dir)),
+    text_analysis.sql_ppl_buckets(_DOCS_SQL),
+)
+
+register(
+    "sim_cluster_purity",
+    similarity.cluster_purity,
+    similarity.sql_cluster_purity(),
+)

@@ -3911,3 +3911,106 @@ register(
         "purchase",
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_correlation_matrix — pairwise Pearson correlations between the four
+# lineitem measures in ONE scan: all sums (x, x², xy) accumulate as
+# exact DECIMALs (order-independent, so the result is deterministic
+# under any partitioning), the corr formula runs as double arithmetic on
+# the final 1-row aggregate, and the 6 pairs unpivot with a stack().
+# The feature-screening pass a model pipeline runs before training —
+# never a per-pair rescan, never a float accumulation race.
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.col(c).cast("decimal(18,4)").alias(c)
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").alias("_n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"_q_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_p_{a}_{b}"))
+    wide = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        qa = F.col(f"_q_{a}").cast("double")
+        qb = F.col(f"_q_{b}").cast("double")
+        p = F.col(f"_p_{a}_{b}").cast("double")
+        return F.round(
+            (n * p - sa * sb)
+            / (F.sqrt(n * qa - sa * sa) * F.sqrt(n * qb - sb * sb)),
+            6,
+        )
+
+    cells = wide.select(
+        *[corr(a, b).alias(f"_c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', _c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return cells.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_corr)"
+    )
+
+
+def _sql_correlation_matrix() -> str:
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({c} AS DECIMAL(18,4))) AS s_{c}")
+        sums.append(
+            # DECIMAL(19,4): forces DuckDB's int128 multiply (the 18,4
+            # product overflows its int64 fast path); values identical
+            f"sum(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4)))"
+            f" AS q_{c}"
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(
+            f"sum(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4)))"
+            f" AS p_{a}_{b}"
+        )
+    arms = []
+    for a, b in pairs:
+        expr = (
+            f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+            f" round({expr}, 6) AS pearson_corr FROM s"
+        )
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH s AS (SELECT {", ".join(sums)} FROM lineitem)
+    {union}
+    """
+
+
+register(
+    "rel_correlation_matrix", _correlation_matrix, _sql_correlation_matrix()
+)

