@@ -137,6 +137,10 @@ HEADLINE = [
     "text_ppl_buckets",
     "sim_cluster_purity",
     "rel_correlation_matrix",
+    "graph_two_hop",
+    "mm_video_frame_dedup",
+    "sim_norm_outliers",
+    "rel_duplicate_orders",
     # capstone composition
     "llm_corpus_pipeline",
 ]

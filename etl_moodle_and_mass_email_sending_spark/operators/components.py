@@ -722,3 +722,74 @@ def sql_clustering_coefficients(edges_sql: str) -> str:
     FROM degs d LEFT JOIN tri t USING (id)
     WHERE d.degree >= 2
     """
+
+
+# --------------------------------------------------------------------------
+# Two-hop candidate expansion — friend-of-friend pairs over the near-dup
+# graph: pairs at distance EXACTLY 2 (share >= 1 common neighbor, no
+# direct edge), with the common-neighbor count as evidence weight. The
+# standard candidate-recovery pass after LSH: true near-dups that missed
+# every band often share a neighbor that caught both.
+#
+# 100 TB shape: the symmetrized edge frame self-joins keyed on the MID
+# vertex — one hash shuffle on a vertex id; per-vertex fan-out is
+# degree², bounded because near-dup graphs are shallow (hubs would be
+# handled by the degree-cap prefilter a production run adds). The
+# direct-edge exclusion is a broadcast-or-shuffle ANTI join on the
+# canonical pair key, never a cartesian.
+# --------------------------------------------------------------------------
+
+
+def two_hop_candidates(edges: DataFrame) -> DataFrame:
+    """edges(src, dst) → (doc_a, doc_b, n_paths): canonical pairs at
+    distance exactly 2 and their common-neighbor count."""
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    two = (
+        sym.alias("l")
+        .join(sym.alias("r"), F.col("l.b") == F.col("r.a"))
+        .select(F.col("l.a").alias("x"), F.col("r.b").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    direct = sym.filter(F.col("a") < F.col("b"))
+    return (
+        two.join(
+            direct,
+            (two.x == direct.a) & (two.y == direct.b),
+            "left_anti",
+        )
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.col("n_paths").cast("bigint").alias("n_paths"),
+        )
+    )
+
+
+def sql_two_hop_candidates(edges_sql: str) -> str:
+    return f"""
+    WITH sym AS (
+      SELECT src AS a, dst AS b FROM ({edges_sql})
+      UNION
+      SELECT dst AS a, src AS b FROM ({edges_sql})
+    ),
+    two AS (
+      SELECT l.a AS x, r.b AS y, count(*) AS n_paths
+      FROM sym l JOIN sym r ON l.b = r.a
+      WHERE l.a < r.b
+      GROUP BY 1, 2
+    )
+    SELECT x AS doc_a, y AS doc_b, CAST(n_paths AS BIGINT) AS n_paths
+    FROM two
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sym s WHERE s.a = two.x AND s.b = two.y
+    )
+    """

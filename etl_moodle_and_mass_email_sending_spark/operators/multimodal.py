@@ -997,3 +997,49 @@ def sql_audio_fingerprint_dedup() -> str:
            min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
     FROM fp
     """
+
+
+# --------------------------------------------------------------------------
+# Cross-video frame dedup — shared-frame detection over the sampled
+# frame stream: frames quantize to a coarse 16-bit perceptual bucket
+# (leading two payload bytes — the fake-engine stand-in for a frame
+# pHash band) and buckets seen in >= 2 distinct videos are reported:
+# the common-intro / watermark screen of video curation.
+#
+# 100 TB shape: the fan-out reuses sample_frames' mapInPandas batches;
+# the rollup groups by the 2-byte signature (map-side partial
+# aggregation; 65,536 reducer keys), and the distinct-video count is an
+# exact count_distinct over that bounded key space.
+# --------------------------------------------------------------------------
+
+FRAME_SIG_HEX = 4  # leading 2 bytes of the frame = the perceptual bucket
+
+
+def video_frame_dedup(media: DataFrame) -> DataFrame:
+    """(frame_sig, n_videos, n_frames): coarse frame signatures sampled
+    from >= 2 distinct videos."""
+    frames = sample_frames(media, every_n=1, engine="fake")
+    per = (
+        frames.select(
+            "doc_id",
+            F.substring("frame_hex", 1, FRAME_SIG_HEX).alias("frame_sig"),
+        )
+        .groupBy("frame_sig")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_videos"),
+            F.count("*").cast("bigint").alias("n_frames"),
+        )
+    )
+    return per.filter(F.col("n_videos") >= 2)
+
+
+def sql_video_frame_dedup() -> str:
+    return f"""
+    WITH frames AS ({sql_sample_frames(every_n=1)})
+    SELECT substr(frame_hex, 1, {FRAME_SIG_HEX}) AS frame_sig,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+           CAST(count(*) AS BIGINT) AS n_frames
+    FROM frames
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """

@@ -1966,3 +1966,98 @@ def sql_cluster_purity() -> str:
            round(CAST(m.n AS DOUBLE) / t.nt, 6) AS purity
     FROM maj m JOIN tot t USING (cid)
     """
+
+
+# --------------------------------------------------------------------------
+# Embedding prefix-norm outliers — the encoder-health screen for
+# MRL-style embeddings: the testbed vectors are unit-normalized (whole-
+# vector norms are constant by construction), so the informative
+# quantity is how much energy the LEADING half of the dimensions
+# carries. Per label, flag vectors whose 32-dim prefix norm sits more
+# than 2 population standard deviations from the label mean — a
+# deviating energy profile means the encoder's coarse-to-fine structure
+# broke for that input (the matryoshka property sim_mrl_topk relies
+# on). Determinism: norms round to 6 decimals and accumulate as exact
+# DECIMALs, so mean/std are order-independent; the z-score is double
+# arithmetic on the final aggregate. Scale: one scan + one |labels|-row
+# rollup broadcast back.
+# --------------------------------------------------------------------------
+
+NORM_Z_THRESHOLD = 2.0
+NORM_PREFIX_DIMS = DIM // 2
+
+
+def norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, prefix_norm, z_score): vectors whose leading-half
+    energy is > 2 sigma from their label's mean."""
+    dot = _DOT.format(a="_pre", b="_pre")
+    v = (
+        _vectors(spark, sf_dir)
+        .withColumn(
+            "_pre", F.expr(f"slice(vec, 1, {NORM_PREFIX_DIMS})")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(f"sqrt({dot})"), 6)
+            .cast("decimal(18,6)")
+            .alias("_nrm"),
+        )
+    )
+    stats = v.groupBy("label").agg(
+        F.count("*").alias("_n"),
+        F.sum("_nrm").alias("_s"),
+        F.sum(F.col("_nrm") * F.col("_nrm")).alias("_q"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = (
+        F.col("_q").cast("double") / F.col("_n") - mean * mean
+    )
+    enriched = v.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        F.col("_nrm").cast("double").alias("prefix_norm"),
+        # try_divide: a single-member (or constant-norm) label has zero
+        # variance — ANSI would throw; NULL matches DuckDB's x/0 = NULL
+        # and the outlier filter drops the row in both engines
+        F.round(
+            F.try_divide(
+                F.col("_nrm").cast("double") - mean, F.sqrt(var)
+            ),
+            6,
+        ).alias("z_score"),
+    )
+    return enriched.filter(
+        F.abs(F.col("z_score")) > NORM_Z_THRESHOLD
+    )
+
+
+def sql_norm_outliers() -> str:
+    pre = f"vec[1:{NORM_PREFIX_DIMS}]"
+    dot = f"list_dot_product({pre}, {pre})"
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    v AS (
+      SELECT vec_id, label,
+             CAST(round(sqrt({dot}), 6) AS DECIMAL(18,6)) AS nrm
+      FROM base
+    ),
+    stats AS (
+      SELECT label, count(*) AS n, sum(nrm) AS s,
+             -- DECIMAL(19,6): forces DuckDB's int128 multiply
+             sum(CAST(nrm AS DECIMAL(19,6)) * CAST(nrm AS DECIMAL(19,6)))
+               AS q
+      FROM v GROUP BY label
+    )
+    SELECT vec_id, label,
+           CAST(nrm AS DOUBLE) AS prefix_norm,
+           round((CAST(nrm AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt(CAST(q AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                 6) AS z_score
+    FROM v JOIN stats USING (label)
+    WHERE abs(round((CAST(nrm AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt(CAST(q AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                 6)) > {NORM_Z_THRESHOLD}
+    """

@@ -1452,3 +1452,40 @@ register(
     similarity.cluster_purity,
     similarity.sql_cluster_purity(),
 )
+
+
+def _graph_two_hop(spark, sf_dir):
+    # two-hop expansion runs over the MUTUAL k-NN graph, not the minhash
+    # near-dup graph: LSH dup clusters are (near-)transitively closed, so
+    # distance-exactly-2 pairs barely exist there; k-NN graphs are
+    # famously non-transitive, and 2-hop candidates are the NN-descent
+    # improvement step.
+    from ..operators.components import two_hop_candidates
+
+    edges = similarity.knn_graph(spark, sf_dir).select("src", "dst")
+    return two_hop_candidates(edges)
+
+
+def _sql_graph_two_hop() -> str:
+    from ..operators.components import sql_two_hop_candidates
+
+    return sql_two_hop_candidates(
+        f"SELECT src, dst FROM ({similarity.sql_knn_graph()})"
+    )
+
+
+register("graph_two_hop", _graph_two_hop, _sql_graph_two_hop())
+
+register(
+    "mm_video_frame_dedup",
+    lambda spark, sf_dir: multimodal.video_frame_dedup(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_video_frame_dedup(),
+)
+
+register(
+    "sim_norm_outliers",
+    similarity.norm_outliers,
+    similarity.sql_norm_outliers(),
+)

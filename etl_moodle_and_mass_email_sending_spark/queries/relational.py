@@ -4014,3 +4014,70 @@ def _sql_correlation_matrix() -> str:
 register(
     "rel_correlation_matrix", _correlation_matrix, _sql_correlation_matrix()
 )
+
+
+# --------------------------------------------------------------------------
+# rel_duplicate_orders — possible-duplicate-invoice detection (the
+# reconciliation screen finance teams run): order pairs from the SAME
+# customer whose totals differ by <= 1000.00 and whose order dates fall
+# within 30 days. Self-join keyed on o_custkey — per-customer order
+# counts are bounded (TPC-H ~10), so the equi-join fan-out is tiny and
+# the inequality predicates evaluate post-join; no cartesian, no range
+# explosion. Price deltas compare as exact DECIMAL(18,2).
+# --------------------------------------------------------------------------
+
+
+def _duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("_d"),
+        _dec(F.col("o_totalprice")).alias("_p"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .withColumn(
+            "day_gap",
+            F.abs(F.datediff(F.col("b._d"), F.col("a._d"))).cast("int"),
+        )
+        .withColumn(
+            "price_gap",
+            F.abs(F.col("b._p") - F.col("a._p")).cast("double"),
+        )
+        .filter((F.col("day_gap") <= 30) & (F.col("price_gap") <= 1000.0))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            "day_gap",
+            "price_gap",
+        )
+    )
+
+
+register(
+    "rel_duplicate_orders",
+    _duplicate_orders,
+    """
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a,
+           b.o_orderkey AS order_b,
+           CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                              CAST(b.o_orderdate AS DATE))) AS INTEGER)
+             AS day_gap,
+           CAST(abs(CAST(b.o_totalprice AS DECIMAL(18,2))
+                    - CAST(a.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                        CAST(b.o_orderdate AS DATE))) <= 30
+      AND abs(CAST(b.o_totalprice AS DECIMAL(18,2))
+              - CAST(a.o_totalprice AS DECIMAL(18,2))) <= 1000.00
+    """,
+)

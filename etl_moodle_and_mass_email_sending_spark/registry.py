@@ -198,6 +198,10 @@ _DEMOTED = [
     "text_ppl_buckets",
     "sim_cluster_purity",
     "rel_correlation_matrix",
+    "graph_two_hop",
+    "mm_video_frame_dedup",
+    "sim_norm_outliers",
+    "rel_duplicate_orders",
 ]
 
 

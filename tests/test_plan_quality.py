@@ -546,3 +546,19 @@ def test_correlation_matrix_is_one_scan(spark, registry_queries):
     assert plan.count("Scan parquet") == 1
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
+
+
+def test_two_hop_is_mid_vertex_equi_join(spark, registry_queries):
+    """2-hop expansion self-joins the edge frame on the mid vertex and
+    anti-joins direct edges — equi-joins only, never a cartesian."""
+    plan = _plan(registry_queries["graph_two_hop"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_norm_outliers_broadcasts_label_stats(spark, registry_queries):
+    """The |labels|-row mean/std frame broadcasts back over the vector
+    scan; vectors never shuffle for the z-score."""
+    plan = _plan(registry_queries["sim_norm_outliers"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
