@@ -1001,18 +1001,18 @@ def sql_audio_fingerprint_dedup() -> str:
 
 # --------------------------------------------------------------------------
 # Cross-video frame dedup — shared-frame detection over the sampled
-# frame stream: frames quantize to a coarse 16-bit perceptual bucket
-# (leading two payload bytes — the fake-engine stand-in for a frame
+# frame stream: frames quantize to a coarse 8-bit perceptual bucket
+# (leading payload byte — the fake-engine stand-in for a frame
 # pHash band) and buckets seen in >= 2 distinct videos are reported:
 # the common-intro / watermark screen of video curation.
 #
 # 100 TB shape: the fan-out reuses sample_frames' mapInPandas batches;
 # the rollup groups by the 2-byte signature (map-side partial
-# aggregation; 65,536 reducer keys), and the distinct-video count is an
+# aggregation; 256 reducer keys), and the distinct-video count is an
 # exact count_distinct over that bounded key space.
 # --------------------------------------------------------------------------
 
-FRAME_SIG_HEX = 4  # leading 2 bytes of the frame = the perceptual bucket
+FRAME_SIG_HEX = 2  # leading byte of the frame = the perceptual bucket
 
 
 def video_frame_dedup(media: DataFrame) -> DataFrame:

@@ -4019,8 +4019,8 @@ register(
 # --------------------------------------------------------------------------
 # rel_duplicate_orders — possible-duplicate-invoice detection (the
 # reconciliation screen finance teams run): order pairs from the SAME
-# customer whose totals differ by <= 1000.00 and whose order dates fall
-# within 30 days. Self-join keyed on o_custkey — per-customer order
+# customer whose totals differ by <= 5000.00 and whose order dates fall
+# within 60 days. Self-join keyed on o_custkey — per-customer order
 # counts are bounded (TPC-H ~10), so the equi-join fan-out is tiny and
 # the inequality predicates evaluate post-join; no cartesian, no range
 # explosion. Price deltas compare as exact DECIMAL(18,2).
@@ -4049,7 +4049,7 @@ def _duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_gap",
             F.abs(F.col("b._p") - F.col("a._p")).cast("double"),
         )
-        .filter((F.col("day_gap") <= 30) & (F.col("price_gap") <= 1000.0))
+        .filter((F.col("day_gap") <= 60) & (F.col("price_gap") <= 5000.0))
         .select(
             F.col("a.o_custkey").alias("custkey"),
             F.col("a.o_orderkey").alias("order_a"),
@@ -4076,8 +4076,8 @@ register(
     FROM orders a JOIN orders b
       ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
     WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
-                        CAST(b.o_orderdate AS DATE))) <= 30
+                        CAST(b.o_orderdate AS DATE))) <= 60
       AND abs(CAST(b.o_totalprice AS DECIMAL(18,2))
-              - CAST(a.o_totalprice AS DECIMAL(18,2))) <= 1000.00
+              - CAST(a.o_totalprice AS DECIMAL(18,2))) <= 5000.00
     """,
 )
