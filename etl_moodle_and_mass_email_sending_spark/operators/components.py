@@ -733,16 +733,27 @@ def sql_clustering_coefficients(edges_sql: str) -> str:
 #
 # 100 TB shape: the symmetrized edge frame self-joins keyed on the MID
 # vertex — one hash shuffle on a vertex id; per-vertex fan-out is
-# degree², bounded because near-dup graphs are shallow (hubs would be
-# handled by the degree-cap prefilter a production run adds). The
-# direct-edge exclusion is a broadcast-or-shuffle ANTI join on the
+# degree², so a hub vertex of degree d contributes d² pairs. The
+# ``degree_cap`` guard (VERDICT r6 item 4) excludes mid vertices above
+# the cap from path counting BEFORE the self-join — the standard
+# common-neighbor practice (a vertex adjacent to everything carries no
+# similarity evidence anyway), and the reason this operator can be
+# pointed at a raw web graph without a quadratic blowup. The default
+# cap (64) sits far above the LSH-bounded near-dup testbed's observed
+# max degree (3 at sf0.01 and sf0.1), so results there are unchanged.
+# The direct-edge exclusion is a broadcast-or-shuffle ANTI join on the
 # canonical pair key, never a cartesian.
 # --------------------------------------------------------------------------
 
+TWO_HOP_DEGREE_CAP = 64
 
-def two_hop_candidates(edges: DataFrame) -> DataFrame:
+
+def two_hop_candidates(
+    edges: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> DataFrame:
     """edges(src, dst) → (doc_a, doc_b, n_paths): canonical pairs at
-    distance exactly 2 and their common-neighbor count."""
+    distance exactly 2 and their common-neighbor count, skipping paths
+    through mid vertices of degree > ``degree_cap``."""
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(
@@ -751,9 +762,20 @@ def two_hop_candidates(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # mid-vertex degree screen: a |V|-row rollup semi-joined back on
+    # the vertex id (hash-keyed — deliberately NOT broadcast: the
+    # degree frame is linear in |V|); the self-join then never sees a
+    # hub's d² fan-out
+    low_deg = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("_deg"))
+        .filter(F.col("_deg") <= degree_cap)
+        .select(F.col("a").alias("_mid"))
+    )
+    capped = sym.join(low_deg, sym.b == F.col("_mid"), "left_semi")
     two = (
-        sym.alias("l")
-        .join(sym.alias("r"), F.col("l.b") == F.col("r.a"))
+        capped.alias("l")
+        .join(capped.alias("r"), F.col("l.b") == F.col("r.a"))
         .select(F.col("l.a").alias("x"), F.col("r.b").alias("y"))
         .filter(F.col("x") < F.col("y"))
         .groupBy("x", "y")

@@ -1007,8 +1007,8 @@ def sql_audio_fingerprint_dedup() -> str:
 # the common-intro / watermark screen of video curation.
 #
 # 100 TB shape: the fan-out reuses sample_frames' mapInPandas batches;
-# the rollup groups by the 2-byte signature (map-side partial
-# aggregation; 256 reducer keys), and the distinct-video count is an
+# the rollup groups by the 1-byte (2 hex chars) signature (map-side
+# partial aggregation; 256 reducer keys), and the distinct-video count is an
 # exact count_distinct over that bounded key space.
 # --------------------------------------------------------------------------
 

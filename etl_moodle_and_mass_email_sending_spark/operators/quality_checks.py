@@ -207,6 +207,12 @@ def k_anonymity(df, qi_cols: list[str]):
         "n_classes_below",
         "n_rows_exposed",
         "min_class_size",
+    ).filter(
+        # empty-input parity with the oracle (whose spine CROSS JOIN
+        # classes yields 0 rows when the table is empty): the grand
+        # aggregate's all-NULL min marks "no equivalence classes at
+        # all" — drop those rows instead of emitting |K| zero rows
+        F.col("min_class_size").isNotNull()
     )
 
 

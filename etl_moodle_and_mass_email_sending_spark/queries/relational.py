@@ -1032,10 +1032,13 @@ def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb_cnt = part_orders.select(
         F.col("l_partkey").alias("pb"), F.col("_po").alias("_nb")
     )
+    # Broadcast the 20-row `top`, never the |parts|-cardinality
+    # pa_cnt/pb_cnt rollups (linear in SF — broadcasting a fact-derived
+    # aggregate is a guaranteed OOM at 100 TB). The big sides stream.
+    enriched = pa_cnt.join(F.broadcast(top), on="pa")
+    enriched = pb_cnt.join(F.broadcast(enriched), on="pb")
     return (
-        top.join(F.broadcast(pa_cnt), on="pa")
-        .join(F.broadcast(pb_cnt), on="pb")
-        .crossJoin(F.broadcast(n_orders))
+        enriched.crossJoin(F.broadcast(n_orders))
         .select(
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),

@@ -28,150 +28,29 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-6 ROTATION (VERDICT r5 items 1-4):
-# the window is 48 of the 66 round-5 additions that have never had an
-# external green row — including every query whose IMPLEMENTATION changed
-# this round (rel_k_anonymity one-pass rewrite, dedup_soft_weights /
-# dedup_cluster_profile on the staged cluster frame, sim_centroid_drift
-# narrow-plan rewrite, rel_abc_analysis two-pass prefix sum) — plus the
-# two r4-certified queries REWRITTEN this round to the scale-safe
-# two-pass form (rel_session_concurrency, rel_zorder_layout; holding
-# rewritten code in-window re-certifies the new code externally, the
-# ref_send_counter precedent). The remaining 18 round-5 additions are the
-# round-7 queue (marked below). All demoted entries REMAIN registered and
-# locally gated: tests/test_oracle_parity.py checks every oracle-gated
-# entry regardless of order, and tests/driver_sim.py sweeps all of them
-# in the exact external harness. Round-6 ADDITIONS start life in the tail
-# (standing policy: promote only after a driver-sim green, rotate into
-# the window in round 7).
-_DEMOTED = [
-    # --- certified green in CORRECTNESS_r05 (the round-5 window) ---------
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "sim_ivf_topk",
-    "sim_embedding_near_dup",
-    "text_fingerprint",
-    "rel_asof_join",
-    "text_unigram_logprob",
-    "dedup_components",
-    "llm_corpus_pipeline",
-    "dedup_jaccard_lsh_verified",
-    "text_gopher_rules",
-    "text_dsir_weights",
-    "sim_semantic_dedup",
-    "sim_hard_negatives",
-    "text_cdc_chunks",
-    "ref_roster_normalize",
-    "ref_roster_segments",
-    "ref_pick_email",
-    "ref_mail_variant_old",
-    "ref_mail_variant_moodle",
-    "ref_mail_variant_fallback",
-    "ref_template_render",
-    "ref_password_patterns",
-    "ref_preview_limit",
-    "ref_send_counter",
-    "ref_header_promotion",
-    "ref_duplicate_usernames",
-    "rel_q1_pricing_summary",
-    "rel_supplier_part_volume",
-    "rel_running_total",
-    "rel_distinct_parts",
-    "rel_setops",
-    "rel_rollup",
-    "rel_q6_forecast_revenue",
-    "rel_q4_order_priority",
-    "rel_q10_returned_items",
-    "rel_q14_promo_share",
-    "rel_cms_heavy_hitters",
-    "rel_bloom_prejoin",
-    "rel_q19_disjunctive",
-    "rel_q15_top_supplier",
-    "rel_q8_market_share",
-    "rel_q17_small_quantity",
-    "rel_q22_dormant_customers",
-    "stream_sliding_counts",
-    "stream_outer_join",
-    # --- certified green in CORRECTNESS_r04 ------------------------------
-    "sim_kmeans_refine",
-    "mm_sample_frames",
-    "text_sequence_pack",
-    "text_top_terms",
-    "text_source_mixture",
-    "text_bm25_topk",
-    "dedup_keep_best",
-    "dedup_containment",
-    "text_bigram_logprob",
-    "text_stratified_sample",
-    "sim_sq_topk",
-    "mm_audio_energy",
-    "mm_phash_dedup",
-    "text_boilerplate_ngrams",
-    "rel_asof_forward",
-    "rel_asof_tolerance",
-    "graph_pagerank",
-    "text_tfidf_keywords",
-    "mm_scene_changes",
-    "dedup_fuzzy_match",
-    "mm_silence_runs",
-    "rel_latest_per_key",
-    "rel_pivot_events",
-    "rel_cube_documents",
-    "rel_q18_big_spenders",
-    "rel_rolling_window",
-    "rel_kmv_distinct",
-    "rel_q13_custdist",
-    "rel_q7_nation_volume",
-    "rel_funnel_stages",
-    "rel_retention",
-    "rel_scd2_history",
-    "rel_value_deciles",
-    "rel_value_outliers",
-    "rel_event_pmi",
-    "rel_incremental_agg",
-    "rel_snapshot_diff",
-    "rel_winsorize",
-    "rel_skew_salted_join",
-    "rel_event_transitions",
-    "rel_trend_slope",
-    "rel_chi_square",
-    "stream_windowed_counts",
-    "stream_sessionize",
-    "stream_interval_join",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_trending",
-    # --- certified green in r02 AND r03 ----------------------------------
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "mm_decode_media",
-    "mm_extract_features",
-    "mm_resize_images",
-    "rel_skew_salted_agg",
-    "rel_range_join",
-    "rel_time_rollup",
-    "text_chunking",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "text_train_val_split",
-    "text_repetition",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_top_orders_per_customer",
-    "rel_events_hourly",
-    "rel_events_json",
-    "rel_semi_anti",
-    "rel_scalar_subquery",
-    "rel_percentiles",
-    "rel_data_quality",
-    "rel_sessionize",
-    # --- ROUND-7 QUEUE: the 18 round-5 additions not yet externally
-    # certified (driver-sim green; rotate into the round-7 window) --------
+# entries in iteration order. ROUND-7 ROTATION (VERDICT r6 items 1-2):
+# the window is now an EXPLICIT 50-name list —
+#   (a) the 28 never-externally-certified queries: the 18-query round-5
+#       queue plus the 10 round-6 additions (closing the certification
+#       ledger: after this round every registered query has an external
+#       green row);
+#   (b) the 10 queries whose IMPLEMENTATION changed this round and so
+#       need their new code re-certified (standing policy): the IVF/PQ
+#       family whose corpus-side argmax windows became struct-max
+#       aggregates (sim_ivf_topk, sim_ivf_nprobe_sweep, sim_ann_recall,
+#       sim_kmeans_refine, sim_semantic_dedup, sim_pq_topk,
+#       sim_ivfpq_topk), rel_k_anonymity (empty-input parity filter),
+#       and text_source_mixture / text_stratified_sample (the
+#       _docs_src de-shadowing changed their helper bindings);
+#   (c) 12 refresh slots re-certifying the OLDEST external greens
+#       (round 2/3) so no certification goes stale indefinitely.
+# rel_market_basket (broadcast-side fix), sim_cluster_purity and
+# graph_two_hop (rewritten this round) are already inside (a).
+# Everything else stays registered and locally gated every round by
+# tests/test_oracle_parity.py and the tests/driver_sim.py sweep; new
+# round-7 additions start life in the tail (standing policy: promote
+# only after a driver-sim green, rotate into the window next round).
+_WINDOW = [
     "rel_gap_detection",
     "graph_assortativity",
     "rel_order_reconciliation",
@@ -190,8 +69,6 @@ _DEMOTED = [
     "rel_new_vs_returning",
     "rel_ship_lag_by_nation",
     "text_oov_rate",
-    # --- round-6 additions: start life in the tail (standing policy —
-    # promote into the certification window in round 7) -------------------
     "text_lexical_diversity",
     "text_tokenizer_fertility",
     "text_line_dedup",
@@ -202,12 +79,34 @@ _DEMOTED = [
     "mm_video_frame_dedup",
     "sim_norm_outliers",
     "rel_duplicate_orders",
+    "sim_ivf_topk",
+    "sim_ivf_nprobe_sweep",
+    "sim_ann_recall",
+    "sim_kmeans_refine",
+    "sim_semantic_dedup",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "rel_k_anonymity",
+    "text_source_mixture",
+    "text_stratified_sample",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "mm_decode_media",
+    "mm_extract_features",
+    "mm_resize_images",
+    "rel_skew_salted_agg",
+    "rel_range_join",
+    "rel_time_rollup",
+    "text_chunking",
+    "text_pii_scrub",
+    "text_decontaminate",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    head = {k: v for k, v in d.items() if k not in _DEMOTED}
-    tail = {k: d[k] for k in _DEMOTED if k in d}
+    head = {k: d[k] for k in _WINDOW if k in d}
+    tail = {k: v for k, v in d.items() if k not in set(_WINDOW)}
     return {**head, **tail}
 
 

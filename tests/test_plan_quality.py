@@ -532,10 +532,12 @@ def test_line_dedup_shuffles_hashes_with_partial_agg(
 
 def test_cluster_purity_broadcasts_centroids(spark, registry_queries):
     """IVF assignment broadcasts the 8-row centroid frame over the corpus
-    scan — the corpus itself never shuffles for the assignment."""
+    scan, and the argmax is a struct-max aggregate — no per-vector
+    ranking window (and so no sort of the x8 candidate fan-out) sits
+    between the scan and the purity rollup."""
     plan = _plan(registry_queries["sim_cluster_purity"](spark, SF_SMALL))
     assert "BroadcastExchange" in plan
-    assert "SortMergeJoin" not in plan.split("Window")[0] or True
+    assert "Window" not in plan  # argmax is aggregate-shaped, not ranked
     assert "CartesianProduct" not in plan
 
 
@@ -562,3 +564,45 @@ def test_norm_outliers_broadcasts_label_stats(spark, registry_queries):
     plan = _plan(registry_queries["sim_norm_outliers"](spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _subtree(plan: str, marker: str) -> list[str]:
+    """For each line containing ``marker``, the following lines that sit
+    deeper in the operator tree (by the +- marker's column)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if marker not in ln:
+            continue
+        depth = ln.find("+-")
+        sub = []
+        for nxt in lines[i + 1:]:
+            d = nxt.find("+-")
+            if d >= 0 and d <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_market_basket_broadcasts_top_not_part_counts(
+    spark, registry_queries
+):
+    """The enrichment joins must broadcast the 20-row ``top`` frame —
+    never the |parts|-cardinality pa_cnt/pb_cnt rollups, which are
+    linear in SF (a guaranteed broadcast OOM at 100 TB — VERDICT r6
+    item 2). With auto-broadcast off, only our explicit hints remain,
+    and every hash-broadcast subtree must contain the top-20 bound."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(registry_queries["rel_market_basket"](spark, SF_SMALL))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    subs = _subtree(plan, "BroadcastExchange HashedRelationBroadcastMode")
+    assert subs, "expected hinted broadcasts of the top-20 frame"
+    for sub in subs:
+        assert "TakeOrderedAndProject" in sub or "Limit" in sub, (
+            "a BroadcastExchange subtree lacks the 20-row bound — a "
+            "fact-derived frame is being broadcast:\n" + sub
+        )
