@@ -606,3 +606,86 @@ def test_market_basket_broadcasts_top_not_part_counts(
             "a BroadcastExchange subtree lacks the 20-row bound — a "
             "fact-derived frame is being broadcast:\n" + sub
         )
+
+
+# Queries whose ordered unpartitioned window is fed by an aggregate over
+# a BOUNDED key domain — invisible to the textual boundedness markers
+# below, so whitelisted with the bound stated.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # running sum over the 10-row decile spine (Range(0,10) left-joined
+    # with the per-decile rollups — input is exactly 10 rows)
+    "text_heaps_law": "Range (0, 10",
+}
+
+_BOUNDED_MARKERS = __import__("re").compile(
+    r"TakeOrderedAndProject|GlobalLimit|LocalLimit|"
+    r"Filter \(+\S*_r\w*#\d+L? <= \d+|HashAggregate\(keys=\[_pid"
+)
+
+
+def _bracket_groups(seg: str) -> list[str]:
+    depth, groups, cur = 0, [], []
+    for ch in seg:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            else:
+                cur.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+            else:
+                cur.append(ch)
+        elif depth > 0:
+            cur.append(ch)
+    return groups
+
+
+def test_no_unbounded_global_sort_windows(spark, registry_queries):
+    """META-PIN (VERDICT r6 item 8, replacing per-query pins for future
+    operators): every ORDERED UNPARTITIONED window in every registered
+    query's plan must sit above a provably bounded input — a
+    TakeOrderedAndProject/Limit, a salted-top-K first-stage rank filter,
+    the |partitions|-row _pid offset frame of the two-pass helpers, or a
+    whitelisted bounded-key-domain aggregate. An ordered global window
+    over an unbounded input is the single-task sort that killed three
+    round-5 operators at scale."""
+    import re
+
+    viol = []
+    for name, fn in registry_queries.items():
+        plan = _plan(fn(spark, SF_SMALL))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            m = re.search(r"\bWindow \[", ln)
+            if not m:
+                continue
+            gs = _bracket_groups(ln[m.start():])
+            # 3 groups = partitioned+ordered; 2 groups with sort specs
+            # in the second = UNPARTITIONED ordered window
+            if len(gs) != 2 or (
+                " ASC" not in gs[1] and " DESC" not in gs[1]
+            ):
+                continue
+            depth = ln.find("+-")
+            if depth < 0:
+                depth = ln.find("Window")
+            sub = []
+            for nxt in lines[i + 1:]:
+                d = nxt.find("+-")
+                if d >= 0 and d <= depth:
+                    break
+                sub.append(nxt)
+            subtree = "\n".join(sub)
+            if _BOUNDED_MARKERS.search(subtree):
+                continue
+            allow = _BOUNDED_GLOBAL_WINDOWS.get(name)
+            if allow and allow in subtree:
+                continue
+            viol.append(f"{name}: {ln.strip()[:110]}")
+    assert not viol, (
+        "ordered unpartitioned window over unbounded input:\n"
+        + "\n".join(viol)
+    )
