@@ -882,7 +882,9 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query by PQ asymmetric distance (self-match excluded)."""
     v = _vectors(spark, sf_dir).select("vec_id", "vec")
     subs = _subvectors(v).localCheckpoint(eager=False)  # feeds train+encode
-    books = _pq_codebooks(subs)
+    # the 128-row codebook is consumed twice (encode join + LUT join):
+    # checkpoint it so the Lloyd train pass runs ONCE per invocation
+    books = _pq_codebooks(subs).localCheckpoint(eager=False)
     d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
     # encode argmin = struct-min per (vec_id, m); the xPQ_K fan-out
     # collapses map-side instead of shuffling+sorting (r6 advice)
@@ -1230,9 +1232,11 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     rsubs = _residual_subs(assigned)
+    # checkpoint: the codebook feeds the encode join AND the LUT join —
+    # without it the Lloyd train subtree executes twice per invocation
     books = _pq_codebooks(rsubs.drop("cid")).withColumnRenamed(
         "cid", "code"
-    )
+    ).localCheckpoint(eager=False)
     d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
     # encode argmin = struct-min per (vec_id, cid, m): the xPQ_K
     # codeword fan-out collapses map-side instead of shuffling+sorting
