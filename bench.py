@@ -141,6 +141,17 @@ HEADLINE = [
     "mm_video_frame_dedup",
     "sim_norm_outliers",
     "rel_duplicate_orders",
+    # round-7 additions
+    "text_pmi_collocations",
+    "text_idf_drift",
+    "text_vocab_coverage",
+    "graph_jaccard_neighbors",
+    "sim_lsh_bucket_stats",
+    "mm_payload_byte_stats",
+    "rel_event_lateness",
+    "rel_skyline",
+    "rel_cohort_ltv",
+    "rel_mad_outliers",
     # capstone composition
     "llm_corpus_pipeline",
 ]

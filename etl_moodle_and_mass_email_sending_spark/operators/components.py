@@ -815,3 +815,70 @@ def sql_two_hop_candidates(edges_sql: str) -> str:
       SELECT 1 FROM sym s WHERE s.a = two.x AND s.b = two.y
     )
     """
+
+
+# --------------------------------------------------------------------------
+# Neighbor-Jaccard link prediction — the scoring pass on top of the
+# 2-hop candidates: for each distance-2 pair, |N(a) ∩ N(b)| is exactly
+# the 2-hop path count, so jaccard = common / (deg(a)+deg(b)-common)
+# (Liben-Nowell & Kleinberg 2003). High-Jaccard non-edges are the
+# "should be duplicates" recall candidates LSH banding missed.
+#
+# 100 TB shape: reuses two_hop_candidates' mid-vertex equi-join (with
+# its degree cap); the |V|-row degree frame attaches via two hash
+# equi-joins on the endpoint ids — deliberately NOT broadcast (linear
+# in |V|). Nothing here is quadratic beyond the capped 2-hop frame.
+# --------------------------------------------------------------------------
+
+
+def jaccard_neighbors(edges: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard): neighbor-set Jaccard for every
+    distance-2 pair of the graph."""
+    two = two_hop_candidates(edges)
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    return (
+        two.join(
+            deg.select(F.col("a").alias("doc_a"), F.col("_deg").alias("_da")),
+            "doc_a",
+        )
+        .join(
+            deg.select(F.col("a").alias("doc_b"), F.col("_deg").alias("_db")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_paths").alias("n_common"),
+            F.round(
+                F.col("n_paths")
+                / (F.col("_da") + F.col("_db") - F.col("n_paths")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_jaccard_neighbors(edges_sql: str) -> str:
+    two = sql_two_hop_candidates(edges_sql)
+    return f"""
+    WITH two AS ({two}),
+    sym AS (
+      SELECT src AS a, dst AS b FROM ({edges_sql})
+      UNION
+      SELECT dst AS a, src AS b FROM ({edges_sql})
+    ),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1)
+    SELECT t.doc_a, t.doc_b, t.n_paths AS n_common,
+           round(CAST(t.n_paths AS DOUBLE)
+                 / (da.d + db.d - t.n_paths), 6) AS jaccard
+    FROM two t
+    JOIN deg da ON da.a = t.doc_a
+    JOIN deg db ON db.a = t.doc_b
+    """

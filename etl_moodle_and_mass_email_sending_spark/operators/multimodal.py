@@ -1080,3 +1080,89 @@ def sql_video_frame_dedup() -> str:
     GROUP BY 1
     HAVING count(DISTINCT doc_id) >= 2
     """
+
+
+# --------------------------------------------------------------------------
+# Payload byte-distribution stats — the corruption / truncation screen
+# of media ingestion: a payload whose byte histogram collapses (few
+# distinct values, one dominant byte) is a zero-filled or truncated
+# blob, not encoded media. All-integer statistics, so cross-engine
+# parity is exact; the only ratio rounds half-up explicitly.
+#
+# 100 TB shape: Arrow-batched mapInPandas, one numpy bincount per row
+# inside the batch (vectorizable, no Python row loop for the
+# histogram); output is one narrow row per payload, aggregated nowhere
+# — the downstream consumer filters on the flags. The Python boundary
+# carries only (doc_id, payload), never decoded frames.
+# --------------------------------------------------------------------------
+
+BYTE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_distinct_bytes", IntegerType()),
+        StructField("top_byte", IntegerType()),
+        StructField("top_share", DoubleType()),
+    ]
+)
+
+
+def payload_byte_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, n_distinct_bytes, top_byte, top_share):
+    byte-histogram health stats per payload (top_byte ties break to the
+    lowest byte value; share rounds half-up to 6)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = np.frombuffer(
+                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            n = payloads.shape[1]
+            counts = np.apply_along_axis(
+                lambda r: np.bincount(r, minlength=256), 1, payloads
+            )
+            distinct = (counts > 0).sum(axis=1).astype(np.int32)
+            top_byte = counts.argmax(axis=1).astype(np.int32)
+            top = counts.max(axis=1)
+            # explicit half-up rounding — np.round is half-even, which
+            # diverges from both engines' SQL round()
+            share = np.floor(top / n * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"],
+                    "n_distinct_bytes": distinct,
+                    "top_byte": top_byte,
+                    "top_share": share,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, BYTE_STATS_SCHEMA
+    )
+
+
+def sql_payload_byte_stats() -> str:
+    payload_bytes = 16 * PAYLOAD_REPEAT
+    return f"""
+    WITH bytes AS (
+      SELECT doc_id, media_type,
+             CAST('0x' || substr(payload_hex, 2 * b.i + 1, 2) AS INTEGER)
+               AS byte
+      FROM ({SQL_MEDIA_TABLE}) m,
+           LATERAL (SELECT unnest(range(0, {payload_bytes})) AS i) b
+    ),
+    hist AS (
+      SELECT doc_id, media_type, byte, count(*) AS c
+      FROM bytes GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, media_type,
+           CAST(count(*) AS INTEGER) AS n_distinct_bytes,
+           CAST(arg_min(byte, -c * 256 + byte) AS INTEGER) AS top_byte,
+           round(CAST(max(c) AS DOUBLE) / {payload_bytes}, 6) AS top_share
+    FROM hist GROUP BY 1, 2
+    """

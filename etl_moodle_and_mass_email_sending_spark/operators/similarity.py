@@ -2150,3 +2150,73 @@ def sql_norm_outliers() -> str:
                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
                  6)) > {NORM_Z_THRESHOLD}
     """
+
+
+# --------------------------------------------------------------------------
+# LSH bucket-occupancy profile — the index-health diagnostic for the
+# random-hyperplane index (the LSH sibling of ivf_list_balance): the
+# histogram of bucket sizes and each size class's share of the total
+# candidate-pair work (sum of s·(s-1)/2). A fat bucket class means the
+# hyperplanes don't separate the corpus and candidate generation
+# degenerates toward all-pairs — caught from the index alone, before
+# any search runs.
+#
+# 100 TB shape: two hash partial aggregations (vector → bucket counts,
+# bucket counts → size histogram; 256 then |sizes| reducer keys); the
+# total-pairs scalar rides the 1-row broadcast crossJoin idiom. The
+# corpus is scanned once and never joined.
+# --------------------------------------------------------------------------
+
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket_size, n_buckets, pair_share): occupancy histogram of the
+    LSH index with each size class's share of candidate pairs."""
+    v = _vectors(spark, sf_dir)
+    sizes = (
+        v.select(F.expr(_spark_bucket("vec")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_s"))
+    )
+    hist = sizes.groupBy(F.col("_s").alias("bucket_size")).agg(
+        F.count("*").cast("bigint").alias("n_buckets")
+    )
+    pairs = hist.select(
+        "bucket_size",
+        "n_buckets",
+        (
+            F.col("n_buckets")
+            * (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+        ).cast("bigint").alias("_p"),
+    )
+    tot = pairs.agg(F.sum("_p").cast("bigint").alias("_tp"))
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+        "n_buckets",
+        F.when(F.col("_tp") > 0, F.round(F.col("_p") / F.col("_tp"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("pair_share"),
+    )
+
+
+def sql_lsh_bucket_stats() -> str:
+    return f"""
+    WITH sizes AS (
+      SELECT {_duck_bucket('vec')} AS bucket, count(*) AS s
+      FROM ({_DUCK_VECTORS}) GROUP BY 1
+    ),
+    hist AS (
+      SELECT s AS bucket_size, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM sizes GROUP BY 1
+    ),
+    pairs AS (
+      SELECT bucket_size, n_buckets,
+             CAST(n_buckets * (bucket_size * (bucket_size - 1) / 2)
+                  AS BIGINT) AS p
+      FROM hist
+    )
+    SELECT CAST(bucket_size AS BIGINT) AS bucket_size, n_buckets,
+           CASE WHEN t.tp > 0
+                THEN round(CAST(p AS DOUBLE) / t.tp, 6)
+                ELSE 0.0 END AS pair_share
+    FROM pairs CROSS JOIN (SELECT CAST(sum(p) AS BIGINT) AS tp FROM pairs) t
+    """

@@ -2952,3 +2952,337 @@ def sql_ppl_buckets(corpus_sql: str) -> str:
            END AS ppl_bucket
     FROM j
     """
+
+
+# --------------------------------------------------------------------------
+# PMI collocations — classic collocation mining (Church & Hanks 1990):
+# top adjacent-token pairs by pointwise mutual information,
+# ln(p(ab) / (p(a)·p(b))), restricted to pairs seen >= PMI_MIN_COUNT
+# times (PMI over rare pairs is noise). The phrase-detection pass of a
+# tokenizer/curation pipeline (word2vec's phrase merging uses the same
+# statistic).
+#
+# 100 TB shape: bigram and unigram counts are hash-shuffled partial
+# aggregations; the MIN_COUNT filter prunes the bigram table BEFORE the
+# two unigram joins (hash equi-joins on token — the unigram table is
+# vocabulary-sized, deliberately NOT broadcast); the corpus-total
+# scalars ride the 1-row broadcast crossJoin idiom; the final top-K is
+# the salted two-stage rank (bounded <= 16·K second stage).
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_collocations(corpus: DataFrame) -> DataFrame:
+    """(bigram, n_pair, pmi): top-PMI_TOP_K collocations by rounded PMI
+    (ties by bigram)."""
+    toked = corpus.select("doc_id", F.expr(_SPARK_FTOKS).alias("_ts"))
+    nb = F.greatest(F.size("_ts") - 1, F.lit(0))
+    grams = spread_for_compute(toked).select(
+        F.explode(
+            F.zip_with(
+                F.slice("_ts", 1, nb),
+                F.slice(F.col("_ts"), 2, nb),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    uni = (
+        toked.select(F.explode("_ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_nu"))
+    )
+    n_uni = uni.agg(F.sum("_nu").cast("bigint").alias("_tu"))
+    pairs = (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_COUNT)
+        .withColumn(
+            "_w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .withColumn(
+            "_w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
+        )
+    )
+    n_pairs = grams.agg(F.count("*").cast("bigint").alias("_tp"))
+    scored = (
+        pairs.join(
+            uni.select(F.col("token").alias("_w1"), F.col("_nu").alias("_na")),
+            "_w1",
+        )
+        .join(
+            uni.select(F.col("token").alias("_w2"), F.col("_nu").alias("_nb")),
+            "_w2",
+        )
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "bigram",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("_tp"))
+                    / (
+                        (F.col("_na") / F.col("_tu"))
+                        * (F.col("_nb") / F.col("_tu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    salt = F.pmod(F.xxhash64("bigram"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("pmi").desc(), F.col("bigram")
+    )
+    w2 = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= PMI_TOP_K)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= PMI_TOP_K)
+        .select("bigram", "n_pair", "pmi")
+    )
+
+
+def sql_pmi_collocations(corpus_sql: str) -> str:
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_DUCK_FTOKS} AS ts FROM ({corpus_sql})
+    ),
+    grams AS (
+      SELECT g.bigram FROM toked,
+           LATERAL (
+             SELECT unnest(list_transform(
+               range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i + 1]
+             )) AS bigram
+           ) g
+    ),
+    uni AS (
+      SELECT t.token, count(*) AS nu
+      FROM toked, LATERAL (SELECT unnest(ts) AS token) t
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(nu) AS BIGINT) FROM uni) AS tu,
+             (SELECT CAST(count(*) AS BIGINT) FROM grams) AS tp
+    ),
+    pairs AS (
+      SELECT bigram, count(*) AS n_pair FROM grams GROUP BY 1
+      HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT p.bigram, p.n_pair,
+             round(ln((CAST(p.n_pair AS DOUBLE) / t.tp)
+                   / ((CAST(a.nu AS DOUBLE) / t.tu)
+                      * (CAST(b.nu AS DOUBLE) / t.tu))), 6) AS pmi
+      FROM pairs p
+      JOIN uni a ON a.token = split_part(p.bigram, ' ', 1)
+      JOIN uni b ON b.token = split_part(p.bigram, ' ', 2)
+      CROSS JOIN tot t
+    )
+    SELECT bigram, n_pair, pmi FROM scored
+    ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# IDF drift — vocabulary-stability screen between two corpus cohorts
+# (even/odd doc_id — the deterministic stand-in for "crawl snapshot A
+# vs B"): tokens whose inverse document frequency moved most between
+# the cohorts. A large drift set means retrieval/quality models trained
+# on one snapshot mis-weight the other. Tokens must clear IDF_MIN_DF
+# docs in BOTH cohorts (IDF of near-absent tokens is noise).
+#
+# 100 TB shape: ONE (token, doc) distinct pass (hash partial agg), then
+# one token-keyed conditional rollup; the 2 cohort doc-counts ride a
+# 1-row broadcast; final top-K is the salted two-stage rank.
+# --------------------------------------------------------------------------
+
+IDF_MIN_DF = 5
+IDF_TOP_K = 20
+
+
+def idf_drift(corpus: DataFrame) -> DataFrame:
+    """(token, df_a, df_b, idf_drift): top-IDF_TOP_K tokens by
+    |idf_even - idf_odd| (ties by token)."""
+    occ = (
+        spread_for_compute(corpus)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 2).alias("_c"),
+            F.explode(F.expr(_SPARK_FTOKS)).alias("token"),
+        )
+        .distinct()
+    )
+    ndocs = corpus.select(
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1)), F.lit(0)
+        ).cast("bigint").alias("_da"),
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("_db"),
+    )
+    per = (
+        occ.groupBy("token")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_c") == 0, 1)), F.lit(0)
+            ).cast("bigint").alias("df_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("_c") == 1, 1)), F.lit(0)
+            ).cast("bigint").alias("df_b"),
+        )
+        .filter(
+            (F.col("df_a") >= IDF_MIN_DF) & (F.col("df_b") >= IDF_MIN_DF)
+        )
+    )
+    scored = per.crossJoin(F.broadcast(ndocs)).select(
+        "token",
+        "df_a",
+        "df_b",
+        F.round(
+            F.abs(
+                F.log(F.col("_da") / F.col("df_a"))
+                - F.log(F.col("_db") / F.col("df_b"))
+            ),
+            6,
+        ).alias("idf_drift"),
+    )
+    salt = F.pmod(F.xxhash64("token"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("idf_drift").desc(), F.col("token")
+    )
+    w2 = Window.orderBy(F.col("idf_drift").desc(), F.col("token"))
+    return (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= IDF_TOP_K)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= IDF_TOP_K)
+        .select("token", "df_a", "df_b", "idf_drift")
+    )
+
+
+def sql_idf_drift(corpus_sql: str) -> str:
+    return f"""
+    WITH base AS ({corpus_sql}),
+    occ AS (
+      SELECT DISTINCT doc_id, doc_id % 2 AS c, t.token
+      FROM (SELECT doc_id, {_DUCK_FTOKS} AS ts FROM base),
+           LATERAL (SELECT unnest(ts) AS token) t
+    ),
+    nd AS (
+      SELECT CAST(coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0)
+                  AS BIGINT) AS da,
+             CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN 1 END), 0)
+                  AS BIGINT) AS db
+      FROM base
+    ),
+    per AS (
+      SELECT token,
+             CAST(coalesce(sum(CASE WHEN c = 0 THEN 1 END), 0) AS BIGINT)
+               AS df_a,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT)
+               AS df_b
+      FROM occ GROUP BY 1
+      HAVING coalesce(sum(CASE WHEN c = 0 THEN 1 END), 0) >= {IDF_MIN_DF}
+         AND coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) >= {IDF_MIN_DF}
+    )
+    SELECT token, df_a, df_b,
+           round(abs(ln(CAST(n.da AS DOUBLE) / df_a)
+                     - ln(CAST(n.db AS DOUBLE) / df_b)), 6) AS idf_drift
+    FROM per CROSS JOIN nd n
+    ORDER BY idf_drift DESC, token LIMIT {IDF_TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve — tokenizer-budget planning: what share of
+# the corpus token mass does a top-K vocabulary cover, for a sweep of
+# K. The coverage-vs-size curve is the standard input to choosing a
+# BPE/unigram vocab budget (the knee is where OOV fall-through stops
+# paying for vocab slots).
+#
+# 100 TB shape: one unigram rollup (hash partial agg), then the global
+# frequency rank runs through two_pass_rank — NEVER a single-task
+# Window.orderBy over the vocabulary — and the per-K coverage sums are
+# ONE conditional-aggregation pass unpivoted with a constant-size
+# stack() (the k_anonymity pattern).
+# --------------------------------------------------------------------------
+
+COVERAGE_KS = (100, 1000, 10000)
+
+
+def vocab_coverage(corpus: DataFrame) -> DataFrame:
+    """(k, n_types, covered_tokens, total_tokens, coverage): token-mass
+    coverage of the top-k vocabulary, per swept k."""
+    from .util import two_pass_rank
+
+    counts = (
+        spread_for_compute(corpus)
+        .select(F.explode(F.expr(_SPARK_FTOKS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("_n"))
+    )
+    ranked = two_pass_rank(
+        counts,
+        [F.col("_n").desc(), F.col("token")],
+        out_col="_rk",
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("_types"),
+        F.sum("_n").cast("bigint").alias("_tot"),
+    ]
+    for k in COVERAGE_KS:
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("_rk") <= k, F.col("_n"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"_cov_{k}")
+        )
+    wide = ranked.agg(*aggs)
+    stack = ", ".join(f"{k}, _cov_{k}" for k in COVERAGE_KS)
+    return wide.selectExpr(
+        f"stack({len(COVERAGE_KS)}, {stack}) AS (k, covered_tokens)",
+        "_types",
+        "_tot",
+    ).select(
+        F.col("k").cast("int").alias("k"),
+        F.least(F.lit(0) + F.col("k"), F.col("_types"))
+        .cast("bigint")
+        .alias("n_types"),
+        "covered_tokens",
+        F.col("_tot").alias("total_tokens"),
+        F.round(F.col("covered_tokens") / F.col("_tot"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+def sql_vocab_coverage(corpus_sql: str) -> str:
+    ks = ", ".join(str(k) for k in COVERAGE_KS)
+    return f"""
+    WITH counts AS (
+      SELECT t.token, count(*) AS n
+      FROM (SELECT {_DUCK_FTOKS} AS ts FROM ({corpus_sql})),
+           LATERAL (SELECT unnest(ts) AS token) t
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk
+      FROM counts
+    ),
+    spine AS (SELECT CAST(unnest([{ks}]) AS INTEGER) AS k)
+    SELECT s.k,
+           CAST(least(s.k, (SELECT count(*) FROM counts)) AS BIGINT)
+             AS n_types,
+           CAST(coalesce(sum(CASE WHEN rk <= s.k THEN n END), 0) AS BIGINT)
+             AS covered_tokens,
+           (SELECT CAST(sum(n) AS BIGINT) FROM counts) AS total_tokens,
+           round(CAST(coalesce(sum(CASE WHEN rk <= s.k THEN n END), 0)
+                      AS DOUBLE)
+                 / (SELECT sum(n) FROM counts), 6) AS coverage
+    FROM spine s CROSS JOIN ranked
+    GROUP BY s.k
+    """

@@ -184,3 +184,46 @@ def ntile_from_rank(
         )
         .cast("int")
     )
+
+
+def two_pass_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running max of ``value_col`` in ``order_by`` order WITHOUT
+    an unpartitioned window: per-partition cumulative max + the max of
+    earlier partitions' maxima via the broadcast offsets frame. Exact
+    for any orderable type (max reassociates). Completes the two-pass
+    family (rank / running-sum / grouped-rank): use it for watermark
+    simulation and skyline prefix-dominance, where the carried statistic
+    is an extremum, not a count."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per_part = ranged.groupBy("_pid").agg(F.max(value_col).alias("_v"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # _off is NULL for the first partition; greatest() skips nulls
+    offsets = per_part.select(
+        "_pid", F.max("_v").over(woff).alias("_off")
+    )
+    wlocal = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_local", F.max(value_col).over(wlocal))
+        .join(F.broadcast(offsets), on="_pid")
+        .withColumn(
+            out_col, F.greatest(F.col("_local"), F.col("_off"))
+        )
+        .drop("_pid", "_local", "_off")
+    )

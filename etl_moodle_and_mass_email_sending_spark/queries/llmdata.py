@@ -1511,3 +1511,57 @@ register(
     similarity.norm_outliers,
     similarity.sql_norm_outliers(),
 )
+
+
+# --- round-7 additions (registry tail per the standing promotion
+# policy: driver-sim green first, external window next round) ----------
+
+register(
+    "text_pmi_collocations",
+    lambda spark, sf_dir: text_analysis.pmi_collocations(_docs(spark, sf_dir)),
+    text_analysis.sql_pmi_collocations(_DOCS_SQL),
+)
+
+register(
+    "text_idf_drift",
+    lambda spark, sf_dir: text_analysis.idf_drift(_docs(spark, sf_dir)),
+    text_analysis.sql_idf_drift(_DOCS_SQL),
+)
+
+register(
+    "text_vocab_coverage",
+    lambda spark, sf_dir: text_analysis.vocab_coverage(_docs(spark, sf_dir)),
+    text_analysis.sql_vocab_coverage(_DOCS_SQL),
+)
+
+
+def _graph_jaccard(spark, sf_dir):
+    from ..operators.components import jaccard_neighbors
+
+    edges = similarity.knn_graph(spark, sf_dir).select("src", "dst")
+    return jaccard_neighbors(edges)
+
+
+def _sql_graph_jaccard() -> str:
+    from ..operators.components import sql_jaccard_neighbors
+
+    return sql_jaccard_neighbors(
+        f"SELECT src, dst FROM ({similarity.sql_knn_graph()})"
+    )
+
+
+register("graph_jaccard_neighbors", _graph_jaccard, _sql_graph_jaccard())
+
+register(
+    "sim_lsh_bucket_stats",
+    similarity.lsh_bucket_stats,
+    similarity.sql_lsh_bucket_stats(),
+)
+
+register(
+    "mm_payload_byte_stats",
+    lambda spark, sf_dir: multimodal.payload_byte_stats(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_payload_byte_stats(),
+)

@@ -4084,3 +4084,310 @@ register(
               - CAST(a.o_totalprice AS DECIMAL(18,2))) <= 5000.00
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_event_lateness — watermark-delay planning from arrival data: at
+# each candidate watermark W, how many events would arrive LATER than
+# the watermark (running max of event time over ARRIVAL order, minus
+# the event's own time). The global running max is the exact quantity
+# a streaming source's watermark tracks; this batch sweep is how the
+# delay is chosen before deploying the stream (the companion to
+# rel_arrival_disorder's per-key inversion profile).
+#
+# Scale: the running max runs through two_pass_running_max (range-
+# partition on arrival order, per-partition cummax + broadcast carry of
+# earlier partitions' maxima) — NEVER an unpartitioned ordered window
+# over the event log; the per-W tally is one conditional-aggregation
+# pass unpivoted with a constant-size stack().
+# --------------------------------------------------------------------------
+
+LATENESS_WATERMARKS_SEC = (60, 300, 900)
+
+
+def _event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import two_pass_running_max
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("_us")
+    )
+    rm = two_pass_running_max(
+        e, [F.col("event_id")], "_us", out_col="_wm"
+    ).withColumn("_late_us", F.col("_wm") - F.col("_us"))
+    aggs = [F.count("*").cast("bigint").alias("_n")]
+    for w in LATENESS_WATERMARKS_SEC:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("_late_us") > w * 1_000_000, 1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"_l_{w}")
+        )
+    wide = rm.agg(*aggs)
+    stack = ", ".join(f"{w}, _l_{w}" for w in LATENESS_WATERMARKS_SEC)
+    return wide.selectExpr(
+        f"stack({len(LATENESS_WATERMARKS_SEC)}, {stack})"
+        " AS (watermark_sec, n_late)",
+        "_n",
+    ).select(
+        F.col("watermark_sec").cast("int").alias("watermark_sec"),
+        "n_late",
+        F.round(F.col("n_late") / F.col("_n"), 6).alias("late_share"),
+    )
+
+
+register(
+    "rel_event_lateness",
+    _event_lateness,
+    f"""
+    WITH lat AS (
+      SELECT epoch_us(ts) AS us,
+             max(epoch_us(ts)) OVER (ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - epoch_us(ts) AS late_us
+      FROM events
+    ),
+    spine AS (SELECT CAST(unnest([{", ".join(str(w) for w in LATENESS_WATERMARKS_SEC)}]) AS INTEGER) AS watermark_sec)
+    SELECT s.watermark_sec,
+           CAST(coalesce(sum(CASE WHEN late_us > s.watermark_sec * 1000000
+                                  THEN 1 END), 0) AS BIGINT) AS n_late,
+           round(CAST(coalesce(sum(CASE WHEN late_us >
+                                        s.watermark_sec * 1000000
+                                   THEN 1 END), 0) AS DOUBLE)
+                 / count(*), 6) AS late_share
+    FROM spine s CROSS JOIN lat
+    GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_skyline — 2-dimensional Pareto front (skyline) over orders: the
+# orders not STRICTLY dominated on (o_orderdate, o_totalprice) — no
+# other order is both more recent AND more expensive. The classic
+# "best tradeoff set" operator (Börzsönyi et al. 2001, "The Skyline
+# Operator").
+#
+# Scale: never the O(n²) dominance anti-join. Dominance in 2-D
+# collapses to a prefix extremum over the DATE-LEVEL rollup: an order
+# survives iff its price exceeds the max price over all strictly later
+# dates. The date frame is calendar-bounded (one row per distinct
+# order date — ~2.5k for 7 years at ANY data scale), so its ordered
+# window is bounded-input by construction (meta-pin whitelist), and it
+# broadcasts back over the orders scan.
+# --------------------------------------------------------------------------
+
+
+def _skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    daily = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("_mp")
+    )
+    wdesc = Window.orderBy(F.col("o_orderdate").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fence = daily.select(
+        "o_orderdate", F.max("_mp").over(wdesc).alias("_fence")
+    )
+    return (
+        o.join(F.broadcast(fence), "o_orderdate")
+        .filter(
+            F.col("_fence").isNull()
+            | (F.col("o_totalprice") > F.col("_fence"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+register(
+    "rel_skyline",
+    _skyline_orders,
+    """
+    WITH daily AS (
+      SELECT o_orderdate, max(o_totalprice) AS mp
+      FROM orders GROUP BY 1
+    ),
+    fence AS (
+      SELECT o_orderdate,
+             max(mp) OVER (ORDER BY o_orderdate DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS f
+      FROM daily
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o JOIN fence USING (o_orderdate)
+    WHERE fence.f IS NULL OR o.o_totalprice > fence.f
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_cohort_ltv — the cohort revenue triangle: customers grouped by
+# first-order month, revenue tracked by months-since-first-order. The
+# standard lifetime-value readout (rel_retention's revenue-weighted
+# sibling: retention counts active users, LTV sums what they spend).
+#
+# Scale: first-order month is one hash aggregation on o_custkey; the
+# attach-back is a custkey-keyed hash equi-join (|customers| rows —
+# deliberately NOT broadcast); the triangle rollup shuffles only
+# (cohort, offset) cells. Month arithmetic is exact integer math on
+# extracted parts.
+# --------------------------------------------------------------------------
+
+
+def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mix = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort"),
+        F.min(mix).alias("_c0"),
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            (mix - F.col("_c0")).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(_dec(F.col("o_totalprice")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+register(
+    "rel_cohort_ltv",
+    _cohort_ltv,
+    """
+    WITH first AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS cohort,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS c0
+      FROM orders GROUP BY 1
+    )
+    SELECT f.cohort,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.c0
+                AS INTEGER) AS month_offset,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN first f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_mad_outliers — robust dispersion screen per return-flag class:
+# exact median, median absolute deviation, and the count of rows
+# outside the 3-sigma-equivalent robust fence (3 · 1.4826 · MAD).
+# MAD-based fences are the outlier rule that survives the outliers
+# themselves (unlike mean/stddev — rel_value_outliers' z-scores).
+#
+# Scale: BOTH exact medians run through two_pass_rank_in_groups — the
+# return-flag groups are FEW and HUGE (3 classes × billions of rows at
+# 100 TB), exactly the case where Window.partitionBy(flag).orderBy
+# would funnel each class through one task. The median is read off the
+# rank arithmetic (avg of the two middle positions), the 3-row median
+# frame broadcasts back, and the fence tally is one conditional pass.
+# --------------------------------------------------------------------------
+
+MAD_FENCE_K = 3.0 * 1.4826
+
+
+def _grouped_median(
+    df: DataFrame, group: str, value: str, out: str
+) -> DataFrame:
+    from ..operators.util import two_pass_rank_in_groups
+
+    ranked = two_pass_rank_in_groups(
+        df, group, [F.col(value)], out_col="_rk"
+    )
+    n = df.groupBy(group).agg(F.count("*").alias("_n"))
+    # middle positions: floor((n+1)/2) and floor(n/2)+1 — equal for odd
+    # n, adjacent for even n; avg of the two values = quantile_cont(0.5)
+    return (
+        ranked.join(F.broadcast(n), group)
+        .filter(
+            (F.col("_rk") == F.floor((F.col("_n") + 1) / 2))
+            | (F.col("_rk") == F.floor(F.col("_n") / 2) + 1)
+        )
+        .groupBy(group)
+        .agg(F.avg(value).alias(out))
+    )
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = _grouped_median(
+        li, "l_returnflag", "l_extendedprice", "median_price"
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias(
+            "_dev"
+        ),
+        "median_price",
+    )
+    mad = _grouped_median(
+        dev.select("l_returnflag", "_dev"), "l_returnflag", "_dev", "_mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.max("median_price"), 6).alias("median_price"),
+            F.round(F.max("_mad"), 6).alias("mad"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_dev") > F.lit(MAD_FENCE_K) * F.col("_mad"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+register(
+    "rel_mad_outliers",
+    _mad_outliers,
+    f"""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - md.m) AS dv, md.m
+      FROM lineitem l JOIN med md USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(dv, 0.5) AS md FROM dev
+      GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(d.m), 6) AS median_price,
+           round(max(a.md), 6) AS mad,
+           CAST(coalesce(sum(CASE WHEN d.dv > {MAD_FENCE_K!r} * a.md
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a USING (l_returnflag)
+    GROUP BY 1
+    """,
+)

@@ -615,6 +615,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # running sum over the 10-row decile spine (Range(0,10) left-joined
     # with the per-decile rollups — input is exactly 10 rows)
     "text_heaps_law": "Range (0, 10",
+    # prefix max over the DATE-LEVEL rollup: one row per distinct order
+    # date — calendar-bounded (~2.5k rows for 7 years) at any SF
+    "rel_skyline": "HashAggregate(keys=[o_orderdate",
 }
 
 _BOUNDED_MARKERS = __import__("re").compile(
@@ -689,3 +692,51 @@ def test_no_unbounded_global_sort_windows(spark, registry_queries):
         "ordered unpartitioned window over unbounded input:\n"
         + "\n".join(viol)
     )
+
+
+def test_mad_outliers_medians_are_grouped_two_pass(
+    spark, registry_queries
+):
+    """Both exact medians must run through two_pass_rank_in_groups (the
+    _pid range-partition machinery), never Window.partitionBy(flag)
+    .orderBy — 3 groups x billions of rows would single-task."""
+    plan = _plan(registry_queries["rel_mad_outliers"](spark, SF_SMALL))
+    assert "_pid" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_rank_is_two_pass(spark, registry_queries):
+    """The global frequency rank of the vocabulary runs through
+    two_pass_rank (broadcast _pid offsets), not a single-task sort."""
+    plan = _plan(registry_queries["text_vocab_coverage"](spark, SF_SMALL))
+    assert "_pid" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_event_lateness_running_max_is_two_pass(
+    spark, registry_queries
+):
+    """The watermark running max uses two_pass_running_max — the event
+    log never funnels through one ordered task."""
+    plan = _plan(registry_queries["rel_event_lateness"](spark, SF_SMALL))
+    assert "_pid" in plan
+
+
+def test_skyline_broadcasts_calendar_fence(spark, registry_queries):
+    """The date-level fence (calendar-bounded) broadcasts back over the
+    orders scan; no cartesian dominance join anywhere."""
+    plan = _plan(registry_queries["rel_skyline"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_r7_candidates_have_no_cartesian(spark, registry_queries):
+    for name in (
+        "text_pmi_collocations",
+        "text_idf_drift",
+        "graph_jaccard_neighbors",
+        "sim_lsh_bucket_stats",
+        "rel_cohort_ltv",
+    ):
+        plan = _plan(registry_queries[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
