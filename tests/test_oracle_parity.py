@@ -68,19 +68,19 @@ def test_entry_smoke(spark):
 
 def test_certification_window_is_exactly_50_oracle_gated_entries():
     """The external gate certifies the first ~50 registry entries; the
-    window must stay EXACTLY 50 (new register() calls belong in
-    registry._DEMOTED until deliberately promoted) and every window entry
-    must carry a SQL oracle — a silent 51st head entry would push a
-    certified query out of the window."""
+    window must stay EXACTLY 50 (round 7 made it an explicit list —
+    registry._WINDOW; new register() calls land in the tail until
+    deliberately swapped in) and every window entry must carry a SQL
+    oracle and resolve to a registered query — a typo'd _WINDOW name
+    would silently shrink the certified set."""
     from etl_moodle_and_mass_email_sending_spark import registry
 
     names = list(registry.queries())
     oracles = registry.oracle_sql()
-    head = [n for n in names if n not in registry._DEMOTED]
-    assert len(head) == 50, (
-        f"head is {len(head)} entries; add new registrations to _DEMOTED "
-        "or swap a redundant window entry out deliberately"
-    )
-    assert names[:50] == head
-    missing = [n for n in head if n not in oracles]
+    assert len(registry._WINDOW) == 50
+    unknown = [n for n in registry._WINDOW if n not in names]
+    assert not unknown, f"_WINDOW names not registered: {unknown}"
+    assert names[:50] == registry._WINDOW
+    assert list(oracles)[:50] == registry._WINDOW
+    missing = [n for n in registry._WINDOW if n not in oracles]
     assert not missing, f"window entries without oracles: {missing}"
