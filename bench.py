@@ -152,6 +152,9 @@ HEADLINE = [
     "rel_skyline",
     "rel_cohort_ltv",
     "rel_mad_outliers",
+    "rel_rfm_segments",
+    "text_length_histogram",
+    "sim_pq_distortion",
     # capstone composition
     "llm_corpus_pipeline",
 ]

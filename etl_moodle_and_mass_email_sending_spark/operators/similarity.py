@@ -2220,3 +2220,86 @@ def sql_lsh_bucket_stats() -> str:
                 ELSE 0.0 END AS pair_share
     FROM pairs CROSS JOIN (SELECT CAST(sum(p) AS BIGINT) AS tp FROM pairs) t
     """
+
+
+# --------------------------------------------------------------------------
+# PQ distortion profile — reconstruction-error audit of the product
+# quantizer: per subspace, the mean and max L2² between subvectors and
+# their assigned codewords. A subspace with outsized distortion means
+# its 8 dims carry more variance than PQ_K codewords can express — the
+# evidence for re-balancing the subspace split or raising PQ_K, read
+# off the index before any recall is lost. (Jégou et al. 2011 §V
+# publish exactly this per-subspace error table.)
+#
+# 100 TB shape: reuses pq encode's broadcast-books struct-min (carrying
+# the winning distance through the aggregate); the profile rollup
+# shuffles PQ_M cells. Distances are the round-6 doubles both engines
+# share; the mean accumulates them as exact DECIMALs so the rollup is
+# order-independent.
+# --------------------------------------------------------------------------
+
+
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, n_vectors, avg_dist, max_dist): per-subspace reconstruction
+    error of the PQ codebook assignment."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    subs = _subvectors(v).localCheckpoint(eager=False)
+    books = _pq_codebooks(subs).localCheckpoint(eager=False)
+    d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
+    best = (
+        subs.join(F.broadcast(books), "m")
+        .select("vec_id", "m", "cid", d)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_mn"))
+        .select("m", F.col("_mn._d").alias("_d"))
+    )
+    return best.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.avg(F.col("_d").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("avg_dist"),
+        F.round(F.max("_d"), 6).alias("max_dist"),
+    )
+
+
+def sql_pq_distortion() -> str:
+    d_seed = _l2sq_duck("s.sub", "c.cvec")
+    d_book = _l2sq_duck("s.sub", "b.cvec")
+    sub_means = ", ".join(
+        f"round(avg(sub[{i + 1}]), 6)" for i in range(PQ_SUB)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, vec FROM ({_DUCK_VECTORS})),
+    subs AS (
+      SELECT vec_id, CAST(t.r AS INTEGER) AS m,
+             vec[(t.r * {PQ_SUB} + 1):((t.r + 1) * {PQ_SUB})] AS sub
+      FROM v CROSS JOIN range({PQ_M}) t(r)
+    ),
+    seed AS (
+      SELECT m, vec_id AS cid, sub AS cvec FROM subs WHERE vec_id < {PQ_K}
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, cid FROM (
+        SELECT s.vec_id, s.m, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_seed}, c.cid) AS rn
+        FROM subs s JOIN seed c USING (m)
+      ) WHERE rn = 1
+    ),
+    books AS (
+      SELECT m, cid, [{sub_means}] AS cvec FROM a1 GROUP BY m, cid
+    ),
+    best AS (
+      SELECT m, d FROM (
+        SELECT s.m, {d_book} AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_book}, b.cid) AS rn
+        FROM subs s JOIN books b USING (m)
+      ) WHERE rn = 1
+    )
+    SELECT m, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(avg(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS avg_dist,
+           round(max(d), 6) AS max_dist
+    FROM best GROUP BY m
+    """

@@ -3286,3 +3286,53 @@ def sql_vocab_coverage(corpus_sql: str) -> str:
     FROM spine s CROSS JOIN ranked
     GROUP BY s.k
     """
+
+
+# --------------------------------------------------------------------------
+# Document length histogram — the first panel of every corpus datasheet
+# (C4/Gopher/Dolma all publish one): log2-bucketed document lengths per
+# source. Truncation spikes, boilerplate floods, and chunking artifacts
+# all show up as bucket anomalies before any deeper signal fires.
+#
+# 100 TB shape: pure column arithmetic (floor(log2)) + one hash partial
+# aggregation over (source, bucket) — at most ~40 cells per source; the
+# per-source share attaches via a |sources|-row broadcast.
+# --------------------------------------------------------------------------
+
+
+def length_histogram(corpus: DataFrame) -> DataFrame:
+    """(source, bucket, lo_chars, n_docs, share): log2 length histogram
+    per source; ``lo_chars`` = 2^bucket, the bucket's lower edge."""
+    b = F.floor(F.log2(F.col("n_chars") + 1)).cast("int").alias("bucket")
+    cells = (
+        corpus.select("source", b)
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    per_src = cells.groupBy("source").agg(
+        F.sum("n_docs").alias("_t")
+    )
+    return cells.join(F.broadcast(per_src), "source").select(
+        "source",
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias("lo_chars"),
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_t"), 6).alias("share"),
+    )
+
+
+def sql_length_histogram(corpus_sql: str) -> str:
+    return f"""
+    WITH cells AS (
+      SELECT source,
+             CAST(floor(log2(n_chars + 1)) AS INTEGER) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM ({corpus_sql}) GROUP BY 1, 2
+    ),
+    per_src AS (SELECT source, sum(n_docs) AS t FROM cells GROUP BY 1)
+    SELECT c.source, c.bucket,
+           CAST(pow(2.0, c.bucket) AS BIGINT) AS lo_chars,
+           c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / p.t, 6) AS share
+    FROM cells c JOIN per_src p USING (source)
+    """

@@ -1565,3 +1565,28 @@ register(
     ),
     multimodal.sql_payload_byte_stats(),
 )
+
+
+def _docs_len(spark, sf_dir):
+    from ..catalog import load_table
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+register(
+    "text_length_histogram",
+    lambda spark, sf_dir: text_analysis.length_histogram(
+        _docs_len(spark, sf_dir)
+    ),
+    text_analysis.sql_length_histogram(
+        "SELECT doc_id, source, n_chars FROM documents"
+    ),
+)
+
+register(
+    "sim_pq_distortion",
+    similarity.pq_distortion,
+    similarity.sql_pq_distortion(),
+)

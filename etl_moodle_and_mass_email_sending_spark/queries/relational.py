@@ -4391,3 +4391,75 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_rfm_segments — RFM (recency / frequency / monetary) customer
+# segmentation, the classic CRM cube: quintile-score each customer on
+# the three dimensions and report cell occupancy. Scores are 1..5 by
+# ntile over (metric, custkey) ascending — the deterministic total
+# order both engines share.
+#
+# Scale: the per-customer rollup is one hash aggregation; each of the
+# THREE global quintile assignments runs through two_pass_rank +
+# ntile_from_rank (the zorder pattern) — never an unpartitioned
+# ntile window over the customer frame; the final cube rollup shuffles
+# 125 cells.
+# --------------------------------------------------------------------------
+
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import ntile_from_rank, two_pass_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.date_trunc("day", "o_orderdate"))).alias(
+            "_rec"
+        ),
+        F.count("*").cast("long").alias("_freq"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("_mon"),
+    )
+    tot = per_cust.groupBy().agg(F.count("*").alias("_t"))
+    scored = per_cust
+    for dim, col in (("r", "_rec"), ("f", "_freq"), ("m", "_mon")):
+        scored = two_pass_rank(
+            scored,
+            [F.col(col), F.col("o_custkey")],
+            out_col=f"_rk_{dim}",
+        )
+    scored = scored.crossJoin(F.broadcast(tot))
+    for dim in ("r", "f", "m"):
+        scored = scored.withColumn(
+            f"{dim}_score",
+            ntile_from_rank(F.col(f"_rk_{dim}"), F.col("_t"), 5),
+        )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+register(
+    "rel_rfm_segments",
+    _rfm_segments,
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             epoch_us(date_trunc('day', max(o_orderdate))) AS rec,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT CAST(ntile(5) OVER (ORDER BY rec, o_custkey) AS INTEGER)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INTEGER)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS INTEGER)
+               AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)

@@ -740,3 +740,12 @@ def test_new_r7_candidates_have_no_cartesian(spark, registry_queries):
     ):
         plan = _plan(registry_queries[name](spark, SF_SMALL))
         assert "CartesianProduct" not in plan, name
+
+
+def test_rfm_quintiles_are_two_pass(spark, registry_queries):
+    """All three RFM quintile assignments run through two_pass_rank
+    (_pid offsets), never an unpartitioned ntile window over the
+    customer frame."""
+    plan = _plan(registry_queries["rel_rfm_segments"](spark, SF_SMALL))
+    assert "_pid" in plan
+    assert "ntile" not in plan  # scores come from rank arithmetic
