@@ -4268,7 +4268,10 @@ register(
     """
     WITH first AS (
       SELECT o_custkey,
-             min(date_trunc('month', o_orderdate)) AS cohort,
+             -- CAST: DuckDB's date_trunc('month') yields DATE, whose
+             -- raw-fetch repr diverges from Spark's timestamp
+             CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+               AS cohort,
              min(year(o_orderdate) * 12 + month(o_orderdate)) AS c0
       FROM orders GROUP BY 1
     )
