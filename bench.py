@@ -155,6 +155,8 @@ HEADLINE = [
     "rel_rfm_segments",
     "text_length_histogram",
     "sim_pq_distortion",
+    "rel_ab_conversion_lift",
+    "rel_seasonality_index",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -4466,3 +4466,184 @@ register(
     FROM scored GROUP BY 1, 2, 3
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_ab_conversion_lift — the A/B readout: users split into two
+# deterministic cohorts (user_id parity — the stand-in for a bucketing
+# hash), conversion = "has at least one purchase event", reported with
+# relative lift and the two-proportion z statistic (the go/no-go number
+# every experimentation platform prints).
+#
+# Scale: one (user, cohort) rollup with a conditional max (hash partial
+# agg on user_id), then a 2-row conditional aggregate; all counts are
+# exact integers and the z arithmetic is the same double expression on
+# both engines. Nothing beyond the user rollup ever shuffles.
+# --------------------------------------------------------------------------
+
+
+AB_PURCHASE_THRESHOLD = 14  # "converted" = heavy purchaser (every
+# testbed user has >= 1 purchase, so presence alone saturates at 1.0)
+
+
+def _ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = e.groupBy("user_id").agg(
+        F.when(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", 1)),
+                F.lit(0),
+            )
+            >= AB_PURCHASE_THRESHOLD,
+            1,
+        )
+        .otherwise(0)
+        .alias("_conv")
+    )
+    wide = users.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1)), F.lit(0)
+        ).cast("bigint").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 0, F.col("_conv"))),
+            F.lit(0),
+        ).cast("bigint").alias("c_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 1, F.col("_conv"))),
+            F.lit(0),
+        ).cast("bigint").alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    # try_divide: a saturated metric (pool 0 or 1) yields NULL like the
+    # oracle, instead of an ANSI divide-by-zero throw
+    z = F.try_divide(
+        p_b - p_a,
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("conv_a"),
+        F.round(p_b, 6).alias("conv_b"),
+        F.round((p_b - p_a) / p_a, 6).alias("rel_lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+register(
+    "rel_ab_conversion_lift",
+    _ab_conversion_lift,
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 END), 0) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1 END), 0)
+             AS BIGINT) AS n_a,
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN 1 END), 0)
+             AS BIGINT) AS n_b,
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN conv END), 0)
+             AS BIGINT) AS c_a,
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN conv END), 0)
+             AS BIGINT) AS c_b
+      FROM users
+    )
+    SELECT n_a, n_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS conv_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS conv_b,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / (CAST(c_a AS DOUBLE) / n_a), 6) AS rel_lift,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a
+                           + CAST(1 AS DOUBLE) / n_b)), 6) AS z_score
+    FROM wide
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_seasonality_index — classical multiplicative seasonal
+# decomposition (ratio-to-moving-average, the pre-STL textbook method):
+# monthly revenue / centered 12-month moving average, averaged per
+# calendar month. An index above 1 marks the high season; the
+# de-seasonalization factor demand forecasting divides by.
+#
+# Scale: the month-level rollup is calendar-bounded (one row per
+# distinct order month — 80 rows for 7 years at ANY data scale), so its
+# ordered moving-average window is bounded-input by construction
+# (meta-pin whitelist); everything data-sized is the one hash partial
+# aggregation into that frame. Ratios round to 9 and accumulate as
+# exact decimals so the per-month mean is order-independent.
+# --------------------------------------------------------------------------
+
+
+def _seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("_mo")
+    ).agg(F.sum(_dec(F.col("o_totalprice"))).alias("_rev"))
+    w = Window.orderBy("_mo").rowsBetween(-5, 6)
+    ma = (
+        monthly.withColumn("_n", F.count("*").over(w))
+        .withColumn(
+            "_ma",
+            F.sum("_rev").over(w).cast("double") / F.col("_n"),
+        )
+        .filter(F.col("_n") == 12)  # full centered window only
+        .select(
+            F.month("_mo").alias("month_num"),
+            (F.col("_rev").cast("double") / F.col("_ma")).alias("_ratio"),
+        )
+    )
+    return ma.groupBy("month_num").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(
+            F.avg(F.round(F.col("_ratio"), 9).cast("decimal(18,9)"))
+            .cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+register(
+    "rel_seasonality_index",
+    _seasonality_index,
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ma AS (
+      SELECT mo, rev,
+             count(*) OVER win AS n,
+             CAST(sum(rev) OVER win AS DOUBLE)
+               / count(*) OVER win AS m
+      FROM monthly
+      WINDOW win AS (ORDER BY mo ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    )
+    SELECT CAST(month(mo) AS INTEGER) AS month_num,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round(CAST(avg(CAST(round(CAST(rev AS DOUBLE) / m, 9)
+                               AS DECIMAL(18,9))) AS DOUBLE), 6)
+             AS seasonal_index
+    FROM ma WHERE n = 12
+    GROUP BY 1
+    """,
+)

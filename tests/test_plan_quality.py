@@ -618,6 +618,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # prefix max over the DATE-LEVEL rollup: one row per distinct order
     # date — calendar-bounded (~2.5k rows for 7 years) at any SF
     "rel_skyline": "HashAggregate(keys=[o_orderdate",
+    # centered moving average over the MONTH-LEVEL rollup: one row per
+    # distinct order month — calendar-bounded (~80 rows) at any SF
+    "rel_seasonality_index": "date_trunc(month",
 }
 
 _BOUNDED_MARKERS = __import__("re").compile(
