@@ -618,3 +618,31 @@ def test_bottomk_sample_is_rank_mergeable(spark_mod, keys, split):
         .collect()
     }
     assert merged == full
+
+
+def test_two_pass_running_max_matches_reference_window(spark):
+    """two_pass_running_max == the textbook unpartitioned cummax window
+    on a shuffled integer sequence (including ties and a decreasing
+    tail), across an awkward partition count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators.util import (
+        two_pass_running_max,
+    )
+
+    rows = [(i, (i * 37) % 101) for i in range(500)]
+    rows += [(500 + i, 50 - i) for i in range(50)]  # decreasing tail
+    df = spark.createDataFrame(rows, "ord long, v long").repartition(7)
+    got = {
+        r["ord"]: r["rm"]
+        for r in two_pass_running_max(
+            df, [F.col("ord")], "v", out_col="rm", num_partitions=5
+        ).collect()
+    }
+    w = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["ord"]: r["rm"]
+        for r in df.withColumn("rm", F.max("v").over(w)).collect()
+    }
+    assert got == want
