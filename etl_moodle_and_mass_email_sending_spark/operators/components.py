@@ -748,13 +748,12 @@ def sql_clustering_coefficients(edges_sql: str) -> str:
 TWO_HOP_DEGREE_CAP = 64
 
 
-def two_hop_candidates(
-    edges: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
-) -> DataFrame:
-    """edges(src, dst) → (doc_a, doc_b, n_paths): canonical pairs at
-    distance exactly 2 and their common-neighbor count, skipping paths
-    through mid vertices of degree > ``degree_cap``."""
-    sym = (
+def _symmetrized(edges: DataFrame) -> DataFrame:
+    """Bidirected distinct edge frame (a, b), checkpointed: the shared
+    input of the 2-hop self-join, the degree screen, and the neighbor-
+    Jaccard scorer — built (and its upstream edge pipeline evaluated)
+    exactly once per operator invocation."""
+    return (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(
             edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
@@ -762,6 +761,20 @@ def two_hop_candidates(
         .distinct()
         .localCheckpoint()
     )
+
+
+def two_hop_candidates(
+    edges: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> DataFrame:
+    """edges(src, dst) → (doc_a, doc_b, n_paths): canonical pairs at
+    distance exactly 2 and their common-neighbor count, skipping paths
+    through mid vertices of degree > ``degree_cap``."""
+    return _two_hop_from_sym(_symmetrized(edges), degree_cap)
+
+
+def _two_hop_from_sym(
+    sym: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> DataFrame:
     # mid-vertex degree screen: a |V|-row rollup semi-joined back on
     # the vertex id (hash-keyed — deliberately NOT broadcast: the
     # degree frame is linear in |V|); the self-join then never sees a
@@ -834,14 +847,8 @@ def sql_two_hop_candidates(edges_sql: str) -> str:
 def jaccard_neighbors(edges: DataFrame) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard): neighbor-set Jaccard for every
     distance-2 pair of the graph."""
-    two = two_hop_candidates(edges)
-    sym = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(
-            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-        )
-        .distinct()
-    )
+    sym = _symmetrized(edges)  # one checkpoint feeds 2-hop AND degrees
+    two = _two_hop_from_sym(sym)
     deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
     return (
         two.join(

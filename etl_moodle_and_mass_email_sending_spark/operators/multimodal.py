@@ -1122,8 +1122,11 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
                 b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
             ).reshape(len(pdf), -1)
             n = payloads.shape[1]
-            counts = np.apply_along_axis(
-                lambda r: np.bincount(r, minlength=256), 1, payloads
+            counts = np.zeros((len(pdf), 256), dtype=np.int64)
+            np.add.at(
+                counts,
+                (np.repeat(np.arange(len(pdf)), n), payloads.reshape(-1)),
+                1,
             )
             distinct = (counts > 0).sum(axis=1).astype(np.int32)
             top_byte = counts.argmax(axis=1).astype(np.int32)

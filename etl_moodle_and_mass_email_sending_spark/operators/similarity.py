@@ -2176,6 +2176,10 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(F.expr(_spark_bucket("vec")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("_s"))
+        # checkpoint the <= 2^LSH_PLANES-row bucket rollup: both the
+        # histogram and the total-pairs scalar consume it — without the
+        # barrier the corpus scan + bucket aggregation would run twice
+        .localCheckpoint(eager=False)
     )
     hist = sizes.groupBy(F.col("_s").alias("bucket_size")).agg(
         F.count("*").cast("bigint").alias("n_buckets")

@@ -2993,7 +2993,16 @@ def pmi_collocations(corpus: DataFrame) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("_nu"))
     )
-    n_uni = uni.agg(F.sum("_nu").cast("bigint").alias("_tu"))
+    # corpus totals from the TOKED frame's sizes (one cheap row per
+    # doc), not by re-running the explode fan-outs a second time
+    n_uni = toked.agg(
+        F.sum(F.size("_ts")).cast("bigint").alias("_tu")
+    )
+    n_pairs = toked.agg(
+        F.sum(F.greatest(F.size("_ts") - 1, F.lit(0)))
+        .cast("bigint")
+        .alias("_tp")
+    )
     pairs = (
         grams.groupBy("bigram")
         .agg(F.count("*").alias("n_pair"))
@@ -3005,7 +3014,6 @@ def pmi_collocations(corpus: DataFrame) -> DataFrame:
             "_w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
         )
     )
-    n_pairs = grams.agg(F.count("*").cast("bigint").alias("_tp"))
     scored = (
         pairs.join(
             uni.select(F.col("token").alias("_w1"), F.col("_nu").alias("_na")),

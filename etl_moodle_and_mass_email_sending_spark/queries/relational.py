@@ -4334,6 +4334,9 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = _grouped_median(
         li, "l_returnflag", "l_extendedprice", "median_price"
     )
+    # checkpoint: the deviation frame feeds the MAD ranking AND the
+    # fence tally — on a cluster this is the persist() of the shared
+    # stage (2 narrow columns + the group key)
     dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         "l_extendedprice",
@@ -4341,7 +4344,7 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_dev"
         ),
         "median_price",
-    )
+    ).localCheckpoint(eager=False)
     mad = _grouped_median(
         dev.select("l_returnflag", "_dev"), "l_returnflag", "_dev", "_mad"
     )
@@ -4422,7 +4425,6 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("_freq"),
         F.sum(_dec(F.col("o_totalprice"))).alias("_mon"),
     )
-    tot = per_cust.groupBy().agg(F.count("*").alias("_t"))
     scored = per_cust
     for dim, col in (("r", "_rec"), ("f", "_freq"), ("m", "_mon")):
         scored = two_pass_rank(
@@ -4430,6 +4432,9 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col(col), F.col("o_custkey")],
             out_col=f"_rk_{dim}",
         )
+    # customer count = max dense rank of the (checkpointed) ranked
+    # frame — not a second scan of the orders rollup
+    tot = scored.agg(F.max("_rk_r").alias("_t"))
     scored = scored.crossJoin(F.broadcast(tot))
     for dim in ("r", "f", "m"):
         scored = scored.withColumn(
