@@ -3257,8 +3257,7 @@ def vocab_coverage(corpus: DataFrame) -> DataFrame:
         "_tot",
     ).select(
         F.col("k").cast("int").alias("k"),
-        F.least(F.lit(0) + F.col("k"), F.col("_types"))
-        .cast("bigint")
+        F.least(F.col("k").cast("bigint"), F.col("_types"))
         .alias("n_types"),
         "covered_tokens",
         F.col("_tot").alias("total_tokens"),
