@@ -4195,8 +4195,10 @@ def _skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(F.broadcast(fence), "o_orderdate")
         .filter(
+            # >=: dominance is STRICT in both dims, so an order matching
+            # the later-date max price is not dominated (tie-survival)
             F.col("_fence").isNull()
-            | (F.col("o_totalprice") > F.col("_fence"))
+            | (F.col("o_totalprice") >= F.col("_fence"))
         )
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
@@ -4219,7 +4221,7 @@ register(
     )
     SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
     FROM orders o JOIN fence USING (o_orderdate)
-    WHERE fence.f IS NULL OR o.o_totalprice > fence.f
+    WHERE fence.f IS NULL OR o.o_totalprice >= fence.f
     """,
 )
 
@@ -4305,17 +4307,14 @@ register(
 MAD_FENCE_K = 3.0 * 1.4826
 
 
-def _grouped_median(
-    df: DataFrame, group: str, value: str, out: str
+def _median_from_ranked(
+    ranked: DataFrame, group: str, value: str, out: str
 ) -> DataFrame:
-    from ..operators.util import two_pass_rank_in_groups
-
-    ranked = two_pass_rank_in_groups(
-        df, group, [F.col(value)], out_col="_rk"
-    )
-    n = df.groupBy(group).agg(F.count("*").alias("_n"))
-    # middle positions: floor((n+1)/2) and floor(n/2)+1 — equal for odd
-    # n, adjacent for even n; avg of the two values = quantile_cont(0.5)
+    """Exact per-group median off a two_pass_rank_in_groups frame.
+    Group size = max dense rank (no extra counting scan); middle
+    positions floor((n+1)/2) and floor(n/2)+1 — equal for odd n,
+    adjacent for even n; their value average = quantile_cont(0.5)."""
+    n = ranked.groupBy(group).agg(F.max("_rk").alias("_n"))
     return (
         ranked.join(F.broadcast(n), group)
         .filter(
@@ -4328,26 +4327,42 @@ def _grouped_median(
 
 
 def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import two_pass_rank_in_groups
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    med = _grouped_median(
-        li, "l_returnflag", "l_extendedprice", "median_price"
+    # rank once; the CHECKPOINTED ranged frame inside the helper then
+    # feeds the median read-off AND the deviation pass — lineitem is
+    # scanned from parquet exactly once
+    ranked1 = two_pass_rank_in_groups(
+        li, "l_returnflag", [F.col("l_extendedprice")], out_col="_rk"
     )
-    # checkpoint: the deviation frame feeds the MAD ranking AND the
-    # fence tally — on a cluster this is the persist() of the shared
-    # stage (2 narrow columns + the group key)
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
+    med = _median_from_ranked(
+        ranked1, "l_returnflag", "l_extendedprice", "median_price"
+    )
+    # checkpoint: dev feeds the MAD ranking AND the fence tally; without
+    # the barrier each consumer would replay ranked1's local window
+    dev = (
+        ranked1.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.abs(
+                F.col("l_extendedprice") - F.col("median_price")
+            ).alias("_dev"),
+            "median_price",
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked2 = two_pass_rank_in_groups(
+        dev.select("l_returnflag", "_dev"),
         "l_returnflag",
-        "l_extendedprice",
-        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias(
-            "_dev"
-        ),
-        "median_price",
-    ).localCheckpoint(eager=False)
-    mad = _grouped_median(
-        dev.select("l_returnflag", "_dev"), "l_returnflag", "_dev", "_mad"
+        [F.col("_dev")],
+        out_col="_rk",
     )
+    mad = _median_from_ranked(ranked2, "l_returnflag", "_dev", "_mad")
     return (
         dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")

@@ -646,3 +646,78 @@ def test_two_pass_running_max_matches_reference_window(spark):
         for r in df.withColumn("rm", F.max("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The date-fence skyline == the O(n²) strict-dominance definition
+    on a randomized small order set (with date and price ties)."""
+    import itertools
+    import datetime as dt
+
+    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+        _skyline_orders,
+    )
+
+    rows = []
+    rng_vals = [(i * 53) % 17 for i in range(60)]
+    for i, v in enumerate(rng_vals):
+        rows.append(
+            (
+                i,
+                dt.datetime(2020, 1, 1) + dt.timedelta(days=(i * 31) % 11),
+                float(100 + v * 10),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["o_orderkey"]
+            for r in _skyline_orders(spark, d).collect()
+        }
+    want = {
+        k
+        for k, dte, p in rows
+        if not any(
+            d2 > dte and p2 > p for _, d2, p2 in rows
+        )
+    }
+    assert got == want
+
+
+def test_grouped_median_matches_statistics_median(spark):
+    """_median_from_ranked over two_pass_rank_in_groups == the textbook
+    median (statistics.median) per group, odd and even sizes, with
+    duplicate values."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators.util import (
+        two_pass_rank_in_groups,
+    )
+    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+        _median_from_ranked,
+    )
+
+    data = {
+        "a": [5.0, 1.0, 3.0, 3.0, 9.0],          # odd, with ties
+        "b": [2.0, 8.0, 4.0, 6.0],               # even
+        "c": [7.0],                               # singleton
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    ranked = two_pass_rank_in_groups(
+        df, "g", [F.col("v")], out_col="_rk", num_partitions=3
+    )
+    got = {
+        r["g"]: r["med"]
+        for r in _median_from_ranked(ranked, "g", "v", "med").collect()
+    }
+    want = {g: statistics.median(vs) for g, vs in data.items()}
+    assert got == want
