@@ -721,3 +721,76 @@ def test_grouped_median_matches_statistics_median(spark):
     }
     want = {g: statistics.median(vs) for g, vs in data.items()}
     assert got == want
+
+
+def test_jaccard_neighbors_matches_bruteforce_sets(spark):
+    """jaccard_neighbors == brute-force neighbor-set Jaccard over every
+    distance-2 pair of a hand-built graph (star + path + triangle)."""
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        jaccard_neighbors,
+    )
+
+    edges = [
+        (1, 2), (1, 3), (1, 4),          # star around 1
+        (4, 5), (5, 6),                  # path
+        (7, 8), (8, 9), (7, 9),          # triangle (no distance-2 pairs)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_neighbors(df).collect()
+    }
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    for a in nbr:
+        for b in nbr:
+            if a < b and b not in nbr[a]:
+                common = nbr[a] & nbr[b]
+                if common:
+                    want[(a, b)] = (
+                        len(common),
+                        round(
+                            len(common) / len(nbr[a] | nbr[b]), 6
+                        ),
+                    )
+    assert got == want
+
+
+def test_event_lateness_matches_pandas_cummax(spark):
+    """The two-pass watermark lateness == a pandas cummax reference on
+    an out-of-order synthetic feed."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+        _event_lateness,
+        LATENESS_WATERMARKS_SEC,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    # arrival order 0..199; event times jump back by 0..1200s pseudo-randomly
+    offsets = [((i * 97) % 240) * 10 - ((i * 53) % 120) * 10 for i in range(200)]
+    rows = [
+        (i, base + dt.timedelta(seconds=600 * i / 10 + off))
+        for i, off in enumerate(offsets)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["watermark_sec"]: (r["n_late"], r["late_share"])
+            for r in _event_lateness(spark, d).collect()
+        }
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts"]).sort_values("event_id")
+    late_us = (pdf["ts"].cummax() - pdf["ts"]).dt.total_seconds() * 1e6
+    for w in LATENESS_WATERMARKS_SEC:
+        n_late = int((late_us > w * 1e6).sum())
+        assert got[w][0] == n_late, (w, got[w], n_late)
+        assert abs(got[w][1] - round(n_late / len(pdf), 6)) < 1e-9
+    assert set(got) == set(LATENESS_WATERMARKS_SEC)
