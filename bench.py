@@ -157,6 +157,7 @@ HEADLINE = [
     "sim_pq_distortion",
     "rel_ab_conversion_lift",
     "rel_seasonality_index",
+    "dedup_lang_purity",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1590,3 +1590,67 @@ register(
     similarity.pq_distortion,
     similarity.sql_pq_distortion(),
 )
+
+
+# dedup_lang_purity — language homogeneity of the near-dup clusters: a
+# cluster mixing languages means the MinHash signature is keying on
+# boilerplate/markup rather than content (or a translation pair slipped
+# the shingle threshold) — the standard sanity audit run on a dedup
+# graph before trusting its drops. Reported as a histogram over
+# languages-per-cluster with each class's mean majority-language share.
+# Scale: reuses the staged cluster frame; one doc-keyed hash join to
+# attach lang, one (component, lang) rollup, one bounded histogram.
+def _dedup_lang_purity(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    clusters = _staged_clusters(spark, sf_dir).filter(
+        F.col("cluster_size") >= 2
+    )
+    corpus = dedup.dup_corpus(spark, sf_dir).select("doc_id", "lang")
+    per = (
+        clusters.join(corpus, "doc_id")
+        .groupBy("component", "lang")
+        .agg(F.count("*").alias("_n"))
+    )
+    maj = per.groupBy("component").agg(
+        F.count("*").cast("int").alias("n_langs"),
+        (F.max("_n").cast("double") / F.sum("_n")).alias("_share"),
+    )
+    return maj.groupBy("n_langs").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.round(
+            F.avg(F.round(F.col("_share"), 9).cast("decimal(18,9)"))
+            .cast("double"),
+            6,
+        ).alias("avg_majority_share"),
+    )
+
+
+def _sql_dedup_lang_purity() -> str:
+    from ..operators.components import sql_dedup_clusters
+
+    clustered = sql_dedup_clusters(
+        _CORPUS_SQL, dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    )
+    return f"""
+    WITH clustered AS ({clustered}),
+    corpus AS ({_CORPUS_SQL}),
+    per AS (
+      SELECT c.component, co.lang, count(*) AS n
+      FROM clustered c JOIN corpus co USING (doc_id)
+      WHERE c.cluster_size >= 2
+      GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT component, CAST(count(*) AS INTEGER) AS n_langs,
+             CAST(max(n) AS DOUBLE) / sum(n) AS share
+      FROM per GROUP BY 1
+    )
+    SELECT n_langs, CAST(count(*) AS BIGINT) AS n_clusters,
+           round(CAST(avg(CAST(round(share, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE), 6) AS avg_majority_share
+    FROM maj GROUP BY 1
+    """
+
+
+register("dedup_lang_purity", _dedup_lang_purity, _sql_dedup_lang_purity())
