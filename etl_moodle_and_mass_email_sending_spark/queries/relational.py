@@ -4332,20 +4332,20 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # rank once; the CHECKPOINTED ranged frame inside the helper then
-    # feeds the median read-off AND the deviation pass — lineitem is
-    # scanned from parquet exactly once
+    # rank once; the checkpointed ranged frame inside the helper feeds
+    # the median read-off (group size = its max dense rank, no separate
+    # counting pass)
     ranked1 = two_pass_rank_in_groups(
         li, "l_returnflag", [F.col("l_extendedprice")], out_col="_rk"
     )
     med = _median_from_ranked(
         ranked1, "l_returnflag", "l_extendedprice", "median_price"
     )
-    # checkpoint: dev feeds the MAD ranking AND the fence tally; without
-    # the barrier each consumer would replay ranked1's local window
+    # dev restarts from the 2-column parquet scan rather than replaying
+    # ranked1's per-partition window (a columnar re-scan is cheaper than
+    # re-sorting every partition); checkpointed for its two consumers
     dev = (
-        ranked1.select("l_returnflag", "l_extendedprice")
-        .join(F.broadcast(med), "l_returnflag")
+        li.join(F.broadcast(med), "l_returnflag")
         .select(
             "l_returnflag",
             "l_extendedprice",
