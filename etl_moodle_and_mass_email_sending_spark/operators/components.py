@@ -772,23 +772,36 @@ def two_hop_candidates(
     return _two_hop_from_sym(_symmetrized(edges), degree_cap)
 
 
-def _two_hop_from_sym(
-    sym: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
-) -> DataFrame:
-    # mid-vertex degree screen: a |V|-row rollup semi-joined back on
-    # the vertex id (hash-keyed — deliberately NOT broadcast: the
-    # degree frame is linear in |V|); the self-join then never sees a
-    # hub's d² fan-out
+def _capped_sym(sym: DataFrame, degree_cap: int) -> DataFrame:
+    """Edges (a, b) of the bidirected frame whose *b* endpoint has
+    degree <= ``degree_cap`` — i.e. for each vertex a, its low-degree
+    (non-hub) neighbors. The mid-vertex degree screen of the 2-hop
+    self-join AND the degree frame of the neighbor-Jaccard scorer are
+    both computed from this one frame so numerator and denominator
+    count the same neighbor sets."""
+    # |V|-row rollup semi-joined back on the vertex id (hash-keyed —
+    # deliberately NOT broadcast: the degree frame is linear in |V|);
+    # the self-join then never sees a hub's d² fan-out
     low_deg = (
         sym.groupBy("a")
         .agg(F.count("*").alias("_deg"))
         .filter(F.col("_deg") <= degree_cap)
         .select(F.col("a").alias("_mid"))
     )
-    capped = sym.join(low_deg, sym.b == F.col("_mid"), "left_semi")
+    return sym.join(low_deg, sym.b == F.col("_mid"), "left_semi")
+
+
+def _two_hop_from_sym(
+    sym: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> DataFrame:
+    # The cap must constrain the MID vertex only. mid = l.b = r.a, so
+    # filtering the l side alone enforces it; the r side stays the full
+    # symmetrized frame (filtering r on its b endpoint would instead
+    # drop pairs whose larger-id ENDPOINT is a hub — the round-7 bug).
+    capped = _capped_sym(sym, degree_cap)
     two = (
         capped.alias("l")
-        .join(capped.alias("r"), F.col("l.b") == F.col("r.a"))
+        .join(sym.alias("r"), F.col("l.b") == F.col("r.a"))
         .select(F.col("l.a").alias("x"), F.col("r.b").alias("y"))
         .filter(F.col("x") < F.col("y"))
         .groupBy("x", "y")
@@ -809,16 +822,28 @@ def _two_hop_from_sym(
     )
 
 
-def sql_two_hop_candidates(edges_sql: str) -> str:
+def sql_two_hop_candidates(
+    edges_sql: str, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> str:
+    # Mirrors the Spark plan's mid-vertex degree cap exactly (l side
+    # screened to low-degree b endpoints, r side unfiltered) so oracle
+    # and engine compute the same quantity on hub-bearing graphs too.
     return f"""
     WITH sym AS (
       SELECT src AS a, dst AS b FROM ({edges_sql})
       UNION
       SELECT dst AS a, src AS b FROM ({edges_sql})
     ),
+    low_deg AS (
+      SELECT a AS mid FROM sym GROUP BY 1 HAVING count(*) <= {degree_cap}
+    ),
+    capped AS (
+      SELECT s.a, s.b FROM sym s
+      WHERE s.b IN (SELECT mid FROM low_deg)
+    ),
     two AS (
       SELECT l.a AS x, r.b AS y, count(*) AS n_paths
-      FROM sym l JOIN sym r ON l.b = r.a
+      FROM capped l JOIN sym r ON l.b = r.a
       WHERE l.a < r.b
       GROUP BY 1, 2
     )
@@ -844,12 +869,19 @@ def sql_two_hop_candidates(edges_sql: str) -> str:
 # --------------------------------------------------------------------------
 
 
-def jaccard_neighbors(edges: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_common, jaccard): neighbor-set Jaccard for every
-    distance-2 pair of the graph."""
+def jaccard_neighbors(
+    edges: DataFrame, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard): Jaccard of the *low-degree*
+    (<= ``degree_cap``) neighbor sets for every distance-2 pair. Both
+    n_common (paths through low-degree mids) and the degrees are
+    computed over the same capped edge frame, so the ratio is a
+    self-consistent "Jaccard over non-hub neighbors" — on a graph with
+    no vertex above the cap it equals the classic neighbor Jaccard."""
     sym = _symmetrized(edges)  # one checkpoint feeds 2-hop AND degrees
-    two = _two_hop_from_sym(sym)
-    deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    capped = _capped_sym(sym, degree_cap)
+    two = _two_hop_from_sym(sym, degree_cap)
+    deg = capped.groupBy("a").agg(F.count("*").alias("_deg"))
     return (
         two.join(
             deg.select(F.col("a").alias("doc_a"), F.col("_deg").alias("_da")),
@@ -872,8 +904,12 @@ def jaccard_neighbors(edges: DataFrame) -> DataFrame:
     )
 
 
-def sql_jaccard_neighbors(edges_sql: str) -> str:
-    two = sql_two_hop_candidates(edges_sql)
+def sql_jaccard_neighbors(
+    edges_sql: str, degree_cap: int = TWO_HOP_DEGREE_CAP
+) -> str:
+    two = sql_two_hop_candidates(edges_sql, degree_cap)
+    # degrees over the SAME capped frame the path count uses (see
+    # jaccard_neighbors): count only neighbors of degree <= cap
     return f"""
     WITH two AS ({two}),
     sym AS (
@@ -881,7 +917,14 @@ def sql_jaccard_neighbors(edges_sql: str) -> str:
       UNION
       SELECT dst AS a, src AS b FROM ({edges_sql})
     ),
-    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1)
+    low_deg AS (
+      SELECT a AS mid FROM sym GROUP BY 1 HAVING count(*) <= {degree_cap}
+    ),
+    deg AS (
+      SELECT a, count(*) AS d FROM sym
+      WHERE b IN (SELECT mid FROM low_deg)
+      GROUP BY 1
+    )
     SELECT t.doc_a, t.doc_b, t.n_paths AS n_common,
            round(CAST(t.n_paths AS DOUBLE)
                  / (da.d + db.d - t.n_paths), 6) AS jaccard

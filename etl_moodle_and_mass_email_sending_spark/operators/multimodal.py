@@ -1118,31 +1118,49 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            payloads = np.frombuffer(
-                b"".join(bytes(p) for p in pdf["payload"]), dtype=np.uint8
-            ).reshape(len(pdf), -1)
-            n = payloads.shape[1]
-            counts = np.zeros((len(pdf), 256), dtype=np.int64)
-            np.add.at(
-                counts,
-                (np.repeat(np.arange(len(pdf)), n), payloads.reshape(-1)),
-                1,
+            # Payload lengths may differ row to row (truncation is
+            # exactly the condition this operator screens for), so the
+            # batch is histogrammed per length group — fully vectorized
+            # when the batch is homogeneous, still no per-row Python
+            # histogram loop when it is not. Zero-length payloads emit
+            # no row (matching the oracle, whose per-byte unnest
+            # produces nothing for them).
+            lens = np.fromiter(
+                (len(bytes(p)) for p in pdf["payload"]),
+                dtype=np.int64,
+                count=len(pdf),
             )
-            distinct = (counts > 0).sum(axis=1).astype(np.int32)
-            top_byte = counts.argmax(axis=1).astype(np.int32)
-            top = counts.max(axis=1)
-            # explicit half-up rounding — np.round is half-even, which
-            # diverges from both engines' SQL round()
-            share = np.floor(top / n * 1e6 + 0.5) / 1e6
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "media_type": pdf["media_type"],
-                    "n_distinct_bytes": distinct,
-                    "top_byte": top_byte,
-                    "top_share": share,
-                }
-            )
+            raw = b"".join(bytes(p) for p in pdf["payload"])
+            flat = np.frombuffer(raw, dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            for n in np.unique(lens):
+                if n == 0:
+                    continue
+                idx = np.flatnonzero(lens == n)
+                rows = np.stack(
+                    [flat[offsets[i] : offsets[i] + n] for i in idx]
+                )
+                counts = np.zeros((len(idx), 256), dtype=np.int64)
+                np.add.at(
+                    counts,
+                    (np.repeat(np.arange(len(idx)), n), rows.reshape(-1)),
+                    1,
+                )
+                distinct = (counts > 0).sum(axis=1).astype(np.int32)
+                top_byte = counts.argmax(axis=1).astype(np.int32)
+                top = counts.max(axis=1)
+                # explicit half-up rounding — np.round is half-even,
+                # which diverges from both engines' SQL round()
+                share = np.floor(top / n * 1e6 + 0.5) / 1e6
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy()[idx],
+                        "media_type": pdf["media_type"].to_numpy()[idx],
+                        "n_distinct_bytes": distinct,
+                        "top_byte": top_byte,
+                        "top_share": share,
+                    }
+                )
 
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         run, BYTE_STATS_SCHEMA
@@ -1150,22 +1168,30 @@ def payload_byte_stats(media: DataFrame) -> DataFrame:
 
 
 def sql_payload_byte_stats() -> str:
-    payload_bytes = 16 * PAYLOAD_REPEAT
+    # Per-row payload length derived from the payload itself (NOT a
+    # hardcoded constant): truncated/odd-length payloads get correct
+    # shares, and zero-length payloads emit no row (empty unnest) —
+    # exactly the Spark side's per-length-group semantics.
     return f"""
-    WITH bytes AS (
-      SELECT doc_id, media_type,
+    WITH src AS (
+      SELECT doc_id, media_type, payload_hex,
+             length(payload_hex) // 2 AS n
+      FROM ({SQL_MEDIA_TABLE})
+    ),
+    bytes AS (
+      SELECT doc_id, media_type, n,
              CAST('0x' || substr(payload_hex, 2 * b.i + 1, 2) AS INTEGER)
                AS byte
-      FROM ({SQL_MEDIA_TABLE}) m,
-           LATERAL (SELECT unnest(range(0, {payload_bytes})) AS i) b
+      FROM src m,
+           LATERAL (SELECT unnest(range(0, m.n)) AS i) b
     ),
     hist AS (
-      SELECT doc_id, media_type, byte, count(*) AS c
-      FROM bytes GROUP BY 1, 2, 3
+      SELECT doc_id, media_type, n, byte, count(*) AS c
+      FROM bytes GROUP BY 1, 2, 3, 4
     )
     SELECT doc_id, media_type,
            CAST(count(*) AS INTEGER) AS n_distinct_bytes,
            CAST(arg_min(byte, -c * 256 + byte) AS INTEGER) AS top_byte,
-           round(CAST(max(c) AS DOUBLE) / {payload_bytes}, 6) AS top_share
+           round(CAST(max(c) AS DOUBLE) / any_value(n), 6) AS top_share
     FROM hist GROUP BY 1, 2
     """

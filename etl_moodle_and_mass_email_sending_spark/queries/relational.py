@@ -4554,7 +4554,10 @@ def _ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(p_a, 6).alias("conv_a"),
         F.round(p_b, 6).alias("conv_b"),
-        F.round((p_b - p_a) / p_a, 6).alias("rel_lift"),
+        # try_divide here too: a zero-converter control cohort must
+        # yield NULL (like the oracle's NULLIF-free DOUBLE division),
+        # not an ANSI DIVIDE_BY_ZERO before the guarded z is reached
+        F.round(F.try_divide(p_b - p_a, p_a), 6).alias("rel_lift"),
         F.round(z, 6).alias("z_score"),
     )
 

@@ -1099,3 +1099,105 @@ def test_audio_energy_real_engine_decodes_wav(spark):
         (3, 0, int(arr[0:32].sum())),
         (3, 1, int(arr[16:48].sum())),
     ]
+
+
+def test_two_hop_degree_cap_constrains_mid_only(spark):
+    """Hub graph regression (ADVICE r7): cap must drop paths through a
+    high-degree MID vertex but keep pairs whose ENDPOINT is the hub.
+    Graph: hub 100 — {1,2,3,4,6} (deg 5 > cap 3); chain 5 — 6 — 100
+    (deg(6) = 2 <= cap). The only surviving pair is (5, 100) via mid 6;
+    the round-7 bug filtered the r side on the endpoint and dropped it."""
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        jaccard_neighbors,
+        two_hop_candidates,
+    )
+
+    edges = spark.createDataFrame(
+        [(100, 1), (100, 2), (100, 3), (100, 4), (6, 100), (5, 6)],
+        ["src", "dst"],
+    )
+    out = [
+        (r["doc_a"], r["doc_b"], r["n_paths"])
+        for r in two_hop_candidates(edges, degree_cap=3).collect()
+    ]
+    assert out == [(5, 100, 1)]
+
+    # jaccard over the SAME capped neighbor sets (ADVICE item 4):
+    # N_low(5) = {6}, N_low(100) = {1,2,3,4,6} (all deg <= 3), common
+    # low-degree mids = {6} -> 1 / (1 + 5 - 1) = 0.2
+    jac = jaccard_neighbors(edges, degree_cap=3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"]) for r in jac] == [
+        (5, 100, 1, 0.2)
+    ]
+
+
+def test_two_hop_oracle_mirrors_degree_cap(spark):
+    """The DuckDB oracles compute the SAME capped quantity as Spark on a
+    hub-bearing graph (ADVICE item 2 — parity previously held only
+    because the testbed's max degree is 3)."""
+    import duckdb
+
+    from etl_moodle_and_mass_email_sending_spark.operators.components import (
+        jaccard_neighbors,
+        sql_jaccard_neighbors,
+        sql_two_hop_candidates,
+        two_hop_candidates,
+    )
+
+    pairs = [(100, 1), (100, 2), (100, 3), (100, 4), (6, 100), (5, 6)]
+    edges_sql = (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, {b})" for a, b in pairs)
+        + ") AS t(src, dst)"
+    )
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    con = duckdb.connect()
+    for cap in (3, 64):
+        got = sorted(
+            tuple(r)
+            for r in two_hop_candidates(edges, degree_cap=cap).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_two_hop_candidates(edges_sql, degree_cap=cap)
+            ).fetchall()
+        )
+        assert got == want, f"two_hop cap={cap}"
+        gj = sorted(
+            tuple(r)
+            for r in jaccard_neighbors(edges, degree_cap=cap).collect()
+        )
+        wj = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_jaccard_neighbors(edges_sql, degree_cap=cap)
+            ).fetchall()
+        )
+        assert gj == wj, f"jaccard cap={cap}"
+
+
+def test_payload_byte_stats_variable_lengths(spark):
+    """ADVICE item 5: payload lengths differ row to row (truncation is
+    the screened-for condition); zero-length payloads emit no row, and
+    shares divide by each row's own length."""
+    from etl_moodle_and_mass_email_sending_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x00\x00\x01")),
+            (2, "audio", bytearray(b"\xff")),
+            (3, "video", bytearray(b"")),
+            (4, "image", bytearray(b"\x07" * 8)),
+        ],
+        schema="doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        r["doc_id"]: (r["n_distinct_bytes"], r["top_byte"], r["top_share"])
+        for r in multimodal.payload_byte_stats(media).collect()
+    }
+    assert rows == {
+        1: (2, 0, 0.666667),
+        2: (1, 255, 1.0),
+        4: (1, 7, 1.0),
+    }
