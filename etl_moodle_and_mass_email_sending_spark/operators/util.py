@@ -2,9 +2,50 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Session-scoped staged frames: expensive derived artifacts (LSH pair
+# lists, dedup clusters, PQ codebooks) that several registered queries —
+# and repeated invocations of the same query — consume. Each is built
+# and localCheckpoint'ed once per (SparkContext, key); on a cluster this
+# is the "train once, score many" shape (the codebook/cluster artifact
+# is tiny and session-lived, the corpus passes stay distributed).
+# Keyed by applicationId so a new session rebuilds; entries whose
+# context has been stopped are evicted on every access (ADVICE r6).
+# ---------------------------------------------------------------------------
+
+_SESSION_STAGE: dict[tuple, DataFrame] = {}
+
+
+def _prune_session_stage() -> None:
+    for k in list(_SESSION_STAGE):
+        df = _SESSION_STAGE[k]
+        try:
+            stopped = df.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            del _SESSION_STAGE[k]
+
+
+def staged_frame(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the checkpointed frame for ``key``, building it on first
+    use in this session. ``key`` must include every input the build
+    depends on (e.g. the sf_dir)."""
+    _prune_session_stage()
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _SESSION_STAGE.get(full_key)
+    if df is None:
+        df = build().localCheckpoint()
+        _SESSION_STAGE[full_key] = df
+    return df
 
 
 def spread_for_compute(df: DataFrame) -> DataFrame:
