@@ -268,3 +268,54 @@ def two_pass_running_max(
         )
         .drop("_pid", "_local", "_off")
     )
+
+
+def two_pass_running_sum_in_groups(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group running sum of ``value_col`` in ``order_by`` order
+    WITHOUT per-group global sorts — the grouped twin of
+    ``two_pass_running_sum``, built like ``two_pass_rank_in_groups``:
+    range-partition on (group, order), sum per (group, partition), carry
+    each group's earlier-partition totals via a broadcast
+    |groups|·|partitions|-row offsets frame, add a partition-local
+    cumulative sum. For FEW-and-HUGE groups (e.g. per-class weighted
+    medians over a value-domain rollup) where ``Window.partitionBy(
+    group)`` would funnel each group through one task. ``order_by``
+    must totally order rows within a group; exact for integral /
+    decimal ``value_col``."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(group_col), *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = ranged.groupBy(group_col, "_pid").agg(
+        F.sum(value_col).alias("_v")
+    )
+    woff = (
+        Window.partitionBy(group_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        group_col,
+        "_pid",
+        F.coalesce(F.sum("_v").over(woff), F.lit(0)).alias("_off"),
+    )
+    wlocal = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_local", F.sum(value_col).over(wlocal))
+        .join(F.broadcast(offsets), on=[group_col, "_pid"])
+        .withColumn(out_col, F.col("_off") + F.col("_local"))
+        .drop("_pid", "_local", "_off")
+    )

@@ -4296,30 +4296,107 @@ register(
 # MAD-based fences are the outlier rule that survives the outliers
 # themselves (unlike mean/stddev — rel_value_outliers' z-scores).
 #
-# Scale: BOTH exact medians run through two_pass_rank_in_groups — the
-# return-flag groups are FEW and HUGE (3 classes × billions of rows at
-# 100 TB), exactly the case where Window.partitionBy(flag).orderBy
-# would funnel each class through one task. The median is read off the
-# rank arithmetic (avg of the two middle positions), the 3-row median
-# frame broadcasts back, and the fence tally is one conditional pass.
+# Scale: BOTH exact medians run as bucket-histogram medians (the
+# classic two-round exact quantile): round 1 is a plain hash
+# aggregation into a bounded (class, bucket) histogram — map-side
+# partial, shuffle O(buckets × partitions) instead of O(rows) — whose
+# cumulative counts locate the middle bucket(s); round 2 ranks ONLY
+# the rows of those buckets (~1/|buckets| of the table) through
+# two_pass_rank_in_groups and reads the median off the global
+# position arithmetic. The return-flag groups are FEW and HUGE
+# (3 classes × billions of rows at 100 TB) — exactly the case where
+# Window.partitionBy(flag).orderBy would funnel each class through one
+# task, and where even the two-pass grouped rank's O(rows) range
+# shuffle (the round-7 shape, 3.85 s at sf0.1) is dominated by this
+# histogram screen (~2 s). A (class, price, count) value-domain rollup
+# was prescribed and MEASURED WORSE (6.5 s): l_extendedprice is
+# quantity × part price, so the domain is ~as large as the row count
+# (594k distinct / 600k rows at sf0.1) and the rollup only adds a
+# full-width shuffle. See SCALE.md "mad_outliers weighted-median
+# episode".
 # --------------------------------------------------------------------------
 
 MAD_FENCE_K = 3.0 * 1.4826
 
 
-def _median_from_ranked(
-    ranked: DataFrame, group: str, value: str, out: str
+MAD_HIST_WIDTH = 100  # bucket width for the histogram median screen
+
+
+def _hist_median(
+    df: DataFrame, group: str, value: str, out: str, width: int
 ) -> DataFrame:
-    """Exact per-group median off a two_pass_rank_in_groups frame.
-    Group size = max dense rank (no extra counting scan); middle
-    positions floor((n+1)/2) and floor(n/2)+1 — equal for odd n,
-    adjacent for even n; their value average = quantile_cont(0.5)."""
-    n = ranked.groupBy(group).agg(F.max("_rk").alias("_n"))
+    """Exact per-group median via the two-round bucket-histogram
+    screen. Round 1: hash-aggregate a (group, floor(value/width))
+    histogram — map-side partial, so the shuffle carries
+    O(buckets × partitions) rows — and read the middle positions
+    floor((n+1)/2) / floor(n/2)+1 off its per-group cumulative counts
+    (the window runs over the HISTOGRAM, bounded by the value domain /
+    width, never the data). Round 2: re-scan only the rows of the
+    bucket(s) covering those positions (~1/|buckets| of the table),
+    collapse them to their exact (group, value) rollup — values here
+    are discrete decimals, so the rollup is bounded by
+    selected_buckets × width / value_resolution rows per group,
+    independent of data size — and read the median off the rollup's
+    cumulative counts; the 1-2 surviving values' average =
+    quantile_cont(0.5).
+
+    Every window below is partitionBy(group) over a BOUNDED frame (the
+    histogram: ≤ domain/width rows per group; the round-2 rollup: the
+    per-bucket value domain) — never over the data rows."""
+    bkt = F.floor(F.col(value) / width).cast("long")
+    hist = df.groupBy(F.col(group), bkt.alias("_bkt")).agg(
+        F.count("*").alias("_hc")
+    )
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group)
+    cum = hist.select(
+        group,
+        "_bkt",
+        "_hc",
+        F.sum("_hc").over(wcum).alias("_cumh"),
+        F.sum("_hc").over(wall).alias("_n"),
+    )
+    p1 = F.floor((F.col("_n") + 1) / 2)
+    p2 = F.floor(F.col("_n") / 2) + 1
+    before = F.col("_cumh") - F.col("_hc")
+    targets = (
+        cum.filter(
+            ((before < p1) & (p1 <= F.col("_cumh")))
+            | ((before < p2) & (p2 <= F.col("_cumh")))
+        )
+        .groupBy(group)
+        .agg(
+            # p2 <= p1 + 1, so target buckets are value-adjacent: the
+            # selected rows are contiguous in global order starting at
+            # the first target bucket's offset
+            F.min(before).alias("_off0"),
+            F.max("_n").alias("_n"),
+            F.collect_set("_bkt").alias("_bkts"),
+        )
+    )
+    sel = df.join(F.broadcast(targets), group).filter(
+        F.array_contains(F.col("_bkts"), bkt)
+    )
+    roll = sel.groupBy(group, value).agg(
+        F.count("*").alias("_c"),
+        F.first("_off0").alias("_off0"),
+        F.first("_n").alias("_n"),
+    )
+    wv = (
+        Window.partitionBy(group)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumv = roll.withColumn("_cum", F.col("_off0") + F.sum("_c").over(wv))
+    lo = F.col("_cum") - F.col("_c")
     return (
-        ranked.join(F.broadcast(n), group)
-        .filter(
-            (F.col("_rk") == F.floor((F.col("_n") + 1) / 2))
-            | (F.col("_rk") == F.floor(F.col("_n") / 2) + 1)
+        cumv.filter(
+            ((lo < p1) & (p1 <= F.col("_cum")))
+            | ((lo < p2) & (p2 <= F.col("_cum")))
         )
         .groupBy(group)
         .agg(F.avg(value).alias(out))
@@ -4327,42 +4404,30 @@ def _median_from_ranked(
 
 
 def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.util import two_pass_rank_in_groups
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    # rank once; the checkpointed ranged frame inside the helper feeds
-    # the median read-off (group size = its max dense rank, no separate
-    # counting pass)
-    ranked1 = two_pass_rank_in_groups(
-        li, "l_returnflag", [F.col("l_extendedprice")], out_col="_rk"
-    )
-    med = _median_from_ranked(
-        ranked1, "l_returnflag", "l_extendedprice", "median_price"
-    )
-    # dev restarts from the 2-column parquet scan rather than replaying
-    # ranked1's per-partition window (a columnar re-scan is cheaper than
-    # re-sorting every partition); checkpointed for its two consumers
-    dev = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .select(
-            "l_returnflag",
-            "l_extendedprice",
-            F.abs(
-                F.col("l_extendedprice") - F.col("median_price")
-            ).alias("_dev"),
-            "median_price",
-        )
-        .localCheckpoint(eager=False)
-    )
-    ranked2 = two_pass_rank_in_groups(
-        dev.select("l_returnflag", "_dev"),
+    # 3-row result, checkpointed: dev has THREE consumers (the dev
+    # histogram, its round-2 rollup, and the fence tally) — without the
+    # barrier each would replay the entire median-1 subtree
+    med = _hist_median(
+        li, "l_returnflag", "l_extendedprice", "median_price",
+        MAD_HIST_WIDTH,
+    ).localCheckpoint()
+    # deviation = |price - class median|, derived from the 2-column
+    # columnar scan + a broadcast of the 3-row median frame wherever
+    # consumed — deliberately NOT checkpointed: at scale re-deriving
+    # from the pruned scan is cheaper than materializing an O(rows)
+    # checkpoint (the r7 finding), and each consumer's scan stays
+    # pushed down
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
-        [F.col("_dev")],
-        out_col="_rk",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias(
+            "_dev"
+        ),
+        "median_price",
     )
-    mad = _median_from_ranked(ranked2, "l_returnflag", "_dev", "_mad")
+    mad = _hist_median(dev, "l_returnflag", "_dev", "_mad", MAD_HIST_WIDTH)
     return (
         dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")

@@ -690,37 +690,37 @@ def test_skyline_matches_bruteforce_dominance(spark):
     assert got == want
 
 
-def test_grouped_median_matches_statistics_median(spark):
-    """_median_from_ranked over two_pass_rank_in_groups == the textbook
-    median (statistics.median) per group, odd and even sizes, with
-    duplicate values."""
+def test_hist_median_matches_statistics_median(spark):
+    """_hist_median (two-round bucket-histogram screen) == the textbook
+    median (statistics.median) per group, odd and even sizes, duplicate
+    values, middle positions inside one bucket and split across two
+    adjacent buckets — the read-off rel_mad_outliers' two median passes
+    rely on (r8 rewrite)."""
     import statistics
 
-    from pyspark.sql import functions as F
-
-    from etl_moodle_and_mass_email_sending_spark.operators.util import (
-        two_pass_rank_in_groups,
-    )
     from etl_moodle_and_mass_email_sending_spark.queries.relational import (
-        _median_from_ranked,
+        _hist_median,
     )
 
     data = {
         "a": [5.0, 1.0, 3.0, 3.0, 9.0],          # odd, with ties
-        "b": [2.0, 8.0, 4.0, 6.0],               # even
+        "b": [2.0, 8.0, 4.0, 6.0],               # even, same bucket
         "c": [7.0],                               # singleton
+        "d": [2.0, 2.0, 2.0, 5.0],               # even, tie spans middle
+        # even with the two middle positions in DIFFERENT buckets at
+        # width=3: sorted [1, 2, 4, 9] -> middles 2 (bucket 0), 4
+        # (bucket 1)
+        "e": [9.0, 2.0, 1.0, 4.0],
     }
     rows = [(g, v) for g, vs in data.items() for v in vs]
     df = spark.createDataFrame(rows, "g string, v double").repartition(5)
-    ranked = two_pass_rank_in_groups(
-        df, "g", [F.col("v")], out_col="_rk", num_partitions=3
-    )
-    got = {
-        r["g"]: r["med"]
-        for r in _median_from_ranked(ranked, "g", "v", "med").collect()
-    }
-    want = {g: statistics.median(vs) for g, vs in data.items()}
-    assert got == want
+    for width in (3, 100):
+        got = {
+            r["g"]: r["med"]
+            for r in _hist_median(df, "g", "v", "med", width).collect()
+        }
+        want = {g: statistics.median(vs) for g, vs in data.items()}
+        assert got == want, f"width={width}"
 
 
 def test_jaccard_neighbors_matches_bruteforce_sets(spark):

@@ -700,12 +700,19 @@ def test_no_unbounded_global_sort_windows(spark, registry_queries):
 def test_mad_outliers_medians_are_grouped_two_pass(
     spark, registry_queries
 ):
-    """Both exact medians must run through two_pass_rank_in_groups (the
-    _pid range-partition machinery), never Window.partitionBy(flag)
-    .orderBy — 3 groups x billions of rows would single-task."""
+    """Both exact medians run as bucket-histogram medians (r8 rewrite):
+    the only windows in the plan sort BOUNDED aggregate frames (the
+    bucket histogram / the in-bucket value rollup, both marked by the
+    _bkt machinery), the fact table itself is never range-shuffled or
+    globally sorted, and every sort is partition-local."""
     plan = _plan(registry_queries["rel_mad_outliers"](spark, SF_SMALL))
-    assert "_pid" in plan
+    assert "_bkt" in plan  # histogram screen present
     assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan  # no O(rows) range shuffle
+    import re
+
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+)", plan):
+        assert m.group(1) == "false", "global sort in mad plan"
 
 
 def test_vocab_coverage_rank_is_two_pass(spark, registry_queries):
