@@ -171,6 +171,11 @@ def main() -> None:
     from etl_moodle_and_mass_email_sending_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    # ERROR-level logging: the driver captures only the last ~2 KB of
+    # stdout/stderr, and round 7's tail was mostly repeated (benign,
+    # whitelisted-bounded) WindowExec WARN lines — quiet them so the
+    # capture carries the JSON line, not log noise (VERDICT r7 item 2).
+    spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
     # Warm up the JVM, parquet footers, AND the Arrow/Python-worker pool
@@ -191,15 +196,26 @@ def main() -> None:
     # to 2x run-to-run noise between rounds 2 and 3 on identical code).
     # Min/max spread ships alongside so a regression is distinguishable
     # from variance.
+    # Round-8 comparability hardening (VERDICT r7 item 2: untouched
+    # early queries drifted +33-43% between rounds as the sweep grew):
+    # the cross-round comparison subset (the printed set below) gets 5
+    # timed runs instead of 3 — a 5-run median is measurably stabler
+    # against transient JVM/GC state — and a JVM GC runs between
+    # queries so one query's garbage doesn't become the next query's
+    # pause.
     timed_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    comparison_set = set(HEADLINE[:33]) | {"llm_corpus_pipeline"}
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs = (
+            max(timed_runs, 5) if name in comparison_set else timed_runs
+        )
         samples: list[float] = []
-        for _ in range(timed_runs):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
@@ -207,6 +223,7 @@ def main() -> None:
         times[name] = med
         spread[name] = [min(samples), max(samples)]
         total += med
+        spark._jvm.System.gc()
 
     # The driver captures only the last ~2 KB of stdout; round 4's line
     # (medians + per-query spread) outgrew that and failed to parse

@@ -28,79 +28,83 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-7 ROTATION (VERDICT r6 items 1-2):
-# the window is now an EXPLICIT 50-name list —
-#   (a) the 28 never-externally-certified queries: the 18-query round-5
-#       queue plus the 10 round-6 additions (closing the certification
-#       ledger: after this round every registered query has an external
-#       green row);
-#   (b) the 10 queries whose IMPLEMENTATION changed this round and so
-#       need their new code re-certified (standing policy): the IVF/PQ
-#       family whose corpus-side argmax windows became struct-max
-#       aggregates (sim_ivf_topk, sim_ivf_nprobe_sweep, sim_ann_recall,
-#       sim_kmeans_refine, sim_semantic_dedup, sim_pq_topk,
-#       sim_ivfpq_topk), rel_k_anonymity (empty-input parity filter),
-#       and text_source_mixture / text_stratified_sample (the
-#       _docs_src de-shadowing changed their helper bindings);
-#   (c) 12 refresh slots re-certifying the OLDEST external greens
-#       (round 2/3) so no certification goes stale indefinitely.
-# rel_market_basket (broadcast-side fix), sim_cluster_purity and
-# graph_two_hop (rewritten this round) are already inside (a).
+# entries in iteration order. ROUND-8 ROTATION (VERDICT r7 item 1):
+#   (a) the 16 round-7 tail additions — never externally certified,
+#       all independently driver-sim green in the round-7 judging
+#       (standing promotion policy); four of them (rel_mad_outliers,
+#       graph_jaccard_neighbors, rel_ab_conversion_lift,
+#       mm_payload_byte_stats) were ALSO rewritten this round
+#       (histogram median / degree-cap fix / try_divide /
+#       variable-length payloads), so the window certifies the new
+#       code;
+#   (b) 3 queries whose IMPLEMENTATION changed this round and need
+#       their new code re-certified (standing policy): sim_pq_topk /
+#       sim_ivfpq_topk (session-staged codebooks + encodings),
+#       graph_two_hop (mid-vertex-only degree cap + capped oracle);
+#   (c) 12 refresh slots for the queries whose last external green is
+#       round 3 — the stalest certifications in the ledger;
+#   (d) 19 refresh slots for the oldest round-4 certifications
+#       (alphabetical head of the 45-name r4 cohort; the remaining 26
+#       rotate in round 9).
 # Everything else stays registered and locally gated every round by
 # tests/test_oracle_parity.py and the tests/driver_sim.py sweep; new
-# round-7 additions start life in the tail (standing policy: promote
+# round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    "rel_gap_detection",
-    "graph_assortativity",
-    "rel_order_reconciliation",
-    "sim_ivf_list_balance",
-    "rel_arrival_disorder",
-    "text_heaps_law",
-    "graph_clustering_coeff",
-    "rel_dow_hour_profile",
-    "text_burstiness",
-    "rel_revenue_gini",
-    "text_js_divergence",
-    "dedup_threshold_sweep",
-    "mm_phash_hamming_hist",
-    "rel_market_basket",
-    "mm_audio_fp_dedup",
-    "rel_new_vs_returning",
-    "rel_ship_lag_by_nation",
-    "text_oov_rate",
-    "text_lexical_diversity",
-    "text_tokenizer_fertility",
-    "text_line_dedup",
-    "text_ppl_buckets",
-    "sim_cluster_purity",
-    "rel_correlation_matrix",
-    "graph_two_hop",
-    "mm_video_frame_dedup",
-    "sim_norm_outliers",
-    "rel_duplicate_orders",
-    "sim_ivf_topk",
-    "sim_ivf_nprobe_sweep",
-    "sim_ann_recall",
-    "sim_kmeans_refine",
-    "sim_semantic_dedup",
+    # (a) round-7 tail additions
+    "text_pmi_collocations",
+    "text_idf_drift",
+    "text_vocab_coverage",
+    "graph_jaccard_neighbors",
+    "sim_lsh_bucket_stats",
+    "mm_payload_byte_stats",
+    "rel_event_lateness",
+    "rel_skyline",
+    "rel_cohort_ltv",
+    "rel_mad_outliers",
+    "rel_rfm_segments",
+    "text_length_histogram",
+    "sim_pq_distortion",
+    "rel_ab_conversion_lift",
+    "rel_seasonality_index",
+    "dedup_lang_purity",
+    # (b) round-8 rewrites
     "sim_pq_topk",
     "sim_ivfpq_topk",
-    "rel_k_anonymity",
-    "text_source_mixture",
-    "text_stratified_sample",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "mm_decode_media",
-    "mm_extract_features",
-    "mm_resize_images",
-    "rel_skew_salted_agg",
-    "rel_range_join",
-    "rel_time_rollup",
-    "text_chunking",
-    "text_pii_scrub",
-    "text_decontaminate",
+    "graph_two_hop",
+    # (c) round-3 refreshes
+    "rel_data_quality",
+    "rel_events_hourly",
+    "rel_events_json",
+    "rel_percentiles",
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "rel_scalar_subquery",
+    "rel_semi_anti",
+    "rel_sessionize",
+    "rel_top_orders_per_customer",
+    "text_repetition",
+    "text_train_val_split",
+    # (d) round-4 refreshes (alphabetical head of the r4 cohort)
+    "dedup_containment",
+    "dedup_fuzzy_match",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "mm_audio_energy",
+    "mm_phash_dedup",
+    "mm_sample_frames",
+    "mm_scene_changes",
+    "mm_silence_runs",
+    "rel_asof_forward",
+    "rel_asof_tolerance",
+    "rel_chi_square",
+    "rel_cube_documents",
+    "rel_event_pmi",
+    "rel_event_transitions",
+    "rel_funnel_stages",
+    "rel_incremental_agg",
+    "rel_kmv_distinct",
+    "rel_latest_per_key",
 ]
 
 
