@@ -90,13 +90,64 @@ def test_embedding_near_dup_finds_scaled_copies(spark):
     assert planted and all(r["cosine"] == 1.0 for r in planted)
 
 
-def test_multimodal_real_engine_raises(spark):
+def test_multimodal_real_engine_video_is_still_a_seam(spark):
+    """decode_media engine='real' is live for image/audio (r8); video
+    remains the documented pyav seam and raises."""
     from etl_moodle_and_mass_email_sending_spark.operators import multimodal
 
-    media = multimodal.media_table(spark, SF_SMALL).limit(2)
+    media = multimodal.media_table(spark, SF_SMALL).filter(
+        "media_type = 'video'"
+    ).limit(2)
     decoded = multimodal.decode_media(media, engine="real")
-    with pytest.raises(Exception, match="NotImplementedError|no media codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|pyav"):
         decoded.collect()
+
+
+def test_decode_media_real_engine_decodes_wav(spark):
+    """The r8 live seam (VERDICT r7 item 5): engine='real' reads actual
+    WAV duration through stdlib wave — unconditional, no extra wheels —
+    under the same DECODED_SCHEMA the fake engine emits."""
+    import io
+    import wave
+
+    from etl_moodle_and_mass_email_sending_spark.operators import multimodal
+
+    wav = io.BytesIO()
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 2000)  # 2000 frames @ 8 kHz = 250 ms
+    media = spark.createDataFrame(
+        [(2, "audio", bytearray(wav.getvalue()))],
+        schema="doc_id long, media_type string, payload binary",
+    )
+    (row,) = multimodal.decode_media(media, engine="real").collect()
+    assert row["duration_ms"] == 250
+    assert row["width"] is None and row["n_frames"] is None
+    assert row["payload_len"] == len(wav.getvalue())
+
+
+def test_decode_media_real_engine_decodes_png(spark):
+    """Skip-gated image half of the live decode seam: with Pillow
+    present engine='real' reads the true encoded geometry."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from etl_moodle_and_mass_email_sending_spark.operators import multimodal
+
+    png = io.BytesIO()
+    Image.new("RGB", (13, 7), (250, 10, 10)).save(png, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png.getvalue()))],
+        schema="doc_id long, media_type string, payload binary",
+    )
+    (row,) = multimodal.decode_media(media, engine="real").collect()
+    assert (row["width"], row["height"]) == (13, 7)
+    assert row["duration_ms"] is None
+    assert row["payload_len"] == len(png.getvalue())
 
 
 def test_multimodal_fake_decode_types(spark):
