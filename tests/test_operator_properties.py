@@ -794,3 +794,113 @@ def test_event_lateness_matches_pandas_cummax(spark):
         assert got[w][0] == n_late, (w, got[w], n_late)
         assert abs(got[w][1] - round(n_late / len(pdf), 6)) < 1e-9
     assert set(got) == set(LATENESS_WATERMARKS_SEC)
+
+
+def test_seasonality_index_matches_pandas_ratio_to_ma(spark):
+    """rel_seasonality_index == the pandas ratio-to-centered-moving-
+    average reference on a synthetic monthly series with a planted
+    seasonal pattern (VERDICT r7 item 7)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+        _seasonality_index,
+    )
+
+    rows = []
+    for m in range(36):
+        year, month = 2020 + m // 12, m % 12 + 1
+        # planted seasonality (peak in December) + deterministic noise
+        base = 1000.0 + 300.0 * (month == 12) - 150.0 * (month == 2)
+        for k in range((m * 7) % 3 + 1):
+            amt = round(base + ((m * 131 + k * 57) % 97) * 1.37, 2)
+            rows.append(
+                (m * 10 + k, dt.date(year, month, 1 + (k * 9) % 27), amt)
+            )
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["month_num"]: (r["n_months"], r["seasonal_index"])
+            for r in _seasonality_index(spark, d).collect()
+        }
+
+    pdf = pd.DataFrame(rows, columns=["k", "date", "amt"])
+    pdf["mo"] = pd.to_datetime(pdf["date"]).dt.to_period("M")
+    monthly = pdf.groupby("mo")["amt"].sum().sort_index()
+    ratios: dict[int, list[float]] = {}
+    rev = monthly.to_list()
+    months = [p.month for p in monthly.index]
+    for i in range(len(rev)):
+        if i - 5 < 0 or i + 6 >= len(rev):
+            continue  # full centered 12-window only
+        ma = sum(rev[i - 5 : i + 7]) / 12.0
+        ratios.setdefault(months[i], []).append(round(rev[i] / ma, 9))
+    want = {
+        m: (len(v), round(sum(v) / len(v), 6)) for m, v in ratios.items()
+    }
+    assert set(got) == set(want)
+    for m in want:
+        assert got[m][0] == want[m][0], m
+        assert abs(got[m][1] - want[m][1]) < 1e-6, m
+
+
+def test_rfm_segments_matches_pandas_ntile_quintiles(spark):
+    """rel_rfm_segments == a pandas reference applying the exact SQL
+    ntile(5) arithmetic to the per-customer (recency, frequency,
+    monetary) rollup, with a customer count NOT divisible by 5
+    (VERDICT r7 item 7)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+        _rfm_segments,
+    )
+
+    rows = []
+    for c in range(37):  # 37 % 5 != 0 exercises the uneven buckets
+        for k in range((c * 13) % 4 + 1):
+            day = dt.date(2023, (c + k) % 12 + 1, (c * 11 + k * 5) % 28 + 1)
+            amt = round(500.0 + ((c * 37 + k * 101) % 211) * 3.17, 2)
+            rows.append((c, day, amt))
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            (r["r_score"], r["f_score"], r["m_score"]): r["n_customers"]
+            for r in _rfm_segments(spark, d).collect()
+        }
+
+    pdf = pd.DataFrame(rows, columns=["cust", "date", "amt"])
+    per = pdf.groupby("cust").agg(
+        rec=("date", "max"), freq=("date", "count"), mon=("amt", "sum")
+    )
+    total = len(per)
+
+    def ntile(rank: int, n: int = 5) -> int:
+        q, r = divmod(total, n)
+        big = r * (q + 1)
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - 1 - big) // max(q, 1) + 1
+
+    scores = {}
+    for dim in ("rec", "freq", "mon"):
+        ordered = per.sort_values([dim, "cust"]).index.to_list()
+        for rank, cust in enumerate(ordered, 1):
+            scores.setdefault(cust, {})[dim] = ntile(rank)
+    want: dict[tuple, int] = {}
+    for cust, s in scores.items():
+        key = (s["rec"], s["freq"], s["mon"])
+        want[key] = want.get(key, 0) + 1
+    assert got == want
