@@ -1,4 +1,12 @@
 """Query-registration modules. Importing this package registers every
 implemented query + oracle pair into :mod:`..registry`."""
 
-from . import llmdata, reference, relational, streaming_q  # noqa: F401
+from . import (  # noqa: F401
+    finance,
+    llmdata,
+    quality,
+    reference,
+    streaming_q,
+    tpch,
+    windows,
+)

@@ -1,0 +1,1124 @@
+"""[EXT] M5 — relational completeness, finance / CRM / sketch / layout family (SURVEY.md §7),
+each query oracle-checked. Formerly part of queries/relational.py; split
+by family in round 8 (VERDICT r7 item 6) with zero behavior change. The
+shared numeric-parity policy (exact DECIMAL internals, DOUBLE output
+projections) is documented in queries/tpch.py, which also owns _dec.
+Scale notes per query are inline (broadcast choices, shuffle keys, AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+from ..registry import register
+from .tpch import _dec
+from ..operators import sketches as _sketches
+
+# --------------------------------------------------------------------------
+# rel_setops — INTERSECT / EXCEPT / UNION with distinct semantics.
+# --------------------------------------------------------------------------
+
+
+def _setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    furn = c.filter(F.col("c_mktsegment") == "FURNITURE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = furn.intersect(open_orders).withColumn("src", F.lit("both"))
+    only_furn = furn.exceptAll(open_orders.distinct()).distinct().withColumn(
+        "src", F.lit("furniture_only")
+    )
+    return both.unionByName(only_furn)
+
+
+register(
+    "rel_setops",
+    _setops,
+    """
+    WITH furn AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'FURNITURE'),
+         op AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT custkey, 'both' AS src FROM (SELECT custkey FROM furn INTERSECT SELECT custkey FROM op)
+    UNION ALL
+    SELECT custkey, 'furniture_only' AS src FROM (SELECT custkey FROM furn EXCEPT SELECT custkey FROM op)
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_rollup — hierarchical aggregates in one pass (GROUPING SETS).
+# --------------------------------------------------------------------------
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+    )
+
+
+register(
+    "rel_rollup",
+    _rollup,
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_cube_documents — CUBE over (source, lang): all four grouping sets in
+# ONE pass (Spark expands grouping sets inside the aggregate — one scan,
+# one shuffle — vs four separate group-bys = four scans at 100 TB).
+# Subtotal rows are labelled 'ALL' via coalesce; safe because the testbed
+# columns are non-null (documents.source/lang: 0 nulls, TESTDATA.md).
+# --------------------------------------------------------------------------
+
+
+def _cube_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+register(
+    "rel_cube_documents",
+    _cube_documents,
+    """
+    SELECT coalesce(source, 'ALL') AS source,
+           coalesce(lang, 'ALL') AS lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY CUBE (source, lang)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_kmv_distinct — deterministic KMV distinct-count sketch per
+# event_type over user_id (operators/sketches.py has the full scale
+# rationale: two-stage salted top-k, 8-byte shuffle payloads).
+# --------------------------------------------------------------------------
+
+
+
+register(
+    "rel_kmv_distinct",
+    lambda spark, sf_dir: _sketches.kmv_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    ),
+    _sketches.sql_kmv_distinct(
+        "SELECT event_type, user_id FROM events", "event_type", "user_id"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_ship_lag_by_nation — operational fulfillment metric: days from
+# order date to line ship date, averaged per supplier nation. The
+# orderkey join is fact-to-fact (q12 posture: shuffle, never
+# broadcast); supplier and nation are broadcast dims; the day
+# difference is an exact integer, so the average is sum/count exact
+# until the final division.
+# --------------------------------------------------------------------------
+
+
+def _ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum(lag).alias("_slag"),
+            F.max(lag).alias("max_ship_days"),
+        )
+        .select(
+            "n_name",
+            "n_lineitems",
+            F.round(
+                F.col("_slag") / F.col("n_lineitems"), 6
+            ).alias("avg_ship_days"),
+            "max_ship_days",
+        )
+    )
+
+
+register(
+    "rel_ship_lag_by_nation",
+    _ship_lag,
+    """
+    SELECT n.n_name,
+           count(*) AS n_lineitems,
+           round(CAST(sum(datediff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE)))
+                      AS DOUBLE) / count(*), 6) AS avg_ship_days,
+           CAST(max(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)))
+                AS INTEGER) AS max_ship_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_market_basket — association rules over order baskets: for the
+# top part pairs co-occurring in orders, support (pair orders / all
+# orders), confidence (pair / antecedent) and lift (confidence /
+# consequent support). The within-order self-join is bounded by basket
+# size (TPC-H baskets are ≤ 7 lines, so ≤ 21 pairs per order — no
+# quadratic blowup), and every measure is a ratio of exact integer
+# counts. Canonical pair orientation part_a < part_b; top-20 by pair
+# count with pair-id tie-break.
+# --------------------------------------------------------------------------
+
+
+def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_orderkey").alias("_n"))
+    )
+    part_orders = li.groupBy("l_partkey").agg(
+        F.count("*").alias("_po")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, on="ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    salt = F.pmod(F.xxhash64("pa", "pb"), F.lit(16))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.col("n_pair").desc(), F.col("pa"), F.col("pb")
+    )
+    w2 = Window.orderBy(F.col("n_pair").desc(), F.col("pa"), F.col("pb"))
+    top = (
+        pairs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= 20)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= 20)
+    )
+    pa_cnt = part_orders.select(
+        F.col("l_partkey").alias("pa"), F.col("_po").alias("_na")
+    )
+    pb_cnt = part_orders.select(
+        F.col("l_partkey").alias("pb"), F.col("_po").alias("_nb")
+    )
+    # Broadcast the 20-row `top`, never the |parts|-cardinality
+    # pa_cnt/pb_cnt rollups (linear in SF — broadcasting a fact-derived
+    # aggregate is a guaranteed OOM at 100 TB). The big sides stream.
+    enriched = pa_cnt.join(F.broadcast(top), on="pa")
+    enriched = pb_cnt.join(F.broadcast(enriched), on="pb")
+    return (
+        enriched.crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("_na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_pair") / F.col("_na"))
+                / (F.col("_nb") / F.col("_n")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+register(
+    "rel_market_basket",
+    _market_basket,
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+    part_orders AS (
+      SELECT l_partkey, count(*) AS po FROM li GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT pa, pb, n_pair FROM pairs
+      ORDER BY n_pair DESC, pa, pb LIMIT 20
+    )
+    SELECT t.pa AS part_a, t.pb AS part_b, t.n_pair,
+           round(CAST(t.n_pair AS DOUBLE) / n.n, 6) AS support,
+           round(CAST(t.n_pair AS DOUBLE) / ca.po, 6) AS confidence,
+           round((CAST(t.n_pair AS DOUBLE) / ca.po)
+                 / (CAST(cb.po AS DOUBLE) / n.n), 6) AS lift
+    FROM top t
+    JOIN part_orders ca ON t.pa = ca.l_partkey
+    JOIN part_orders cb ON t.pb = cb.l_partkey
+    CROSS JOIN n_orders n
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_abc_analysis — ABC/Pareto inventory classification: parts sorted
+# by lineitem revenue; class A = parts covering the first 80% of
+# cumulative revenue, B = next 15%, C = the tail. The classic
+# inventory-policy rollup. Revenue is exact DECIMAL; the cumulative
+# sum over the PART-level rollup (|parts| rows, not lineitems — but
+# still growing linearly with SF) runs as the TWO-PASS prefix sum
+# (range-partition on revenue desc + broadcast earlier-partition
+# totals), not an unpartitioned window (VERDICT r5 item 4). Exact:
+# decimal partial sums reassociate. Class boundaries compare exact
+# decimals so classification is deterministic.
+# --------------------------------------------------------------------------
+
+
+def _abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import two_pass_running_sum
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            _dec(F.sum(_dec(F.col("l_extendedprice")))).alias("_rev")
+        )
+    )
+    tot = rev.agg(F.sum("_rev").alias("_t"))
+    ranked = two_pass_running_sum(
+        rev,
+        [F.col("_rev").desc(), F.col("l_partkey")],
+        "_rev",
+        out_col="_cum",
+    ).crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(
+            F.col("_cum") * 100 <= F.col("_t") * 80, F.lit("A")
+        )
+        .when(F.col("_cum") * 100 <= F.col("_t") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    out = ranked.select(cls.alias("abc_class"), "_rev")
+    tot2 = out.agg(F.sum("_rev").alias("_t2"))
+    return (
+        out.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("_rev").alias("_crev"),
+        )
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "abc_class",
+            "n_parts",
+            F.col("_crev").cast("double").alias("class_revenue"),
+            F.round(
+                F.col("_crev").cast("double")
+                / F.col("_t2").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+register(
+    "rel_abc_analysis",
+    _abc_analysis,
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev) AS t FROM rev),
+    ranked AS (
+      SELECT rev, t,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum
+      FROM rev CROSS JOIN tot
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                  WHEN cum * 100 <= t * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev
+      FROM ranked
+    ),
+    tot2 AS (SELECT sum(rev) AS t2 FROM classed)
+    SELECT abc_class, count(*) AS n_parts,
+           CAST(sum(rev) AS DOUBLE) AS class_revenue,
+           round(CAST(sum(rev) AS DOUBLE) / CAST(t2 AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed CROSS JOIN tot2
+    GROUP BY abc_class, t2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_revenue_gini — revenue-concentration audit per market segment:
+# the Gini coefficient over per-customer order revenue (customers with
+# no orders included at zero — concentration among the eligible
+# population, not just the buyers). Closed form over ranked values
+# G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with revenue in exact DECIMAL and
+# ranks integer, so both sums are order-independent; the per-segment
+# rank window is the exact computation's inherent sort (the sampled
+# alternative at extreme scale is rel_quantile_sketch's bottom-k
+# machinery).
+# --------------------------------------------------------------------------
+
+
+def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dec(F.sum(_dec(F.col("o_totalprice")))).alias("_rev"))
+    )
+    base = c.join(rev, c.c_custkey == rev.o_custkey, "left").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.coalesce("_rev", F.lit(0).cast("decimal(18,2)")).alias("rev"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("rev", "c_custkey")
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    sums = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("_srev"),
+        F.sum(F.col("_i") * F.col("rev")).alias("_sirev"),
+    )
+    n = F.col("n_customers").cast("double")
+    g = F.round(
+        F.lit(2.0)
+        * F.col("_sirev").cast("double")
+        / (n * F.col("_srev").cast("double"))
+        - (n + 1) / n,
+        6,
+    )
+    return sums.select(
+        "c_mktsegment",
+        "n_customers",
+        F.col("_srev").cast("double").alias("total_revenue"),
+        g.alias("gini"),
+    )
+
+
+register(
+    "rel_revenue_gini",
+    _revenue_gini,
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             coalesce(r.rev, CAST(0 AS DECIMAL(18,2))) AS rev
+      FROM customer c LEFT JOIN rev r ON c.c_custkey = r.o_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, rev,
+             row_number() OVER (PARTITION BY c_mktsegment
+                  ORDER BY rev, c_custkey) AS i
+      FROM base
+    ),
+    sums AS (
+      SELECT c_mktsegment, count(*) AS n_customers,
+             sum(rev) AS srev, sum(i * rev) AS sirev
+      FROM ranked GROUP BY 1
+    )
+    SELECT c_mktsegment, n_customers,
+           CAST(srev AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(sirev AS DOUBLE)
+                 / (n_customers * CAST(srev AS DOUBLE))
+                 - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6)
+             AS gini
+    FROM sums
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_hll_distinct — deterministic HyperLogLog sketch: distinct
+# event_ids per event_type (thousands per group, so the raw estimator
+# branch is exercised, unlike the 150-user KMV demo above). Registers
+# (not top-k) — a single
+# map-side-combining shuffle, no window sort; the cheaper sketch at
+# very high cardinality (operators/sketches.py has the exact-integer
+# harmonic-sum determinism story).
+# --------------------------------------------------------------------------
+
+
+register(
+    "rel_hll_distinct",
+    lambda spark, sf_dir: _sketches.hll_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "event_id"
+    ),
+    _sketches.sql_hll_distinct(
+        "SELECT event_type, event_id FROM events", "event_type", "event_id"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_skew_salted_join — the join-side twin of rel_skew_salted_agg
+# (operators/skew.py::salted_join): events ⋈ per-user dim with the dim
+# replicated across 16 salts so a hot user's events spread over 16
+# reducers instead of one. The oracle is the plain join + rollup —
+# salting is physical, not semantic.
+# --------------------------------------------------------------------------
+
+
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        e.select("user_id", "event_id", "value"),
+        c,
+        key="user_id",
+        salt_source="event_id",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(_dec(F.col("value"))).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
+register(
+    "rel_skew_salted_join",
+    _skew_salted_join,
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE value IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_zorder_layout — Morton-order file-bucket assignment over
+# (user_id, hour-of-month): rows are ranked by the bit-interleaved
+# zvalue and cut into 32 range buckets — exactly what
+# repartitionByRange(zvalue) does before a layout-optimizing write, so
+# each bucket (file) has tight min/max on BOTH keys and scans filtering
+# on either dimension prune files. The bucket split reproduces ntile(32)
+# semantics exactly (so the assignment stays oracle-checkable) but is
+# computed scale-safely: two-pass global rank (range-partition on
+# (zvalue, event_id) + per-partition row_number + broadcast offsets) and
+# bucket arithmetic from (rank, total) — no global-window single-task
+# sort over the fact table (VERDICT r5 item 3).
+# --------------------------------------------------------------------------
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import zorder_value
+    from ..operators.util import ntile_from_rank, two_pass_rank
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+        .cast("bigint")
+        .alias("epoch_hour"),
+    )
+    z = e.withColumn("zvalue", zorder_value("user_id", "epoch_hour"))
+    ranked = two_pass_rank(
+        z, [F.col("zvalue"), F.col("event_id")], out_col="_rank"
+    )
+    # total row count as a broadcast 1-row aggregate over the ranked frame
+    # (cheap: the rank's range shuffle is checkpointed) — never collected
+    # driver-side.
+    total = ranked.agg(F.max("_rank").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "event_id",
+            "user_id",
+            "epoch_hour",
+            "zvalue",
+            ntile_from_rank(
+                F.col("_rank"), F.col("_n"), 32
+            ).alias("file_bucket"),
+        )
+    )
+
+
+def _sql_zorder_layout() -> str:
+    from ..operators.sketches import sql_zorder_value
+
+    zexpr = sql_zorder_value("user_id", "epoch_hour")
+    return f"""
+    WITH base AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS epoch_hour
+      FROM events
+    ),
+    z AS (SELECT *, {zexpr} AS zvalue FROM base)
+    SELECT event_id, user_id, epoch_hour, zvalue,
+           CAST(ntile(32) OVER (ORDER BY zvalue, event_id) AS INTEGER)
+             AS file_bucket
+    FROM z
+    """
+
+
+register("rel_zorder_layout", _zorder_layout, _sql_zorder_layout())
+
+
+# --------------------------------------------------------------------------
+# rel_cms_heavy_hitters — count-min-sketch frequency top-20 over
+# events.user_id (operators/sketches.py: 1024 exact-integer counters
+# built in one map-side-combining shuffle, broadcast back; the estimate
+# is a min over integers, so the approximate operator hash-gates).
+# --------------------------------------------------------------------------
+
+register(
+    "rel_cms_heavy_hitters",
+    lambda spark, sf_dir: _sketches.cms_heavy_hitters(
+        load_table(spark, sf_dir, "events"), "user_id"
+    ),
+    _sketches.sql_cms_heavy_hitters(
+        "SELECT user_id FROM events", "user_id"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_bloom_prejoin — bloom-filter pre-join pruning stats: orders probed
+# against a bloom of BUILDING-segment customers before the exact semi
+# join (operators/sketches.py: the no-false-negative contract and the
+# false-positive gap are both part of the gated output).
+# --------------------------------------------------------------------------
+
+register(
+    "rel_bloom_prejoin",
+    lambda spark, sf_dir: _sketches.bloom_prejoin_stats(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderpriority",
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        ),
+        "c_custkey",
+    ),
+    _sketches.sql_bloom_prejoin_stats(
+        "SELECT o_custkey, o_orderpriority FROM orders",
+        "o_custkey",
+        "o_orderpriority",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+        "c_custkey",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_grouping_sets — GROUPING SETS with an ASYMMETRIC set list:
+# ((lang), (source)) — two independent one-dimension slices computed in
+# ONE scan, which neither ROLLUP nor CUBE can express (rollup nests,
+# cube powersets; both would add unwanted sets). Spark's Expand operator
+# replicates each input row once per set before a single partial+final
+# aggregation — at 100 TB that is one fact scan instead of two, at the
+# cost of a 2× expanded shuffle input that map-side combine collapses to
+# |langs| + |sources| groups.
+# --------------------------------------------------------------------------
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["lang"], ["source"]], "lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars")).alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
+register(
+    "rel_grouping_sets",
+    _grouping_sets,
+    """
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY GROUPING SETS ((lang), (source))
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_kmv_setops — union/intersection cardinality of the click vs
+# purchase user populations from merged KMV sketches (Beyer et al.
+# SIGMOD'07 multiset operations; operators/sketches.py::kmv_setops).
+# Exact counts ride along so the estimate's error is visible in the
+# result itself.
+# --------------------------------------------------------------------------
+
+register(
+    "rel_kmv_setops",
+    lambda spark, sf_dir: _sketches.kmv_setops(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "user_id",
+        "click",
+        "purchase",
+    ),
+    _sketches.sql_kmv_setops(
+        "SELECT event_type, user_id FROM events",
+        "event_type",
+        "user_id",
+        "click",
+        "purchase",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_skyline — 2-dimensional Pareto front (skyline) over orders: the
+# orders not STRICTLY dominated on (o_orderdate, o_totalprice) — no
+# other order is both more recent AND more expensive. The classic
+# "best tradeoff set" operator (Börzsönyi et al. 2001, "The Skyline
+# Operator").
+#
+# Scale: never the O(n²) dominance anti-join. Dominance in 2-D
+# collapses to a prefix extremum over the DATE-LEVEL rollup: an order
+# survives iff its price exceeds the max price over all strictly later
+# dates. The date frame is calendar-bounded (one row per distinct
+# order date — ~2.5k for 7 years at ANY data scale), so its ordered
+# window is bounded-input by construction (meta-pin whitelist), and it
+# broadcasts back over the orders scan.
+# --------------------------------------------------------------------------
+
+
+def _skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    daily = o.groupBy("o_orderdate").agg(
+        F.max("o_totalprice").alias("_mp")
+    )
+    wdesc = Window.orderBy(F.col("o_orderdate").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fence = daily.select(
+        "o_orderdate", F.max("_mp").over(wdesc).alias("_fence")
+    )
+    return (
+        o.join(F.broadcast(fence), "o_orderdate")
+        .filter(
+            # >=: dominance is STRICT in both dims, so an order matching
+            # the later-date max price is not dominated (tie-survival)
+            F.col("_fence").isNull()
+            | (F.col("o_totalprice") >= F.col("_fence"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+register(
+    "rel_skyline",
+    _skyline_orders,
+    """
+    WITH daily AS (
+      SELECT o_orderdate, max(o_totalprice) AS mp
+      FROM orders GROUP BY 1
+    ),
+    fence AS (
+      SELECT o_orderdate,
+             max(mp) OVER (ORDER BY o_orderdate DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS f
+      FROM daily
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o JOIN fence USING (o_orderdate)
+    WHERE fence.f IS NULL OR o.o_totalprice >= fence.f
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_cohort_ltv — the cohort revenue triangle: customers grouped by
+# first-order month, revenue tracked by months-since-first-order. The
+# standard lifetime-value readout (rel_retention's revenue-weighted
+# sibling: retention counts active users, LTV sums what they spend).
+#
+# Scale: first-order month is one hash aggregation on o_custkey; the
+# attach-back is a custkey-keyed hash equi-join (|customers| rows —
+# deliberately NOT broadcast); the triangle rollup shuffles only
+# (cohort, offset) cells. Month arithmetic is exact integer math on
+# extracted parts.
+# --------------------------------------------------------------------------
+
+
+def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mix = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort"),
+        F.min(mix).alias("_c0"),
+    )
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort",
+            (mix - F.col("_c0")).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(_dec(F.col("o_totalprice")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+register(
+    "rel_cohort_ltv",
+    _cohort_ltv,
+    """
+    WITH first AS (
+      SELECT o_custkey,
+             -- CAST: DuckDB's date_trunc('month') yields DATE, whose
+             -- raw-fetch repr diverges from Spark's timestamp
+             CAST(min(date_trunc('month', o_orderdate)) AS TIMESTAMP)
+               AS cohort,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS c0
+      FROM orders GROUP BY 1
+    )
+    SELECT f.cohort,
+           CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.c0
+                AS INTEGER) AS month_offset,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN first f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_rfm_segments — RFM (recency / frequency / monetary) customer
+# segmentation, the classic CRM cube: quintile-score each customer on
+# the three dimensions and report cell occupancy. Scores are 1..5 by
+# ntile over (metric, custkey) ascending — the deterministic total
+# order both engines share.
+#
+# Scale: the per-customer rollup is one hash aggregation; each of the
+# THREE global quintile assignments runs through two_pass_rank +
+# ntile_from_rank (the zorder pattern) — never an unpartitioned
+# ntile window over the customer frame; the final cube rollup shuffles
+# 125 cells.
+# --------------------------------------------------------------------------
+
+
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.util import ntile_from_rank, two_pass_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.date_trunc("day", "o_orderdate"))).alias(
+            "_rec"
+        ),
+        F.count("*").cast("long").alias("_freq"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("_mon"),
+    )
+    scored = per_cust
+    for dim, col in (("r", "_rec"), ("f", "_freq"), ("m", "_mon")):
+        scored = two_pass_rank(
+            scored,
+            [F.col(col), F.col("o_custkey")],
+            out_col=f"_rk_{dim}",
+        )
+    # customer count = max dense rank of the (checkpointed) ranked
+    # frame — not a second scan of the orders rollup
+    tot = scored.agg(F.max("_rk_r").alias("_t"))
+    scored = scored.crossJoin(F.broadcast(tot))
+    for dim in ("r", "f", "m"):
+        scored = scored.withColumn(
+            f"{dim}_score",
+            ntile_from_rank(F.col(f"_rk_{dim}"), F.col("_t"), 5),
+        )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+
+
+register(
+    "rel_rfm_segments",
+    _rfm_segments,
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             epoch_us(date_trunc('day', max(o_orderdate))) AS rec,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT CAST(ntile(5) OVER (ORDER BY rec, o_custkey) AS INTEGER)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INTEGER)
+               AS f_score,
+             CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS INTEGER)
+               AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_ab_conversion_lift — the A/B readout: users split into two
+# deterministic cohorts (user_id parity — the stand-in for a bucketing
+# hash), conversion = "has at least one purchase event", reported with
+# relative lift and the two-proportion z statistic (the go/no-go number
+# every experimentation platform prints).
+#
+# Scale: one (user, cohort) rollup with a conditional max (hash partial
+# agg on user_id), then a 2-row conditional aggregate; all counts are
+# exact integers and the z arithmetic is the same double expression on
+# both engines. Nothing beyond the user rollup ever shuffles.
+# --------------------------------------------------------------------------
+
+
+AB_PURCHASE_THRESHOLD = 14  # "converted" = heavy purchaser (every
+# testbed user has >= 1 purchase, so presence alone saturates at 1.0)
+
+
+def _ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = e.groupBy("user_id").agg(
+        F.when(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", 1)),
+                F.lit(0),
+            )
+            >= AB_PURCHASE_THRESHOLD,
+            1,
+        )
+        .otherwise(0)
+        .alias("_conv")
+    )
+    wide = users.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1)), F.lit(0)
+        ).cast("bigint").alias("n_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 0, F.col("_conv"))),
+            F.lit(0),
+        ).cast("bigint").alias("c_a"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 1, F.col("_conv"))),
+            F.lit(0),
+        ).cast("bigint").alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    # try_divide: a saturated metric (pool 0 or 1) yields NULL like the
+    # oracle, instead of an ANSI divide-by-zero throw
+    z = F.try_divide(
+        p_b - p_a,
+        F.sqrt(
+            pool
+            * (1 - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("conv_a"),
+        F.round(p_b, 6).alias("conv_b"),
+        # try_divide here too: a zero-converter control cohort must
+        # yield NULL (like the oracle's NULLIF-free DOUBLE division),
+        # not an ANSI DIVIDE_BY_ZERO before the guarded z is reached
+        F.round(F.try_divide(p_b - p_a, p_a), 6).alias("rel_lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+register(
+    "rel_ab_conversion_lift",
+    _ab_conversion_lift,
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN coalesce(sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 END), 0) >= 14
+                  THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN 1 END), 0)
+             AS BIGINT) AS n_a,
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN 1 END), 0)
+             AS BIGINT) AS n_b,
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 0 THEN conv END), 0)
+             AS BIGINT) AS c_a,
+        CAST(coalesce(sum(CASE WHEN user_id % 2 = 1 THEN conv END), 0)
+             AS BIGINT) AS c_b
+      FROM users
+    )
+    SELECT n_a, n_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS conv_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS conv_b,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / (CAST(c_a AS DOUBLE) / n_a), 6) AS rel_lift,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1 AS DOUBLE) / n_a
+                           + CAST(1 AS DOUBLE) / n_b)), 6) AS z_score
+    FROM wide
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_seasonality_index — classical multiplicative seasonal
+# decomposition (ratio-to-moving-average, the pre-STL textbook method):
+# monthly revenue / centered 12-month moving average, averaged per
+# calendar month. An index above 1 marks the high season; the
+# de-seasonalization factor demand forecasting divides by.
+#
+# Scale: the month-level rollup is calendar-bounded (one row per
+# distinct order month — 80 rows for 7 years at ANY data scale), so its
+# ordered moving-average window is bounded-input by construction
+# (meta-pin whitelist); everything data-sized is the one hash partial
+# aggregation into that frame. Ratios round to 9 and accumulate as
+# exact decimals so the per-month mean is order-independent.
+# --------------------------------------------------------------------------
+
+
+def _seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("_mo")
+    ).agg(F.sum(_dec(F.col("o_totalprice"))).alias("_rev"))
+    w = Window.orderBy("_mo").rowsBetween(-5, 6)
+    ma = (
+        monthly.withColumn("_n", F.count("*").over(w))
+        .withColumn(
+            "_ma",
+            F.sum("_rev").over(w).cast("double") / F.col("_n"),
+        )
+        .filter(F.col("_n") == 12)  # full centered window only
+        .select(
+            F.month("_mo").alias("month_num"),
+            (F.col("_rev").cast("double") / F.col("_ma")).alias("_ratio"),
+        )
+    )
+    return ma.groupBy("month_num").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(
+            F.avg(F.round(F.col("_ratio"), 9).cast("decimal(18,9)"))
+            .cast("double"),
+            6,
+        ).alias("seasonal_index"),
+    )
+
+
+register(
+    "rel_seasonality_index",
+    _seasonality_index,
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    ma AS (
+      SELECT mo, rev,
+             count(*) OVER win AS n,
+             CAST(sum(rev) OVER win AS DOUBLE)
+               / count(*) OVER win AS m
+      FROM monthly
+      WINDOW win AS (ORDER BY mo ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    )
+    SELECT CAST(month(mo) AS INTEGER) AS month_num,
+           CAST(count(*) AS BIGINT) AS n_months,
+           round(CAST(avg(CAST(round(CAST(rev AS DOUBLE) / m, 9)
+                               AS DECIMAL(18,9))) AS DOUBLE), 6)
+             AS seasonal_index
+    FROM ma WHERE n = 12
+    GROUP BY 1
+    """,
+)

@@ -1,0 +1,1130 @@
+"""[EXT] M5 — relational completeness, data-quality / statistics / audit family (SURVEY.md §7),
+each query oracle-checked. Formerly part of queries/relational.py; split
+by family in round 8 (VERDICT r7 item 6) with zero behavior change. The
+shared numeric-parity policy (exact DECIMAL internals, DOUBLE output
+projections) is documented in queries/tpch.py, which also owns _dec.
+Scale notes per query are inline (broadcast choices, shuffle keys, AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_tables
+from ..registry import register
+from .tpch import _dec
+from ..operators import quality_checks as _qc
+from ..operators import sketches as _sketches
+
+# --------------------------------------------------------------------------
+# rel_distinct_parts — distinct + exact count-distinct (the dedup primitive
+# the reference lacks; README.md:72–74 lists it as unimplemented roadmap).
+# --------------------------------------------------------------------------
+
+
+def _distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.select("l_returnflag", "l_linestatus", "l_partkey")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"))
+    )
+
+
+register(
+    "rel_distinct_parts",
+    _distinct_parts,
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# --------------------------------------------------------------------------
+# rel_semi_anti — semi/anti join coverage: per market segment, how many
+# customers have an URGENT order (semi) and how many have no orders at all
+# (anti). At scale: both are shuffle joins on custkey that never widen the
+# row (semi/anti keep only the left side); Catalyst plans ExistenceJoin.
+# --------------------------------------------------------------------------
+
+
+def _semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    with_urgent = (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_urgent"))
+    )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .join(with_urgent, on="c_mktsegment", how="left")
+        .join(without_orders, on="c_mktsegment", how="left")
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.coalesce("n_with_urgent", F.lit(0)).alias("n_with_urgent"),
+            F.coalesce("n_without_orders", F.lit(0)).alias(
+                "n_without_orders"
+            ),
+        )
+    )
+
+
+register(
+    "rel_semi_anti",
+    _semi_anti,
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(coalesce(sum(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT') THEN 1 END), 0)
+             AS BIGINT) AS n_with_urgent,
+           CAST(coalesce(sum(CASE WHEN NOT EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             THEN 1 END), 0) AS BIGINT) AS n_without_orders
+    FROM customer c GROUP BY c_mktsegment
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_scalar_subquery — big spenders: customers whose total order value
+# exceeds 2× the global average customer total. Catalyst plans the scalar
+# as a single-row broadcast (one extra agg pass, no per-row subquery
+# execution) — the textbook decorrelation the optimizer does for free.
+# --------------------------------------------------------------------------
+
+
+def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    avg_spend = totals.agg(
+        F.avg(F.col("spend").cast("double")).alias("avg_spend")
+    )
+    return (
+        totals.crossJoin(F.broadcast(avg_spend))
+        .filter(F.col("spend").cast("double") > 2 * F.col("avg_spend"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("spend").cast("double").alias("total_spend"),
+        )
+    )
+
+
+register(
+    "rel_scalar_subquery",
+    _scalar_subquery,
+    """
+    WITH totals AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey, CAST(spend AS DOUBLE) AS total_spend
+    FROM totals
+    WHERE CAST(spend AS DOUBLE) >
+          2 * (SELECT avg(CAST(spend AS DOUBLE)) FROM totals)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_percentiles — exact interpolated percentiles (Spark `percentile` ↔
+# DuckDB `quantile_cont`, same linear-interpolation definition). At 100 TB
+# exact percentiles need a full sort per group — the scale path swaps in
+# `percentile_approx` (t-digest) at the cost of oracle exactness; both are
+# one expression swap in this plan shape.
+# --------------------------------------------------------------------------
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.coalesce(F.col("value"), F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(coalesce(value, 0.0), 0.5)"), 6).alias(
+            "p50"
+        ),
+        F.round(F.expr("percentile(coalesce(value, 0.0), 0.95)"), 6).alias(
+            "p95"
+        ),
+        F.round(F.min(v), 6).alias("vmin"),
+        F.round(F.max(v), 6).alias("vmax"),
+        F.count("*").alias("n"),
+    )
+
+
+register(
+    "rel_percentiles",
+    _percentiles,
+    """
+    SELECT event_type,
+           round(quantile_cont(coalesce(value, 0.0), 0.5), 6) AS p50,
+           round(quantile_cont(coalesce(value, 0.0), 0.95), 6) AS p95,
+           round(min(coalesce(value, 0.0)), 6) AS vmin,
+           round(max(coalesce(value, 0.0)), 6) AS vmax,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_data_quality — declarative ingest-gate checks over lineitem, all
+# evaluated in one scan (operators/quality_checks.py).
+# --------------------------------------------------------------------------
+
+
+def _data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import validate
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return validate(
+        l,
+        {
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "discount_in_range": F.col("l_discount").between(0.0, 0.1),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "tax_in_range": F.col("l_tax").between(0.0, 0.08),
+        },
+    )
+
+
+def _data_quality_sql() -> str:
+    from ..operators.quality_checks import sql_validate
+
+    return sql_validate(
+        "SELECT * FROM lineitem",
+        {
+            "orderkey_not_null": "l_orderkey IS NOT NULL",
+            "quantity_in_range": "l_quantity BETWEEN 1 AND 50",
+            "discount_in_range": "l_discount BETWEEN 0.0 AND 0.1",
+            "price_positive": "l_extendedprice > 0",
+            "shipdate_not_null": "l_shipdate IS NOT NULL",
+            "tax_in_range": "l_tax BETWEEN 0.0 AND 0.08",
+        },
+    )
+
+
+register("rel_data_quality", _data_quality, _data_quality_sql())
+
+
+# --------------------------------------------------------------------------
+# rel_order_reconciliation — the classic cross-table financial audit:
+# per order, o_totalprice vs the recomputed
+# sum(extendedprice * (1 - discount) * (1 + tax)) over its lineitems,
+# bucketed into exact / within-1% / mismatched / no-lineitems counts.
+# All money math in DECIMAL (exact, order-independent); the join is
+# fact-to-fact on orderkey (shuffle, never broadcast — the q12
+# posture). On real ingest this is the reconciliation gate between an
+# order header feed and a line-level feed.
+# --------------------------------------------------------------------------
+
+
+def _order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            _dec(F.col("l_extendedprice"))
+            * (F.lit(1).cast("decimal(3,2)") - _dec(F.col("l_discount"), "4,2"))
+            * (F.lit(1).cast("decimal(3,2)") + _dec(F.col("l_tax"), "4,2"))
+        ).alias("_line_total"),
+    )
+    recomputed = li.groupBy("l_orderkey").agg(
+        F.sum("_line_total").alias("_computed")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec(F.col("o_totalprice")).alias("_stated")
+    )
+    joined = o.join(
+        recomputed, o.o_orderkey == recomputed.l_orderkey, "left"
+    ).select(
+        "_stated",
+        "_computed",
+        F.when(F.col("_computed").isNull(), F.lit("no_lineitems"))
+        .when(F.col("_computed") == F.col("_stated"), F.lit("exact"))
+        .when(
+            F.abs(
+                F.col("_computed").cast("double")
+                - F.col("_stated").cast("double")
+            )
+            <= F.col("_stated").cast("double") * 0.01,
+            F.lit("within_1pct"),
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("status"),
+    )
+    tot = joined.groupBy().agg(F.count("*").alias("_t"))
+    return (
+        joined.groupBy("status")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "status",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("_t"), 6).alias("share"),
+        )
+    )
+
+
+register(
+    "rel_order_reconciliation",
+    _order_reconciliation,
+    """
+    WITH recomputed AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(3,2))
+                    - CAST(l_discount AS DECIMAL(4,2)))
+                 * (CAST(1 AS DECIMAL(3,2))
+                    + CAST(l_tax AS DECIMAL(4,2)))) AS computed
+      FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+      SELECT CASE
+               WHEN r.computed IS NULL THEN 'no_lineitems'
+               WHEN r.computed = CAST(o.o_totalprice AS DECIMAL(18,2))
+                 THEN 'exact'
+               WHEN abs(CAST(r.computed AS DOUBLE)
+                        - CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                               AS DOUBLE))
+                    <= CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                            AS DOUBLE) * 0.01
+                 THEN 'within_1pct'
+               ELSE 'mismatch'
+             END AS status
+      FROM orders o LEFT JOIN recomputed r ON o.o_orderkey = r.l_orderkey
+    ),
+    tot AS (SELECT count(*) AS t FROM joined)
+    SELECT status, count(*) AS n_orders,
+           round(CAST(count(*) AS DOUBLE) / t, 6) AS share
+    FROM joined CROSS JOIN tot
+    GROUP BY status, t
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_k_anonymity — privacy audit over customer quasi-identifiers
+# (nation, market segment): per k threshold, equivalence classes and
+# rows below it (operators/quality_checks.py).
+# --------------------------------------------------------------------------
+
+
+
+
+register(
+    "rel_k_anonymity",
+    lambda spark, sf_dir: _qc.k_anonymity(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+    ),
+    _qc.sql_k_anonymity(
+        "SELECT * FROM customer", ["c_nationkey", "c_mktsegment"]
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_psi_drift — population-stability-index drift of event values
+# between the even/odd event-id cohorts (a deterministic stand-in for
+# week-over-week snapshots): 10 global equal-width bins, per-bin
+# (p − q)·ln(p/q) with the conventional 1e-4 floor.
+# --------------------------------------------------------------------------
+
+
+def _psi(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _qc.psi_drift(
+        load_table(spark, sf_dir, "events"),
+        "value",
+        (F.col("event_id") % 2).cast("int"),
+    )
+
+
+register(
+    "rel_psi_drift",
+    _psi,
+    _qc.sql_psi_drift(
+        "SELECT * FROM events", "value",
+        "CAST(event_id % 2 AS INTEGER)",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_quantile_sketch — mergeable bottom-k-sample quantile estimation
+# (operators/sketches.py): nearest-rank p50/p90 of event values from a
+# deterministic 64-row hash sample, exact twins alongside.
+# --------------------------------------------------------------------------
+
+
+register(
+    "rel_quantile_sketch",
+    lambda spark, sf_dir: _sketches.sample_quantiles(
+        load_table(spark, sf_dir, "events"),
+        "event_type", "event_id", "value",
+    ),
+    _sketches.sql_sample_quantiles(
+        "SELECT event_type, event_id, value FROM events",
+        "event_type", "event_id", "value",
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_benford_check — first-significant-digit Benford audit over order
+# totals (operators/quality_checks.py): the data-quality screen for
+# amount columns, 9 spine rows with per-digit chi-square terms.
+# --------------------------------------------------------------------------
+
+
+register(
+    "rel_benford_check",
+    lambda spark, sf_dir: _qc.benford_check(
+        load_table(spark, sf_dir, "orders"), "o_totalprice"
+    ),
+    _qc.sql_benford_check("SELECT * FROM orders", "o_totalprice"),
+)
+
+
+# --------------------------------------------------------------------------
+# rel_value_outliers — per-user z-score anomaly flags: events whose value
+# deviates > 2σ from that user's own mean. Two passes over the same
+# user_id partitioning: one agg for per-user moments (exact DECIMAL sums
+# → deterministic mean/variance), one broadcast-join back to flag rows.
+# Variance uses the E[x²]−E[x]² form off the same exact sums, rounded
+# before the sqrt so both engines branch identically at the threshold.
+# --------------------------------------------------------------------------
+
+
+def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    sums = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(F.col("value"))).alias("_s"),
+        F.sum(_dec(F.col("value")) * _dec(F.col("value"))).alias("_s2"),
+    )
+    stats = sums.select(
+        "user_id",
+        "n",
+        (F.col("_s").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.round(
+                F.col("_s2").cast("double") / F.col("n")
+                - F.pow(F.col("_s").cast("double") / F.col("n"), 2),
+                9,
+            )
+        ).alias("sd"),
+    ).filter(F.col("n") >= 10).filter(F.col("sd") > 0)
+    flagged = e.join(F.broadcast(stats), "user_id").filter(
+        F.abs(F.col("value") - F.col("mean")) > 2 * F.col("sd")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round("mean", 6).alias("mean"),
+        F.round("sd", 6).alias("sd"),
+        F.round(
+            (F.col("value") - F.col("mean")) / F.col("sd"), 4
+        ).alias("z"),
+    )
+
+
+register(
+    "rel_value_outliers",
+    _value_outliers,
+    """
+    WITH base AS (
+      SELECT event_id, user_id, value FROM events WHERE value IS NOT NULL
+    ),
+    sums AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS s2
+      FROM base GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, n,
+             CAST(s AS DOUBLE) / n AS mean,
+             sqrt(round(CAST(s2 AS DOUBLE) / n
+                  - pow(CAST(s AS DOUBLE) / n, 2), 9)) AS sd
+      FROM sums WHERE n >= 10
+    ),
+    stats2 AS (
+      SELECT * FROM stats WHERE sd > 0
+    )
+    SELECT b.event_id, b.user_id, b.value,
+           round(t.mean, 6) AS mean, round(t.sd, 6) AS sd,
+           round((b.value - t.mean) / t.sd, 4) AS z
+    FROM base b JOIN stats2 t USING (user_id)
+    WHERE abs(b.value - t.mean) > 2 * t.sd
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_incremental_agg — snapshot ⊎ delta aggregate merge: the pattern an
+# incremental 100 TB pipeline lives on. The per-(user, type) rollup is
+# built twice — once over history (days 1-20), once over the new arrivals
+# (day > 20) — and MERGED by summing the algebraic pieces (sum, count),
+# with avg derived only after the merge (avg itself is not mergeable;
+# its sum/count decomposition is). The oracle is the one-shot rollup
+# over everything: merging partials must be indistinguishable from
+# recomputing — that equivalence is exactly what lets a production
+# pipeline process only the delta each day. Counts use
+# sum(count)::BIGINT on both sides so the merged dtypes match.
+# --------------------------------------------------------------------------
+
+_INCR_CUTOFF = "2024-01-21"
+
+
+def _incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cut = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.sum(_dec(F.col("value"))).alias("s"),
+            F.count("*").alias("n"),
+        )
+
+    snapshot = rollup(e.filter(F.col("ts") < cut))
+    delta = rollup(e.filter(F.col("ts") >= cut))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(F.sum("s").alias("s"), F.sum("n").cast("bigint").alias("n"))
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("s").cast("double").alias("sum_value"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+register(
+    "rel_incremental_agg",
+    _incremental_agg,
+    f"""
+    SELECT user_id, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_snapshot_diff — table-version reconciliation: FULL OUTER join two
+# snapshots on the key and classify every row as added / removed /
+# modified / unchanged-excluded, comparing payloads by md5 so the join
+# carries an 8-byte digest per side instead of the document text (the
+# same shuffle-the-digest-not-the-payload rule as dedup_exact). v2 is a
+# deterministic mutation of the documents table (drop every 11th doc,
+# rewrite every 13th) so all three classes are exercised; in production
+# the two sides are yesterday's and today's snapshot of the same table.
+# --------------------------------------------------------------------------
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = d.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 13 == 0, F.upper(F.col("text"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        # new arrivals, so the 'added' class is exercised too
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 500_000).alias("doc_id"),
+                F.md5("text").alias("h"),
+            )
+        )
+    )
+    j = v1.select(F.col("doc_id"), F.col("h").alias("h1")).join(
+        v2.select(F.col("doc_id"), F.col("h").alias("h2")),
+        "doc_id",
+        "full_outer",
+    )
+    return (
+        j.select(
+            "doc_id",
+            F.when(F.col("h1").isNull(), F.lit("added"))
+            .when(F.col("h2").isNull(), F.lit("removed"))
+            .when(F.col("h1") != F.col("h2"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+register(
+    "rel_snapshot_diff",
+    _snapshot_diff,
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END)
+               AS h
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, md5(text) AS h
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id, change_type FROM (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.h IS NULL THEN 'added'
+                  WHEN v2.h IS NULL THEN 'removed'
+                  WHEN v1.h <> v2.h THEN 'modified'
+                  ELSE 'unchanged' END AS change_type
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    ) WHERE change_type <> 'unchanged'
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_winsorize — percentile capping: clamp each value to its segment's
+# [p05, p95] band and report the shift. Two stages sharing the
+# event_type key: the per-segment percentile agg (tiny result —
+# broadcast back over the stream) and the clamp + rollup. Rounding the
+# band BEFORE clamping keeps the boundary branch identical across
+# engines (percentile/quantile_cont share the linear-interpolation
+# definition). The scale note from rel_percentiles applies: exact
+# percentiles sort per group; the approx swap is one expression.
+# --------------------------------------------------------------------------
+
+
+def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bands = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+    clamped = e.join(F.broadcast(bands), "event_type").select(
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "w"
+        ),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < F.col("w")).cast("bigint")).alias(
+            "n_capped_low"
+        ),
+        F.sum((F.col("value") > F.col("w")).cast("bigint")).alias(
+            "n_capped_high"
+        ),
+        F.round(
+            F.sum(_dec(F.col("value"))).cast("double") / F.count("*"), 6
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(_dec(F.col("w"), "18,6")).cast("double") / F.count("*"), 6
+        ).alias("mean_winsorized"),
+    )
+
+
+register(
+    "rel_winsorize",
+    _winsorize,
+    """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    bands AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS p05,
+             round(quantile_cont(value, 0.95), 6) AS p95
+      FROM base GROUP BY event_type
+    ),
+    clamped AS (
+      SELECT b.event_type, b.value,
+             least(greatest(b.value, d.p05), d.p95) AS w
+      FROM base b JOIN bands d USING (event_type)
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN value < w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_low,
+           CAST(sum(CASE WHEN value > w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped_high,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_winsorized
+    FROM clamped GROUP BY event_type
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_chi_square — independence test between market segment and event
+# type: chi² = Σ (observed − expected)² / expected over the contingency
+# table. The observed table is one groupBy; marginals are two tiny
+# rollups broadcast back; everything downstream of the first aggregation
+# moves vocabulary-sized frames. All counts are integers until the final
+# ratio, rounded to 6 — deterministic cross-engine.
+# --------------------------------------------------------------------------
+
+
+def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    obs = (
+        e.join(F.broadcast(c), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("o"))
+    )
+    row_m = obs.groupBy("c_mktsegment").agg(F.sum("o").alias("_r"))
+    col_m = obs.groupBy("event_type").agg(F.sum("o").alias("_c"))
+    total = obs.agg(F.sum("o").alias("_t"))
+    cell = (
+        obs.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "event_type")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "o",
+            (
+                F.col("_r").cast("double")
+                * F.col("_c")
+                / F.col("_t")
+            ).alias("exp"),
+        )
+    )
+    return (
+        cell.withColumn(
+            "chi2_term",
+            F.round(
+                F.pow(F.col("o") - F.col("exp"), 2) / F.col("exp"), 6
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "o",
+            F.round("exp", 6).alias("expected"),
+            "chi2_term",
+        )
+    )
+
+
+register(
+    "rel_chi_square",
+    _chi_square,
+    """
+    WITH obs AS (
+      SELECT c_mktsegment, event_type, count(*) AS o
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    cm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.c_mktsegment, obs.event_type, obs.o,
+           round(CAST(rm.r AS DOUBLE) * cm.c / t.n, 6) AS expected,
+           round(pow(obs.o - CAST(rm.r AS DOUBLE) * cm.c / t.n, 2)
+                 / (CAST(rm.r AS DOUBLE) * cm.c / t.n), 6) AS chi2_term
+    FROM obs JOIN rm USING (c_mktsegment) JOIN cm USING (event_type)
+    CROSS JOIN t
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_correlation_matrix — pairwise Pearson correlations between the four
+# lineitem measures in ONE scan: all sums (x, x², xy) accumulate as
+# exact DECIMALs (order-independent, so the result is deterministic
+# under any partitioning), the corr formula runs as double arithmetic on
+# the final 1-row aggregate, and the 6 pairs unpivot with a stack().
+# The feature-screening pass a model pipeline runs before training —
+# never a per-pair rescan, never a float accumulation race.
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.col(c).cast("decimal(18,4)").alias(c)
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").alias("_n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"_q_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"_p_{a}_{b}"))
+    wide = li.agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa = F.col(f"_s_{a}").cast("double")
+        sb = F.col(f"_s_{b}").cast("double")
+        qa = F.col(f"_q_{a}").cast("double")
+        qb = F.col(f"_q_{b}").cast("double")
+        p = F.col(f"_p_{a}_{b}").cast("double")
+        return F.round(
+            (n * p - sa * sb)
+            / (F.sqrt(n * qa - sa * sa) * F.sqrt(n * qb - sb * sb)),
+            6,
+        )
+
+    cells = wide.select(
+        *[corr(a, b).alias(f"_c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', _c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return cells.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, pearson_corr)"
+    )
+
+
+def _sql_correlation_matrix() -> str:
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({c} AS DECIMAL(18,4))) AS s_{c}")
+        sums.append(
+            # DECIMAL(19,4): forces DuckDB's int128 multiply (the 18,4
+            # product overflows its int64 fast path); values identical
+            f"sum(CAST({c} AS DECIMAL(19,4)) * CAST({c} AS DECIMAL(19,4)))"
+            f" AS q_{c}"
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(
+            f"sum(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4)))"
+            f" AS p_{a}_{b}"
+        )
+    arms = []
+    for a, b in pairs:
+        expr = (
+            f"(CAST(n AS DOUBLE) * CAST(p_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(q_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(q_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+            f" round({expr}, 6) AS pearson_corr FROM s"
+        )
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH s AS (SELECT {", ".join(sums)} FROM lineitem)
+    {union}
+    """
+
+
+register(
+    "rel_correlation_matrix", _correlation_matrix, _sql_correlation_matrix()
+)
+
+
+# --------------------------------------------------------------------------
+# rel_duplicate_orders — possible-duplicate-invoice detection (the
+# reconciliation screen finance teams run): order pairs from the SAME
+# customer whose totals differ by <= 5000.00 and whose order dates fall
+# within 60 days. Self-join keyed on o_custkey — per-customer order
+# counts are bounded (TPC-H ~10), so the equi-join fan-out is tiny and
+# the inequality predicates evaluate post-join; no cartesian, no range
+# explosion. Price deltas compare as exact DECIMAL(18,2).
+# --------------------------------------------------------------------------
+
+
+def _duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("_d"),
+        _dec(F.col("o_totalprice")).alias("_p"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .withColumn(
+            "day_gap",
+            F.abs(F.datediff(F.col("b._d"), F.col("a._d"))).cast("int"),
+        )
+        .withColumn(
+            "price_gap",
+            F.abs(F.col("b._p") - F.col("a._p")).cast("double"),
+        )
+        .filter((F.col("day_gap") <= 60) & (F.col("price_gap") <= 5000.0))
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            "day_gap",
+            "price_gap",
+        )
+    )
+
+
+register(
+    "rel_duplicate_orders",
+    _duplicate_orders,
+    """
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a,
+           b.o_orderkey AS order_b,
+           CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                              CAST(b.o_orderdate AS DATE))) AS INTEGER)
+             AS day_gap,
+           CAST(abs(CAST(b.o_totalprice AS DECIMAL(18,2))
+                    - CAST(a.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_gap
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                        CAST(b.o_orderdate AS DATE))) <= 60
+      AND abs(CAST(b.o_totalprice AS DECIMAL(18,2))
+              - CAST(a.o_totalprice AS DECIMAL(18,2))) <= 5000.00
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_mad_outliers — robust dispersion screen per return-flag class:
+# exact median, median absolute deviation, and the count of rows
+# outside the 3-sigma-equivalent robust fence (3 · 1.4826 · MAD).
+# MAD-based fences are the outlier rule that survives the outliers
+# themselves (unlike mean/stddev — rel_value_outliers' z-scores).
+#
+# Scale: BOTH exact medians run as bucket-histogram medians (the
+# classic two-round exact quantile): round 1 is a plain hash
+# aggregation into a bounded (class, bucket) histogram — map-side
+# partial, shuffle O(buckets × partitions) instead of O(rows) — whose
+# cumulative counts locate the middle bucket(s); round 2 ranks ONLY
+# the rows of those buckets (~1/|buckets| of the table) through
+# two_pass_rank_in_groups and reads the median off the global
+# position arithmetic. The return-flag groups are FEW and HUGE
+# (3 classes × billions of rows at 100 TB) — exactly the case where
+# Window.partitionBy(flag).orderBy would funnel each class through one
+# task, and where even the two-pass grouped rank's O(rows) range
+# shuffle (the round-7 shape, 3.85 s at sf0.1) is dominated by this
+# histogram screen (~2 s). A (class, price, count) value-domain rollup
+# was prescribed and MEASURED WORSE (6.5 s): l_extendedprice is
+# quantity × part price, so the domain is ~as large as the row count
+# (594k distinct / 600k rows at sf0.1) and the rollup only adds a
+# full-width shuffle. See SCALE.md "mad_outliers weighted-median
+# episode".
+# --------------------------------------------------------------------------
+
+MAD_FENCE_K = 3.0 * 1.4826
+
+
+MAD_HIST_WIDTH = 100  # bucket width for the histogram median screen
+
+
+def _hist_median(
+    df: DataFrame, group: str, value: str, out: str, width: int
+) -> DataFrame:
+    """Exact per-group median via the two-round bucket-histogram
+    screen. Round 1: hash-aggregate a (group, floor(value/width))
+    histogram — map-side partial, so the shuffle carries
+    O(buckets × partitions) rows — and read the middle positions
+    floor((n+1)/2) / floor(n/2)+1 off its per-group cumulative counts
+    (the window runs over the HISTOGRAM, bounded by the value domain /
+    width, never the data). Round 2: re-scan only the rows of the
+    bucket(s) covering those positions (~1/|buckets| of the table),
+    collapse them to their exact (group, value) rollup — values here
+    are discrete decimals, so the rollup is bounded by
+    selected_buckets × width / value_resolution rows per group,
+    independent of data size — and read the median off the rollup's
+    cumulative counts; the 1-2 surviving values' average =
+    quantile_cont(0.5).
+
+    Every window below is partitionBy(group) over a BOUNDED frame (the
+    histogram: ≤ domain/width rows per group; the round-2 rollup: the
+    per-bucket value domain) — never over the data rows."""
+    bkt = F.floor(F.col(value) / width).cast("long")
+    hist = df.groupBy(F.col(group), bkt.alias("_bkt")).agg(
+        F.count("*").alias("_hc")
+    )
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(group)
+    cum = hist.select(
+        group,
+        "_bkt",
+        "_hc",
+        F.sum("_hc").over(wcum).alias("_cumh"),
+        F.sum("_hc").over(wall).alias("_n"),
+    )
+    p1 = F.floor((F.col("_n") + 1) / 2)
+    p2 = F.floor(F.col("_n") / 2) + 1
+    before = F.col("_cumh") - F.col("_hc")
+    targets = (
+        cum.filter(
+            ((before < p1) & (p1 <= F.col("_cumh")))
+            | ((before < p2) & (p2 <= F.col("_cumh")))
+        )
+        .groupBy(group)
+        .agg(
+            # p2 <= p1 + 1, so target buckets are value-adjacent: the
+            # selected rows are contiguous in global order starting at
+            # the first target bucket's offset
+            F.min(before).alias("_off0"),
+            F.max("_n").alias("_n"),
+            F.collect_set("_bkt").alias("_bkts"),
+        )
+    )
+    sel = df.join(F.broadcast(targets), group).filter(
+        F.array_contains(F.col("_bkts"), bkt)
+    )
+    roll = sel.groupBy(group, value).agg(
+        F.count("*").alias("_c"),
+        F.first("_off0").alias("_off0"),
+        F.first("_n").alias("_n"),
+    )
+    wv = (
+        Window.partitionBy(group)
+        .orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumv = roll.withColumn("_cum", F.col("_off0") + F.sum("_c").over(wv))
+    lo = F.col("_cum") - F.col("_c")
+    return (
+        cumv.filter(
+            ((lo < p1) & (p1 <= F.col("_cum")))
+            | ((lo < p2) & (p2 <= F.col("_cum")))
+        )
+        .groupBy(group)
+        .agg(F.avg(value).alias(out))
+    )
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    # 3-row result, checkpointed: dev has THREE consumers (the dev
+    # histogram, its round-2 rollup, and the fence tally) — without the
+    # barrier each would replay the entire median-1 subtree
+    med = _hist_median(
+        li, "l_returnflag", "l_extendedprice", "median_price",
+        MAD_HIST_WIDTH,
+    ).localCheckpoint()
+    # deviation = |price - class median|, derived from the 2-column
+    # columnar scan + a broadcast of the 3-row median frame wherever
+    # consumed — deliberately NOT checkpointed: at scale re-deriving
+    # from the pruned scan is cheaper than materializing an O(rows)
+    # checkpoint (the r7 finding), and each consumer's scan stays
+    # pushed down
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias(
+            "_dev"
+        ),
+        "median_price",
+    )
+    mad = _hist_median(dev, "l_returnflag", "_dev", "_mad", MAD_HIST_WIDTH)
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.max("median_price"), 6).alias("median_price"),
+            F.round(F.max("_mad"), 6).alias("mad"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_dev") > F.lit(MAD_FENCE_K) * F.col("_mad"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+register(
+    "rel_mad_outliers",
+    _mad_outliers,
+    f"""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    ),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_extendedprice - md.m) AS dv, md.m
+      FROM lineitem l JOIN med md USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(dv, 0.5) AS md FROM dev
+      GROUP BY 1
+    )
+    SELECT d.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(d.m), 6) AS median_price,
+           round(max(a.md), 6) AS mad,
+           CAST(coalesce(sum(CASE WHEN d.dv > {MAD_FENCE_K!r} * a.md
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad a USING (l_returnflag)
+    GROUP BY 1
+    """,
+)
+
+

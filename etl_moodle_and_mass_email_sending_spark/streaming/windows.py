@@ -104,7 +104,7 @@ def windowed_event_counts(
 
     Watermark bounds state: windows older than (max event time − delay)
     finalize and evict; later-arriving rows for them drop. The batch twin
-    is queries.relational ``rel_events_hourly`` (date_trunc) — same
+    is queries.windows ``rel_events_hourly`` (date_trunc) — same
     logical rollup, incremental execution. A sliding window assigns each
     event to window/slide overlapping panes (state grows by that factor;
     still watermark-bounded).

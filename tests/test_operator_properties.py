@@ -654,7 +654,7 @@ def test_skyline_matches_bruteforce_dominance(spark):
     import itertools
     import datetime as dt
 
-    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+    from etl_moodle_and_mass_email_sending_spark.queries.finance import (
         _skyline_orders,
     )
 
@@ -698,7 +698,7 @@ def test_hist_median_matches_statistics_median(spark):
     rely on (r8 rewrite)."""
     import statistics
 
-    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+    from etl_moodle_and_mass_email_sending_spark.queries.quality import (
         _hist_median,
     )
 
@@ -768,7 +768,7 @@ def test_event_lateness_matches_pandas_cummax(spark):
 
     import pandas as pd
 
-    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+    from etl_moodle_and_mass_email_sending_spark.queries.windows import (
         _event_lateness,
         LATENESS_WATERMARKS_SEC,
     )
@@ -806,7 +806,7 @@ def test_seasonality_index_matches_pandas_ratio_to_ma(spark):
 
     import pandas as pd
 
-    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+    from etl_moodle_and_mass_email_sending_spark.queries.finance import (
         _seasonality_index,
     )
 
@@ -861,7 +861,7 @@ def test_rfm_segments_matches_pandas_ntile_quintiles(spark):
 
     import pandas as pd
 
-    from etl_moodle_and_mass_email_sending_spark.queries.relational import (
+    from etl_moodle_and_mass_email_sending_spark.queries.finance import (
         _rfm_segments,
     )
 
