@@ -158,6 +158,10 @@ HEADLINE = [
     "rel_ab_conversion_lift",
     "rel_seasonality_index",
     "dedup_lang_purity",
+    # round-8 additions
+    "text_contamination_direction",
+    "dedup_cluster_quota",
+    "sim_source_outliers",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -2162,6 +2162,87 @@ def norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_norm_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(vec_id, source, prefix_norm, z_score): vectors whose leading-
+    half energy is > 2 sigma from their SOURCE's mean — the
+    per-provenance twin of norm_outliers (round 8, VERDICT r7 item 8).
+    Sources come from the documents table (vec_id = doc_id for the
+    embedded subset); a broken per-source ingestion pipeline deviates
+    against its own source mean where the per-label screen would
+    average the damage away.
+
+    Scale: the provenance attach is a doc_id hash equi-join —
+    deliberately NOT broadcast (|documents| is linear in SF); the
+    per-source stats rollup is |sources| rows, broadcast back; same
+    exact-DECIMAL accumulation as norm_outliers."""
+    from ..catalog import load_table
+
+    dot = _DOT.format(a="_pre", b="_pre")
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    v = (
+        _vectors(spark, sf_dir)
+        .withColumn("_pre", F.expr(f"slice(vec, 1, {NORM_PREFIX_DIMS})"))
+        .select(
+            "vec_id",
+            F.round(F.expr(f"sqrt({dot})"), 6)
+            .cast("decimal(18,6)")
+            .alias("_nrm"),
+        )
+        .join(src, "vec_id")
+    )
+    stats = v.groupBy("source").agg(
+        F.count("*").alias("_n"),
+        F.sum("_nrm").alias("_s"),
+        F.sum(F.col("_nrm") * F.col("_nrm")).alias("_q"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_q").cast("double") / F.col("_n") - mean * mean
+    enriched = v.join(F.broadcast(stats), "source").select(
+        "vec_id",
+        "source",
+        F.col("_nrm").cast("double").alias("prefix_norm"),
+        # try_divide: a constant-norm source has zero variance — NULL
+        # matches DuckDB's x/0 and the filter drops the row in both
+        F.round(
+            F.try_divide(F.col("_nrm").cast("double") - mean, F.sqrt(var)),
+            6,
+        ).alias("z_score"),
+    )
+    return enriched.filter(F.abs(F.col("z_score")) > NORM_Z_THRESHOLD)
+
+
+def sql_source_norm_outliers() -> str:
+    pre = f"vec[1:{NORM_PREFIX_DIMS}]"
+    dot = f"list_dot_product({pre}, {pre})"
+    z = (
+        "round((CAST(nrm AS DOUBLE) - CAST(s AS DOUBLE) / n)"
+        " / sqrt(CAST(q AS DOUBLE) / n"
+        " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)"
+    )
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    v AS (
+      SELECT b.vec_id, d.source,
+             CAST(round(sqrt({dot}), 6) AS DECIMAL(18,6)) AS nrm
+      FROM base b JOIN documents d ON b.vec_id = d.doc_id
+    ),
+    stats AS (
+      SELECT source, count(*) AS n, sum(nrm) AS s,
+             sum(CAST(nrm AS DECIMAL(19,6)) * CAST(nrm AS DECIMAL(19,6)))
+               AS q
+      FROM v GROUP BY source
+    )
+    SELECT vec_id, source, CAST(nrm AS DOUBLE) AS prefix_norm,
+           {z} AS z_score
+    FROM v JOIN stats USING (source)
+    WHERE abs({z}) > {NORM_Z_THRESHOLD}
+    """
+
+
 def sql_norm_outliers() -> str:
     pre = f"vec[1:{NORM_PREFIX_DIMS}]"
     dot = f"list_dot_product({pre}, {pre})"

@@ -605,6 +605,164 @@ def sql_decontaminate(
 
 
 # --------------------------------------------------------------------------
+# Per-source contamination DIRECTION (round 8, VERDICT r7 item 8) — the
+# forensic follow-up to decontaminate: once n-gram overlap with the
+# held-out benchmark slice exists, which way did it leak, and from
+# where? Gram-set containment ratios CANCEL to a pure size ratio
+# (|T∩E|/|E| ÷ |T∩E|/|T| = |T|/|E| — no signal), so the direction is
+# read at the DOCUMENT level instead:
+#   train_doc_rate  = contaminated train docs of source s / all train
+#                     docs of s   (how widely benchmark text is smeared
+#                     through the source — high when eval leaked INTO
+#                     the training crawl, e.g. one eval item quoted by
+#                     thousands of pages)
+#   eval_doc_rate   = eval docs sharing a gram with source s / all
+#                     eval docs   (how much of the benchmark this one
+#                     source touches — high when the benchmark was
+#                     BUILT from the source)
+# direction_ratio = train_doc_rate / eval_doc_rate: >> 1 reads
+# "eval→train" (drop the training hits), << 1 reads "train→eval"
+# (rebuild or drop the eval items).
+#
+# 100 TB shape: the gram fan-out is the same spread + element_at
+# pipeline as decontaminate; both doc-level distincts are hash
+# aggregations whose keys include the gram (map-side partial bounds
+# reducer traffic at vocabulary size — the top_terms argument); the
+# benchmark side is the ~1 % slice, broadcast into both probes; the
+# final rollup is |sources| rows.
+# --------------------------------------------------------------------------
+
+
+def contamination_direction(
+    corpus: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """(source, n_train_docs, n_contam_train_docs, train_doc_rate,
+    n_contam_eval_docs, eval_doc_rate, direction_ratio) per source with
+    ≥1 contaminated training document; ``corpus`` must carry
+    (doc_id, text, source)."""
+    words = spread_for_compute(corpus).select(
+        "doc_id", "source", F.expr(_SPARK_TOKS).alias("w")
+    )
+    gram_i = "concat_ws(' ', " + ", ".join(
+        f"element_at(w, i + {j})" for j in range(n)
+    ) + ")"
+    gen = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), i -> {gram_i}) "
+        f"ELSE array() END"
+    )
+    grams = words.select(
+        "doc_id", "source", F.explode(F.expr(gen)).alias("gram")
+    ).localCheckpoint(eager=False)  # bench split + both probes
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_grams = grams.filter(is_bench).select("doc_id", "gram").distinct()
+    bench_set = bench_grams.select("gram").distinct()
+    n_eval_docs = bench_grams.agg(
+        F.countDistinct("doc_id").alias("_ne")
+    )
+    train = grams.filter(~is_bench)
+    # contaminated train docs: ≥1 gram in the benchmark vocabulary
+    ct = (
+        train.join(F.broadcast(bench_set), "gram")
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_contam_train_docs"))
+    )
+    n_train = corpus.filter(
+        F.col("doc_id") % bench_mod != 0
+    ).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_train_docs")
+    )
+    # contaminated eval docs per source: the eval doc shares ≥1 gram
+    # with the source's training grams (distinct on the pair key)
+    src_grams = train.select("source", "gram").distinct()
+    ce = (
+        bench_grams.join(src_grams, "gram")
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_contam_eval_docs"))
+    )
+    tr = F.col("n_contam_train_docs") / F.col("n_train_docs")
+    er = F.col("n_contam_eval_docs") / F.col("_ne")
+    return (
+        n_train.join(ct, "source")
+        .join(ce, "source")
+        .crossJoin(F.broadcast(n_eval_docs))
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contam_train_docs",
+            F.round(tr, 6).alias("train_doc_rate"),
+            "n_contam_eval_docs",
+            F.round(er, 6).alias("eval_doc_rate"),
+            F.round(F.try_divide(tr, er), 6).alias("direction_ratio"),
+        )
+    )
+
+
+def sql_contamination_direction(
+    corpus_sql: str,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> str:
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> {gram_i}) ELSE [] END"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS w FROM ({corpus_sql})
+    ),
+    e AS (SELECT doc_id, source, unnest({grams}) AS gram FROM tok),
+    bench_grams AS (
+      SELECT DISTINCT doc_id, gram FROM e WHERE doc_id % {bench_mod} = 0
+    ),
+    bench_set AS (SELECT DISTINCT gram FROM bench_grams),
+    n_eval AS (
+      SELECT count(DISTINCT doc_id) AS ne FROM bench_grams
+    ),
+    train AS (SELECT * FROM e WHERE doc_id % {bench_mod} <> 0),
+    ct AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_contam_train_docs
+      FROM (
+        SELECT DISTINCT t.source, t.doc_id
+        FROM train t JOIN bench_set b USING (gram)
+      ) GROUP BY 1
+    ),
+    n_train AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_train_docs
+      FROM ({corpus_sql}) WHERE doc_id % {bench_mod} <> 0
+      GROUP BY 1
+    ),
+    src_grams AS (SELECT DISTINCT source, gram FROM train),
+    ce AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_contam_eval_docs
+      FROM (
+        SELECT DISTINCT s.source, bg.doc_id
+        FROM bench_grams bg JOIN src_grams s USING (gram)
+      ) GROUP BY 1
+    )
+    SELECT t.source, t.n_train_docs, c.n_contam_train_docs,
+           round(CAST(c.n_contam_train_docs AS DOUBLE)
+                 / t.n_train_docs, 6) AS train_doc_rate,
+           x.n_contam_eval_docs,
+           round(CAST(x.n_contam_eval_docs AS DOUBLE) / ne, 6)
+             AS eval_doc_rate,
+           round((CAST(c.n_contam_train_docs AS DOUBLE) / t.n_train_docs)
+                 / (CAST(x.n_contam_eval_docs AS DOUBLE) / ne), 6)
+             AS direction_ratio
+    FROM n_train t JOIN ct c USING (source) JOIN ce x USING (source)
+    CROSS JOIN n_eval
+    """
+
+
+# --------------------------------------------------------------------------
 # Unigram log-probability scoring — the CCNet-style language-model quality
 # filter, degree zero: score each document by the mean log probability of
 # its tokens under the corpus's own unigram distribution. Low scores mark

@@ -1654,3 +1654,106 @@ def _sql_dedup_lang_purity() -> str:
 
 
 register("dedup_lang_purity", _dedup_lang_purity, _sql_dedup_lang_purity())
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions (VERDICT r7 item 8; start life in the registry tail
+# per the standing promotion policy).
+#
+# text_contamination_direction — per-source train→eval vs eval→train
+# leak direction (operators/text_analysis.py::contamination_direction
+# has the full semantics + scale notes).
+# --------------------------------------------------------------------------
+
+
+def _text_contamination_direction(spark, sf_dir):
+    return text_analysis.contamination_direction(
+        _docs_sourced(spark, sf_dir)
+    )
+
+
+register(
+    "text_contamination_direction",
+    _text_contamination_direction,
+    text_analysis.sql_contamination_direction(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# dedup_cluster_quota — cluster-balanced sampling quotas, the selection
+# step SemDeDup-style curation runs after clustering: instead of
+# keep-one (dedup_keep_best) or weight-1/n (dedup_soft_weights), keep
+# ceil(sqrt(n)) of each near-dup cluster — sub-linear in cluster size,
+# so mega-clusters (boilerplate) collapse hard while small clusters
+# keep most of their members, preserving intra-cluster diversity
+# (Abbas et al. 2023, SemDeDup §4 keeps a size-sublinear slice per
+# semantic cluster). Output is the per-cluster keep-rate table the
+# downstream sampler joins against.
+# Scale: reuses the staged cluster frame; one |clusters|-row rollup.
+# --------------------------------------------------------------------------
+
+
+def _dedup_cluster_quota(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    clusters = _staged_clusters(spark, sf_dir)
+    per = clusters.groupBy("component").agg(
+        F.max("cluster_size").cast("bigint").alias("cluster_size")
+    )
+    quota = F.ceil(F.sqrt(F.col("cluster_size"))).cast("bigint")
+    return per.select(
+        F.col("component").alias("cluster"),
+        "cluster_size",
+        quota.alias("quota"),
+        F.round(quota / F.col("cluster_size"), 6).alias("keep_rate"),
+        (F.col("cluster_size") - quota).cast("bigint").alias("n_dropped"),
+    )
+
+
+def _sql_dedup_cluster_quota() -> str:
+    return f"""
+    WITH per AS (
+      SELECT component AS cluster,
+             CAST(max(cluster_size) AS BIGINT) AS cluster_size
+      FROM ({_sql_dedup_components()})
+      GROUP BY 1
+    )
+    SELECT cluster, cluster_size,
+           CAST(ceil(sqrt(cluster_size)) AS BIGINT) AS quota,
+           round(ceil(sqrt(cluster_size)) / cluster_size, 6) AS keep_rate,
+           CAST(cluster_size - ceil(sqrt(cluster_size)) AS BIGINT)
+             AS n_dropped
+    FROM per
+    """
+
+
+register(
+    "dedup_cluster_quota",
+    _dedup_cluster_quota,
+    _sql_dedup_cluster_quota(),
+)
+
+
+# --------------------------------------------------------------------------
+# sim_source_outliers — the per-PROVENANCE twin of sim_norm_outliers:
+# group the prefix-norm energy statistics by the document SOURCE
+# (embeddings join documents on vec_id = doc_id) instead of the class
+# label. One broken ingestion pipeline (truncated text, wrong encoding,
+# a different encoder version) shows up as ITS vectors' energy profile
+# deviating from its own source mean — per-label stats would wash the
+# signal out across sources. operators/similarity.py::
+# source_norm_outliers has the plan shape.
+# --------------------------------------------------------------------------
+
+
+def _sim_source_outliers(spark, sf_dir):
+    return similarity.source_norm_outliers(spark, sf_dir)
+
+
+register(
+    "sim_source_outliers",
+    _sim_source_outliers,
+    similarity.sql_source_norm_outliers(),
+)

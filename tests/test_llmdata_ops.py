@@ -183,11 +183,15 @@ class TestMultimodalPlumbing:
     parity test covers values; these cover the Spark plumbing)."""
 
     def test_real_engine_raises_at_plug_point(self, spark):
+        # video is the remaining codec seam (image/audio are live as of
+        # r8 — see the decode_media real-engine tests above)
         from etl_moodle_and_mass_email_sending_spark.operators import (
             multimodal,
         )
 
-        media = multimodal.media_table(spark, SF_SMALL)
+        media = multimodal.media_table(spark, SF_SMALL).filter(
+            "media_type = 'video'"
+        )
         with pytest.raises(Exception) as exc:
             multimodal.decode_media(media, engine="real").collect()
         assert "NotImplementedError" in str(exc.value) or isinstance(
@@ -1252,3 +1256,109 @@ def test_payload_byte_stats_variable_lengths(spark):
         2: (1, 255, 1.0),
         4: (1, 7, 1.0),
     }
+
+
+def test_contamination_direction_separates_leak_directions(spark):
+    """Planted leak directions: source 'crawl' smears ONE eval doc's
+    text across most of its training docs (eval→train: high train rate,
+    low eval rate, ratio > 1); source 'seed' has one training doc whose
+    grams hit EVERY eval doc (train→eval: ratio < 1)."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        contamination_direction,
+    )
+
+    eval_texts = {
+        0: "alpha beta gamma delta epsilon",      # doc_id % 5 == 0 -> eval
+        5: "one two three four five six",
+        10: "red green blue yellow purple",
+    }
+    rows = [(i, t, "bench") for i, t in eval_texts.items()]
+    # 'crawl': 4 train docs, 3 of which quote eval doc 0
+    for k, i in enumerate((1, 2, 3, 4)):
+        t = "alpha beta gamma delta epsilon" if k < 3 else "calm quiet words here now"
+        rows.append((i, t, "crawl"))
+    # 'seed': 2 train docs; one contains a 4-gram from EVERY eval doc
+    rows.append((6, "alpha beta gamma delta one two three four red green blue yellow", "seed"))
+    rows.append((7, "totally unrelated text goes here", "seed"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: r
+        for r in contamination_direction(df, n=4, bench_mod=5).collect()
+    }
+    assert set(got) == {"crawl", "seed"}
+    c, s = got["crawl"], got["seed"]
+    assert (c["n_train_docs"], c["n_contam_train_docs"]) == (4, 3)
+    assert c["n_contam_eval_docs"] == 1
+    assert s["n_contam_train_docs"] == 1 and s["n_contam_eval_docs"] == 3
+    assert c["direction_ratio"] > 1 > s["direction_ratio"]
+    # exact rates: crawl 0.75 / (1/3); seed 0.5 / 1.0
+    assert abs(c["train_doc_rate"] - 0.75) < 1e-9
+    assert abs(c["eval_doc_rate"] - round(1 / 3, 6)) < 1e-9
+    assert abs(s["direction_ratio"] - 0.5) < 1e-9
+
+
+def test_cluster_quota_is_sublinear_and_consistent(spark):
+    """quota = ceil(sqrt(n)): singletons keep everything, big clusters
+    keep a sub-linear slice; quotas are consistent with the staged
+    cluster frame's sizes."""
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        _dedup_cluster_quota,
+        _staged_clusters,
+    )
+    import math
+
+    rows = _dedup_cluster_quota(spark, SF_SMALL).collect()
+    assert rows
+    sizes = {
+        r["component"]: r["cluster_size"]
+        for r in _staged_clusters(spark, SF_SMALL).collect()
+    }
+    # one row per staged cluster, sizes consistent with the staged frame
+    assert {r["cluster"] for r in rows} == set(sizes)
+    assert all(r["cluster_size"] == sizes[r["cluster"]] for r in rows)
+    for r in rows:
+        n, q = r["cluster_size"], r["quota"]
+        assert q == math.ceil(math.sqrt(n))
+        assert 1 <= q <= n
+        assert r["n_dropped"] == n - q
+        assert abs(r["keep_rate"] - round(q / n, 6)) < 1e-9
+        if n == 1:
+            assert q == 1 and r["keep_rate"] == 1.0
+
+
+def test_source_outliers_match_numpy_per_source_zscores(spark):
+    """sim_source_outliers == a numpy per-source population-z reference
+    over the prefix norms (join on vec_id = doc_id)."""
+    import numpy as np
+    import duckdb
+
+    from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+        NORM_PREFIX_DIMS,
+        NORM_Z_THRESHOLD,
+        source_norm_outliers,
+    )
+
+    got = {
+        r["vec_id"]: (r["source"], r["z_score"])
+        for r in source_norm_outliers(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT e.vec_id, d.source, e.embedding FROM "
+        f"'{SF_SMALL}/embeddings.parquet' e JOIN "
+        f"'{SF_SMALL}/documents.parquet' d ON e.vec_id = d.doc_id"
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for vid, src, emb in vecs:
+        nrm = round(float(np.sqrt(np.dot(emb[:NORM_PREFIX_DIMS], emb[:NORM_PREFIX_DIMS]))), 6)
+        by_src.setdefault(src, []).append((vid, nrm))
+    want = {}
+    for src, members in by_src.items():
+        ns = np.array([m[1] for m in members])
+        mu, sd = ns.mean(), ns.std()
+        for vid, nrm in members:
+            if sd > 0 and abs((nrm - mu) / sd) > NORM_Z_THRESHOLD:
+                want[vid] = src
+    assert set(got) == set(want)
+    for vid in got:
+        assert got[vid][0] == want[vid]

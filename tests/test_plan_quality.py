@@ -759,3 +759,30 @@ def test_rfm_quintiles_are_two_pass(spark, registry_queries):
     plan = _plan(registry_queries["rel_rfm_segments"](spark, SF_SMALL))
     assert "_pid" in plan
     assert "ntile" not in plan  # scores come from rank arithmetic
+
+
+def test_contamination_direction_is_hash_agg_shaped(
+    spark, registry_queries
+):
+    """Both doc-level distincts are hash aggregations (partial+final),
+    the benchmark side broadcasts into the probes, and nothing is a
+    cartesian or sort-merge join."""
+    plan = _plan(
+        registry_queries["text_contamination_direction"](spark, SF_SMALL)
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("HashAggregate") >= 4  # distincts + rollups
+
+
+def test_source_outliers_rollup_broadcasts_back(spark, registry_queries):
+    """The |sources|-row stats rollup broadcasts back over the vector
+    scan; no cartesian, no global sort anywhere."""
+    import re
+
+    plan = _plan(registry_queries["sim_source_outliers"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 1
+    for m in re.finditer(r"Sort \[[^\]]*\], (\w+)", plan):
+        assert m.group(1) == "false", "global sort in source_outliers"
