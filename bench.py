@@ -162,6 +162,8 @@ HEADLINE = [
     "text_contamination_direction",
     "dedup_cluster_quota",
     "sim_source_outliers",
+    "sim_kcenter_sample",
+    "dedup_cross_source_matrix",
     # capstone composition
     "llm_corpus_pipeline",
 ]

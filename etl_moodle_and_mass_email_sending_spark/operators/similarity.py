@@ -2427,3 +2427,135 @@ def sql_pq_distortion() -> str:
            round(max(d), 6) AS max_dist
     FROM best GROUP BY m
     """
+
+
+# --------------------------------------------------------------------------
+# Greedy k-center diversity sample (round 8) — farthest-point traversal
+# (Gonzalez 1985), the selection rule behind coverage-maximizing data
+# subsets (herding / coreset seeds / "diverse few-shot" pickers): start
+# from the lowest vec_id, then repeatedly add the corpus vector with
+# the LARGEST min-cosine-distance to the chosen set. The emitted
+# min_dist column is the coverage radius at each step — its decay curve
+# is the "how much diversity is left" diagnostic.
+#
+# 100 TB shape: k bounded rounds; each round is one corpus pass — the
+# running min-distance column updates against a 1-row broadcast (the
+# newest center) and the next center is a struct-max argmax (dist DESC,
+# vec_id ASC) that partial-aggregates map-side, never a sort. The
+# corpus frame localCheckpoints per round (the components.py iteration
+# contract) so round r reads the round r-1 checkpoint instead of
+# replaying r-1 joins. Nothing is ever collected to the driver and no
+# window touches the corpus.
+#
+# Determinism / oracle parity: distances round to 6 before every
+# comparison; argmax ties break to the lowest vec_id; the DuckDB twin
+# unrolls the same k-step recurrence as a generated CTE chain.
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def kcenter_sample(
+    spark: SparkSession, sf_dir: str, k: int = KCENTER_K
+) -> DataFrame:
+    """(rank, vec_id, min_dist): the k greedily-selected centers in
+    selection order; min_dist is the coverage radius when selected
+    (NULL for the rank-0 seed)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    seed = (
+        v.groupBy()
+        .agg(F.min_by("vec", F.struct("vec_id")).alias("cvec"),
+             F.min("vec_id").alias("cid"))
+    )
+    dist = F.expr(
+        f"round(1 - ({_spark_cosine('vec', 'cvec')}), 6)"
+    ).alias("_d")
+    cand = (
+        v.crossJoin(F.broadcast(seed))
+        .filter(F.col("vec_id") != F.col("cid"))
+        .select("vec_id", "vec", dist)
+        .withColumnRenamed("_d", "_md")
+        .localCheckpoint(eager=False)
+    )
+    picks = [seed.select(F.lit(0).alias("rank"),
+                         F.col("cid").alias("vec_id"),
+                         F.lit(None).cast("double").alias("min_dist"))]
+    for r in range(1, k):
+        # argmax by (min-dist DESC, vec_id ASC) carrying the vector
+        winner = (
+            cand.groupBy()
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_md"),
+                        (-F.col("vec_id")).alias("_nid"),
+                        F.col("vec").alias("_v"),
+                    )
+                ).alias("_w")
+            )
+            .select(
+                (-F.col("_w._nid")).alias("cid"),
+                F.col("_w._md").alias("wd"),
+                F.col("_w._v").alias("cvec"),
+            )
+            .localCheckpoint()  # 1 row; feeds the pick AND the update
+        )
+        picks.append(
+            winner.select(
+                F.lit(r).alias("rank"),
+                F.col("cid").alias("vec_id"),
+                F.col("wd").alias("min_dist"),
+            )
+        )
+        if r < k - 1:
+            cand = (
+                cand.crossJoin(F.broadcast(winner))
+                .filter(F.col("vec_id") != F.col("cid"))
+                .select(
+                    "vec_id",
+                    "vec",
+                    F.least(F.col("_md"), dist).alias("_md"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sql_kcenter_sample(k: int = KCENTER_K) -> str:
+    """Unrolled k-step farthest-point recurrence as a CTE chain."""
+    d = _duck_cosine("v.vec", "c{i}.cvec")
+    ctes = [
+        f"base AS ({_DUCK_VECTORS})",
+        "c0 AS (SELECT vec_id AS cid, vec AS cvec FROM base "
+        "ORDER BY vec_id LIMIT 1)",
+        f"d0 AS (SELECT v.vec_id, v.vec, "
+        f"round(1 - ({d.format(i=0)}), 6) AS md "
+        f"FROM base v CROSS JOIN c0 WHERE v.vec_id <> c0.cid)",
+    ]
+    sel = [
+        "SELECT 0 AS rank, cid AS vec_id, CAST(NULL AS DOUBLE) "
+        "AS min_dist FROM c0"
+    ]
+    for r in range(1, k):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"c{r} AS (SELECT vec_id AS cid, vec AS cvec, md "
+            f"FROM {prev} ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT {r} AS rank, cid AS vec_id, md AS min_dist FROM c{r}"
+        )
+        if r < k - 1:
+            ctes.append(
+                f"d{r} AS (SELECT v.vec_id, v.vec, "
+                f"least(v.md, round(1 - ({d.format(i=r)}), 6)) AS md "
+                f"FROM {prev} v CROSS JOIN c{r} "
+                f"WHERE v.vec_id <> c{r}.cid)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(sel)
+    )

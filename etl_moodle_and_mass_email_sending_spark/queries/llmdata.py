@@ -1757,3 +1757,95 @@ register(
     _sim_source_outliers,
     similarity.sql_source_norm_outliers(),
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_cross_source_matrix — which sources duplicate WHICH: the
+# near-dup pair list rolled up into a (source_a, source_b) matrix.
+# Off-diagonal mass is mirror/syndication structure (site B republishes
+# site A); diagonal mass is within-source boilerplate. The standard
+# report before deciding whether to drop a whole source vs dedup
+# within it. Pair endpoints map to their base documents
+# (doc_id % 100000 strips the synthetic copy offsets) and attach
+# source via a doc-keyed hash equi-join — NOT broadcast, |documents|
+# is linear in SF. The matrix itself is ≤ |sources|² rows; pairs come
+# from the session-staged LSH frame (banded candidate generation, no
+# all-pairs anywhere).
+# --------------------------------------------------------------------------
+
+
+def _dedup_cross_source_matrix(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    pairs = _staged_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    base = lambda c: (F.col(c) % 100000).alias("doc_id")  # noqa: E731
+    withs = (
+        pairs.select(base("doc_a"), F.col("doc_b").alias("_b"))
+        .join(src, "doc_id")
+        .select(
+            F.col("source").alias("_sa"), (F.col("_b") % 100000).alias("doc_id")
+        )
+        .join(src, "doc_id")
+        .select(
+            F.least(F.col("_sa"), F.col("source")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("source")).alias("source_b"),
+        )
+    )
+    cells = withs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    # total off the ≤|sources|²-row cell frame — no second pass over
+    # the pair list, no driver-side action
+    tot = cells.agg(F.sum("n_pairs").alias("_t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("_t"), 6).alias("pair_share"),
+    )
+
+
+def _sql_dedup_cross_source_matrix() -> str:
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    return f"""
+    WITH pairs AS ({pairs}),
+    src AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM pairs p
+      JOIN src sa ON sa.doc_id = p.doc_a % 100000
+      JOIN src sb ON sb.doc_id = p.doc_b % 100000
+    ),
+    tot AS (SELECT count(*) AS t FROM m)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(count(*) AS DOUBLE) / t, 6) AS pair_share
+    FROM m CROSS JOIN tot
+    GROUP BY source_a, source_b, t
+    """
+
+
+register(
+    "dedup_cross_source_matrix",
+    _dedup_cross_source_matrix,
+    _sql_dedup_cross_source_matrix(),
+)
+
+
+# --------------------------------------------------------------------------
+# sim_kcenter_sample — greedy farthest-point diversity sample
+# (operators/similarity.py::kcenter_sample has semantics + scale
+# notes; the oracle unrolls the same k-step recurrence as a CTE chain).
+# --------------------------------------------------------------------------
+
+
+register(
+    "sim_kcenter_sample",
+    lambda spark, sf_dir: similarity.kcenter_sample(spark, sf_dir),
+    similarity.sql_kcenter_sample(),
+)

@@ -1362,3 +1362,61 @@ def test_source_outliers_match_numpy_per_source_zscores(spark):
     assert set(got) == set(want)
     for vid in got:
         assert got[vid][0] == want[vid]
+
+
+def test_kcenter_sample_matches_greedy_reference(spark):
+    """sim_kcenter_sample == a numpy greedy farthest-point reference
+    with the same rounding and tie policy; radii are non-increasing."""
+    import numpy as np
+    import duckdb
+
+    from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+        KCENTER_K,
+        kcenter_sample,
+    )
+
+    got = sorted(
+        (r["rank"], r["vec_id"], r["min_dist"])
+        for r in kcenter_sample(spark, SF_SMALL).collect()
+    )
+    con = duckdb.connect()
+    vecs = dict(
+        con.execute(
+            f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet'"
+        ).fetchall()
+    )
+    ids = sorted(vecs)
+    V = {i: np.array(vecs[i], dtype=np.float64) for i in ids}
+
+    def cdist(a, b):
+        c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return round(1 - round(c, 6), 6)
+
+    centers = [min(ids)]
+    md = {i: cdist(V[i], V[centers[0]]) for i in ids if i != centers[0]}
+    want = [(0, centers[0], None)]
+    for r in range(1, KCENTER_K):
+        w = min(md, key=lambda i: (-md[i], i))
+        want.append((r, w, md[w]))
+        del md[w]
+        for i in md:
+            md[i] = min(md[i], cdist(V[i], V[w]))
+    assert got == sorted(want)
+    radii = [d for _, _, d in got if d is not None]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_cross_source_matrix_is_canonical_and_complete(spark):
+    """Matrix cells are canonically ordered (source_a <= source_b),
+    shares sum to 1, and the cell total equals the staged pair count."""
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        _dedup_cross_source_matrix,
+        _staged_pairs,
+    )
+
+    rows = _dedup_cross_source_matrix(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
+    n_pairs = _staged_pairs(spark, SF_SMALL).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-3
