@@ -164,6 +164,8 @@ HEADLINE = [
     "sim_source_outliers",
     "sim_kcenter_sample",
     "dedup_cross_source_matrix",
+    "text_pack_efficiency",
+    "dedup_source_shift",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1849,3 +1849,179 @@ register(
     lambda spark, sf_dir: similarity.kcenter_sample(spark, sf_dir),
     similarity.sql_kcenter_sample(),
 )
+
+
+# --------------------------------------------------------------------------
+# text_pack_efficiency — packing-waste report across candidate sequence
+# budgets: for each budget, how many sequences the greedy packer emits,
+# how full they are (fill_rate = packed tokens / budget capacity), and
+# how often a chunk run overflows its budget (overflow_rate). The table
+# a training-infra team reads before fixing max_seq_len — the fill/
+# overflow trade is exactly what decides padding waste vs truncation.
+# Scale: the chunk fan-out runs ONCE (lazily checkpointed) and the
+# three budget branches reuse it; each branch is pack_sequences'
+# per-lang prefix-sum window + a 2-level rollup to ONE row.
+# --------------------------------------------------------------------------
+
+PACK_EFF_BUDGETS = (128, 256, 512)
+
+
+def _text_pack_efficiency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    chunks = text_analysis.chunk_documents(
+        _docs(spark, sf_dir), keep=("lang",)
+    ).localCheckpoint(eager=False)
+    outs = []
+    for b in PACK_EFF_BUDGETS:
+        seqs = text_analysis.pack_sequences(chunks, budget=b)
+        outs.append(
+            seqs.groupBy().agg(
+                F.lit(b).cast("int").alias("budget"),
+                F.count("*").cast("bigint").alias("n_seqs"),
+                F.round(
+                    F.sum("seq_tokens")
+                    / (F.count("*") * F.lit(b)).cast("double"),
+                    6,
+                ).alias("fill_rate"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("seq_tokens") > b, 1).otherwise(0)
+                    )
+                    / F.count("*").cast("double"),
+                    6,
+                ).alias("overflow_rate"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_text_pack_efficiency() -> str:
+    chunks = f"""SELECT c.doc_id, c.chunk_index, c.n_tokens, d.lang
+        FROM ({text_analysis.sql_chunk_documents(_DOCS_SQL)}) c
+        JOIN ({_DOCS_SQL}) d USING (doc_id)"""
+    parts = []
+    for b in PACK_EFF_BUDGETS:
+        seqs = text_analysis.sql_pack_sequences(chunks, budget=b)
+        parts.append(f"""
+        SELECT CAST({b} AS INTEGER) AS budget,
+               CAST(count(*) AS BIGINT) AS n_seqs,
+               round(CAST(sum(seq_tokens) AS DOUBLE)
+                     / (count(*) * {b}), 6) AS fill_rate,
+               round(CAST(sum(CASE WHEN seq_tokens > {b} THEN 1
+                                   ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS overflow_rate
+        FROM ({seqs})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+register(
+    "text_pack_efficiency",
+    _text_pack_efficiency,
+    _sql_text_pack_efficiency(),
+)
+
+
+# --------------------------------------------------------------------------
+# dedup_source_shift — what hard dedup DOES to the source mixture: per
+# source, docs before vs canonical survivors after keep-min-id dedup
+# over the near-dup clusters, and the resulting share shift. A source
+# whose share collapses was mostly duplicate mass (syndication feeds);
+# a share that grows means the source pays for other sources' drops.
+# The report that gates "drop duplicates" vs "reweight" decisions next
+# to dedup_soft_weights / dedup_cluster_quota.
+# Scale: reuses the staged cluster frame; survivor selection is a
+# per-component min (hash aggregation, many small groups); provenance
+# attaches via doc-keyed hash equi-joins (base id = doc_id % 100000
+# strips the synthetic copy offsets); final frame is |sources| rows.
+# --------------------------------------------------------------------------
+
+
+def _dedup_source_shift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    clusters = _staged_clusters(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    base = (F.col("doc_id") % 100000).alias("doc_id")
+    before = (
+        clusters.select(base, "component")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    keepers = clusters.groupBy("component").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    after = (
+        keepers.select(base)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_kept"))
+    )
+    tot = F.broadcast(
+        before.agg(F.sum("n_docs").alias("_tb")).crossJoin(
+            after.agg(F.sum("n_kept").alias("_ta"))
+        )
+    )
+    sb = F.col("n_docs") / F.col("_tb")
+    sa = F.col("n_kept") / F.col("_ta")
+    return (
+        before.join(after, "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias(
+                "keep_rate"
+            ),
+            F.round(sb, 6).alias("share_before"),
+            F.round(sa, 6).alias("share_after"),
+            F.round(sa - sb, 6).alias("share_shift"),
+        )
+    )
+
+
+def _sql_dedup_source_shift() -> str:
+    return f"""
+    WITH clustered AS ({_sql_dedup_components()}),
+    src AS (SELECT doc_id, source FROM documents),
+    before_t AS (
+      SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM clustered c JOIN src s ON s.doc_id = c.doc_id % 100000
+      GROUP BY 1
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id FROM clustered GROUP BY component
+    ),
+    after_t AS (
+      SELECT s.source, CAST(count(*) AS BIGINT) AS n_kept
+      FROM keepers k JOIN src s ON s.doc_id = k.doc_id % 100000
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(n_docs) FROM before_t) AS tb,
+             (SELECT sum(n_kept) FROM after_t) AS ta
+    )
+    SELECT b.source, b.n_docs, a.n_kept,
+           round(CAST(a.n_kept AS DOUBLE) / b.n_docs, 6) AS keep_rate,
+           round(CAST(b.n_docs AS DOUBLE) / tb, 6) AS share_before,
+           round(CAST(a.n_kept AS DOUBLE) / ta, 6) AS share_after,
+           round(CAST(a.n_kept AS DOUBLE) / ta
+                 - CAST(b.n_docs AS DOUBLE) / tb, 6) AS share_shift
+    FROM before_t b JOIN after_t a USING (source) CROSS JOIN tot
+    """
+
+
+register(
+    "dedup_source_shift",
+    _dedup_source_shift,
+    _sql_dedup_source_shift(),
+)

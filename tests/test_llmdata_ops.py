@@ -1420,3 +1420,55 @@ def test_cross_source_matrix_is_canonical_and_complete(spark):
     n_pairs = _staged_pairs(spark, SF_SMALL).count()
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_pack_efficiency_budget_tradeoffs(spark):
+    """Fill/overflow report is internally consistent: one row per
+    budget, rates in [0, 1], and token mass conservation holds — the
+    packed tokens per budget all equal the corpus chunk-token total."""
+    from etl_moodle_and_mass_email_sending_spark.operators import text_analysis
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        PACK_EFF_BUDGETS,
+        _docs,
+        _text_pack_efficiency,
+    )
+
+    rows = {r["budget"]: r for r in _text_pack_efficiency(spark, SF_SMALL).collect()}
+    assert set(rows) == set(PACK_EFF_BUDGETS)
+    total_tokens = (
+        text_analysis.chunk_documents(_docs(spark, SF_SMALL), keep=("lang",))
+        .groupBy()
+        .sum("n_tokens")
+        .collect()[0][0]
+    )
+    for b, r in rows.items():
+        assert 0.0 < r["fill_rate"] <= 1.5  # overflow can push past 1
+        assert 0.0 <= r["overflow_rate"] <= 1.0
+        # fill_rate * n_seqs * budget == total tokens (to rounding)
+        assert abs(r["fill_rate"] * r["n_seqs"] * b - total_tokens) < max(
+            1.0, 1e-5 * total_tokens
+        )
+    # larger budget -> no more sequences than a smaller one
+    ns = [rows[b]["n_seqs"] for b in sorted(rows)]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_source_shift_conserves_mass_and_matches_keepers(spark):
+    """Share columns each sum to 1; keeper counts equal the per-source
+    min-id survivors computed directly from the staged clusters."""
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        _dedup_source_shift,
+        _staged_clusters,
+    )
+
+    rows = _dedup_source_shift(spark, SF_SMALL).collect()
+    assert rows
+    assert abs(sum(r["share_before"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_shift"] for r in rows)) < 1e-3
+    clusters = _staged_clusters(spark, SF_SMALL).collect()
+    n_clusters = len({r["component"] for r in clusters})
+    assert sum(r["n_kept"] for r in rows) == n_clusters
+    assert sum(r["n_docs"] for r in rows) == len(clusters)
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
