@@ -446,25 +446,49 @@ def sql_repetition_stats(corpus_sql: str) -> str:
 PACK_BUDGET_TOKENS = 256
 
 
+def pack_cumsum(chunks: DataFrame) -> DataFrame:
+    """chunks(doc_id, chunk_index, n_tokens, lang) → the per-lang
+    EXCLUSIVE token prefix sum in (doc_id, chunk_index) order — the
+    budget-independent half of sequence packing, shared by every budget
+    a sweep evaluates. Runs through two_pass_running_sum_in_groups
+    (r8): languages are FEW and HUGE at corpus scale, exactly the case
+    where ``Window.partitionBy(lang)`` (the pre-r8 shape) funnels each
+    language's billions of chunks through one task."""
+    from .util import two_pass_running_sum_in_groups
+
+    cum = two_pass_running_sum_in_groups(
+        chunks.select("lang", "doc_id", "chunk_index", "n_tokens"),
+        "lang",
+        [F.col("doc_id"), F.col("chunk_index")],
+        "n_tokens",
+        out_col="_cum",
+    )
+    return cum.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        (F.col("_cum") - F.col("n_tokens")).alias("_before"),
+    )
+
+
 def pack_sequences(
     chunks: DataFrame, budget: int = PACK_BUDGET_TOKENS
 ) -> DataFrame:
     """chunks(doc_id, chunk_index, n_tokens, lang) → per-sequence manifest
     (lang, seq_id, n_chunks, n_docs, seq_tokens)."""
-    from pyspark.sql.window import Window
+    return pack_sequences_from_cumsum(pack_cumsum(chunks), budget)
 
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id", "chunk_index")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    assigned = chunks.select(
+
+def pack_sequences_from_cumsum(
+    cum: DataFrame, budget: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """The per-budget half of packing: seq_id = floor(exclusive prefix
+    sum / budget), then one (lang, seq_id) rollup."""
+    assigned = cum.select(
         "lang",
         "doc_id",
         "n_tokens",
-        F.floor(
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
-        ).alias("seq_id"),
+        F.floor(F.col("_before") / budget).alias("seq_id"),
     )
     return assigned.groupBy("lang", "seq_id").agg(
         F.count("*").alias("n_chunks"),

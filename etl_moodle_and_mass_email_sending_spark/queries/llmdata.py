@@ -1858,9 +1858,11 @@ register(
 # how often a chunk run overflows its budget (overflow_rate). The table
 # a training-infra team reads before fixing max_seq_len — the fill/
 # overflow trade is exactly what decides padding waste vs truncation.
-# Scale: the chunk fan-out runs ONCE (lazily checkpointed) and the
-# three budget branches reuse it; each branch is pack_sequences'
-# per-lang prefix-sum window + a 2-level rollup to ONE row.
+# Scale: the chunk fan-out AND the per-lang exclusive prefix sum run
+# ONCE (the sum via the grouped two-pass machinery — no per-lang
+# single-task window; lazily checkpointed) and the three budget
+# branches each derive their assignment + a 2-level rollup to ONE row
+# from that shared frame.
 # --------------------------------------------------------------------------
 
 PACK_EFF_BUDGETS = (128, 256, 512)
@@ -1869,12 +1871,15 @@ PACK_EFF_BUDGETS = (128, 256, 512)
 def _text_pack_efficiency(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    chunks = text_analysis.chunk_documents(
-        _docs(spark, sf_dir), keep=("lang",)
+    # the exclusive prefix sum is budget-independent: compute it ONCE
+    # (one grouped two-pass range shuffle) and derive every budget's
+    # assignment from the checkpointed frame
+    cum = text_analysis.pack_cumsum(
+        text_analysis.chunk_documents(_docs(spark, sf_dir), keep=("lang",))
     ).localCheckpoint(eager=False)
     outs = []
     for b in PACK_EFF_BUDGETS:
-        seqs = text_analysis.pack_sequences(chunks, budget=b)
+        seqs = text_analysis.pack_sequences_from_cumsum(cum, budget=b)
         outs.append(
             seqs.groupBy().agg(
                 F.lit(b).cast("int").alias("budget"),

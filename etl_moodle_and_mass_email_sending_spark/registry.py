@@ -104,7 +104,12 @@ _WINDOW = [
     "rel_funnel_stages",
     "rel_incremental_agg",
     "rel_kmv_distinct",
-    "rel_latest_per_key",
+    # (b continued) text_sequence_pack's packing core was rewritten
+    # this round (per-lang window -> grouped two-pass prefix sum), so
+    # it takes the last slot over one more r4 refresh (standing
+    # policy: rewrites outrank refreshes; rel_latest_per_key rotates
+    # in round 9)
+    "text_sequence_pack",
 ]
 
 
