@@ -539,6 +539,29 @@ DECON_NGRAM = 4
 DECON_BENCH_MOD = 97  # doc_id % 97 == 0 → the ~1% held-out benchmark slice
 
 
+def gram_stream(corpus: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """(doc_id, n_grams, gram): the exploded word-n-gram stream of the
+    corpus — the shared fan-out of decontaminate and the streaming
+    decontaminate filter. Grams build with O(1) ``element_at`` probes
+    inside the Generate (see decontaminate's plan notes); n_grams is
+    the scalar stream length (tokens − n + 1), so no per-doc gram array
+    is ever materialized."""
+    words = corpus.select("doc_id", F.expr(_SPARK_TOKS).alias("w"))
+    gram_i = "concat_ws(' ', " + ", ".join(
+        f"element_at(w, i + {j})" for j in range(n)
+    ) + ")"
+    gen = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), i -> {gram_i}) "
+        f"ELSE array() END"
+    )
+    return words.select(
+        "doc_id",
+        (F.size("w") - (n - 1)).cast("bigint").alias("n_grams"),
+        F.explode(F.expr(gen)).alias("gram"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     n: int = DECON_NGRAM,
@@ -560,22 +583,7 @@ def decontaminate(
     24× slower. The repartition spreads short-doc skew before the fan-out;
     ``element_at(w, i + j)`` is ANSI-safe because i + n − 1 ≤ size(w) by
     the sequence bound."""
-    words = spread_for_compute(corpus).select(
-        "doc_id", F.expr(_SPARK_TOKS).alias("w")
-    )
-    gram_i = "concat_ws(' ', " + ", ".join(
-        f"element_at(w, i + {j})" for j in range(n)
-    ) + ")"
-    gen = (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"transform(sequence(1, size(w) - {n} + 1), i -> {gram_i}) "
-        f"ELSE array() END"
-    )
-    grams = words.select(
-        "doc_id",
-        (F.size("w") - (n - 1)).cast("bigint").alias("n_grams"),
-        F.explode(F.expr(gen)).alias("gram"),
-    )
+    grams = gram_stream(spread_for_compute(corpus), n)
     bench = (
         grams.filter(F.col("doc_id") % bench_mod == 0)
         .select("gram")

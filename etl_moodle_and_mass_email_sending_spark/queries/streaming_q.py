@@ -782,3 +782,81 @@ def _stream_bloom_sql() -> str:
 register(
     "stream_bloom_membership", stream_bloom_membership, _stream_bloom_sql()
 )
+
+
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online benchmark decontamination (round 8): the training docs
+    replay as four arrival chunks (one file per trigger) through
+    streaming/decon_stream.py's stateless foreachBatch filter; the
+    benchmark slice's distinct n-gram set is the STATIC broadcast side.
+    Docs arrive whole, so every verdict is complete within its batch
+    and the exact batch oracle holds regardless of batching."""
+    import os
+
+    from ..operators import text_analysis
+    from ..streaming import decon_stream
+
+    base = tempfile.mkdtemp(prefix="decon_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = (
+        text_analysis.gram_stream(
+            docs.filter(F.col("doc_id") % text_analysis.DECON_BENCH_MOD == 0)
+        )
+        .select("gram")
+        .distinct()
+    )
+    train = docs.filter(
+        F.col("doc_id") % text_analysis.DECON_BENCH_MOD != 0
+    )
+    stage = _stage_ordered_chunks(train, "doc_id")
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = decon_stream.start_decontaminate_stream(
+        stream,
+        bench,
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "out"))
+
+
+def _stream_decontaminate_sql() -> str:
+    from ..operators import text_analysis as ta
+
+    n, mod = ta.DECON_NGRAM, ta.DECON_BENCH_MOD
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> {gram_i}) ELSE [] END"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {ta._DUCK_TOKS} AS w FROM documents
+    ),
+    e AS (SELECT doc_id, unnest({grams}) AS gram FROM tok),
+    bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % {mod} = 0),
+    hits AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM e t JOIN bench b USING (gram)
+      WHERE t.doc_id % {mod} <> 0
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+           coalesce(h.c, 0) AS n_hit_ngrams,
+           CAST(greatest(len(t.w) - {n - 1}, 0) AS BIGINT) AS n_grams,
+           coalesce(h.c, 0) > 0 AS contaminated
+    FROM tok t LEFT JOIN hits h USING (doc_id)
+    WHERE t.doc_id % {mod} <> 0
+    """
+
+
+register(
+    "stream_decontaminate",
+    stream_decontaminate,
+    _stream_decontaminate_sql(),
+)

@@ -587,3 +587,41 @@ class TestSketchStreams:
             ).collect()
         }
         assert streamed_q == batch_q and streamed_q
+
+
+def test_stream_decontaminate_matches_batch_and_is_stateless(spark):
+    """The streaming filter's verdicts == the batch decontaminate's
+    hits (plus explicit clean rows), and every doc emits exactly once
+    across the multi-batch replay."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        text_analysis,
+    )
+    from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+        stream_decontaminate,
+    )
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+
+    rows = stream_decontaminate(spark, SF_SMALL).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # once per doc
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    n_train = docs.filter(
+        F.col("doc_id") % text_analysis.DECON_BENCH_MOD != 0
+    ).count()
+    assert len(rows) == n_train  # clean docs emit too
+    batch = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["n_grams"])
+        for r in text_analysis.decontaminate(docs).collect()
+    }
+    got_hits = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["n_grams"])
+        for r in rows
+        if r["contaminated"]
+    }
+    assert got_hits == batch
+    for r in rows:
+        assert r["contaminated"] == (r["n_hit_ngrams"] > 0)
