@@ -166,6 +166,7 @@ HEADLINE = [
     "dedup_cross_source_matrix",
     "text_pack_efficiency",
     "dedup_source_shift",
+    "text_contamination_pairs",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -3533,3 +3533,91 @@ def sql_length_histogram(corpus_sql: str) -> str:
            round(CAST(c.n_docs AS DOUBLE) / p.t, 6) AS share
     FROM cells c JOIN per_src p USING (source)
     """
+
+
+# --------------------------------------------------------------------------
+# Contamination pair drill-down (round 8) — the third step of the
+# decontaminate → direction → PAIRS audit chain: once a source is
+# implicated, which training document matches which benchmark item?
+# Evidence = count of DISTINCT shared n-grams per (train doc, eval
+# doc) pair, keeping pairs with >= CONTAM_PAIR_MIN shared grams.
+#
+# The join is keyed on the gram, and a gram carried by MANY eval docs
+# (benchmark boilerplate: shared prompts, answer prefixes) would fan
+# out quadratically — so grams appearing in more than
+# CONTAM_GRAM_MAX_DF eval docs are dropped from the evidence set
+# first (the rare-gram rule contamination audits use: only
+# rare-enough grams indicate copying; cf. decontaminate's width
+# note). That bound makes the pair fan-out ≤ |eval grams| ·
+# CONTAM_GRAM_MAX_DF rows regardless of corpus size.
+# --------------------------------------------------------------------------
+
+CONTAM_PAIR_MIN = 2  # >= 2 distinct shared grams = a reportable pair
+CONTAM_GRAM_MAX_DF = 8  # grams in more eval docs than this are boilerplate
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    min_shared: int = CONTAM_PAIR_MIN,
+    max_df: int = CONTAM_GRAM_MAX_DF,
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, n_shared_grams): training/benchmark
+    doc pairs sharing >= ``min_shared`` distinct rare n-grams."""
+    grams = gram_stream(spread_for_compute(corpus), n).select(
+        "doc_id", "gram"
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench = grams.filter(is_bench).distinct()
+    rare = (
+        bench.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("gram")
+    )
+    evidence = bench.join(rare, "gram").select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    train = grams.filter(~is_bench).distinct()
+    return (
+        train.join(F.broadcast(evidence), "gram")
+        .groupBy(
+            F.col("doc_id").alias("train_doc_id"), "eval_doc_id"
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def sql_contamination_pairs(
+    corpus_sql: str,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    min_shared: int = CONTAM_PAIR_MIN,
+    max_df: int = CONTAM_GRAM_MAX_DF,
+) -> str:
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> {gram_i}) ELSE [] END"
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM ({corpus_sql})),
+    e AS (SELECT DISTINCT doc_id, unnest({grams}) AS gram FROM tok),
+    bench AS (SELECT * FROM e WHERE doc_id % {bench_mod} = 0),
+    rare AS (
+      SELECT gram FROM bench GROUP BY 1 HAVING count(*) <= {max_df}
+    ),
+    evidence AS (
+      SELECT b.doc_id AS eval_doc_id, b.gram
+      FROM bench b JOIN rare r USING (gram)
+    ),
+    train AS (SELECT * FROM e WHERE doc_id % {bench_mod} <> 0)
+    SELECT t.doc_id AS train_doc_id, v.eval_doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM train t JOIN evidence v USING (gram)
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+    """

@@ -2030,3 +2030,14 @@ register(
     _dedup_source_shift,
     _sql_dedup_source_shift(),
 )
+
+
+# text_contamination_pairs — pair-level drill-down of the contamination
+# audit (operators/text_analysis.py::contamination_pairs).
+register(
+    "text_contamination_pairs",
+    lambda spark, sf_dir: text_analysis.contamination_pairs(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_contamination_pairs(_DOCS_SQL),
+)

@@ -1472,3 +1472,35 @@ def test_source_shift_conserves_mass_and_matches_keepers(spark):
     assert sum(r["n_docs"] for r in rows) == len(clusters)
     for r in rows:
         assert 0 < r["n_kept"] <= r["n_docs"]
+
+
+def test_contamination_pairs_find_planted_copy_and_cap_boilerplate(spark):
+    """Pair drill-down: a train doc quoting one eval doc pairs with
+    exactly that doc; a gram shared by MANY eval docs (boilerplate) is
+    excluded from evidence by the max_df cap."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        contamination_pairs,
+    )
+
+    boiler = "answer the following question carefully"
+    rows = []
+    # eval docs (doc_id % 5 == 0): all share the boilerplate prefix,
+    # each has a unique tail
+    for i, tail in ((0, "alpha beta gamma delta"), (5, "one two three four"),
+                    (10, "red green blue yellow")):
+        rows.append((i, f"{boiler} {tail}", "bench"))
+    # train doc 1 copies eval doc 0's tail AND the boilerplate
+    rows.append((1, f"{boiler} alpha beta gamma delta", "crawl"))
+    # train doc 2 carries ONLY the boilerplate -> no rare evidence
+    rows.append((2, f"{boiler} something else entirely here", "crawl"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["train_doc_id"], r["eval_doc_id"]): r["n_shared_grams"]
+        for r in contamination_pairs(
+            df, n=4, bench_mod=5, min_shared=2, max_df=1
+        ).collect()
+    }
+    # with max_df=1 the boilerplate grams (df=3) are dropped; doc 1
+    # still pairs with eval doc 0 through the unique-tail grams
+    assert set(got) == {(1, 0)}
+    assert got[(1, 0)] >= 2
