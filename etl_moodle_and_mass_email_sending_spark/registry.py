@@ -43,9 +43,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #       graph_two_hop (mid-vertex-only degree cap + capped oracle);
 #   (c) 12 refresh slots for the queries whose last external green is
 #       round 3 — the stalest certifications in the ledger;
-#   (d) 19 refresh slots for the oldest round-4 certifications
-#       (alphabetical head of the 45-name r4 cohort; the remaining 26
-#       rotate in round 9).
+#   (d) 18 refresh slots for the oldest round-4 certifications
+#       (alphabetical head of the 45-name r4 cohort; the 19th slot
+#       went to the text_sequence_pack rewrite below, so 27 r4 names
+#       rotate in round 9, rel_latest_per_key first).
 # Everything else stays registered and locally gated every round by
 # tests/test_oracle_parity.py and the tests/driver_sim.py sweep; new
 # round-8 additions start life in the tail (standing policy: promote
