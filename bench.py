@@ -167,6 +167,7 @@ HEADLINE = [
     "text_pack_efficiency",
     "dedup_source_shift",
     "text_contamination_pairs",
+    "src_jsonl_documents",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -2041,3 +2041,50 @@ register(
     ),
     text_analysis.sql_contamination_pairs(_DOCS_SQL),
 )
+
+
+# --------------------------------------------------------------------------
+# src_jsonl_documents — JSONL ingestion health check (sources/jsonl.py
+# has the 100 TB rationale): the documents table round-trips through a
+# staged JSONL drop with two deliberately malformed lines appended;
+# the PERMISSIVE read quarantines them under __corrupt__ and the
+# per-source rollup must equal the table's own counts plus the planted
+# damage. The oracle is staging-independent by construction (same
+# reasoning as the streaming replays: the verdict depends only on the
+# table + the planted constant).
+# --------------------------------------------------------------------------
+
+N_PLANTED_CORRUPT = 2
+
+
+def _src_jsonl_documents(spark, sf_dir):
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources import jsonl
+
+    base = tempfile.mkdtemp(prefix="jsonl_")
+    drop = os.path.join(base, "docs")
+    load_table(spark, sf_dir, "documents").write.json(drop)
+    with open(os.path.join(drop, "part-corrupt.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": truncated-no-close\n')
+        f.write("not json at all\n")
+    return jsonl.jsonl_health(jsonl.read_documents_jsonl(spark, drop))
+
+
+def _sql_src_jsonl_documents() -> str:
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    UNION ALL
+    SELECT '__corrupt__' AS source,
+           CAST({N_PLANTED_CORRUPT} AS BIGINT) AS n_docs
+    """
+
+
+register(
+    "src_jsonl_documents",
+    _src_jsonl_documents,
+    _sql_src_jsonl_documents(),
+)

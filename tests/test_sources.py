@@ -609,3 +609,28 @@ def test_participants_many_xlsx_default_reader(spark, tmp_path):
     (alien_row,) = by_file["b.xlsx"]
     assert (alien_row.rut, alien_row.nombres, alien_row.apellidos,
             alien_row.email) == (None, None, None, None)
+
+
+def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL read: good lines parse to typed rows, malformed
+    lines survive as _corrupt_record rows with NULL typed columns, and
+    jsonl_health rolls both up per source."""
+    from etl_moodle_and_mass_email_sending_spark.sources import jsonl
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"doc_id": 1, "text": "hello", "lang": "en", "source": "s1", "n_chars": 5}\n'
+        '{"doc_id": 2, "text": "world", "lang": "en", "source": "s2", "n_chars": 5}\n'
+        "this line is not json\n"
+        '{"doc_id": 3, "text": "again", "lang": "en", "source": "s1", "n_chars": 5}\n'
+    )
+    docs = jsonl.read_documents_jsonl(spark, str(p))
+    rows = docs.collect()
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and corrupt[0]["doc_id"] is None
+    health = {
+        r["source"]: r["n_docs"]
+        for r in jsonl.jsonl_health(docs).collect()
+    }
+    assert health == {"s1": 2, "s2": 1, jsonl.CORRUPT_SOURCE_LABEL: 1}
