@@ -1130,11 +1130,22 @@ def sql_bm25_topk(
 # --------------------------------------------------------------------------
 
 TOP_TERMS_K = 20
+TOP_TERMS_SALTS = 16
 
 
 def top_terms(corpus: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
     """(lang, token, term_count, doc_count, rank): the k most frequent
-    whitespace tokens per language, ties broken lexicographically."""
+    whitespace tokens per language, ties broken lexicographically.
+
+    r8: the rank runs as the salted two-stage top-K (the PMI /
+    weighted-sample pattern) instead of one ``partitionBy(lang)``
+    window over the whole vocabulary — per-language vocabularies are
+    10⁷-10⁸ terms at corpus scale, and languages are FEW, so the
+    single-stage window funnels each language's vocab through one
+    task. Stage 1 ranks within (lang, hash-salt) buckets — every
+    global top-k member is top-k in its bucket, so survivors ⊇ the
+    answer; stage 2's exact window sees ≤ k·TOP_TERMS_SALTS rows per
+    language."""
     from pyspark.sql.window import Window
 
     toks = corpus.select(
@@ -1146,13 +1157,22 @@ def top_terms(corpus: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
         F.count("*").alias("term_count"),
         F.countDistinct("doc_id").alias("doc_count"),
     )
-    w = Window.partitionBy("lang").orderBy(
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64("token"), F.lit(TOP_TERMS_SALTS))
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("term_count").desc(), F.col("token")
+    )
+    stage1 = salted.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy("lang").orderBy(
         F.col("term_count").desc(), F.col("token")
     )
     return (
-        counts.withColumn(
-            "rank", F.row_number().over(w).cast("int")
-        ).filter(F.col("rank") <= k)
+        stage1.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("lang", "token", "term_count", "doc_count", "rank")
     )
 
 
@@ -2326,10 +2346,21 @@ def zipf_fit(corpus: DataFrame) -> DataFrame:
         .groupBy("lang", "token")
         .agg(F.count("*").alias("cnt"))
     )
+    # salted two-stage top-N (see top_terms): the exact per-lang window
+    # ranks ≤ ZIPF_TOP·TOP_TERMS_SALTS survivors, never the vocabulary
+    salted = counts.withColumn(
+        "_salt", F.pmod(F.xxhash64("token"), F.lit(TOP_TERMS_SALTS))
+    )
+    w1 = Window.partitionBy("lang", "_salt").orderBy(
+        F.col("cnt").desc(), F.col("token")
+    )
+    stage1 = salted.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= ZIPF_TOP
+    )
     w = Window.partitionBy("lang").orderBy(
         F.col("cnt").desc(), F.col("token")
     )
-    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+    ranked = stage1.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= ZIPF_TOP
     )
     x = F.round(F.log(F.col("rank").cast("double")), 9).cast(

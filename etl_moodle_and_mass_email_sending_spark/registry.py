@@ -43,10 +43,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #       graph_two_hop (mid-vertex-only degree cap + capped oracle);
 #   (c) 12 refresh slots for the queries whose last external green is
 #       round 3 — the stalest certifications in the ledger;
-#   (d) 18 refresh slots for the oldest round-4 certifications
-#       (alphabetical head of the 45-name r4 cohort; the 19th slot
-#       went to the text_sequence_pack rewrite below, so 27 r4 names
-#       rotate in round 9, rel_latest_per_key first).
+#   (d) 16 refresh slots for the oldest round-4 certifications
+#       (alphabetical head of the 45-name r4 cohort; three slots went
+#       to this round's rewrites of text_sequence_pack /
+#       text_top_terms / text_zipf_fit — the latter two are themselves
+#       r4-stale, so their certification doubles as the refresh; the
+#       remaining r4 names rotate in round 9, rel_incremental_agg /
+#       rel_kmv_distinct / rel_latest_per_key first).
 # Everything else stays registered and locally gated every round by
 # tests/test_oracle_parity.py and the tests/driver_sim.py sweep; new
 # round-8 additions start life in the tail (standing policy: promote
@@ -103,8 +106,14 @@ _WINDOW = [
     "rel_event_pmi",
     "rel_event_transitions",
     "rel_funnel_stages",
-    "rel_incremental_agg",
-    "rel_kmv_distinct",
+    # (b continued) text_top_terms / text_zipf_fit vocabulary ranks
+    # were rewritten this round (salted two-stage top-K instead of one
+    # per-lang window over the whole vocabulary) — they take the last
+    # r4-refresh slots (they are ALSO r4-stale, so this doubles as
+    # their refresh); rel_incremental_agg / rel_kmv_distinct rotate in
+    # round 9 with the rest of the r4 cohort
+    "text_top_terms",
+    "text_zipf_fit",
     # (b continued) text_sequence_pack's packing core was rewritten
     # this round (per-lang window -> grouped two-pass prefix sum), so
     # it takes the last slot over one more r4 refresh (standing
