@@ -786,3 +786,16 @@ def test_source_outliers_rollup_broadcasts_back(spark, registry_queries):
     assert plan.count("BroadcastExchange") >= 1
     for m in re.finditer(r"Sort \[[^\]]*\], (\w+)", plan):
         assert m.group(1) == "false", "global sort in source_outliers"
+
+
+def test_top_terms_and_zipf_ranks_are_salted_two_stage(
+    spark, registry_queries
+):
+    """The vocabulary ranks run as the salted two-stage top-K (r8): the
+    salt column must appear in the plan, and there must be TWO window
+    nodes (bucket stage + exact stage over survivors) — never a single
+    per-lang window over the whole vocabulary."""
+    for name in ("text_top_terms", "text_zipf_fit"):
+        plan = _plan(registry_queries[name](spark, SF_SMALL))
+        assert "_salt" in plan, name
+        assert plan.count("Window") >= 2, name
