@@ -3610,13 +3610,28 @@ def contamination_pairs(
     evidence = bench.join(rare, "gram").select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
     )
-    train = grams.filter(~is_bench).distinct()
+    # The RAW train gram stream goes straight into the broadcast join —
+    # no pre-join ``.distinct()``.  A distinct here would shuffle the
+    # full (doc_id, gram) corpus (doc_id in the key makes it corpus-
+    # sized, unlike contamination_direction's vocab-bounded (source,
+    # gram) distincts); joining first means only the MATCHED rows
+    # (bounded by |eval grams| * max_df, the operator's own fan-out
+    # bound) ever reach a shuffle, and ``countDistinct("gram")`` per
+    # pair collapses within-doc gram repeats — result-identical to
+    # distinct-then-count(*).  The broadcast hint is sound because a
+    # real contamination audit's evidence set is eval-suite-sized
+    # (benchmarks are megabytes); the bench harness's doc_id % 97
+    # slice is a stand-in and must stay eval-suite-sized, NOT a fixed
+    # corpus fraction, for the hint to hold at scale.
+    train = grams.filter(~is_bench)
     return (
         train.join(F.broadcast(evidence), "gram")
         .groupBy(
             F.col("doc_id").alias("train_doc_id"), "eval_doc_id"
         )
-        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+        .agg(
+            F.countDistinct("gram").cast("bigint").alias("n_shared_grams")
+        )
         .filter(F.col("n_shared_grams") >= min_shared)
     )
 

@@ -48,6 +48,71 @@ def staged_frame(
     return df
 
 
+# ---------------------------------------------------------------------------
+# Scratch + session-staged paths (ADVICE r8): every throwaway dir the
+# engine writes (stream checkpoints, replay chunks, JSONL drops) lives
+# under ONE process-scoped root removed at interpreter exit, and the
+# EXPENSIVE staged inputs (full-table replay chunks, JSONL drops) are
+# additionally cached per (applicationId, key) so bench's warm-up +
+# timed re-invocations reuse one staged copy instead of writing a fresh
+# full copy of the table per run. Paths of stopped sessions are deleted
+# eagerly on the next access (same eviction contract as staged_frame).
+# ---------------------------------------------------------------------------
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh temp dir under the process-scoped, atexit-removed root."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_engine_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
+_SESSION_PATHS: dict[tuple, tuple[str, SparkSession]] = {}
+
+
+def _prune_session_paths() -> None:
+    import shutil
+
+    for k in list(_SESSION_PATHS):
+        path, sess = _SESSION_PATHS[k]
+        try:
+            stopped = sess.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            shutil.rmtree(path, ignore_errors=True)
+            del _SESSION_PATHS[k]
+
+
+def staged_path(
+    spark: SparkSession,
+    key: tuple,
+    build: Callable[[str], None],
+    prefix: str = "staged_",
+) -> str:
+    """Return the on-disk staged artifact for ``key``, building it into
+    a scratch dir on first use in this session. ``key`` must include
+    every input the build depends on (e.g. the sf_dir); the build must
+    be deterministic, since later invocations read the first copy."""
+    _prune_session_paths()
+    full_key = (spark.sparkContext.applicationId, *key)
+    hit = _SESSION_PATHS.get(full_key)
+    if hit is not None:
+        return hit[0]
+    path = scratch_dir(prefix)
+    build(path)
+    _SESSION_PATHS[full_key] = (path, spark)
+    return path
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Round-robin repartition to cluster parallelism before a heavy
     per-row expression stage.

@@ -1977,8 +1977,15 @@ def _dedup_source_shift(spark, sf_dir):
     )
     sb = F.col("n_docs") / F.col("_tb")
     sa = F.col("n_kept") / F.col("_ta")
+    # LEFT join + coalesce(n_kept, 0) (ADVICE r8): a source whose
+    # clusters yield ZERO min-id keepers is the total-collapse case
+    # this report exists to surface — it must appear with keep_rate 0,
+    # not vanish while its mass still counts in the share totals.
     return (
-        before.join(after, "source")
+        before.join(after, "source", "left")
+        .withColumn(
+            "n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+        )
         .crossJoin(tot)
         .select(
             "source",
@@ -2015,13 +2022,16 @@ def _sql_dedup_source_shift() -> str:
       SELECT (SELECT sum(n_docs) FROM before_t) AS tb,
              (SELECT sum(n_kept) FROM after_t) AS ta
     )
-    SELECT b.source, b.n_docs, a.n_kept,
-           round(CAST(a.n_kept AS DOUBLE) / b.n_docs, 6) AS keep_rate,
+    SELECT b.source, b.n_docs,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           round(CAST(coalesce(a.n_kept, 0) AS DOUBLE) / b.n_docs, 6)
+             AS keep_rate,
            round(CAST(b.n_docs AS DOUBLE) / tb, 6) AS share_before,
-           round(CAST(a.n_kept AS DOUBLE) / ta, 6) AS share_after,
-           round(CAST(a.n_kept AS DOUBLE) / ta
+           round(CAST(coalesce(a.n_kept, 0) AS DOUBLE) / ta, 6)
+             AS share_after,
+           round(CAST(coalesce(a.n_kept, 0) AS DOUBLE) / ta
                  - CAST(b.n_docs AS DOUBLE) / tb, 6) AS share_shift
-    FROM before_t b JOIN after_t a USING (source) CROSS JOIN tot
+    FROM before_t b LEFT JOIN after_t a USING (source) CROSS JOIN tot
     """
 
 
@@ -2059,17 +2069,27 @@ N_PLANTED_CORRUPT = 2
 
 def _src_jsonl_documents(spark, sf_dir):
     import os
-    import tempfile
 
     from ..catalog import load_table
+    from ..operators.util import staged_path
     from ..sources import jsonl
 
-    base = tempfile.mkdtemp(prefix="jsonl_")
+    # staged ONCE per (session, sf_dir) — ADVICE r8: bench's warm-up +
+    # timed re-invocations were each writing a fresh full JSONL copy of
+    # the documents table; the drop (incl. planted damage) is
+    # deterministic, so reuse is sound, and the scratch root is removed
+    # at interpreter exit.
+    def _build(base: str) -> None:
+        drop = os.path.join(base, "docs")
+        load_table(spark, sf_dir, "documents").write.json(drop)
+        with open(os.path.join(drop, "part-corrupt.json"), "w") as f:
+            f.write('{"doc_id": 1, "text": truncated-no-close\n')
+            f.write("not json at all\n")
+
+    base = staged_path(
+        spark, ("jsonl_drop", sf_dir), _build, prefix="jsonl_"
+    )
     drop = os.path.join(base, "docs")
-    load_table(spark, sf_dir, "documents").write.json(drop)
-    with open(os.path.join(drop, "part-corrupt.json"), "w") as f:
-        f.write('{"doc_id": 1, "text": truncated-no-close\n')
-        f.write("not json at all\n")
     return jsonl.jsonl_health(jsonl.read_documents_jsonl(spark, drop))
 
 

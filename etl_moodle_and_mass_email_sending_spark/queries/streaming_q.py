@@ -26,13 +26,13 @@ deterministic, so two of them carry exact SQL oracles after all:
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.util import scratch_dir
 from ..registry import register
 from ..streaming import windows as sw
 
@@ -99,7 +99,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.stream_events(spark, sf_dir)
     agg = sw.windowed_event_counts(ev, "1 hour", "2 hours")
     name = f"swc_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_swc_")
+    ck = scratch_dir("ck_swc_")
     return sw.run_to_memory_sink(agg, name, ck)
 
 
@@ -111,7 +111,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.stream_events(spark, sf_dir)
     sess = sw.sessionize(ev, gap_seconds=GAP_SECONDS)
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_sess_")
+    ck = scratch_dir("ck_sess_")
     out = sw.run_to_memory_sink(sess, name, ck)
     return out.withColumn("sum_value", F.round("sum_value", 6))
 
@@ -184,7 +184,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.stream_events(spark, sf_dir)
     joined = joins.clicks_errors_interval_join(ev)
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_ssj_")
+    ck = scratch_dir("ck_ssj_")
     return sw.run_to_memory_sink(joined, name, ck)
 
 
@@ -212,7 +212,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.stream_events(spark, sf_dir)
     ded = sw.deduplicate_stream(ev)
     name = f"sdd_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_sdd_")
+    ck = scratch_dir("ck_sdd_")
     return sw.run_to_memory_sink(ded, name, ck)
 
 
@@ -237,7 +237,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     enriched = joins.enrich_with_segment(ev, cust)
     name = f"sse_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_sse_")
+    ck = scratch_dir("ck_sse_")
     return sw.run_to_memory_sink(enriched, name, ck)
 
 
@@ -277,7 +277,7 @@ def stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
     )
     name = f"str_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_str_")
+    ck = scratch_dir("ck_str_")
     return sw.run_to_memory_sink(agg, name, ck, output_mode="complete")
 
 
@@ -301,7 +301,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "2 hours", "2 hours", slide_duration="1 hour"
     )
     name = f"ssl_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_ssl_")
+    ck = scratch_dir("ck_ssl_")
     return sw.run_to_memory_sink(agg, name, ck)
 
 
@@ -341,7 +341,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sw.stream_events(spark, sf_dir)
     joined = joins.clicks_errors_outer_join(ev)
     name = f"soj_{uuid.uuid4().hex[:8]}"
-    ck = tempfile.mkdtemp(prefix="ck_soj_")
+    ck = scratch_dir("ck_soj_")
     return sw.run_to_memory_sink(joined, name, ck)
 
 
@@ -393,7 +393,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import upsert_stream
 
-    base = tempfile.mkdtemp(prefix="ups_q_")
+    base = scratch_dir("ups_q_")
     snap = os.path.join(base, "snapshot")
     q = upsert_stream.start_upsert_stream(
         sw.stream_events(spark, sf_dir),
@@ -418,38 +418,62 @@ SELECT user_id, event_id, event_type, value FROM (
 register("stream_upsert_latest", stream_upsert_latest, STREAM_UPSERT_LATEST_SQL)
 
 
-def _stage_ordered_chunks(df, order_col: str, n_chunks: int = 4) -> str:
+def _stage_ordered_chunks(
+    df,
+    order_col: str,
+    n_chunks: int = 4,
+    cache_key: tuple | None = None,
+) -> str:
     """Stage a bounded frame as ``n_chunks`` single-file parquet chunks
     (ordered ranges of ``order_col``, strictly increasing mtimes) under
-    a fresh temp dir, so a file-source replay with maxFilesPerTrigger=1
+    a scratch dir, so a file-source replay with maxFilesPerTrigger=1
     runs one REAL micro-batch per chunk in arrival order. Shared by the
-    four sketch/dedup streams. Test-harness staging, not an operator: a
-    production stream arrives pre-chunked by time; the global-sort
-    ntile is confined to the testbed frame."""
+    sketch/dedup/decon streams. Test-harness staging, not an operator:
+    a production stream arrives pre-chunked by time; the global-sort
+    ntile is confined to the testbed frame.
+
+    With ``cache_key`` the chunks are staged ONCE per session via
+    staged_path (ADVICE r8: bench's warm-up + timed re-invocations were
+    each writing a fresh full copy of the table); the chunking is
+    deterministic (ntile over a total order), so reuse is sound.
+    """
     import os
     import shutil
 
-    base = tempfile.mkdtemp(prefix="stage_")
-    stage = os.path.join(base, "stage")
-    os.makedirs(stage)
-    w = Window.orderBy(order_col)
-    chunked = df.withColumn("_chunk", F.ntile(n_chunks).over(w))
-    t0 = 1_700_000_000
-    for i in range(1, n_chunks + 1):
-        part_dir = os.path.join(base, f"w{i}")
-        (
-            chunked.filter(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.parquet(part_dir)
+    from ..operators.util import scratch_dir, staged_path
+
+    def _build(base: str) -> None:
+        stage = os.path.join(base, "stage")
+        os.makedirs(stage)
+        w = Window.orderBy(order_col)
+        chunked = df.withColumn("_chunk", F.ntile(n_chunks).over(w))
+        t0 = 1_700_000_000
+        for i in range(1, n_chunks + 1):
+            part_dir = os.path.join(base, f"w{i}")
+            (
+                chunked.filter(F.col("_chunk") == i)
+                .drop("_chunk")
+                .coalesce(1)
+                .write.parquet(part_dir)
+            )
+            src = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stage, f"chunk{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, src), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    if cache_key is not None:
+        # fold the projection + chunking into the key: several stagers
+        # share the events table under different column subsets
+        full_key = (*cache_key, df.schema.simpleString(), n_chunks)
+        base = staged_path(
+            df.sparkSession, full_key, _build, prefix="stage_"
         )
-        src = next(
-            f for f in os.listdir(part_dir) if f.endswith(".parquet")
-        )
-        dst = os.path.join(stage, f"chunk{i:02d}.parquet")
-        shutil.move(os.path.join(part_dir, src), dst)
-        os.utime(dst, (t0 + i, t0 + i))
-    return stage
+    else:
+        base = scratch_dir("stage_")
+        _build(base)
+    return os.path.join(base, "stage")
 
 
 def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,9 +492,11 @@ def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
     from ..streaming import neardup_stream
 
-    base = tempfile.mkdtemp(prefix="ndf_")
+    base = scratch_dir("ndf_")
     corpus = dedup.dup_corpus(spark, sf_dir).select("doc_id", "text")
-    stage = _stage_ordered_chunks(corpus, "doc_id")
+    stage = _stage_ordered_chunks(
+        corpus, "doc_id", cache_key=("stage_ndf", sf_dir)
+    )
     docs = (
         spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1)
@@ -522,11 +548,13 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import hll_stream
     from ..operators import sketches
 
-    base = tempfile.mkdtemp(prefix="hll_q_")
+    base = scratch_dir("hll_q_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id"
     )
-    stage = _stage_ordered_chunks(ev, "event_id")
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_events", sf_dir)
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -565,11 +593,13 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sketches
     from ..streaming import cms_stream
 
-    base = tempfile.mkdtemp(prefix="cms_q_")
+    base = scratch_dir("cms_q_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id"
     )
-    stage = _stage_ordered_chunks(ev, "event_id")
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_events", sf_dir)
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -635,11 +665,13 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming import sample_stream
 
-    base = tempfile.mkdtemp(prefix="bks_q_")
+    base = scratch_dir("bks_q_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    stage = _stage_ordered_chunks(ev, "event_id")
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_events", sf_dir)
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -704,11 +736,13 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import _bloom_buckets
     from ..streaming import bloom_stream
 
-    base = tempfile.mkdtemp(prefix="blm_q_")
+    base = scratch_dir("blm_q_")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id"
     )
-    stage = _stage_ordered_chunks(ev, "event_id")
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_events", sf_dir)
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -796,7 +830,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text_analysis
     from ..streaming import decon_stream
 
-    base = tempfile.mkdtemp(prefix="decon_")
+    base = scratch_dir("decon_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = (
         text_analysis.gram_stream(
@@ -808,7 +842,9 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(
         F.col("doc_id") % text_analysis.DECON_BENCH_MOD != 0
     )
-    stage = _stage_ordered_chunks(train, "doc_id")
+    stage = _stage_ordered_chunks(
+        train, "doc_id", cache_key=("stage_decon", sf_dir)
+    )
     stream = (
         spark.readStream.schema(train.schema)
         .option("maxFilesPerTrigger", 1)
@@ -821,7 +857,11 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "ck"),
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(base, "out"))
+    # drop the idempotency partition column (decon_stream.py writes
+    # one batch_id partition per micro-batch)
+    return spark.read.parquet(os.path.join(base, "out")).drop(
+        "batch_id"
+    )
 
 
 def _stream_decontaminate_sql() -> str:

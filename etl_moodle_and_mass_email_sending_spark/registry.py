@@ -28,7 +28,26 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-8 ROTATION (VERDICT r7 item 1):
+# entries in iteration order. ROUND-9 ROTATION (VERDICT r8 item 1):
+#   (a) the 10 round-8 tail additions — never externally certified,
+#       all independently driver-sim green during the round-8 judging
+#       (standing promotion policy).  Two of them also changed THIS
+#       round, so the window certifies the new code:
+#       text_contamination_pairs (pre-join corpus distinct removed —
+#       raw gram stream now joins the broadcast evidence first, then
+#       countDistinct; VERDICT r8 #1) and dedup_source_shift
+#       (left-join + coalesce so fully-collapsed sources appear with
+#       keep_rate 0; ADVICE r8 #4);
+#   (b) the complete 27-name round-4 cohort — the stalest external
+#       certifications in the ledger (rel_incremental_agg /
+#       rel_kmv_distinct / rel_latest_per_key first, per the round-8
+#       plan);
+#   (c) 13 refresh slots for the oldest round-5 certifications
+#       (alphabetical head of the 48-name r5 cohort; the rest rotate
+#       in round 10).
+# After CORRECTNESS_r09 goes green, no registered query's last
+# external green is older than round 5.
+# ROUND-8 ROTATION (kept for the ledger; superseded above):
 #   (a) the 16 round-7 tail additions — never externally certified,
 #       all independently driver-sim green in the round-7 judging
 #       (standing promotion policy); four of them (rel_mad_outliers,
@@ -55,71 +74,60 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-7 tail additions
-    "text_pmi_collocations",
-    "text_idf_drift",
-    "text_vocab_coverage",
-    "graph_jaccard_neighbors",
-    "sim_lsh_bucket_stats",
-    "mm_payload_byte_stats",
-    "rel_event_lateness",
-    "rel_skyline",
-    "rel_cohort_ltv",
-    "rel_mad_outliers",
-    "rel_rfm_segments",
-    "text_length_histogram",
-    "sim_pq_distortion",
-    "rel_ab_conversion_lift",
-    "rel_seasonality_index",
-    "dedup_lang_purity",
-    # (b) round-8 rewrites
-    "sim_pq_topk",
-    "sim_ivfpq_topk",
-    "graph_two_hop",
-    # (c) round-3 refreshes
-    "rel_data_quality",
-    "rel_events_hourly",
-    "rel_events_json",
-    "rel_percentiles",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_scalar_subquery",
-    "rel_semi_anti",
-    "rel_sessionize",
-    "rel_top_orders_per_customer",
-    "text_repetition",
-    "text_train_val_split",
-    # (d) round-4 refreshes (alphabetical head of the r4 cohort)
-    "dedup_containment",
-    "dedup_fuzzy_match",
-    "dedup_keep_best",
-    "graph_pagerank",
-    "mm_audio_energy",
-    "mm_phash_dedup",
-    "mm_sample_frames",
-    "mm_scene_changes",
-    "mm_silence_runs",
-    "rel_asof_forward",
-    "rel_asof_tolerance",
-    "rel_chi_square",
-    "rel_cube_documents",
-    "rel_event_pmi",
-    "rel_event_transitions",
-    "rel_funnel_stages",
-    # (b continued) text_top_terms / text_zipf_fit vocabulary ranks
-    # were rewritten this round (salted two-stage top-K instead of one
-    # per-lang window over the whole vocabulary) — they take the last
-    # r4-refresh slots (they are ALSO r4-stale, so this doubles as
-    # their refresh); rel_incremental_agg / rel_kmv_distinct rotate in
-    # round 9 with the rest of the r4 cohort
-    "text_top_terms",
-    "text_zipf_fit",
-    # (b continued) text_sequence_pack's packing core was rewritten
-    # this round (per-lang window -> grouped two-pass prefix sum), so
-    # it takes the last slot over one more r4 refresh (standing
-    # policy: rewrites outrank refreshes; rel_latest_per_key rotates
-    # in round 9)
-    "text_sequence_pack",
+    # (a) round-8 tail additions (incl. this round's rewrites of
+    # text_contamination_pairs and dedup_source_shift)
+    "text_contamination_direction",
+    "dedup_cluster_quota",
+    "sim_source_outliers",
+    "sim_kcenter_sample",
+    "dedup_cross_source_matrix",
+    "text_pack_efficiency",
+    "dedup_source_shift",
+    "stream_decontaminate",
+    "text_contamination_pairs",
+    "src_jsonl_documents",
+    # (b) the full round-4 cohort — stalest certifications
+    "rel_incremental_agg",
+    "rel_kmv_distinct",
+    "rel_latest_per_key",
+    "rel_pivot_events",
+    "rel_q13_custdist",
+    "rel_q18_big_spenders",
+    "rel_q7_nation_volume",
+    "rel_retention",
+    "rel_rolling_window",
+    "rel_scd2_history",
+    "rel_skew_salted_join",
+    "rel_snapshot_diff",
+    "rel_trend_slope",
+    "rel_value_deciles",
+    "rel_value_outliers",
+    "rel_winsorize",
+    "sim_sq_topk",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_trending",
+    "stream_windowed_counts",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_boilerplate_ngrams",
+    "text_tfidf_keywords",
+    # (c) round-5 refreshes (alphabetical head of the r5 cohort)
+    "dedup_components",
+    "dedup_exact",
+    "dedup_jaccard_lsh_verified",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "llm_corpus_pipeline",
+    "ref_duplicate_usernames",
+    "ref_header_promotion",
+    "ref_mail_variant_fallback",
+    "ref_mail_variant_moodle",
+    "ref_mail_variant_old",
+    "ref_password_patterns",
 ]
 
 

@@ -23,11 +23,12 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ..operators.util import scratch_dir
 
 
 def _has_parquet(d: str) -> bool:
@@ -82,7 +83,7 @@ def merge_upsert(
                 "resolve latest-wins inside the batch"
             )
 
-    staging = tempfile.mkdtemp(prefix="upsert_")
+    staging = scratch_dir("upsert_")
     try:
         out = os.path.join(staging, "snapshot")
         if _has_parquet(snapshot_dir):

@@ -70,7 +70,20 @@ def start_decontaminate_stream(
                 "contaminated"
             ),
         )
-        out.write.mode("append").parquet(out_path)
+        # Idempotent sink (ADVICE r8): plain append is at-least-once — a
+        # batch retried after a partial write would duplicate verdict
+        # rows even though the checkpoint marks the batch done. Writing
+        # each batch into its own batch_id=<id> partition and replacing
+        # ONLY that partition (dynamic partitionOverwriteMode) makes a
+        # replayed batch overwrite its own previous partial output, so
+        # the sink holds exactly-once row counts vs the batch oracle.
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(handle)

@@ -53,7 +53,8 @@ def stream_events(
     (a real deployment's event log is already a directory of files).
     """
     import os
-    import tempfile
+
+    from ..operators.util import scratch_dir
 
     path = f"{sf_dir}/events.parquet"
     # like catalog.load_table: events.ts is TIMESTAMP(NANOS), which Spark
@@ -62,7 +63,7 @@ def stream_events(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
-        stage = staging_dir or tempfile.mkdtemp(prefix="events_stream_")
+        stage = staging_dir or scratch_dir("events_stream_")
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, "events.parquet")
         if not os.path.exists(link):
