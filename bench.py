@@ -172,6 +172,10 @@ HEADLINE = [
     # perf record (VERDICT r8 item 4; text_zipf_fit was already here)
     "text_top_terms",
     "text_sequence_pack",
+    # round-9 curation additions
+    "dedup_incremental",
+    "sim_cluster_diversity",
+    "text_pii_density",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -902,3 +902,193 @@ def sql_threshold_sweep(corpus_sql: str) -> str:
     FROM hits, LATERAL (SELECT unnest([doc_a, doc_b]) AS doc) d
     GROUP BY threshold
     """
+
+
+# --------------------------------------------------------------------------
+# Incremental cross-snapshot dedup (round 9, VERDICT r8 item 6a) — the
+# shape real crawls need: a FROZEN corpus snapshot is indexed once
+# (MinHash signatures, session-staged by the caller), and each incoming
+# crawl batch is scored against that index — anti-join semantics: an
+# incoming doc is ADMITTED iff no frozen near-duplicate exists.
+#
+# 100 TB shape: the frozen index is built once per snapshot ("train
+# once, score many" — the caller stages it); candidates come from the
+# banded (band, key) equi-join, never an all-pairs comparison, so the
+# incoming batch shuffles only by band key and the per-doc verdict is
+# one hash aggregation over matched candidates. The frozen side at
+# 100 TB is a distributed (doc_id, sig) table — the join co-partitions
+# both sides on (band, key); nothing here assumes the index fits in
+# memory.
+# --------------------------------------------------------------------------
+
+NEW_CRAWL_OFFSET = 300_000
+NEW_DOC_MOD = 11  # every 11th doc yields a genuinely-new (reversed) doc
+
+
+def _band_frame(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, key): LSH band keys off a signature frame."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"""transform(sequence(0, {LSH_BANDS - 1}), b ->
+                  array_join(transform(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}),
+                             x -> cast(x as string)), '-'))"""
+            )
+        ).alias("band", "key"),
+    )
+
+
+def new_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic incoming batch: re-crawled exact copies (mod 7),
+    re-crawled 80%-prefix near copies (mod 5) — both should be caught
+    by the frozen index — plus genuinely-new docs (mod 11, word order
+    reversed, which destroys every shingle) that must be admitted."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    exact = d.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + EXACT_COPY_OFFSET
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    prefix = F.array_join(
+        F.slice(
+            toks,
+            1,
+            F.greatest(
+                F.lit(1),
+                F.expr(
+                    "(size(split(trim(text), '\\\\s+')) * 4) div 5"
+                ).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    near = (
+        d.filter(F.col("doc_id") % NEAR_COPY_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + NEAR_COPY_OFFSET)
+        .withColumn("text", prefix)
+    )
+    fresh = (
+        d.filter(F.col("doc_id") % NEW_DOC_MOD == 0)
+        .withColumn("doc_id", F.col("doc_id") + NEW_CRAWL_OFFSET)
+        .withColumn(
+            "text",
+            F.array_join(
+                F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " "
+            ),
+        )
+    )
+    return exact.unionByName(near).unionByName(fresh)
+
+
+def sql_new_crawl() -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    prefix = (
+        f"array_to_string(({toks})[1:greatest(1, "
+        f"CAST((len({toks}) * 4) // 5 AS INTEGER))], ' ')"
+    )
+    return f"""
+    SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text, lang
+    FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {NEAR_COPY_OFFSET}, {prefix}, lang
+    FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {NEW_CRAWL_OFFSET},
+           array_to_string(list_reverse({toks}), ' '), lang
+    FROM documents WHERE doc_id % {NEW_DOC_MOD} = 0
+    """
+
+
+def incremental_dedup(
+    frozen_sigs: DataFrame,
+    incoming: DataFrame,
+    threshold: float = NEAR_THRESHOLD,
+) -> DataFrame:
+    """(doc_id, n_frozen_matches, match_id, match_est, admitted):
+    verdict per incoming doc against the frozen signature index.
+    ``match_id`` is the best frozen match (est DESC, id ASC);
+    ``admitted`` iff no frozen near-dup reached ``threshold``."""
+    f_bands = _band_frame(frozen_sigs).select(
+        F.col("doc_id").alias("frozen_id"),
+        F.col("sig").alias("sig_f"),
+        "band",
+        "key",
+    )
+    i_sigs = minhash_signatures(incoming).localCheckpoint()
+    i_bands = _band_frame(i_sigs)
+    est = (
+        F.size(
+            F.expr("filter(zip_with(sig, sig_f, (x, y) -> x = y), v -> v)")
+        )
+        / F.lit(float(MINHASH_K))
+    ).alias("est")
+    cand = (
+        i_bands.join(f_bands, on=["band", "key"])
+        .select("doc_id", "frozen_id", est)
+        .filter(F.col("est") >= threshold)
+        .distinct()
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frozen_matches"),
+        F.max(
+            F.struct(F.col("est"), (-F.col("frozen_id")).alias("_nid"))
+        ).alias("_m"),
+    )
+    return (
+        incoming.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_frozen_matches", F.lit(0))
+            .cast("bigint")
+            .alias("n_frozen_matches"),
+            (-F.col("_m._nid")).alias("match_id"),
+            F.round(F.col("_m.est"), 6).alias("match_est"),
+            F.col("n_frozen_matches").isNull().alias("admitted"),
+        )
+    )
+
+
+def sql_incremental_dedup(
+    frozen_sql: str, incoming_sql: str, threshold: float = NEAR_THRESHOLD
+) -> str:
+    def bands(src: str) -> str:
+        return f"""
+      SELECT doc_id, sig, b.band, b.key FROM ({src}),
+      LATERAL (
+        SELECT i AS band,
+               array_to_string(list_transform(sig[i * {LSH_ROWS} + 1 : i * {LSH_ROWS} + {LSH_ROWS}],
+                               x -> CAST(x AS VARCHAR)), '-') AS key
+        FROM (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS i)
+      ) b
+    """
+
+    return f"""
+    WITH f_bands AS ({bands(sql_minhash_signatures(frozen_sql))}),
+    i_bands AS ({bands(sql_minhash_signatures(incoming_sql))}),
+    cand AS (
+      SELECT DISTINCT i.doc_id, f.doc_id AS frozen_id,
+             CAST(len(list_filter(generate_series(1, {MINHASH_K}),
+                      k -> i.sig[k] = f.sig[k])) AS DOUBLE) / {MINHASH_K}
+               AS est
+      FROM i_bands i JOIN f_bands f
+        ON i.band = f.band AND i.key = f.key
+    ),
+    hits AS (
+      SELECT doc_id, frozen_id, est,
+             row_number() OVER (PARTITION BY doc_id
+                  ORDER BY est DESC, frozen_id) AS rn,
+             count(*) OVER (PARTITION BY doc_id) AS n_matches
+      FROM cand WHERE est >= {threshold}
+    )
+    SELECT inc.doc_id,
+           CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_frozen_matches,
+           h.frozen_id AS match_id,
+           round(h.est, 6) AS match_est,
+           h.frozen_id IS NULL AS admitted
+    FROM ({incoming_sql}) inc
+    LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (doc_id)
+    """

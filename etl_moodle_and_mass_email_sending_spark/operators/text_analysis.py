@@ -352,6 +352,112 @@ def scrub_pii(corpus: DataFrame) -> DataFrame:
     )
 
 
+def pii_density(corpus: DataFrame) -> DataFrame:
+    """(source, pii_type, n_docs_hit, n_hits, hits_per_1k_tokens):
+    per-source PII rate report (round 9, VERDICT r8 item 6c) — the
+    gate a source passes BEFORE mixing: a source whose email/phone
+    density spikes is scraped contact pages or leaked dumps, and gets
+    scrubbed (scrub_pii) or dropped, not blended.
+
+    100 TB shape: the regex counts run in whole-stage codegen (same
+    patterns as scrub_pii) after a compute spread — the per-row regex
+    CPU dwarfs the scan, and the testbed's single-file parquet pins it
+    to 1-3 cores otherwise (measured at 8×·sf0.1: 2.44 s → 0.57 s with
+    the spread); one hash partial aggregation on source, then an
+    unpivot of the (|sources|)-row rollup — the report is
+    |sources|·2 rows."""
+    corpus = spread_for_compute(corpus)
+    n_emails = F.size(
+        F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)")
+    ).cast("bigint")
+    n_phones = F.size(
+        F.expr(
+            "regexp_extract_all(regexp_replace(text, '"
+            + _PII_EMAIL
+            + "', '[EMAIL]'), '"
+            + _PII_PHONE.replace("\\", "\\\\")
+            + "', 0)"
+        )
+    ).cast("bigint")
+    n_tokens = F.size(F.expr(_SPARK_FTOKS)).cast("bigint")
+    rolled = (
+        corpus.select(
+            "source",
+            n_emails.alias("_e"),
+            n_phones.alias("_p"),
+            n_tokens.alias("_t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("_e").alias("email_hits"),
+            F.sum((F.col("_e") > 0).cast("long")).alias("email_docs"),
+            F.sum("_p").alias("phone_hits"),
+            F.sum((F.col("_p") > 0).cast("long")).alias("phone_docs"),
+            F.sum("_t").alias("tot_tokens"),
+        )
+    )
+    per_1k = lambda c: F.round(  # noqa: E731
+        F.try_divide(c * F.lit(1000.0), F.col("tot_tokens")), 6
+    )
+    unpivot = F.explode(
+        F.array(
+            F.struct(
+                F.lit("email").alias("pii_type"),
+                F.col("email_docs").alias("n_docs_hit"),
+                F.col("email_hits").alias("n_hits"),
+            ),
+            F.struct(
+                F.lit("phone").alias("pii_type"),
+                F.col("phone_docs").alias("n_docs_hit"),
+                F.col("phone_hits").alias("n_hits"),
+            ),
+        )
+    ).alias("u")
+    return rolled.select("source", "tot_tokens", unpivot).select(
+        "source",
+        F.col("u.pii_type").alias("pii_type"),
+        F.col("u.n_docs_hit").cast("bigint").alias("n_docs_hit"),
+        F.col("u.n_hits").cast("bigint").alias("n_hits"),
+        per_1k(F.col("u.n_hits")).alias("hits_per_1k_tokens"),
+    )
+
+
+def sql_pii_density(corpus_sql: str) -> str:
+    email = _PII_EMAIL
+    phone = _PII_PHONE
+    return f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{email}')) AS e,
+             len(regexp_extract_all(
+                 regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+                 '{phone}')) AS p,
+             len({_DUCK_FTOKS}) AS t
+      FROM ({corpus_sql})
+    ),
+    rolled AS (
+      SELECT source,
+             CAST(sum(e) AS BIGINT) AS email_hits,
+             CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS email_docs,
+             CAST(sum(p) AS BIGINT) AS phone_hits,
+             CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS phone_docs,
+             CAST(sum(t) AS BIGINT) AS tot_tokens
+      FROM per_doc GROUP BY 1
+    )
+    SELECT source, 'email' AS pii_type, email_docs AS n_docs_hit,
+           email_hits AS n_hits,
+           round(email_hits * 1000.0 / tot_tokens, 6)
+             AS hits_per_1k_tokens
+    FROM rolled
+    UNION ALL
+    SELECT source, 'phone', phone_docs, phone_hits,
+           round(phone_hits * 1000.0 / tot_tokens, 6)
+    FROM rolled
+    """
+
+
 def sql_scrub_pii(corpus_sql: str) -> str:
     email = _PII_EMAIL
     phone = _PII_PHONE

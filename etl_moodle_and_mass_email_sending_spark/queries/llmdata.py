@@ -2108,3 +2108,60 @@ register(
     _src_jsonl_documents,
     _sql_src_jsonl_documents(),
 )
+
+
+# --------------------------------------------------------------------------
+# Round-9 curation additions (VERDICT r8 item 6). Standing policy: new
+# registrations start in the registry TAIL; they rotate into the
+# certification window after a driver-sim green.
+# --------------------------------------------------------------------------
+
+
+def _staged_frozen_index(spark, sf_dir):
+    """The frozen snapshot's MinHash signature index, built once per
+    (session, sf_dir) — the 'index once, score every crawl' artifact
+    incremental dedup is shaped around."""
+    from ..operators.util import staged_frame
+
+    return staged_frame(
+        spark,
+        ("frozen_sig_index", sf_dir),
+        lambda: dedup.minhash_signatures(_docs(spark, sf_dir)),
+    )
+
+
+def _dedup_incremental(spark, sf_dir):
+    return dedup.incremental_dedup(
+        _staged_frozen_index(spark, sf_dir),
+        dedup.new_crawl(spark, sf_dir),
+    )
+
+
+register(
+    "dedup_incremental",
+    _dedup_incremental,
+    dedup.sql_incremental_dedup(_DOCS_SQL, dedup.sql_new_crawl()),
+)
+
+
+# sim_cluster_diversity — per-IVF-cluster mean pairwise squared L2
+# distance via the variance identity (operators/similarity.py has the
+# no-pair-gen rationale).
+register(
+    "sim_cluster_diversity",
+    similarity.cluster_diversity,
+    similarity.sql_cluster_diversity(),
+)
+
+
+# text_pii_density — per-(source, pii_type) rate table gating a source
+# before mixing (operators/text_analysis.py::pii_density).
+register(
+    "text_pii_density",
+    lambda spark, sf_dir: text_analysis.pii_density(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_pii_density(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)

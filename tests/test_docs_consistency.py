@@ -1,0 +1,34 @@
+"""Docs-vs-code consistency (round 9, VERDICT r8 item 8): SCALE.md's
+round-8 section initially claimed 224 registered queries when the
+registry held 226 — the ledger drifted from the code. This pins the
+LAST "registry total ... **N**" claim in SCALE.md to
+len(registry.queries()) so the docs can't drift again."""
+
+from __future__ import annotations
+
+import os
+import re
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_scale_md_registry_total_matches_code():
+    from etl_moodle_and_mass_email_sending_spark import registry
+
+    with open(os.path.join(HERE, "SCALE.md")) as f:
+        text = f.read()
+    claims = re.findall(
+        r"registry total[^\n]*?\*\*(\d+)\*\*", text, flags=re.IGNORECASE
+    )
+    assert claims, "SCALE.md must carry a 'registry total: **N**' line"
+    assert int(claims[-1]) == len(registry.queries()), (
+        f"SCALE.md claims {claims[-1]} registered queries; "
+        f"registry has {len(registry.queries())}"
+    )
+
+
+def test_scale_md_window_size_is_50():
+    from etl_moodle_and_mass_email_sending_spark.registry import _WINDOW
+
+    assert len(_WINDOW) == 50
+    assert len(set(_WINDOW)) == 50

@@ -1622,3 +1622,129 @@ def test_contamination_pairs_find_planted_copy_and_cap_boilerplate(spark):
     # still pairs with eval doc 0 through the unique-tail grams
     assert set(got) == {(1, 0)}
     assert got[(1, 0)] >= 2
+
+
+def test_incremental_dedup_verdicts(spark):
+    """Round-9 cross-snapshot dedup: an exact re-crawl is dropped with
+    the right best-match id, a fresh doc is admitted, and a doc
+    near-dupping TWO frozen docs reports both matches with the
+    higher-est (then lower-id) one as best."""
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    frozen = spark.createDataFrame(
+        [(1, base), (2, base + " extra trailing words here")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (101, base),  # exact copy of 1, near-dup of 2
+            (102, "completely unrelated words about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(frozen).localCheckpoint()
+    out = {
+        r["doc_id"]: r
+        for r in dedup.incremental_dedup(sigs, incoming).collect()
+    }
+    assert not out[101]["admitted"]
+    assert out[101]["n_frozen_matches"] >= 1
+    assert out[101]["match_id"] == 1  # exact match (est 1.0) beats near
+    assert out[101]["match_est"] == 1.0
+    assert out[102]["admitted"]
+    assert out[102]["n_frozen_matches"] == 0
+    assert out[102]["match_id"] is None
+
+
+def test_cluster_diversity_matches_bruteforce_pairs(spark):
+    """The variance-identity diversity equals the brute-force mean
+    pairwise squared L2 distance (here on constructed vectors assigned
+    to two centroids), and singletons report NULL."""
+    import itertools
+
+    import numpy as np
+
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+    from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+        cluster_diversity,
+    )
+
+    # monkeypatch-free: drive the internals directly
+    from pyspark.sql import functions as F
+
+    vecs = {
+        0: [1.0, 0.0], 1: [0.9, 0.1], 2: [1.1, -0.2],  # cluster around c0
+        3: [-1.0, 0.5],                                 # singleton-ish
+    }
+    cents = {0: [1.0, 0.0], 1: [-1.0, 0.5]}
+    v = spark.createDataFrame(
+        [(i, vec) for i, vec in vecs.items()],
+        "vec_id long, vec array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(c, vec) for c, vec in cents.items()],
+        "cid long, cvec array<double>",
+    )
+    assigned = similarity.ivf_assign(v, cent, n_best=1)
+    cells = (
+        assigned.select("cid", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("x").alias("s1"),
+             F.sum(F.col("x") * F.col("x")).alias("s2"),
+             F.count("*").alias("n"))
+    )
+    per = (
+        cells.groupBy("cid")
+        .agg(F.min("n").alias("n_members"),
+             F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+             .alias("ss"))
+        .collect()
+    )
+    got = {r["cid"]: r for r in per}
+    members = {0: [vecs[0], vecs[1], vecs[2]], 1: [vecs[3]]}
+    for cid, ms in members.items():
+        assert got[cid]["n_members"] == len(ms)
+        if len(ms) > 1:
+            pairs = [
+                float(np.sum((np.array(a) - np.array(b)) ** 2))
+                for a, b in itertools.combinations(ms, 2)
+            ]
+            expect = sum(pairs) / len(pairs)
+            div = 2 * got[cid]["ss"] / (len(ms) - 1)
+            assert abs(div - expect) < 1e-9
+    # and the registered end-to-end form runs with NULL-safe singletons
+    out = cluster_diversity(spark, SF_SMALL).collect()
+    assert all(
+        (r["n_members"] == 1) == (r["mean_pair_sq_dist"] is None)
+        for r in out
+    )
+
+
+def test_pii_density_counts_known_hits(spark):
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        pii_density,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a@b.com and c@d.org today", "web"),
+            (2, "call +1 (555) 123-4567 now", "web"),
+            (3, "nothing sensitive here at all", "web"),
+            (4, "x@y.io", "mail"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source"], r["pii_type"]): r for r in pii_density(docs).collect()
+    }
+    assert out[("web", "email")]["n_hits"] == 2
+    assert out[("web", "email")]["n_docs_hit"] == 1
+    assert out[("web", "phone")]["n_hits"] == 1
+    assert out[("web", "phone")]["n_docs_hit"] == 1
+    assert out[("mail", "email")]["n_hits"] == 1
+    assert out[("mail", "phone")]["n_hits"] == 0
+    # web: 5 + 5 + 5 = 15 tokens; 2 email hits -> 2000/15
+    assert abs(
+        out[("web", "email")]["hits_per_1k_tokens"] - round(2000 / 15, 6)
+    ) < 1e-9

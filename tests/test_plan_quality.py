@@ -827,3 +827,26 @@ def test_contamination_pairs_train_branch_never_shuffles_pre_join(
                 "corpus-sized doc_id-keyed shuffle upstream of the "
                 "evidence join:\n" + line
             )
+
+
+def test_round9_curation_ops_plan_shapes(spark, registry_queries):
+    """Round-9 additions: incremental dedup candidates come from the
+    banded equi-join (no cartesian, no window); cluster diversity is
+    pure hash aggregation over sufficient statistics (NO pair
+    generation — no join between corpus rows at all, no window); PII
+    density is one scan + hash aggregation, fully JVM-side."""
+    inc = _plan(registry_queries["dedup_incremental"](spark, SF_SMALL))
+    assert "CartesianProduct" not in inc
+    assert "Window" not in inc
+    assert "band" in inc  # candidates keyed on the LSH band columns
+
+    div = _plan(registry_queries["sim_cluster_diversity"](spark, SF_SMALL))
+    assert "CartesianProduct" not in div
+    assert "Window" not in div
+    assert "SortMergeJoin" not in div  # no corpus-corpus pair join
+    assert div.count("HashAggregate") >= 4  # (cid,dim) cells + rollup
+
+    pii = _plan(registry_queries["text_pii_density"](spark, SF_SMALL))
+    assert "CartesianProduct" not in pii
+    assert "EvalPython" not in pii  # regex counts stay in codegen
+    assert pii.count("HashAggregate") >= 2  # partial + final on source
