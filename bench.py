@@ -176,6 +176,8 @@ HEADLINE = [
     "dedup_incremental",
     "sim_cluster_diversity",
     "text_pii_density",
+    "dedup_survivor_quality",
+    "text_temperature_mixture",
     # capstone composition
     "llm_corpus_pipeline",
 ]

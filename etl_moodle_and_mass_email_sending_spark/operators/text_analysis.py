@@ -3773,3 +3773,114 @@ def sql_contamination_pairs(
     GROUP BY 1, 2
     HAVING count(*) >= {min_shared}
     """
+
+
+# --------------------------------------------------------------------------
+# Temperature-based source mixture (round 9) — the multilingual /
+# multi-source sampling scheme (share_s ∝ tokens_s^(1/τ)): τ > 1
+# flattens the natural distribution, up-weighting low-resource sources
+# (epochs > 1, i.e. repetition) and down-weighting the head. The
+# complement of source_mixture's hard doc-count solver: this one works
+# in TOKENS, allows repetition up to an epoch cap, and reports where
+# the cap binds — the "how many epochs of each source" decision
+# data-constrained training actually makes.
+#
+# 100 TB shape: one hash aggregation to (source, Σtokens) — map-side
+# partial, |sources| cells — then pure column arithmetic against a
+# 1-row broadcast of the totals. The report is |sources| rows.
+# --------------------------------------------------------------------------
+
+MIX_TEMPERATURE = 2.0  # share ∝ tokens^(1/τ); τ=2 = sqrt scaling
+MIX_MAX_EPOCHS = 4.0  # repetition cap per source
+
+
+def temperature_mixture(
+    corpus: DataFrame,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = MIX_MAX_EPOCHS,
+) -> DataFrame:
+    """(source, n_tokens, nat_share, temp_share, epochs_raw, epochs,
+    achieved_tokens, achieved_share): temperature-flattened sampling
+    plan over a one-total-epoch token budget. ``epochs_raw`` is the
+    uncapped requirement; ``epochs`` caps at ``max_epochs`` (where the
+    two differ, the cap binds and achieved_share < temp_share)."""
+    toks = (
+        corpus.select(
+            "source", F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t")
+        )
+        .groupBy("source")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    inv_t = 1.0 / temperature
+    powed = toks.withColumn(
+        "_p", F.pow(F.col("n_tokens").cast("double"), F.lit(inv_t))
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("_p").alias("_ptot")
+    )
+    temp_share = F.col("_p") / F.col("_ptot")
+    epochs_raw = F.try_divide(
+        temp_share * F.col("_tot"), F.col("n_tokens")
+    )
+    epochs = F.least(epochs_raw, F.lit(float(max_epochs)))
+    achieved = epochs * F.col("n_tokens")
+    plan = powed.crossJoin(F.broadcast(totals)).withColumn(
+        "_ach", achieved
+    )
+    ach_tot = plan.agg(F.sum("_ach").alias("_atot"))
+    return (
+        plan.crossJoin(F.broadcast(ach_tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias(
+                "nat_share"
+            ),
+            F.round(temp_share, 6).alias("temp_share"),
+            F.round(epochs_raw, 6).alias("epochs_raw"),
+            F.round(epochs, 6).alias("epochs"),
+            F.round(F.col("_ach"), 3).alias("achieved_tokens"),
+            F.round(F.col("_ach") / F.col("_atot"), 6).alias(
+                "achieved_share"
+            ),
+        )
+    )
+
+
+def sql_temperature_mixture(
+    corpus_sql: str,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = MIX_MAX_EPOCHS,
+) -> str:
+    inv_t = repr(1.0 / temperature)
+    return f"""
+    WITH toks AS (
+      SELECT source, CAST(sum({_N_TOKS_DUCK}) AS BIGINT) AS n_tokens
+      FROM ({corpus_sql}) GROUP BY 1
+    ),
+    powed AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {inv_t}) AS p FROM toks
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS t, sum(p) AS ptot
+      FROM powed
+    ),
+    plan AS (
+      SELECT source, n_tokens,
+             n_tokens / t AS nat_share,
+             p / ptot AS temp_share,
+             (p / ptot) * t / n_tokens AS epochs_raw,
+             least((p / ptot) * t / n_tokens, {repr(float(max_epochs))})
+               AS epochs
+      FROM powed CROSS JOIN tot
+    ),
+    ach AS (SELECT sum(epochs * n_tokens) AS atot FROM plan)
+    SELECT source, n_tokens,
+           round(nat_share, 6) AS nat_share,
+           round(temp_share, 6) AS temp_share,
+           round(epochs_raw, 6) AS epochs_raw,
+           round(epochs, 6) AS epochs,
+           round(epochs * n_tokens, 3) AS achieved_tokens,
+           round(epochs * n_tokens / atot, 6) AS achieved_share
+    FROM plan CROSS JOIN ach
+    """

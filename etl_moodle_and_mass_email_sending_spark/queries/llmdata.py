@@ -2165,3 +2165,124 @@ register(
         "SELECT doc_id, text, source FROM documents"
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_survivor_quality (round 9) — what each dedup POLICY does to
+# quality, per source: mean composite quality of (a) every doc, (b)
+# keep-first (min-id) survivors, (c) keep-best (max-quality)
+# survivors. The report that prices the naive policy: keep_first ≪
+# keep_best on a source means min-id dedup is throwing away that
+# source's best copies. Complements dedup_source_shift (mass shift)
+# with the quality axis.
+# Scale: reuses the staged cluster frame; both survivor selections are
+# per-component hash aggregations (struct-max argmax for keep_best, no
+# window); quality is a scan-transform; provenance attaches via the
+# doc-keyed hash equi-join; final frame is |sources|·3 rows.
+# --------------------------------------------------------------------------
+
+
+def _dedup_survivor_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    from ..operators.util import spread_for_compute
+
+    clusters = _staged_clusters(spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    # spread: the per-row regex/stopword CPU of quality_score dwarfs
+    # the single-file testbed scan (the pii_density finding); checkpoint:
+    # cq has FOUR consumers (the 'all' branch, both survivor argmaxes,
+    # and the final quality join) — without the barrier the quality
+    # scan replays per consumer (measured 7.5 -> 1.3 s at 8×·sf0.1)
+    q = text_analysis.quality_score(
+        spread_for_compute(dedup.dup_corpus(spark, sf_dir))
+    ).select("doc_id", "quality")
+    cq = clusters.join(q, "doc_id").localCheckpoint(eager=False)
+    minid = cq.groupBy("component").agg(F.min("doc_id").alias("doc_id"))
+    best = (
+        cq.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col("doc_id")).alias("_nid")
+                )
+            ).alias("_m")
+        )
+        .select((-F.col("_m._nid")).alias("doc_id"))
+    )
+    sel = (
+        cq.select(F.lit("all").alias("policy"), "doc_id")
+        .unionByName(
+            minid.select(F.lit("keep_first").alias("policy"), "doc_id")
+        )
+        .unionByName(
+            best.select(F.lit("keep_best").alias("policy"), "doc_id")
+        )
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_base"), "source"
+    )
+    return (
+        sel.join(cq.select("doc_id", "quality"), "doc_id")
+        .withColumn("_base", F.col("doc_id") % 100000)
+        .join(src, "_base")
+        .groupBy("source", "policy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
+
+
+def _sql_dedup_survivor_quality() -> str:
+    quality = text_analysis.sql_quality_score(dedup.sql_dup_corpus())
+    return f"""
+    WITH clustered AS ({_sql_dedup_components()}),
+    q AS (SELECT doc_id, quality FROM ({quality})),
+    cq AS (
+      SELECT c.doc_id, c.component, q.quality
+      FROM clustered c JOIN q USING (doc_id)
+    ),
+    minid AS (SELECT component, min(doc_id) AS doc_id FROM cq GROUP BY 1),
+    best AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY component
+             ORDER BY quality DESC, doc_id) AS rn
+        FROM cq
+      ) WHERE rn = 1
+    ),
+    sel AS (
+      SELECT 'all' AS policy, doc_id FROM cq
+      UNION ALL SELECT 'keep_first', doc_id FROM minid
+      UNION ALL SELECT 'keep_best', doc_id FROM best
+    )
+    SELECT d.source, s.policy, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q2.quality), 6) AS mean_quality
+    FROM sel s
+    JOIN cq q2 USING (doc_id)
+    JOIN documents d ON d.doc_id = s.doc_id % 100000
+    GROUP BY 1, 2
+    """
+
+
+register(
+    "dedup_survivor_quality",
+    _dedup_survivor_quality,
+    _sql_dedup_survivor_quality(),
+)
+
+
+# text_temperature_mixture — temperature-flattened source sampling plan
+# (operators/text_analysis.py::temperature_mixture).
+register(
+    "text_temperature_mixture",
+    lambda spark, sf_dir: text_analysis.temperature_mixture(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_temperature_mixture(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
