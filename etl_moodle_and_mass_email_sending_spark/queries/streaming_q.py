@@ -900,3 +900,53 @@ register(
     stream_decontaminate,
     _stream_decontaminate_sql(),
 )
+
+
+def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online incremental crawl dedup (round 9): the synthetic new-crawl
+    batch replays as four arrival chunks through
+    streaming/crawl_dedup_stream.py's stateless foreachBatch scorer;
+    the frozen snapshot's MinHash signature index is the STATIC side
+    (session-staged — the same index the batch dedup_incremental
+    uses). Verdicts are per-doc and depend only on (doc, index), so
+    the exact batch oracle holds regardless of chunking."""
+    import os
+
+    from ..operators import dedup
+    from ..streaming import crawl_dedup_stream
+    from .llmdata import _staged_frozen_index
+
+    base = scratch_dir("crawl_dedup_")
+    incoming = dedup.new_crawl(spark, sf_dir).select("doc_id", "text")
+    stage = _stage_ordered_chunks(
+        incoming, "doc_id", cache_key=("stage_crawl", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = crawl_dedup_stream.start_crawl_dedup_stream(
+        stream,
+        _staged_frozen_index(spark, sf_dir),
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    # drop the idempotency partition column
+    return spark.read.parquet(os.path.join(base, "out")).drop("batch_id")
+
+
+def _stream_crawl_dedup_sql() -> str:
+    from ..operators import dedup
+
+    return dedup.sql_incremental_dedup(
+        "SELECT doc_id, text, lang FROM documents", dedup.sql_new_crawl()
+    )
+
+
+register(
+    "stream_crawl_dedup",
+    stream_crawl_dedup,
+    _stream_crawl_dedup_sql(),
+)

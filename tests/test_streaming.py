@@ -625,3 +625,39 @@ def test_stream_decontaminate_matches_batch_and_is_stateless(spark):
     assert got_hits == batch
     for r in rows:
         assert r["contaminated"] == (r["n_hit_ngrams"] > 0)
+
+
+def test_stream_crawl_dedup_matches_batch_scorer(spark):
+    """The streaming crawl-dedup verdicts equal the batch
+    incremental_dedup verdicts exactly (per-doc, index-static, so
+    chunking cannot matter), and every incoming doc emits exactly
+    once across the multi-batch replay."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.operators import dedup
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        _staged_frozen_index,
+    )
+    from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+        stream_crawl_dedup,
+    )
+
+    rows = stream_crawl_dedup(spark, SF_SMALL).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    got = {
+        r["doc_id"]: (
+            r["n_frozen_matches"], r["match_id"], r["admitted"]
+        )
+        for r in rows
+    }
+    batch = {
+        r["doc_id"]: (
+            r["n_frozen_matches"], r["match_id"], r["admitted"]
+        )
+        for r in dedup.incremental_dedup(
+            _staged_frozen_index(spark, SF_SMALL),
+            dedup.new_crawl(spark, SF_SMALL),
+        ).collect()
+    }
+    assert got == batch
+    assert any(r["admitted"] for r in rows)
+    assert any(not r["admitted"] for r in rows)
