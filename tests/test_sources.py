@@ -634,3 +634,31 @@ def test_jsonl_permissive_quarantines_corrupt_lines(spark, tmp_path):
         for r in jsonl.jsonl_health(docs).collect()
     }
     assert health == {"s1": 2, "s2": 1, jsonl.CORRUPT_SOURCE_LABEL: 1}
+
+
+def test_staged_path_builds_once_per_session(spark):
+    """staged_path (round 9): the build callback runs once per
+    (session, key); later calls return the SAME directory — this is
+    what stops bench re-invocations writing fresh full-table copies.
+    scratch dirs live under the process root that atexit removes."""
+    import os
+
+    from etl_moodle_and_mass_email_sending_spark.operators import util
+
+    calls = []
+
+    def build(path):
+        calls.append(path)
+        with open(os.path.join(path, "marker"), "w") as f:
+            f.write("x")
+
+    p1 = util.staged_path(spark, ("t_staged", "k1"), build, prefix="t_")
+    p2 = util.staged_path(spark, ("t_staged", "k1"), build, prefix="t_")
+    p3 = util.staged_path(spark, ("t_staged", "k2"), build, prefix="t_")
+    assert p1 == p2 and len(calls) == 2  # k1 built once, k2 built once
+    assert p3 != p1
+    assert os.path.exists(os.path.join(p1, "marker"))
+    # everything sits under the one atexit-removed scratch root
+    assert util._SCRATCH_ROOT is not None
+    assert p1.startswith(util._SCRATCH_ROOT)
+    assert p3.startswith(util._SCRATCH_ROOT)
