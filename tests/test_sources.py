@@ -662,3 +662,29 @@ def test_staged_path_builds_once_per_session(spark):
     assert util._SCRATCH_ROOT is not None
     assert p1.startswith(util._SCRATCH_ROOT)
     assert p3.startswith(util._SCRATCH_ROOT)
+
+
+def test_register_views_enables_spark_sql(spark):
+    """catalog.register_views exposes the normalized tables to
+    spark.sql — including the events ns->us ts treatment (a raw
+    parquet view would carry bigint nanos instead of a timestamp)."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark import catalog
+
+    catalog.register_views(spark, SF_SMALL)
+    n = spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n > 0
+    row = spark.sql(
+        "SELECT min(ts) AS lo FROM events"
+    ).collect()[0]
+    import datetime
+
+    assert isinstance(row["lo"], datetime.datetime)
+    joined = spark.sql(
+        """SELECT r.r_name, count(*) AS n
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1"""
+    ).collect()
+    assert sum(r["n"] for r in joined) == spark.sql(
+        "SELECT count(*) AS c FROM nation"
+    ).collect()[0]["c"]
