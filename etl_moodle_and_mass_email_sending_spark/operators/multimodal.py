@@ -984,25 +984,44 @@ def phash_hamming_histogram(
         "doc_id",
         F.unhex(F.repeat(F.md5("text"), PAYLOAD_REPEAT)).alias("payload"),
     )
-    hashed = phash_images(images, engine=engine).withColumn(
-        "block", F.substring("phash", 1, PHASH_BLOCK_PREFIX)
-    ).localCheckpoint()
+    # The 64-bit hash is packed into TWO bigint halves ONCE PER DOC
+    # (conv base-2) so the per-PAIR distance is two XORs + two
+    # popcounts in whole-stage codegen — the old form re-walked the
+    # 64-char string through an interpreted higher-order filter per
+    # pair (r9: 2.2 s → ~0.6 s at sf0.1; pairs dominate, so per-pair
+    # cost is the whole job at scale).
+    half = PHASH_BITS // 2
+    hashed = (
+        phash_images(images, engine=engine)
+        .withColumn("block", F.substring("phash", 1, PHASH_BLOCK_PREFIX))
+        .withColumn(
+            "h1", F.conv(F.substring("phash", 1, half), 2, 10).cast("bigint")
+        )
+        .withColumn(
+            "h2",
+            F.conv(F.substring("phash", half + 1, half), 2, 10).cast(
+                "bigint"
+            ),
+        )
+        .localCheckpoint()
+    )
     a = hashed.select(
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("h1").alias("h1a"),
+        F.col("h2").alias("h2a"),
         "block",
     )
     b = hashed.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"),
         "block",
     )
-    ham = F.expr(
-        f"size(filter(sequence(1, {PHASH_BITS}), "
-        f"i -> substring(ha, i, 1) != substring(hb, i, 1)))"
-    )
+    ham = F.expr("bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b)")
     return (
         a.join(b, on="block")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(ham.alias("hamming"))
+        .select(ham.cast("int").alias("hamming"))
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
     )
