@@ -178,6 +178,7 @@ HEADLINE = [
     "text_pii_density",
     "dedup_survivor_quality",
     "text_temperature_mixture",
+    "mm_payload_entropy",
     # capstone composition
     "llm_corpus_pipeline",
 ]

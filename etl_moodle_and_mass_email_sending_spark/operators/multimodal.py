@@ -1301,3 +1301,111 @@ def sql_payload_byte_stats() -> str:
            round(CAST(max(c) AS DOUBLE) / any_value(n), 6) AS top_share
     FROM hist GROUP BY 1, 2
     """
+
+
+# --------------------------------------------------------------------------
+# Payload byte entropy (round 9) — the compression/corruption screen
+# next to payload_byte_stats: Shannon entropy of the payload's byte
+# histogram. Near 8 bits/byte = already-compressed or encrypted
+# content (re-encoding is wasted compute; encrypted blobs are not
+# decodable media); near 0 = constant padding / zeroed corruption.
+# The screen a multimodal ingest runs BEFORE paying for decode.
+#
+# 100 TB shape: Arrow-batched mapInPandas, whole batch histogrammed
+# as one (rows × 256) matrix per length group — no per-row Python
+# loop; output is one narrow row per payload.
+# --------------------------------------------------------------------------
+
+ENTROPY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload_len", IntegerType()),
+        StructField("entropy_bits", DoubleType()),
+    ]
+)
+
+
+def payload_entropy(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, payload_len, entropy_bits): byte-level
+    Shannon entropy per payload (0 for empty payloads, matching the
+    oracle's empty-unnest sum)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter(
+                (len(bytes(p)) for p in pdf["payload"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            raw = b"".join(bytes(p) for p in pdf["payload"])
+            flat = np.frombuffer(raw, dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            ent = np.zeros(len(pdf), dtype=np.float64)
+            for n in np.unique(lens):
+                idx = np.flatnonzero(lens == n)
+                if n == 0:
+                    continue
+                rows = np.stack(
+                    [flat[offsets[i] : offsets[i] + n] for i in idx]
+                )
+                counts = np.zeros((len(idx), 256), dtype=np.int64)
+                np.add.at(
+                    counts,
+                    (np.repeat(np.arange(len(idx)), n), rows.reshape(-1)),
+                    1,
+                )
+                p = counts / n
+                ent[idx] = -np.where(
+                    counts > 0, p * np.log2(p, where=counts > 0), 0.0
+                ).sum(axis=1)
+            # half-up rounding (np.round is half-even; SQL round is not)
+            ent = np.floor(ent * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "payload_len": lens.astype(np.int32),
+                    "entropy_bits": ent,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, ENTROPY_SCHEMA
+    )
+
+
+def sql_payload_entropy() -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id, media_type, payload_hex,
+             length(payload_hex) // 2 AS n
+      FROM ({SQL_MEDIA_TABLE})
+    ),
+    bytes AS (
+      SELECT doc_id, media_type, n,
+             CAST('0x' || substr(payload_hex, 2 * b.i + 1, 2) AS INTEGER)
+               AS byte
+      FROM src m,
+           LATERAL (SELECT unnest(range(0, m.n)) AS i) b
+    ),
+    hist AS (
+      SELECT doc_id, media_type, n, byte, count(*) AS c
+      FROM bytes GROUP BY 1, 2, 3, 4
+    ),
+    ent AS (
+      SELECT doc_id, media_type, CAST(any_value(n) AS INTEGER)
+               AS payload_len,
+             -sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))
+               AS e
+      FROM hist GROUP BY 1, 2
+    )
+    SELECT s.doc_id, s.media_type,
+           CAST(coalesce(e.payload_len, 0) AS INTEGER) AS payload_len,
+           coalesce(floor(e.e * 1e6 + 0.5) / 1e6, 0.0) AS entropy_bits
+    FROM src s LEFT JOIN ent e USING (doc_id, media_type)
+    """

@@ -2286,3 +2286,14 @@ register(
         "SELECT doc_id, text, source FROM documents"
     ),
 )
+
+
+# mm_payload_entropy — byte-entropy compression/corruption screen
+# (operators/multimodal.py::payload_entropy has the rationale).
+register(
+    "mm_payload_entropy",
+    lambda spark, sf_dir: multimodal.payload_entropy(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_payload_entropy(),
+)

@@ -950,3 +950,49 @@ register(
     stream_crawl_dedup,
     _stream_crawl_dedup_sql(),
 )
+
+
+def stream_pii_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online PII scrubbing (round 9): the documents table replays as
+    four arrival chunks through streaming/pii_stream.py's stateless
+    foreachBatch scrubber. Verdicts are per-doc (pure scan-transform),
+    so the exact batch oracle holds regardless of chunking."""
+    import os
+
+    from ..streaming import pii_stream
+
+    base = scratch_dir("pii_filter_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = _stage_ordered_chunks(
+        docs, "doc_id", cache_key=("stage_pii_docs", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = pii_stream.start_pii_scrub_stream(
+        stream,
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "out")).drop("batch_id")
+
+
+def _stream_pii_filter_sql() -> str:
+    from ..operators import text_analysis as ta
+
+    scrub = ta.sql_scrub_pii("SELECT doc_id, text FROM documents")
+    return f"""
+    SELECT doc_id, n_emails, n_phones,
+           (n_emails + n_phones) > 0 AS has_pii
+    FROM ({scrub})
+    """
+
+
+register(
+    "stream_pii_filter",
+    stream_pii_filter,
+    _stream_pii_filter_sql(),
+)

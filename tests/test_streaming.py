@@ -661,3 +661,30 @@ def test_stream_crawl_dedup_matches_batch_scorer(spark):
     assert got == batch
     assert any(r["admitted"] for r in rows)
     assert any(not r["admitted"] for r in rows)
+
+
+def test_stream_pii_filter_matches_batch_scrubber(spark):
+    """Streaming PII verdicts equal the batch scrub_pii counts exactly,
+    once per doc across the multi-batch replay."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        scrub_pii,
+    )
+    from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+        stream_pii_filter,
+    )
+
+    rows = stream_pii_filter(spark, SF_SMALL).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    assert len(rows) == docs.count()
+    batch = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"])
+        for r in scrub_pii(docs).collect()
+    }
+    for r in rows:
+        assert (r["n_emails"], r["n_phones"]) == batch[r["doc_id"]]
+        assert r["has_pii"] == (r["n_emails"] + r["n_phones"] > 0)
