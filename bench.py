@@ -179,6 +179,13 @@ HEADLINE = [
     "dedup_survivor_quality",
     "text_temperature_mixture",
     "mm_payload_entropy",
+    # round-9 second-wave additions
+    "rel_interval_coverage",
+    "rel_attribution",
+    "rel_profile_table",
+    "text_readability",
+    "sim_dim_health",
+    "mm_codec_sniff",
     # capstone composition
     "llm_corpus_pipeline",
 ]

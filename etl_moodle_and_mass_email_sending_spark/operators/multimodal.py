@@ -1409,3 +1409,133 @@ def sql_payload_entropy() -> str:
            coalesce(floor(e.e * 1e6 + 0.5) / 1e6, 0.0) AS entropy_bits
     FROM src s LEFT JOIN ent e USING (doc_id, media_type)
     """
+
+
+# --------------------------------------------------------------------------
+# Codec sniffing (round 9) — magic-byte format detection over opaque
+# payloads: the first screen a multimodal ingest runs on a crawl drop,
+# BEFORE paying for decode — route each blob by its leading bytes
+# (PNG / JPEG / GIF / RIFF-WAVE / unknown) and cross-check against the
+# format the manifest declared. A source whose declared/sniffed
+# mismatch rate spikes is mislabeled or corrupted and gets quarantined,
+# not decoded.
+#
+# The wire table prepends a deterministic per-doc magic (doc_id % 5
+# picks the format; class 'raw' gets none) so the sniffer has real
+# structure to detect; the sniffer itself reads ONLY the payload bytes.
+# Scale: detection is substring/startswith on the first 12 bytes inside
+# whole-stage codegen (no UDF, no decode), then one hash aggregation on
+# (source, declared, sniffed) — the report is tiny.
+# --------------------------------------------------------------------------
+
+_WIRE_FORMATS = [
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FFE000104A46"),
+    ("gif", "474946383961"),
+    ("wav", "524946462408000057415645"),
+    ("raw", ""),
+]
+
+
+def wire_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, source, declared, payload) with the magic
+    header matching ``declared`` spliced onto the md5-stream payload."""
+    d = load_table(spark, sf_dir, "documents")
+    idx = (F.col("doc_id") % 5 + 1).cast("int")
+    magic = F.element_at(
+        F.array(*[F.lit(h) for _, h in _WIRE_FORMATS]), idx
+    )
+    declared = F.element_at(
+        F.array(*[F.lit(n) for n, _ in _WIRE_FORMATS]), idx
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        declared.alias("declared"),
+        F.unhex(
+            F.concat(magic, F.repeat(F.md5("text"), PAYLOAD_REPEAT))
+        ).alias("payload"),
+    )
+
+
+def codec_sniff(wire: DataFrame) -> DataFrame:
+    """(source, declared, sniffed, n_payloads, total_bytes, n_mismatch):
+    per-source routing table from magic bytes alone."""
+    head = F.upper(F.hex(F.substring("payload", 1, 12)))
+    sniffed = (
+        F.when(head.startswith("89504E470D0A1A0A"), "png")
+        .when(head.startswith("FFD8FF"), "jpeg")
+        .when(
+            head.startswith("474946383761")
+            | head.startswith("474946383961"),
+            "gif",
+        )
+        .when(
+            (F.substring(head, 1, 8) == "52494646")
+            & (F.substring(head, 17, 8) == "57415645"),
+            "wav",
+        )
+        .otherwise("unknown")
+    )
+    return (
+        wire.select(
+            "source",
+            "declared",
+            sniffed.alias("sniffed"),
+            F.length("payload").alias("_b"),
+        )
+        .groupBy("source", "declared", "sniffed")
+        .agg(
+            F.count("*").cast("bigint").alias("n_payloads"),
+            F.sum("_b").cast("bigint").alias("total_bytes"),
+            F.sum(
+                (
+                    (F.col("declared") != F.col("sniffed"))
+                    & ~(
+                        (F.col("declared") == "raw")
+                        & (F.col("sniffed") == "unknown")
+                    )
+                ).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_mismatch"),
+        )
+    )
+
+
+def sql_codec_sniff() -> str:
+    magic_arr = ", ".join(f"'{h}'" for _, h in _WIRE_FORMATS)
+    name_arr = ", ".join(f"'{n}'" for n, _ in _WIRE_FORMATS)
+    return f"""
+    WITH wire AS (
+      SELECT doc_id, source,
+             [{name_arr}][CAST(doc_id % 5 + 1 AS INTEGER)] AS declared,
+             upper([{magic_arr}][CAST(doc_id % 5 + 1 AS INTEGER)]
+                   || repeat(md5(text), {PAYLOAD_REPEAT})) AS payload_hex
+      FROM documents
+    ),
+    sniffed AS (
+      SELECT source, declared,
+             CASE
+               WHEN substr(payload_hex, 1, 16) = '89504E470D0A1A0A'
+                 THEN 'png'
+               WHEN substr(payload_hex, 1, 6) = 'FFD8FF' THEN 'jpeg'
+               WHEN substr(payload_hex, 1, 12) IN
+                    ('474946383761', '474946383961') THEN 'gif'
+               WHEN substr(payload_hex, 1, 8) = '52494646'
+                    AND substr(payload_hex, 17, 8) = '57415645'
+                 THEN 'wav'
+               ELSE 'unknown'
+             END AS sniffed,
+             length(payload_hex) / 2 AS b
+      FROM wire
+    )
+    SELECT source, declared, sniffed,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(b) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN declared <> sniffed
+                         AND NOT (declared = 'raw'
+                                  AND sniffed = 'unknown')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM sniffed GROUP BY 1, 2, 3
+    """

@@ -2642,3 +2642,88 @@ def sql_cluster_diversity() -> str:
              AS mean_pair_sq_dist
     FROM per_cid
     """
+
+
+# --------------------------------------------------------------------------
+# Embedding dimension health (round 9) — per-dimension mean/variance
+# profile of the embedding space: the collapse screen an embedding
+# pipeline runs before trusting ANN or semantic dedup. A dimension with
+# ~zero variance is dead weight (encoder collapse, PCA truncation gone
+# wrong, a quantizer stuck channel); a few dimensions carrying most of
+# the variance means cosine distances degenerate. Readout is per-dim,
+# plus each dim's share of total variance and a dead flag.
+#
+# Scale: posexplode multiplies rows by dim (×64) but the partial hash
+# aggregation combines map-side, so the shuffle is |dims| rows per
+# partition regardless of corpus size; per-value terms are rounded to
+# DECIMAL(18,6) before summing (the norm_outliers trick), so the
+# cross-engine hash is exact — no float accumulation-order hazard.
+# --------------------------------------------------------------------------
+
+DEAD_VAR_EPS = 1e-4
+
+
+def dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    per_val = v.select(
+        F.posexplode("vec").alias("dim", "_x")
+    ).select(
+        "dim",
+        F.round(F.col("_x"), 6).cast("decimal(18,6)").alias("_x"),
+    )
+    stats = per_val.groupBy("dim").agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_q").cast("double") / F.col("_n") - mean * mean
+    enriched = stats.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(mean, 6).alias("mean_val"),
+        var.alias("_var"),
+    )
+    # total variance via an unpartitioned window over the |dims|-row
+    # frame: a crossJoin against a separate agg would recompute the
+    # whole explode branch (measured: 6 exchanges → 3) — the window
+    # single-partition exchange moves 64 rows, not the corpus
+    tv = F.sum("_var").over(Window.partitionBy())
+    return enriched.select(
+        "dim",
+        "mean_val",
+        F.round("_var", 6).alias("var_val"),
+        F.round(F.try_divide(F.col("_var"), tv), 6).alias("var_share"),
+        (F.col("_var") < DEAD_VAR_EPS).alias("is_dead"),
+    )
+
+
+def sql_dim_health() -> str:
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    per_val AS (
+      SELECT CAST(d.i AS INTEGER) AS dim,
+             CAST(round(vec[CAST(d.i AS INTEGER) + 1], 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM base CROSS JOIN range(0, 64) AS d(i)
+    ),
+    stats AS (
+      SELECT dim, count(*) AS n, sum(x) AS s,
+             -- DECIMAL(19,6): forces DuckDB's int128 multiply
+             sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+               AS q
+      FROM per_val GROUP BY dim
+    ),
+    enriched AS (
+      SELECT dim,
+             round(CAST(s AS DOUBLE) / n, 6) AS mean_val,
+             CAST(q AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+               AS v
+      FROM stats
+    ),
+    tot AS (SELECT sum(v) AS tv FROM enriched)
+    SELECT dim, mean_val, round(v, 6) AS var_val,
+           round(v / nullif(tv, 0), 6) AS var_share,
+           v < {DEAD_VAR_EPS!r} AS is_dead
+    FROM enriched CROSS JOIN tot
+    """

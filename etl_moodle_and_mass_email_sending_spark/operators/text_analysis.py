@@ -3884,3 +3884,101 @@ def sql_temperature_mixture(
            round(epochs * n_tokens / atot, 6) AS achieved_share
     FROM plan CROSS JOIN ach
     """
+
+
+# --------------------------------------------------------------------------
+# Readability (round 9) — Flesch-style reading-ease per source. The
+# curation signal the quality composite (quality_score) doesn't carry:
+# a source whose text reads at graduate density (score < 30) or
+# baby-talk (score > 90) both deserve a mixing look, independent of
+# boilerplate/repetition. Syllables are approximated as vowel runs —
+# the standard dictionary-free proxy; the score is the classic
+# 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words) with both
+# denominators clamped to ≥1 so headline-only docs stay finite.
+# --------------------------------------------------------------------------
+
+_SENT_RE = "[.!?]+"
+_SYLL_RE = "[aeiouy]+"
+
+
+def readability(corpus: DataFrame) -> DataFrame:
+    """(source, n_docs, mean_score, p_hard, p_easy): per-source Flesch
+    reading-ease rollup; ``p_hard`` = share of docs under 30 (academic
+    density), ``p_easy`` = share over 90.
+
+    100 TB shape: three regex counters per row in whole-stage codegen
+    after a compute spread (per-row regex CPU dwarfs the testbed's
+    single-file scan, the pii_density finding), then one hash partial
+    aggregation on source — the report is |sources| rows."""
+    corpus = spread_for_compute(corpus)
+    words = F.greatest(
+        F.lit(1), F.size(F.expr(_SPARK_FTOKS)).cast("bigint")
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{_SENT_RE}', 0)")
+        ).cast("bigint"),
+    )
+    sylls = F.greatest(
+        F.lit(1),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{_SYLL_RE}', 0)")
+        ).cast("bigint"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * words / sents
+        - F.lit(84.6) * sylls / words
+    )
+    return (
+        # per-doc score rounded to 6 then summed as DECIMAL: the sum is
+        # exact, so the cross-engine hash is independent of partial-sum
+        # order (the norm_outliers trick)
+        corpus.select(
+            "source",
+            F.round(score, 6).cast("decimal(18,6)").alias("_s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("_s").cast("double") / F.count("*"), 6
+            ).alias("mean_score"),
+            F.round(
+                F.avg((F.col("_s") < 30).cast("double")), 6
+            ).alias("p_hard"),
+            F.round(
+                F.avg((F.col("_s") > 90).cast("double")), 6
+            ).alias("p_easy"),
+        )
+    )
+
+
+def sql_readability(corpus_sql: str) -> str:
+    return f"""
+    WITH per_doc AS (
+      SELECT source,
+             greatest(1, len({_DUCK_FTOKS})) AS w,
+             greatest(1, len(regexp_extract_all(text, '{_SENT_RE}')))
+               AS s,
+             greatest(1, len(regexp_extract_all(lower(text),
+                                                '{_SYLL_RE}'))) AS y
+      FROM ({corpus_sql})
+    ),
+    scored AS (
+      -- 6-decimal DECIMAL score: exact sums, order-independent hash
+      SELECT source,
+             CAST(round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                        - 84.6 * (CAST(y AS DOUBLE) / w), 6)
+                  AS DECIMAL(18,6)) AS sc
+      FROM per_doc
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(sc) AS DOUBLE) / count(*), 6) AS mean_score,
+           round(avg(CASE WHEN sc < 30 THEN 1.0 ELSE 0.0 END), 6)
+             AS p_hard,
+           round(avg(CASE WHEN sc > 90 THEN 1.0 ELSE 0.0 END), 6)
+             AS p_easy
+    FROM scored GROUP BY source
+    """

@@ -2232,7 +2232,16 @@ def _dedup_survivor_quality(spark, sf_dir):
         .groupBy("source", "policy")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            # decimal-exact sum (quality is already 6-decimal): the
+            # plain avg() flaked 1 ulp at a .5e-6 rounding boundary
+            # between Spark's partial-sum order and DuckDB's
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_quality"),
         )
     )
 
@@ -2260,7 +2269,8 @@ def _sql_dedup_survivor_quality() -> str:
       UNION ALL SELECT 'keep_best', doc_id FROM best
     )
     SELECT d.source, s.policy, CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(q2.quality), 6) AS mean_quality
+           round(CAST(sum(CAST(q2.quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_quality
     FROM sel s
     JOIN cq q2 USING (doc_id)
     JOIN documents d ON d.doc_id = s.doc_id % 100000
@@ -2296,4 +2306,37 @@ register(
         multimodal.media_table(spark, sf_dir)
     ),
     multimodal.sql_payload_entropy(),
+)
+
+
+# text_readability — Flesch-style reading-ease per source
+# (operators/text_analysis.py::readability has the formula + rationale).
+register(
+    "text_readability",
+    lambda spark, sf_dir: text_analysis.readability(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_readability(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+
+# sim_dim_health — per-dimension embedding collapse screen
+# (operators/similarity.py::dim_health has the rationale).
+register(
+    "sim_dim_health",
+    similarity.dim_health,
+    similarity.sql_dim_health(),
+)
+
+
+# mm_codec_sniff — magic-byte format routing screen
+# (operators/multimodal.py::codec_sniff has the rationale).
+register(
+    "mm_codec_sniff",
+    lambda spark, sf_dir: multimodal.codec_sniff(
+        multimodal.wire_table(spark, sf_dir)
+    ),
+    multimodal.sql_codec_sniff(),
 )

@@ -1128,3 +1128,106 @@ register(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# rel_profile_table (round 9) — one-scan, many-column table profiling:
+# the "DESCRIBE at scale" a pipeline runs on an unfamiliar drop before
+# writing any real query. One row per profiled lineitem column with
+# count / nulls / exact distinct / min / max / mean (numeric only).
+# Scale: a single aggregation computes every metric in one pass; the
+# multi-column COUNT(DISTINCT) lowers to Spark's Expand (one row copy
+# per distinct-column, partially aggregated map-side before the single
+# shuffle) — the same plan DuckDB picks. At 100 TB the exact distincts
+# are the knob to relax: swap count_distinct for approx_count_distinct
+# and the scan count halves; the report contract is unchanged.
+# --------------------------------------------------------------------------
+
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus", "l_shipdate"]
+
+
+def _profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *_PROFILE_NUM, *_PROFILE_STR
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+        ]
+    for c in _PROFILE_NUM:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+            # 6-decimal DECIMAL sum: exact, so the mean hashes
+            # identically regardless of partial-sum order
+            F.sum(
+                F.round(F.col(c).cast("double"), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias(f"_sv_{c}"),
+        ]
+    wide = li.agg(*aggs)
+    rows = []
+    for c in _PROFILE_NUM:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").cast("bigint").alias("n_rows"),
+                (F.col("_rows") - F.col(f"_nn_{c}"))
+                .cast("bigint")
+                .alias("n_null"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+                F.round(F.col(f"_mn_{c}"), 6).alias("min_val"),
+                F.round(F.col(f"_mx_{c}"), 6).alias("max_val"),
+                F.round(
+                    F.col(f"_sv_{c}").cast("double")
+                    / F.col(f"_nn_{c}"),
+                    6,
+                ).alias("mean_val"),
+            )
+        )
+    for c in _PROFILE_STR:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").cast("bigint").alias("n_rows"),
+                (F.col("_rows") - F.col(f"_nn_{c}"))
+                .cast("bigint")
+                .alias("n_null"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_val"),
+                F.lit(None).cast("double").alias("max_val"),
+                F.lit(None).cast("double").alias("mean_val"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("u")).select("u.*")
+
+
+def _profile_table_sql() -> str:
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               round(CAST(min({c}) AS DOUBLE), 6) AS min_val,
+               round(CAST(max({c}) AS DOUBLE), 6) AS max_val,
+               round(CAST(sum(CAST(round(CAST({c} AS DOUBLE), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / count({c}), 6) AS mean_val
+        FROM lineitem""")
+    for c in _PROFILE_STR:
+        parts.append(f"""
+        SELECT '{c}', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count({c}) AS BIGINT),
+               CAST(count(DISTINCT {c}) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+register("rel_profile_table", _profile_table, _profile_table_sql())

@@ -1188,3 +1188,202 @@ register(
 )
 
 
+
+# --------------------------------------------------------------------------
+# rel_interval_coverage (round 9) — union-of-intervals time coverage per
+# user: each event opens an interval [ts, ts + value seconds]; the report
+# merges overlapping intervals (classic sweep: running max of interval
+# ends over the start-ordered stream, an island break where a start
+# clears everything seen before) and totals the covered time. The
+# relational shape rel_session_concurrency (max overlap) and
+# rel_sessionize (gap islands) don't cover: interval UNION length —
+# machine-utilization, incident-duration, on-air time.
+# Scale: one shuffle (user_id), two window passes and one aggregation on
+# that same partitioning; arithmetic is exact integer microseconds
+# (unix_micros), so island detection has no float-compare hazard.
+# --------------------------------------------------------------------------
+
+
+def _interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.coalesce("value", F.lit(0.0)) * 1e6).cast("long")
+        ).alias("e_us"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s_us", "e_us", "event_id")
+    prev_max = F.max("e_us").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn(
+        "brk",
+        F.when(prev_max.isNull() | (F.col("s_us") > prev_max), 1).otherwise(0),
+    )
+    grp = marked.withColumn(
+        "isl",
+        F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = grp.groupBy("user_id", "isl").agg(
+        F.min("s_us").alias("i_s"), F.max("e_us").alias("i_e")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.round((F.sum(F.col("i_e") - F.col("i_s")) / 1e6), 6).alias(
+            "covered_sec"
+        ),
+        F.round(
+            (F.max("i_e") - F.min("i_s")) / 1e6,
+            6,
+        ).alias("span_sec"),
+        F.round(
+            F.try_divide(
+                F.sum(F.col("i_e") - F.col("i_s")),
+                F.max("i_e") - F.min("i_s"),
+            ),
+            6,
+        ).alias("coverage_ratio"),
+    )
+
+
+register(
+    "rel_interval_coverage",
+    _interval_coverage,
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts)
+               + CAST(round(coalesce(value, 0) * 1e6) AS BIGINT) AS e_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (PARTITION BY user_id
+                    ORDER BY s_us, e_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                  OR s_us > max(e_us) OVER (PARTITION BY user_id
+                    ORDER BY s_us, e_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS brk,
+             event_id
+      FROM iv
+    ), grp AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id
+                 ORDER BY s_us, e_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ), islands AS (
+      SELECT user_id, isl, min(s_us) AS i_s, max(e_us) AS i_e
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           round(sum(i_e - i_s) / 1e6, 6) AS covered_sec,
+           round((max(i_e) - min(i_s)) / 1e6, 6) AS span_sec,
+           round(CAST(sum(i_e - i_s) AS DOUBLE)
+                 / nullif(max(i_e) - min(i_s), 0), 6) AS coverage_ratio
+    FROM islands GROUP BY user_id
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rel_attribution (round 9) — first-touch / last-touch revenue
+# attribution: every purchase credits its value to the user's FIRST
+# non-purchase touch ever seen and to the LAST touch strictly before the
+# purchase; purchases with no prior touch fall into '(direct)'. The
+# marketing-analytics shape rel_funnel_stages (ordered reach) and
+# rel_event_transitions (Markov hops) don't cover: credit assignment.
+# Scale: no self-join — both attributions are IGNORE NULLS window
+# lookups over the same user_id/ts ordering (one shuffle), then a tiny
+# hash aggregation on event_type.
+# --------------------------------------------------------------------------
+
+
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        # 6-decimal DECIMAL revenue: exact sums, so the attributed
+        # totals hash identically regardless of partial-sum order
+        F.round(F.coalesce("value", F.lit(0.0)), 6)
+        .cast("decimal(18,6)")
+        .alias("value"),
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    attributed = e.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(prior).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(prior).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    unpiv = attributed.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce("first_touch", F.lit("(direct)")).alias(
+                        "touch_type"
+                    ),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("last_touch", F.lit("(direct)")).alias(
+                        "touch_type"
+                    ),
+                ),
+            )
+        ).alias("u"),
+    )
+    return unpiv.groupBy(
+        F.col("u.model").alias("model"),
+        F.col("u.touch_type").alias("touch_type"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.round(F.sum("value").cast("double"), 6).alias(
+            "attributed_revenue"
+        ),
+    )
+
+
+register(
+    "rel_attribution",
+    _attribution,
+    """
+    WITH base AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(round(coalesce(value, 0), 6) AS DECIMAL(18,6)) AS value,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+      FROM events
+    ), attributed AS (
+      SELECT event_type, value,
+             first_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM base
+    ), conv AS (
+      SELECT * FROM attributed WHERE event_type = 'purchase'
+    ), unpiv AS (
+      SELECT 'first_touch' AS model,
+             coalesce(first_touch, '(direct)') AS touch_type, value
+      FROM conv
+      UNION ALL
+      SELECT 'last_touch', coalesce(last_touch, '(direct)'), value
+      FROM conv
+    )
+    SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(value) AS DOUBLE), 6) AS attributed_revenue
+    FROM unpiv GROUP BY 1, 2
+    """,
+)

@@ -850,3 +850,38 @@ def test_round9_curation_ops_plan_shapes(spark, registry_queries):
     assert "CartesianProduct" not in pii
     assert "EvalPython" not in pii  # regex counts stay in codegen
     assert pii.count("HashAggregate") >= 2  # partial + final on source
+
+
+def test_round9_second_wave_plan_shapes(spark, registry_queries):
+    """Round-9 second wave: interval coverage runs its windows and BOTH
+    aggregations on one user_id exchange; attribution has no self-join
+    (window lookups only); profile_table is a single scan (no join) with
+    one Expand for the multi-column distincts; dim_health's total-
+    variance is a window over the |dims|-row frame, not a crossJoin that
+    would recompute the explode branch; codec sniffing stays in codegen
+    with one aggregation pair."""
+    cov = _plan(registry_queries["rel_interval_coverage"](spark, SF_SMALL))
+    assert cov.count("Exchange") == 1  # windows + aggs share user_id
+    assert "Join" not in cov
+
+    att = _plan(registry_queries["rel_attribution"](spark, SF_SMALL))
+    assert "Join" not in att  # both touches via window lookups
+    assert att.count("Exchange") <= 2  # user window + tiny final agg
+
+    prof = _plan(registry_queries["rel_profile_table"](spark, SF_SMALL))
+    assert "Join" not in prof  # one scan feeds every metric
+    assert prof.count("Expand") == 1
+    assert prof.count("Exchange") <= 2
+
+    dim = _plan(registry_queries["sim_dim_health"](spark, SF_SMALL))
+    assert "Join" not in dim  # no recompute-the-corpus crossJoin
+    assert dim.count("Exchange") <= 3
+
+    sniff = _plan(registry_queries["mm_codec_sniff"](spark, SF_SMALL))
+    assert "EvalPython" not in sniff  # magic tests stay in codegen
+    assert "Join" not in sniff
+    assert sniff.count("Exchange") == 1
+
+    read = _plan(registry_queries["text_readability"](spark, SF_SMALL))
+    assert "EvalPython" not in read
+    assert read.count("HashAggregate") >= 2  # partial + final on source
