@@ -186,6 +186,9 @@ HEADLINE = [
     "text_readability",
     "sim_dim_health",
     "mm_codec_sniff",
+    "rel_event_paths",
+    "sim_bq_topk",
+    "stream_profile",
     # capstone composition
     "llm_corpus_pipeline",
 ]

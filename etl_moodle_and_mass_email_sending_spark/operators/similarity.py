@@ -2727,3 +2727,136 @@ def sql_dim_health() -> str:
            v < {DEAD_VAR_EPS!r} AS is_dead
     FROM enriched CROSS JOIN tot
     """
+
+
+# --------------------------------------------------------------------------
+# Binary quantization retrieval (round 9) — the 64×-compression ANN
+# path modern vector stores ship (sign bits against per-dimension mean
+# thresholds → Hamming scan → exact rerank): each vector becomes 64
+# bits packed into TWO bigint halves, candidate generation is two XORs
+# + two popcounts per pair inside whole-stage codegen (the phash
+# popcount pattern), and only the top RERANK candidates per query pay
+# the exact-cosine lambda. Complements sq_topk (int8, 8 bits/dim) at
+# the opposite end of the precision/bandwidth trade: 1 bit/dim.
+#
+# Scale: thresholds are a |dims|-row aggregate collected into ONE
+# broadcast array row (DECIMAL-exact means, so both engines binarize
+# identically); the Hamming scan streams the corpus once against the
+# broadcast query pack; rerank touches N_QUERIES·RERANK rows.
+# --------------------------------------------------------------------------
+
+BQ_RERANK = 4 * TOP_K
+
+
+def _bq_pack_expr(offset: int, means_col: str = "means") -> str:
+    """32 sign bits of vec[offset+1 .. offset+32] packed into a bigint."""
+    return (
+        f"aggregate(transform(slice(vec, {offset + 1}, 32), (x, i) ->"
+        f" IF(x > element_at({means_col}, i + {offset + 1}),"
+        " shiftleft(cast(1 as bigint), i), cast(0 as bigint))),"
+        " cast(0 as bigint), (a, b) -> a + b)"
+    )
+
+
+def bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, hamming, cosine, rank): binary-quantized
+    Hamming candidates, exact-cosine reranked; ties rank by vec_id."""
+    v = _vectors(spark, sf_dir)
+    per_val = v.select(F.posexplode("vec").alias("dim", "_x")).select(
+        "dim", F.round(F.col("_x"), 6).cast("decimal(18,6)").alias("_x")
+    )
+    stats = per_val.groupBy("dim").agg(
+        (F.sum("_x").cast("double") / F.count("*")).alias("m")
+    )
+    means_row = stats.groupBy().agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(dim, m))), s -> s.m)"
+        ).alias("means")
+    )
+    packed = v.crossJoin(F.broadcast(means_row)).select(
+        "vec_id",
+        "vec",
+        F.expr(_bq_pack_expr(0)).alias("lo"),
+        F.expr(_bq_pack_expr(32)).alias("hi"),
+    )
+    q = packed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    wc = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    cand = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"), "vec", "qvec")
+        .withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= BQ_RERANK)
+    )
+    cos = F.expr(_spark_cosine("vec", "qvec"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cand.select("query_id", "vec_id", "hamming", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_bq_topk() -> str:
+    def pack(offset: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, 33), i ->"
+            f" CASE WHEN vec[i + {offset}] > m.means[i + {offset}]"
+            f" THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))"
+            " AS BIGINT)"
+        )
+
+    cos = _duck_cosine("c.vec", "c.qvec")
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    per_val AS (
+      SELECT CAST(d.i AS INTEGER) AS dim,
+             CAST(round(vec[CAST(d.i AS INTEGER) + 1], 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM v CROSS JOIN range(0, 64) AS d(i)
+    ),
+    stats AS (
+      SELECT dim, CAST(sum(x) AS DOUBLE) / count(*) AS mdim
+      FROM per_val GROUP BY dim
+    ),
+    m AS (SELECT list(mdim ORDER BY dim) AS means FROM stats),
+    packed AS (
+      SELECT vec_id, vec, {pack(0)} AS lo, {pack(32)} AS hi
+      FROM v CROSS JOIN m
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, lo AS qlo, hi AS qhi
+          FROM packed WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT query_id, vec_id, vec, qvec,
+             CAST(bit_count(xor(p.lo, q.qlo))
+                  + bit_count(xor(p.hi, q.qhi)) AS INTEGER) AS hamming
+      FROM packed p CROSS JOIN q WHERE p.vec_id <> q.query_id
+    ),
+    ranked_cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming, vec_id) AS crank
+      FROM cand
+    ),
+    rer AS (
+      SELECT query_id, vec_id, hamming, {cos} AS cosine
+      FROM ranked_cand c WHERE crank <= {BQ_RERANK}
+    )
+    SELECT query_id, vec_id, hamming, cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank
+      FROM rer
+    ) WHERE rank <= {TOP_K}
+    """

@@ -2340,3 +2340,12 @@ register(
     ),
     multimodal.sql_codec_sniff(),
 )
+
+
+# sim_bq_topk — 1-bit binary-quantization ANN with exact rerank
+# (operators/similarity.py::bq_topk has the rationale).
+register(
+    "sim_bq_topk",
+    similarity.bq_topk,
+    similarity.sql_bq_topk(),
+)

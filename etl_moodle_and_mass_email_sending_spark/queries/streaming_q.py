@@ -996,3 +996,64 @@ register(
     stream_pii_filter,
     _stream_pii_filter_sql(),
 )
+
+
+def stream_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental table profiling (round 9): the events
+    table replays as four arrival chunks; each micro-batch lands an
+    algebraic partial profile (streaming/profile_stream.py), and the
+    registered result is the merge — equal to the batch profile
+    because every statistic is algebraic."""
+    import os
+
+    from ..streaming import profile_stream
+
+    base = scratch_dir("profile_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_profile_events", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = profile_stream.start_profile_stream(
+        stream,
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(os.path.join(base, "out")).drop(
+        "batch_id"
+    )
+    return profile_stream.merge_partials(partials)
+
+
+def _stream_profile_sql() -> str:
+    from ..streaming.profile_stream import PROFILE_NUM, PROFILE_STR
+
+    parts = []
+    for c in PROFILE_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               round(CAST(min({c}) AS DOUBLE), 6) AS min_val,
+               round(CAST(max({c}) AS DOUBLE), 6) AS max_val,
+               round(CAST(sum(CAST(round(CAST({c} AS DOUBLE), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / count({c}), 6) AS mean_val
+        FROM events""")
+    for c in PROFILE_STR:
+        parts.append(f"""
+        SELECT '{c}', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count({c}) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM events""")
+    return " UNION ALL ".join(parts)
+
+
+register("stream_profile", stream_profile, _stream_profile_sql())

@@ -1387,3 +1387,67 @@ register(
     FROM unpiv GROUP BY 1, 2
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_event_paths (round 9) — top user journeys: every length-3 window
+# of a user's ordered event stream, counted corpus-wide with each
+# path's share and distinct-user reach. rel_event_transitions models
+# single hops (Markov); this mines the actual 3-step paths product
+# analytics reads ("view → click → error" is a rage path, "view →
+# click → purchase" is the funnel working).
+# Scale: two lead() lookups on one user_id/ts window (single shuffle),
+# then a hash aggregation on the path triple — no self-joins, no
+# explode; output is ≤ |event_types|³ rows.
+# --------------------------------------------------------------------------
+
+
+def _event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    counted = seq.groupBy("step1", "step2", "step3").agg(
+        F.count("*").cast("bigint").alias("n_paths"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    tot = F.sum("n_paths").over(Window.partitionBy())
+    return counted.select(
+        "step1",
+        "step2",
+        "step3",
+        "n_paths",
+        "n_users",
+        F.round(F.col("n_paths") / tot, 6).alias("path_share"),
+    )
+
+
+register(
+    "rel_event_paths",
+    _event_paths,
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS step1,
+             lead(event_type, 1) OVER w AS step2,
+             lead(event_type, 2) OVER w AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), counted AS (
+      SELECT step1, step2, step3,
+             CAST(count(*) AS BIGINT) AS n_paths,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE step3 IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT step1, step2, step3, n_paths, n_users,
+           round(CAST(n_paths AS DOUBLE) / sum(n_paths) OVER (), 6)
+             AS path_share
+    FROM counted
+    """,
+)

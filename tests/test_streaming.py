@@ -688,3 +688,55 @@ def test_stream_pii_filter_matches_batch_scrubber(spark):
     for r in rows:
         assert (r["n_emails"], r["n_phones"]) == batch[r["doc_id"]]
         assert r["has_pii"] == (r["n_emails"] + r["n_phones"] > 0)
+
+
+def test_stream_profile_partial_merge_equals_batch_profile(spark):
+    """The algebraic partial-merge contract: profiling two disjoint
+    halves and merging the partials equals profiling the whole frame in
+    one shot (this is what makes the streaming profile exact regardless
+    of batching)."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.streaming.profile_stream import (
+        batch_partial_profile,
+        merge_partials,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    half_a = ev.filter("event_id % 2 = 0")
+    half_b = ev.filter("event_id % 2 = 1")
+    merged = merge_partials(
+        batch_partial_profile(half_a).unionByName(
+            batch_partial_profile(half_b)
+        )
+    )
+    whole = merge_partials(batch_partial_profile(ev))
+    key = lambda r: r["column"]  # noqa: E731
+    assert sorted(
+        map(tuple, merged.collect()), key=lambda t: t[0]
+    ) == sorted(map(tuple, whole.collect()), key=lambda t: t[0])
+
+
+def test_stream_profile_matches_batch(spark):
+    """End-to-end: the four-chunk streaming replay's merged profile
+    equals the direct batch profile of the same events frame."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+        stream_profile,
+    )
+    from etl_moodle_and_mass_email_sending_spark.streaming.profile_stream import (
+        batch_partial_profile,
+        merge_partials,
+    )
+
+    got = sorted(map(tuple, stream_profile(spark, SF_SMALL).collect()))
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    want = sorted(
+        map(tuple, merge_partials(batch_partial_profile(ev)).collect())
+    )
+    assert got == want
