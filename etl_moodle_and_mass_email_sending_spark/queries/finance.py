@@ -346,15 +346,19 @@ def _abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_cum") * 100 <= F.col("_t") * 95, F.lit("B"))
         .otherwise(F.lit("C"))
     )
-    out = ranked.select(cls.alias("abc_class"), "_rev")
-    tot2 = out.agg(F.sum("_rev").alias("_t2"))
+    # the class-share denominator IS the grand total already carried by
+    # the crossJoin (sum of class revenues = sum of part revenues); the
+    # separate agg this replaces re-read the whole checkpointed ranked
+    # frame — noise-level at sf0.1 (~2.3 s either way) but a second
+    # corpus-sized pass at the 100 TB design point
+    out = ranked.select(cls.alias("abc_class"), "_rev", "_t")
     return (
         out.groupBy("abc_class")
         .agg(
             F.count("*").alias("n_parts"),
             F.sum("_rev").alias("_crev"),
+            F.first("_t").alias("_t2"),
         )
-        .crossJoin(F.broadcast(tot2))
         .select(
             "abc_class",
             "n_parts",

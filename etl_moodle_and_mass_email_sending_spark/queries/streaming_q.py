@@ -1057,3 +1057,66 @@ def _stream_profile_sql() -> str:
 
 
 register("stream_profile", stream_profile, _stream_profile_sql())
+
+
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arrival-batch drift readout (round 9): each of the four
+    event chunks lands its per-event_type sufficient statistics
+    (streaming/drift_stream.py); the report keeps chunks separate —
+    per-chunk mean value next to its deviation from the all-time mean.
+    The replay chunks by event_id ntile with increasing mtimes, so
+    batch b IS chunk b+1 and the oracle reproduces the batching."""
+    import os
+
+    from ..streaming import drift_stream
+
+    base = scratch_dir("drift_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_drift_events", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = drift_stream.start_drift_stream(
+        stream,
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(os.path.join(base, "out"))
+    return drift_stream.drift_report(partials)
+
+
+STREAM_DRIFT_MONITOR_SQL = """
+WITH chunked AS (
+  SELECT event_type, value,
+         ntile(4) OVER (ORDER BY event_id) AS chunk
+  FROM events
+),
+per AS (
+  SELECT chunk, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(value) AS BIGINT) AS nn,
+         sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6)))
+           AS sv
+  FROM chunked GROUP BY 1, 2
+)
+SELECT CAST(chunk AS INTEGER) AS chunk, event_type, n_events,
+       round(CAST(sv AS DOUBLE) / nn, 6) AS mean_value,
+       round(CAST(sv AS DOUBLE) / nn
+             - CAST(sum(sv) OVER (PARTITION BY event_type) AS DOUBLE)
+               / sum(nn) OVER (PARTITION BY event_type), 6)
+         AS delta_vs_global
+FROM per
+"""
+
+register(
+    "stream_drift_monitor",
+    stream_drift_monitor,
+    STREAM_DRIFT_MONITOR_SQL,
+)

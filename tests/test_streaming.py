@@ -740,3 +740,84 @@ def test_stream_profile_matches_batch(spark):
         map(tuple, merge_partials(batch_partial_profile(ev)).collect())
     )
     assert got == want
+
+
+def test_drift_report_weighted_deltas_cancel(spark):
+    """The drift identity: the global mean is derived from the SAME
+    partials the per-chunk means come from, so the non-null-weighted
+    sum of delta_vs_global is ~0 for every event_type regardless of
+    how the stream was batched."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.streaming.drift_stream import (
+        batch_partial_stats,
+        drift_report,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    parts = []
+    for b in range(3):
+        parts.append(
+            batch_partial_stats(
+                ev.filter(F.col("event_id") % 3 == b)
+            ).withColumn("batch_id", F.lit(b))
+        )
+    partials = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    rep = drift_report(partials).join(
+        partials.select("event_type", (F.col("batch_id") + 1).alias("chunk"), "_nn"),
+        ["event_type", "chunk"],
+    )
+    rows = (
+        rep.groupBy("event_type")
+        .agg(F.sum(F.col("delta_vs_global") * F.col("_nn")).alias("w"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # rounding to 6 decimals bounds each term by 5e-7 * nn
+        assert abs(r["w"]) < 1.0, r
+
+
+def test_drift_monitor_per_chunk_means_match_batch(spark):
+    """End-to-end: the streamed four-chunk drift readout's per-chunk
+    means equal a direct batch computation over the same ntile(4)
+    chunking."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+        stream_drift_monitor,
+    )
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["chunk"], r["event_type"]): (r["n_events"], r["mean_value"])
+        for r in stream_drift_monitor(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    )
+    chunked = ev.withColumn(
+        "chunk", F.ntile(4).over(Window.orderBy("event_id"))
+    )
+    want = {
+        (r["chunk"], r["event_type"]): (r["n"], r["m"])
+        for r in chunked.groupBy("chunk", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value").cast("double"), 6).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
