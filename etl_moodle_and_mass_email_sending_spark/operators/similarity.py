@@ -2860,3 +2860,201 @@ def sql_bq_topk() -> str:
       FROM rer
     ) WHERE rank <= {TOP_K}
     """
+
+
+# --------------------------------------------------------------------------
+# MMR diversified rerank — Maximal Marginal Relevance over the exact
+# top-C candidate set: rank 1 is the most relevant candidate, each later
+# rank maximizes λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s).  The
+# retrieval stage every RAG/curation pipeline bolts after top-k when the
+# neighbors are near-duplicates of each other.
+#
+# Scale design: the candidate generation is the certified brute-force
+# shape (broadcast Q over a partition-parallel corpus scan); everything
+# after it runs on Q·C rows (C=16): the pairwise candidate-candidate
+# cosines are Q·C² JVM-side rows, and the inherently-sequential greedy
+# runs per-query in one Arrow-batched applyInPandas over ≤C² rows per
+# group — bounded work per query regardless of corpus size.  Numeric
+# parity: rel and pair cosines are the same round-6 formula both
+# engines already certify; the MMR score is two mults and a sub over
+# those rounded doubles, half-up-rounded with the same floor trick on
+# both sides, selection ties broken by vec_id.
+# --------------------------------------------------------------------------
+
+MMR_CANDIDATES = 16
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3  # NOT computed as 1-λ: fl(1.0-0.7) ≠ fl(0.3)
+
+
+def mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-K for each query vector (vec_id < N_QUERIES):
+    greedy selection of MMR_K from the exact top-MMR_CANDIDATES."""
+    import pandas as pd
+
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    rel = F.expr(_spark_cosine("qvec", "vec")).alias("rel")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    cands = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rel)
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= MMR_CANDIDATES)
+        .drop("crank")
+    )
+    # re-attach vectors: broadcast the Q·C candidate list into the
+    # corpus scan (no corpus shuffle)
+    cv = v.select("vec_id", "vec").join(F.broadcast(cands), "vec_id")
+    ca = cv.select(
+        "query_id",
+        F.col("vec_id").alias("a"),
+        F.col("rel").alias("a_rel"),
+        F.col("vec").alias("avec"),
+    )
+    cb = cv.select(
+        "query_id", F.col("vec_id").alias("b"), F.col("vec").alias("bvec")
+    )
+    pairs = (
+        ca.join(F.broadcast(cb), "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "a_rel",
+            "b",
+            F.expr(_spark_cosine("avec", "bvec")).alias("s"),
+        )
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        qid = int(pdf["query_id"].iloc[0])
+        rels = dict(
+            zip(
+                pdf["a"].astype("int64"),
+                pdf["a_rel"].astype("float64"),
+            )
+        )
+        simmap = dict(
+            zip(
+                zip(pdf["a"].astype("int64"), pdf["b"].astype("int64")),
+                pdf["s"].astype("float64"),
+            )
+        )
+        remaining = sorted(rels)
+        selected: list[int] = []
+        rows = []
+        for rank in range(1, MMR_K + 1):
+            if not remaining:
+                break
+            best = None
+            for c in remaining:
+                if selected:
+                    mx = max(simmap[(c, s)] for s in selected)
+                    t = MMR_LAMBDA * rels[c] - MMR_MU * mx
+                else:
+                    t = MMR_LAMBDA * rels[c]
+                score = math.floor(t * 1e6 + 0.5) / 1e6
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            _, c, score = best
+            selected.append(c)
+            remaining.remove(c)
+            rows.append((qid, rank, c, rels[c], score))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "query_id",
+                "rank",
+                "vec_id",
+                "relevance",
+                "mmr_score",
+            ],
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id bigint, rank int, vec_id bigint, "
+        "relevance double, mmr_score double",
+    )
+
+
+def sql_mmr_topk() -> str:
+    cos_qv = _duck_cosine("q.vec", "v.vec")
+    cos_ab = _duck_cosine("x.vec", "y.vec")
+    # the K-step greedy unrolled into explicit CTE layers (no recursion:
+    # each step's argmax needs a window over the step's scores)
+    layers = []
+    for k in range(2, MMR_K + 1):
+        prev = k - 1
+        layers.append(
+            f""",
+    sc{k} AS (
+      SELECT c.query_id, c.vec_id, c.rel,
+             floor(({MMR_LAMBDA}e0 * c.rel - {MMR_MU}e0 * max(p.s))
+                   * 1e6 + 0.5) / 1e6 AS score
+      FROM pv c
+      JOIN pair p ON p.query_id = c.query_id AND p.a = c.vec_id
+      JOIN sel{prev} s ON s.query_id = p.query_id AND s.vec_id = p.b
+      WHERE NOT EXISTS (SELECT 1 FROM sel{prev} e
+                        WHERE e.query_id = c.query_id
+                          AND e.vec_id = c.vec_id)
+      GROUP BY 1, 2, 3
+    ),
+    p{k} AS (
+      SELECT query_id, vec_id, rel, score, {k} AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS rn
+        FROM sc{k}) WHERE rn = 1
+    ),
+    sel{k} AS (SELECT query_id, vec_id FROM sel{prev}
+               UNION ALL SELECT query_id, vec_id FROM p{k})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM p{k}" for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec FROM v
+          WHERE vec_id < {N_QUERIES}),
+    sims AS (
+      SELECT q.query_id, v.vec_id, {cos_qv} AS rel
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ),
+    cands AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, vec_id) AS rn FROM sims
+      ) WHERE rn <= {MMR_CANDIDATES}
+    ),
+    pv AS (
+      SELECT c.query_id, c.vec_id, c.rel, v.vec
+      FROM cands c JOIN v USING (vec_id)
+    ),
+    pair AS (
+      SELECT x.query_id, x.vec_id AS a, y.vec_id AS b, {cos_ab} AS s
+      FROM pv x JOIN pv y
+        ON x.query_id = y.query_id AND x.vec_id <> y.vec_id
+    ),
+    p1 AS (
+      SELECT query_id, vec_id, rel,
+             floor({MMR_LAMBDA}e0 * rel * 1e6 + 0.5) / 1e6 AS score,
+             1 AS rank
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, vec_id) AS rn FROM pv
+      ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, vec_id FROM p1){"".join(layers)}
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+           rel AS relevance, score AS mmr_score
+    FROM ({union})
+    """

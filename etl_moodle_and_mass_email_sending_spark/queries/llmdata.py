@@ -2349,3 +2349,12 @@ register(
     similarity.bq_topk,
     similarity.sql_bq_topk(),
 )
+
+
+# sim_mmr_topk — MMR diversified rerank over the exact top-C candidate
+# set (operators/similarity.py::mmr_topk has the rationale).
+register(
+    "sim_mmr_topk",
+    similarity.mmr_topk,
+    similarity.sql_mmr_topk(),
+)

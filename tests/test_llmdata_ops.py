@@ -1748,3 +1748,68 @@ def test_pii_density_counts_known_hits(spark):
     assert abs(
         out[("web", "email")]["hits_per_1k_tokens"] - round(2000 / 15, 6)
     ) < 1e-9
+
+
+def test_mmr_topk_diversifies_greedily(spark):
+    """MMR invariants vs the exact baseline: rank 1 IS the top-relevance
+    candidate (λ·rel is monotone in rel), every pick comes from the
+    top-C candidate set, picks never repeat, and each step's recorded
+    mmr_score equals the greedy recomputation from the certified
+    cosine formulas."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    got = similarity.mmr_topk(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    bf_top1 = {
+        r.query_id: r.vec_id
+        for r in similarity.topk_bruteforce(spark, SF_SMALL).collect()
+        if r.rank == 1
+    }
+    # recompute rel + pair sims from the same certified formula
+    v = spark.read.parquet(SF_SMALL + "/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    q = v.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    rels = {
+        (r.query_id, r.vec_id): r.rel
+        for r in v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(similarity._spark_cosine("qvec", "vec")).alias("rel"),
+        )
+        .collect()
+    }
+    pick_ids = sorted({r.vec_id for rows in by_q.values() for r in rows})
+    pv = v.filter(F.col("vec_id").isin([int(i) for i in pick_ids]))
+    sims = {
+        (r.a, r.b): r.s
+        for r in pv.select(F.col("vec_id").alias("a"), F.col("vec").alias("avec"))
+        .crossJoin(pv.select(F.col("vec_id").alias("b"), F.col("vec").alias("bvec")))
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.expr(similarity._spark_cosine("avec", "bvec")).alias("s"))
+        .collect()
+    }
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, similarity.MMR_K + 1))
+        assert len({r.vec_id for r in rows}) == len(rows)
+        assert rows[0].vec_id == bf_top1[qid]
+        sel = []
+        for r in rows:
+            t = similarity.MMR_LAMBDA * rels[(qid, r.vec_id)]
+            if sel:
+                t -= similarity.MMR_MU * max(sims[(r.vec_id, s)] for s in sel)
+            assert r.mmr_score == math.floor(t * 1e6 + 0.5) / 1e6, (qid, r.rank)
+            assert r.relevance == rels[(qid, r.vec_id)]
+            sel.append(r.vec_id)
