@@ -1126,3 +1126,87 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_bucketed_join — co-located sort-merge join over PRE-BUCKETED tables:
+# both sides are written once per session with bucketBy(8, custkey) +
+# sortBy, and the join itself runs with ZERO exchange on either input
+# (pinned in test_plan_quality) — the "bucket once, join many" layout
+# that turns every subsequent fact⋈fact join on the bucket key into a
+# shuffle-free local merge. At 100 TB this is THE lever for repeated
+# big-big joins: the one-time bucketed write amortizes across every
+# downstream join/agg keyed on custkey, and the merge hint keeps the
+# plan stable against broadcast-threshold drift. The only exchange left
+# in the plan is the final 5-group segment rollup.
+# --------------------------------------------------------------------------
+
+_BKT_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/customer bucketed by custkey once per (session,
+    sf_dir); return the catalog table names."""
+    import hashlib
+    import os
+
+    from ..operators.util import scratch_dir
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        base = scratch_dir("bucketed_join_")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.bucketBy(_BKT_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", os.path.join(base, "orders"))
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment")
+            .write.bucketBy(_BKT_BUCKETS, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", os.path.join(base, "customer"))
+            .mode("overwrite")
+            .saveAsTable(t_cust)
+        )
+    return t_orders, t_cust
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_orders, t_cust = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    joined = o.hint("merge").join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(_dec(F.col("o_totalprice")))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .select("c_mktsegment", "n_orders", "n_customers", "total_revenue")
+    )
+
+
+register(
+    "rel_bucketed_join",
+    _bucketed_join,
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)

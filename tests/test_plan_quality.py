@@ -885,3 +885,16 @@ def test_round9_second_wave_plan_shapes(spark, registry_queries):
     read = _plan(registry_queries["text_readability"](spark, SF_SMALL))
     assert "EvalPython" not in read
     assert read.count("HashAggregate") >= 2  # partial + final on source
+
+
+def test_bucketed_join_has_no_exchange_on_join_keys(spark, registry_queries):
+    """rel_bucketed_join's contract: both inputs are pre-bucketed on the
+    join key, so the sort-merge join runs with ZERO exchange on either
+    side — the only shuffle left is the final segment rollup. A
+    hashpartitioning exchange on either custkey column means the
+    bucketed layout was ignored."""
+    plan = _plan(registry_queries["rel_bucketed_join"](spark, SF_SMALL))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
