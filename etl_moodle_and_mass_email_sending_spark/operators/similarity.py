@@ -3058,3 +3058,72 @@ def sql_mmr_topk() -> str:
            rel AS relevance, score AS mmr_score
     FROM ({union})
     """
+
+
+# --------------------------------------------------------------------------
+# Cosine range search (the FAISS range_search analogue): all corpus
+# vectors within a similarity radius of each query, reported as bounded
+# per-query aggregates (hit count / max / DECIMAL-exact mean) rather
+# than unbounded hit lists. Shape is the cheapest possible: broadcast-Q
+# corpus scan + filter + partial agg — no window, no corpus shuffle;
+# the radius predicate makes the reduce side |Q| rows. Queries with an
+# empty radius still appear (left join back onto the query set).
+# --------------------------------------------------------------------------
+
+RANGE_TAU = 0.25  # exactly representable; cosines are round-6 first
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cos = F.expr(_spark_cosine("qvec", "vec")).alias("cos")
+    hits = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", cos)
+        .filter(F.col("cos") >= RANGE_TAU)
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("cos").alias("_mx"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("_mean"),
+    )
+    return (
+        q.select("query_id")
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_hits"),
+            F.col("_mx").alias("max_cosine"),
+            F.col("_mean").alias("mean_cosine"),
+        )
+    )
+
+
+def sql_range_search() -> str:
+    cos = _duck_cosine("q.vec", "v.vec")
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec FROM v
+          WHERE vec_id < {N_QUERIES}),
+    h AS (
+      SELECT q.query_id, {cos} AS cos
+      FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    ),
+    f AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+             max(cos) AS max_cosine,
+             round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS mean_cosine
+      FROM h WHERE cos >= {RANGE_TAU} GROUP BY 1
+    )
+    SELECT q.query_id, coalesce(f.n_hits, 0) AS n_hits,
+           f.max_cosine, f.mean_cosine
+    FROM q LEFT JOIN f USING (query_id)
+    """

@@ -1210,3 +1210,77 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_skew_stats — join-key skew diagnosis: the pre-flight report you
+# run BEFORE choosing a salting factor (rel_skew_salted_agg/_join are
+# the cure; this is the diagnosis). Per candidate key: group-size
+# distribution (max / exact p50 / p99), the heaviest key's share of all
+# rows, and max/p50 as the skew ratio AQE's skew-join threshold keys
+# off. Shape: one map-side-combined groupBy per key column (the count
+# shuffle moves one row per distinct key), then a single-row rollup —
+# at 100 TB the shuffle payload is |keys| counters, not rows.
+# --------------------------------------------------------------------------
+
+
+def _skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(table: str, key: str) -> DataFrame:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return g.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_group"),
+            F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_group"),
+            F.round(F.expr("percentile(cnt, 0.99)"), 6).alias(
+                "p99_group"
+            ),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt"), 6
+            ).alias("top_key_share"),
+        ).select(
+            F.lit(f"{table}.{key}").alias("key_col"),
+            "n_rows",
+            "n_keys",
+            "max_group",
+            "p50_group",
+            "p99_group",
+            "top_key_share",
+            F.round(
+                F.col("max_group").cast("double") / F.col("p50_group"), 6
+            ).alias("skew_ratio"),
+        )
+
+    return one("orders", "o_custkey").unionByName(
+        one("lineitem", "l_suppkey")
+    )
+
+
+def _sql_skew_stats() -> str:
+    def one(table: str, key: str) -> str:
+        return f"""
+      SELECT '{table}.{key}' AS key_col,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_group,
+             round(quantile_cont(cnt, 0.5), 6) AS p50_group,
+             round(quantile_cont(cnt, 0.99), 6) AS p99_group,
+             round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6)
+               AS top_key_share,
+             round(CAST(max(cnt) AS DOUBLE)
+                   / quantile_cont(cnt, 0.5), 6) AS skew_ratio
+      FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS cnt
+            FROM {table} GROUP BY 1)"""
+
+    return (
+        one("orders", "o_custkey")
+        + " UNION ALL "
+        + one("lineitem", "l_suppkey")
+    )
+
+
+register("rel_skew_stats", _skew_stats, _sql_skew_stats())

@@ -2358,3 +2358,21 @@ register(
     similarity.mmr_topk,
     similarity.sql_mmr_topk(),
 )
+
+
+# sim_range_search — cosine radius query with bounded per-query
+# aggregates (operators/similarity.py::range_search has the rationale).
+register(
+    "sim_range_search",
+    similarity.range_search,
+    similarity.sql_range_search(),
+)
+
+
+# text_filter_funnel — ordered Gopher rule chain with marginal kills and
+# cumulative survival (operators/text_analysis.py::filter_funnel).
+register(
+    "text_filter_funnel",
+    lambda spark, sf_dir: text_analysis.filter_funnel(_docs(spark, sf_dir)),
+    text_analysis.sql_filter_funnel(_DOCS_SQL),
+)
