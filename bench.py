@@ -189,6 +189,13 @@ HEADLINE = [
     "rel_event_paths",
     "sim_bq_topk",
     "stream_profile",
+    # round-9 third-wave additions
+    "stream_drift_monitor",
+    "sim_mmr_topk",
+    "rel_bucketed_join",
+    "sim_range_search",
+    "rel_skew_stats",
+    "text_filter_funnel",
     # capstone composition
     "llm_corpus_pipeline",
 ]

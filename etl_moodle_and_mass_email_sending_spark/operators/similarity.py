@@ -3127,3 +3127,90 @@ def sql_range_search() -> str:
            f.max_cosine, f.mean_cosine
     FROM q LEFT JOIN f USING (query_id)
     """
+
+
+# --------------------------------------------------------------------------
+# kNN label-vote classifier readout: for each query vector, the
+# majority label among its exact top-K cosine neighbors next to its own
+# label — the sanity metric for "do these embeddings cluster by label",
+# i.e. whether ANN-based curation (cluster quotas, semantic dedup) can
+# trust the geometry. Same broadcast-Q scan as the brute-force top-k;
+# the vote runs on Q·K rows. Ties break to the smallest label (both
+# engines), vote counts are exact.
+# --------------------------------------------------------------------------
+
+
+def knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("label").alias("true_label"),
+    )
+    cos = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    knn = (
+        v.crossJoin(F.broadcast(q.drop("true_label")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = knn.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+    return (
+        q.select("query_id", "true_label")
+        .join(pred, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+def sql_knn_classifier() -> str:
+    cos = _duck_cosine("q.vec", "v.vec")
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec, label AS true_label
+          FROM v WHERE vec_id < {N_QUERIES}),
+    knn AS (
+      SELECT query_id, vec_id, label FROM (
+        SELECT q.query_id, v.vec_id, v.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos} DESC, v.vec_id) AS rank
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM knn GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS pred_label, n_votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY n_votes DESC, label) AS rn FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT q.query_id, q.true_label, p.pred_label, p.n_votes,
+           p.pred_label = q.true_label AS correct
+    FROM q JOIN pred p USING (query_id)
+    """

@@ -2376,3 +2376,65 @@ register(
     lambda spark, sf_dir: text_analysis.filter_funnel(_docs(spark, sf_dir)),
     text_analysis.sql_filter_funnel(_DOCS_SQL),
 )
+
+
+# sim_knn_classifier — kNN majority-label vote vs true label
+# (operators/similarity.py::knn_classifier has the rationale).
+register(
+    "sim_knn_classifier",
+    similarity.knn_classifier,
+    similarity.sql_knn_classifier(),
+)
+
+
+N_PLANTED_CSV_CORRUPT = 2
+
+
+def _src_csv_documents(spark, sf_dir):
+    import os
+
+    from ..catalog import load_table
+    from ..operators.util import staged_path
+    from ..sources import csv_docs
+
+    # staged once per (session, sf_dir), same contract as the JSONL drop
+    def _build(base: str) -> None:
+        drop = os.path.join(base, "docs")
+        (
+            load_table(spark, sf_dir, "documents")
+            .write.option("header", True)
+            .option("quote", '"')
+            .option("escape", '"')
+            .csv(drop)
+        )
+        # corruption planted in n_chars — the column the health report
+        # references; see the column-pruning note in sources/csv_docs.py
+        with open(os.path.join(drop, "part-corrupt.csv"), "w") as f:
+            f.write("doc_id,text,lang,source,n_chars\n")
+            f.write("991001,oops,en,web,not-a-number\n")
+            f.write('991002,"quoted,comma",de,web,twelve\n')
+
+    base = staged_path(
+        spark, ("csv_drop", sf_dir), _build, prefix="csvdrop_"
+    )
+    drop = os.path.join(base, "docs")
+    return csv_docs.csv_health(csv_docs.read_documents_csv(spark, drop))
+
+
+def _sql_src_csv_documents() -> str:
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents GROUP BY 1
+    UNION ALL
+    SELECT '__corrupt__' AS source,
+           CAST({N_PLANTED_CSV_CORRUPT} AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS chars_total
+    """
+
+
+register(
+    "src_csv_documents",
+    _src_csv_documents,
+    _sql_src_csv_documents(),
+)

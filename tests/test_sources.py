@@ -688,3 +688,32 @@ def test_register_views_enables_spark_sql(spark):
     assert sum(r["n"] for r in joined) == spark.sql(
         "SELECT count(*) AS c FROM nation"
     ).collect()[0]["c"]
+
+
+def test_csv_corrupt_detection_is_pruning_scoped(spark, tmp_path):
+    """The dark corner sources/csv_docs.py documents: Spark's CSV
+    reader only parses referenced columns, so a type failure in an
+    UNREFERENCED column never fires _corrupt_record. A full-width scan
+    sees two corrupt rows; the health rollup (which references n_chars
+    but not doc_id) quarantines only the n_chars-corrupt one and
+    passes the doc_id-corrupt row as clean — the reason the planted
+    drop corrupts n_chars and the health report must reference it."""
+    from etl_moodle_and_mass_email_sending_spark.sources import csv_docs
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,good,en,web,4\n"
+        "2,badchars,en,web,not-a-number\n"
+        "oops,badid,en,web,5\n"
+    )
+    docs = csv_docs.read_documents_csv(spark, str(p))
+    full = docs.collect()
+    assert sum(r["_corrupt_record"] is not None for r in full) == 2
+    rows = {
+        r["source"]: (r["n_docs"], r["chars_total"])
+        for r in csv_docs.csv_health(docs).collect()
+    }
+    assert rows[csv_docs.CORRUPT_SOURCE_LABEL] == (1, None)
+    assert rows["web"] == (2, 9)  # doc_id-corrupt row passes as clean
