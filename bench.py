@@ -196,6 +196,10 @@ HEADLINE = [
     "sim_range_search",
     "rel_skew_stats",
     "text_filter_funnel",
+    "sim_knn_classifier",
+    "src_csv_documents",
+    "stream_anomaly",
+    "rel_gap_fill",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1120,3 +1120,86 @@ register(
     stream_drift_monitor,
     STREAM_DRIFT_MONITOR_SQL,
 )
+
+
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3σ anomaly screen (round 9): each of the four event
+    chunks scores its values against the accumulated prior chunks'
+    sufficient statistics, then appends its own
+    (streaming/anomaly_stream.py — the read-prior-then-append loop).
+    Chunk 1 has no prior and carries NULL anomaly counts. The replay
+    chunks by event_id ntile (same staged chunks as the drift
+    monitor), so batch b IS chunk b+1 and the oracle reproduces the
+    batching with windowed prior sums."""
+    import os
+
+    from ..streaming import anomaly_stream
+
+    base = scratch_dir("anomaly_stream_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stage = _stage_ordered_chunks(
+        ev, "event_id", cache_key=("stage_drift_events", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = anomaly_stream.start_anomaly_stream(
+        stream,
+        os.path.join(base, "store"),
+        os.path.join(base, "flags"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    flags = spark.read.parquet(os.path.join(base, "flags"))
+    return anomaly_stream.anomaly_report(flags)
+
+
+STREAM_ANOMALY_SQL = """
+WITH chunked AS (
+  SELECT event_type,
+         round(CAST(value AS DOUBLE), 6) AS r,
+         ntile(4) OVER (ORDER BY event_id) AS chunk
+  FROM events
+),
+per AS (
+  SELECT chunk, event_type,
+         CAST(count(r) AS BIGINT) AS n,
+         CAST(sum(CAST(r AS DECIMAL(15,6))) AS DECIMAL(28,6)) AS s,
+         CAST(sum(CAST(r AS DECIMAL(15,6)) * CAST(r AS DECIMAL(15,6)))
+              AS DECIMAL(38,12)) AS ss
+  FROM chunked GROUP BY 1, 2
+),
+pri AS (
+  SELECT chunk, event_type,
+         sum(n) OVER w AS pn,
+         CAST(sum(s) OVER w AS DECIMAL(28,6)) AS ps,
+         CAST(sum(ss) OVER w AS DECIMAL(38,12)) AS pss
+  FROM per
+  WINDOW w AS (PARTITION BY event_type ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+fl AS (
+  SELECT c.chunk, c.event_type,
+         CAST(count(c.r) AS BIGINT) AS n_events,
+         CASE WHEN max(p.pn) IS NULL THEN NULL ELSE
+           CAST(sum(CASE WHEN abs(c.r - CAST(p.ps AS DOUBLE) / p.pn)
+                > 3e0 * sqrt(greatest(
+                    CAST(p.pss AS DOUBLE) / p.pn
+                    - (CAST(p.ps AS DOUBLE) / p.pn)
+                      * (CAST(p.ps AS DOUBLE) / p.pn), 0e0))
+                THEN 1 ELSE 0 END) AS BIGINT) END AS n_anomalies
+  FROM chunked c JOIN pri p USING (chunk, event_type)
+  GROUP BY 1, 2
+)
+SELECT CAST(chunk AS INTEGER) AS chunk, event_type, n_events,
+       n_anomalies,
+       round(CAST(n_anomalies AS DOUBLE) / n_events, 6)
+         AS anomaly_rate
+FROM fl
+"""
+
+register("stream_anomaly", stream_anomaly, STREAM_ANOMALY_SQL)

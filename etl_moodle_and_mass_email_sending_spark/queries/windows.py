@@ -1451,3 +1451,85 @@ register(
     FROM counted
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_gap_fill — forward-fill an hourly series onto a generated time
+# spine: rel_gap_detection finds the holes, this REPAIRS them — the
+# continuity pass a time-series training set needs before windowed
+# featurization. Per event_type: hourly rollup, dense hour spine via
+# sequence/explode between that type's min and max hour, left join,
+# last-non-null forward fill. Scale shape: the heavy input collapses to
+# |hours|·|types| rows at the first rollup (map-side combined); the
+# spine explode and the fill window run on that bounded frame, windows
+# partitioned per type. Gap hours carry n_events = 0, was_gap = true,
+# and the carried-forward value.
+# --------------------------------------------------------------------------
+
+
+def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("v"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("mn"), F.col("mx"), F.expr("interval 1 hour")
+                )
+            ).alias("hour"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+register(
+    "rel_gap_fill",
+    _gap_fill,
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+            FROM hourly GROUP BY 1)
+    ),
+    j AS (
+      SELECT s.event_type, s.hour, h.n, h.v
+      FROM spine s LEFT JOIN hourly h USING (event_type, hour)
+    )
+    SELECT event_type, hour,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled,
+           n IS NULL AS was_gap
+    FROM j
+    """,
+)

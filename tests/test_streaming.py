@@ -821,3 +821,60 @@ def test_drift_monitor_per_chunk_means_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_anomaly_prior_is_strictly_pre_batch(spark):
+    """The anomaly screen's state contract: chunk 1 (no prior) carries
+    NULL counts, and every later chunk's flags equal a direct batch
+    recomputation against exactly the PRIOR chunks' rows — never its
+    own."""
+    from conftest import SF_SMALL
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+        stream_anomaly,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["chunk"], r["event_type"]): (r["n_events"], r["n_anomalies"])
+        for r in stream_anomaly(spark, SF_SMALL).collect()
+    }
+    assert all(v[1] is None for k, v in got.items() if k[0] == 1)
+    assert any(k[0] == 1 for k in got)
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value").cast("double"), 6).alias("r"),
+            F.ntile(4).over(Window.orderBy("event_id")).alias("chunk"),
+        )
+    ).collect()
+    import math
+    from collections import defaultdict
+
+    for k in (2, 3, 4):
+        prior = defaultdict(lambda: [0, 0.0, 0.0])
+        for row in ev:
+            if row["chunk"] < k and row["r"] is not None:
+                p = prior[row["event_type"]]
+                p[0] += 1
+                p[1] += row["r"]
+                p[2] += row["r"] * row["r"]
+        cnt = defaultdict(lambda: [0, 0])
+        for row in ev:
+            if row["chunk"] != k:
+                continue
+            c = cnt[row["event_type"]]
+            if row["r"] is None:
+                continue
+            c[0] += 1
+            pn, ps, pss = prior[row["event_type"]]
+            mean = ps / pn
+            std = math.sqrt(max(pss / pn - mean * mean, 0.0))
+            if abs(row["r"] - mean) > 3.0 * std:
+                c[1] += 1
+        for et, (n, hits) in cnt.items():
+            gn, ghits = got[(k, et)]
+            assert gn == n, (k, et)
+            assert ghits == hits, (k, et)
