@@ -782,11 +782,18 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
 def _correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        *[
-            F.col(c).cast("decimal(18,4)").alias(c)
-            for c in _CORR_COLS
-        ]
+    from ..operators.util import spread_for_compute
+
+    # exact-DECIMAL product sums run in BigDecimal (not a codegen
+    # primitive), so the 3-partition testbed scan gates the pass —
+    # spread first (measured 2.44 → 1.77 s at sf0.1)
+    li = spread_for_compute(
+        load_table(spark, sf_dir, "lineitem").select(
+            *[
+                F.col(c).cast("decimal(18,4)").alias(c)
+                for c in _CORR_COLS
+            ]
+        )
     )
     aggs = [F.count("*").alias("_n")]
     for c in _CORR_COLS:
