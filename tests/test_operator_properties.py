@@ -1013,3 +1013,105 @@ def test_hist_median_matches_numpy(spark_mod, values, width):
     assert set(got) == set(by_g)
     for g, vs in by_g.items():
         assert abs(got[g] - float(np.median(vs))) < 1e-9, (g, vs, width)
+
+
+def test_filter_funnel_telescopes(spark):
+    """Funnel arithmetic invariants on the real corpus: stage 1 starts
+    at the full count, each stage's n_out is the next stage's n_in,
+    kills are non-negative, and the final n_out equals the count of
+    docs passing ALL rules (the gopher keep flag)."""
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.operators import text_analysis
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    rows = sorted(
+        text_analysis.filter_funnel(docs).collect(), key=lambda r: r.stage
+    )
+    total = docs.count()
+    keep = (
+        text_analysis.gopher_rules(docs)
+        .filter("keep")
+        .count()
+    )
+    assert rows[0].n_in == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_out == b.n_in
+        assert a.n_killed >= 0 and a.n_in - a.n_killed == a.n_out
+    assert rows[-1].n_out == keep
+
+
+def test_range_search_consistent_with_bruteforce_topk(spark):
+    """Radius-query / top-k consistency on the real vectors: for every
+    query, n_hits equals the brute-force count of round-6 cosines >= τ,
+    and max_cosine equals the rank-1 brute-force cosine whenever the
+    radius is non-empty."""
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators import similarity
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r.query_id: (r.n_hits, r.max_cosine)
+        for r in similarity.range_search(spark, SF).collect()
+    }
+    v = similarity._vectors(spark, SF)
+    q = v.filter(F.col("vec_id") < similarity.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sims = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.expr(similarity._spark_cosine("qvec", "vec")).alias("c"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in sims:
+        by_q[r.query_id].append(r.c)
+    for qid, (n_hits, mx) in got.items():
+        hits = [c for c in by_q[qid] if c >= similarity.RANGE_TAU]
+        assert n_hits == len(hits), qid
+        if hits:
+            assert mx == max(hits), qid
+        else:
+            assert mx is None, qid
+
+
+def test_skew_stats_matches_numpy_quantiles(spark):
+    """rel_skew_stats' distribution columns vs a numpy recomputation of
+    the same group sizes (same linear-interpolation definition)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.registry import queries
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r.key_col: r for r in queries()["rel_skew_stats"](spark, SF).collect()
+    }
+    for table, key in (("orders", "o_custkey"), ("lineitem", "l_suppkey")):
+        cnts = np.array(
+            [
+                r.cnt
+                for r in load_table(spark, SF, table)
+                .groupBy(key)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        row = got[f"{table}.{key}"]
+        assert row.n_rows == int(cnts.sum())
+        assert row.n_keys == len(cnts)
+        assert row.max_group == int(cnts.max())
+        assert abs(row.p50_group - np.quantile(cnts, 0.5)) < 5e-7
+        assert abs(row.p99_group - np.quantile(cnts, 0.99)) < 5e-7
+        assert row.top_key_share == pytest.approx(
+            cnts.max() / cnts.sum(), abs=5e-7
+        )
