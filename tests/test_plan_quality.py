@@ -898,3 +898,27 @@ def test_bucketed_join_has_no_exchange_on_join_keys(spark, registry_queries):
     assert "Bucketed: true" in plan
     assert "hashpartitioning(o_custkey" not in plan
     assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_bucketed_join_tables_are_per_sf_dir(spark, registry_queries):
+    """Two sf_dirs in one session get DISTINCT bucketed catalog tables
+    (the table name carries an sf_dir hash) — results must reflect
+    each dir's own data, not a first-caller cache."""
+    import os
+
+    from etl_moodle_and_mass_email_sending_spark.queries.finance import (
+        _bucketed_tables,
+    )
+
+    a = _bucketed_tables(spark, SF_SMALL)
+    # alias of the same data under a different path = different tables
+    alias = "/tmp/sf0001_alias_bktjoin"
+    if not os.path.exists(alias):
+        os.makedirs(alias)
+        for f in os.listdir(SF_SMALL):
+            os.symlink(os.path.join(SF_SMALL, f), os.path.join(alias, f))
+    b = _bucketed_tables(spark, alias)
+    assert set(a).isdisjoint(set(b))
+    ra = sorted(map(tuple, registry_queries["rel_bucketed_join"](spark, SF_SMALL).collect()))
+    rb = sorted(map(tuple, registry_queries["rel_bucketed_join"](spark, alias).collect()))
+    assert ra == rb  # same underlying data -> same report, via distinct tables
