@@ -200,6 +200,7 @@ HEADLINE = [
     "src_csv_documents",
     "stream_anomaly",
     "rel_gap_fill",
+    "rel_join_cardinality",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -1284,3 +1284,113 @@ def _sql_skew_stats() -> str:
 
 
 register("rel_skew_stats", _skew_stats, _sql_skew_stats())
+
+
+# --------------------------------------------------------------------------
+# rel_join_cardinality — join-size estimation audit: for each candidate
+# join, the textbook independence estimate |A|·|B| / max(ndv_A, ndv_B)
+# (what a Catalyst-style CBO assumes from table stats) next to the
+# EXACT output cardinality Σ_k cnt_A(k)·cnt_B(k) computed from the two
+# per-key count tables — the report that tells you which joins the
+# optimizer will mis-size and by how much before you let AQE loose on
+# them. Shape: one map-side-combined groupBy per side (|keys| counters
+# over the wire), the Σ product via a join of the two count tables on
+# the key, single-row rollup per join. rel_skew_stats diagnoses one
+# side's distribution; this diagnoses the pairing.
+# --------------------------------------------------------------------------
+
+
+def _join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(
+        lt: str, lk: str, rt: str, rk: str
+    ) -> DataFrame:
+        a = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("ca"))
+        )
+        b = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cb"))
+        )
+        actual = a.join(b, "k").agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("actual_rows")
+        )
+        stats = a.agg(
+            F.sum("ca").alias("rows_left"),
+            F.count(F.lit(1)).alias("ndv_left"),
+        ).crossJoin(
+            b.agg(
+                F.sum("cb").alias("rows_right"),
+                F.count(F.lit(1)).alias("ndv_right"),
+            )
+        )
+        est = (
+            F.col("rows_left").cast("double")
+            * F.col("rows_right")
+            / F.greatest("ndv_left", "ndv_right")
+        )
+        return stats.crossJoin(actual).select(
+            F.lit(f"{lt}.{lk} = {rt}.{rk}").alias("join_key"),
+            F.col("rows_left").cast("bigint").alias("rows_left"),
+            F.col("rows_right").cast("bigint").alias("rows_right"),
+            F.col("ndv_left").cast("bigint").alias("ndv_left"),
+            F.col("ndv_right").cast("bigint").alias("ndv_right"),
+            F.round(est, 6).alias("est_rows"),
+            F.col("actual_rows").cast("bigint").alias("actual_rows"),
+            F.round(est / F.col("actual_rows"), 6).alias(
+                "est_over_actual"
+            ),
+        )
+
+    return (
+        one("orders", "o_custkey", "customer", "c_custkey")
+        .unionByName(one("lineitem", "l_partkey", "part", "p_partkey"))
+        .unionByName(one("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+    )
+
+
+def _sql_join_cardinality() -> str:
+    def one(lt: str, lk: str, rt: str, rk: str) -> str:
+        return f"""
+      SELECT '{lt}.{lk} = {rt}.{rk}' AS join_key,
+             CAST(s.rows_left AS BIGINT) AS rows_left,
+             CAST(s.rows_right AS BIGINT) AS rows_right,
+             CAST(s.ndv_left AS BIGINT) AS ndv_left,
+             CAST(s.ndv_right AS BIGINT) AS ndv_right,
+             round(CAST(s.rows_left AS DOUBLE) * s.rows_right
+                   / greatest(s.ndv_left, s.ndv_right), 6) AS est_rows,
+             CAST(x.actual_rows AS BIGINT) AS actual_rows,
+             round(CAST(s.rows_left AS DOUBLE) * s.rows_right
+                   / greatest(s.ndv_left, s.ndv_right)
+                   / x.actual_rows, 6) AS est_over_actual
+      FROM (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS rows_left,
+               (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt})
+                 AS ndv_left,
+               (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS rows_right,
+               (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt})
+                 AS ndv_right
+      ) s CROSS JOIN (
+        SELECT CAST(sum(ca * cb) AS BIGINT) AS actual_rows
+        FROM (SELECT {lk} AS k, CAST(count(*) AS BIGINT) AS ca
+              FROM {lt} GROUP BY 1) a
+        JOIN (SELECT {rk} AS k, CAST(count(*) AS BIGINT) AS cb
+              FROM {rt} GROUP BY 1) b USING (k)
+      ) x"""
+
+    return (
+        one("orders", "o_custkey", "customer", "c_custkey")
+        + " UNION ALL "
+        + one("lineitem", "l_partkey", "part", "p_partkey")
+        + " UNION ALL "
+        + one("lineitem", "l_suppkey", "supplier", "s_suppkey")
+    )
+
+
+register(
+    "rel_join_cardinality",
+    _join_cardinality,
+    _sql_join_cardinality(),
+)
