@@ -201,6 +201,7 @@ HEADLINE = [
     "stream_anomaly",
     "rel_gap_fill",
     "rel_join_cardinality",
+    "stream_split_sink",
     # capstone composition
     "llm_corpus_pipeline",
 ]

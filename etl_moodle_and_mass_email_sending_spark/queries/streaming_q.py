@@ -1203,3 +1203,66 @@ FROM fl
 """
 
 register("stream_anomaly", stream_anomaly, STREAM_ANOMALY_SQL)
+
+
+def stream_split_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fan-out router (round 9): one document stream lands in
+    a single Hive-partitioned sink partitioned by (source, batch_id) —
+    per-source subdirectories a downstream per-source consumer can read
+    with partition pruning, batch_id making every batch's write
+    idempotent (retry overwrites its own partitions only). The report
+    reads the sink back: per source, rows landed and how many distinct
+    micro-batches contributed — the receipt a router publishes so
+    consumers know both volume and arrival spread. The replay chunks by
+    doc_id ntile, so batch b IS chunk b+1 and the oracle reproduces the
+    batching."""
+    import os
+
+    base = scratch_dir("split_sink_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    stage = _stage_ordered_chunks(
+        docs, "doc_id", cache_key=("stage_split_docs", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = os.path.join(base, "routed")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source", "batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    routed = spark.read.parquet(out)
+    return routed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("batch_id").cast("bigint").alias("n_batches"),
+    )
+
+
+STREAM_SPLIT_SINK_SQL = """
+WITH chunked AS (
+  SELECT source, ntile(4) OVER (ORDER BY doc_id) AS chunk
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT chunk) AS BIGINT) AS n_batches
+FROM chunked GROUP BY 1
+"""
+
+register("stream_split_sink", stream_split_sink, STREAM_SPLIT_SINK_SQL)
