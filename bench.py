@@ -202,6 +202,11 @@ HEADLINE = [
     "rel_gap_fill",
     "rel_join_cardinality",
     "stream_split_sink",
+    # round-9 twelfth-wave additions
+    "text_code_detection",
+    "text_calibration_ece",
+    "rel_unpivot_metrics",
+    "rel_changepoint",
     # capstone composition
     "llm_corpus_pipeline",
 ]

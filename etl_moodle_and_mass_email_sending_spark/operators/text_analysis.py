@@ -4090,3 +4090,220 @@ def sql_filter_funnel(corpus_sql: str) -> str:
         f"a AS (SELECT {', '.join(ksel)} FROM flags) "
         + " UNION ALL ".join(parts)
     )
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection — the mixture-routing screen a pretraining
+# pipeline runs before deciding per-source sampling weights: code wants
+# different tokenization, different dedup thresholds (license headers
+# repeat legitimately), and its own mixture bucket.  A real deployment
+# uses a trained classifier; the portable heuristic here is the
+# structural-symbol density ({}();=<>[] per char), which separates
+# code from prose at >10x density gaps and — unlike keyword lists — is
+# language-agnostic across programming languages.
+#
+# Numeric parity: the per-doc score is INTEGER thousandths
+# floor(1000·sym/chars) (integer division on integer counts, exact on
+# both engines); the rollup sums integers and divides exactly once per
+# source, rounded to 6.
+#
+# Scale shape: one corpus scan; sym counts come from length-after-
+# translate (codegen string ops, no regex engine, no explode); one
+# map-side-combining groupBy on source — |sources| rows over the wire.
+# --------------------------------------------------------------------------
+
+CODE_SYMBOLS = "{}();=<>[]"
+CODE_SCORE_MILLI_MIN = 15  # >=1.5% structural symbols → routed as code
+
+
+def code_detection(corpus: DataFrame) -> DataFrame:
+    """(source, n_docs, n_code, code_rate, mean_score_milli): per-source
+    code-routing report over (doc_id, text, source)."""
+    n_chars = F.length("text")
+    sym = n_chars - F.length(F.translate(F.col("text"), CODE_SYMBOLS, ""))
+    score = F.floor(
+        (F.lit(1000).cast("bigint") * sym)
+        / F.greatest(n_chars, F.lit(1))
+    ).cast("bigint")
+    scored = corpus.select(F.col("source"), score.alias("_s"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("_s") >= CODE_SCORE_MILLI_MIN, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_code"),
+            F.sum("_s").cast("bigint").alias("_ssum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_code",
+            F.round(F.col("n_code") / F.col("n_docs"), 6).alias("code_rate"),
+            F.round(F.col("_ssum") / F.col("n_docs"), 4).alias(
+                "mean_score_milli"
+            ),
+        )
+    )
+
+
+def sql_code_detection(corpus_sql: str) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(floor(
+               (1000 * (length(text)
+                        - length(translate(text, '{CODE_SYMBOLS}', ''))))
+               // greatest(length(text), 1)) AS BIGINT) AS s
+      FROM ({corpus_sql})
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN s >= {CODE_SCORE_MILLI_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_code,
+           round(CAST(sum(CASE WHEN s >= {CODE_SCORE_MILLI_MIN} THEN 1
+                          ELSE 0 END) AS DOUBLE) / count(*), 6) AS code_rate,
+           round(CAST(sum(s) AS DOUBLE) / count(*), 4) AS mean_score_milli
+    FROM scored GROUP BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# Classifier-calibration audit (ECE) — before quality-classifier scores
+# gate a 100 TB corpus ("drop everything under p=0.3"), the scores must
+# MEAN something: expected calibration error against a labeled proxy is
+# the standard readout (Guo et al., ICML 2017).  Here the classifier is
+# the engine's own hashed-linear quality_classifier and the proxy label
+# is lang='en' (the majority-language membership a curator would audit
+# against first); the operator is the reusable binning/gap machinery.
+#
+# Numeric parity: quality_prob is the already-certified 6-decimal score
+# (identical doubles on both engines — same integer sums, same single
+# division chain), so floor(prob·10) bins identically; per-bin means go
+# through integer MILLIONTHS (round(prob·1e6) is exact on a 6-decimal
+# double) so partial-aggregation order can't move them; gaps and the
+# ECE are computed from already-rounded per-bin values.
+#
+# Scale shape: classifier rollup (one explode + hash + groupBy doc_id),
+# a doc-keyed hash join back to the label column, then a 10-row bin
+# aggregate; the ECE total row folds the 10-row frame — no second
+# corpus pass, no window over data rows.
+# --------------------------------------------------------------------------
+
+ECE_BINS = 10
+
+
+def calibration_ece(corpus: DataFrame) -> DataFrame:
+    """(bin, n_docs, mean_pred, frac_pos, abs_gap): reliability table of
+    quality_classifier vs the lang='en' proxy label over
+    (doc_id, text, lang); bin = -1 row carries the overall ECE in
+    abs_gap and corpus-level mean_pred / frac_pos."""
+    scored = quality_classifier(corpus.select("doc_id", "text"))
+    labeled = scored.join(
+        corpus.select("doc_id", (F.col("lang") == "en").alias("_pos")),
+        "doc_id",
+    )
+    binned = labeled.select(
+        F.least(
+            F.floor(F.col("quality_prob") * ECE_BINS), F.lit(ECE_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+        F.round(F.col("quality_prob") * 1_000_000)
+        .cast("bigint")
+        .alias("_pm"),
+        F.when(F.col("_pos"), 1).otherwise(0).cast("bigint").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_pm").alias("_pms"),
+        F.sum("_y").alias("_ys"),
+    )
+    gap = F.round(
+        F.abs(
+            F.round(F.col("_pms") / 1_000_000.0 / F.col("n_docs"), 6)
+            - F.round(F.col("_ys") / F.col("n_docs"), 6)
+        ),
+        6,
+    )
+    # gap_micro re-integerizes the 6-decimal gap so the ECE total row is
+    # an integer sum (order-independent under partial aggregation), not
+    # a sum of doubles.
+    staged = per_bin.withColumn(
+        "_gm", F.round(gap * 1_000_000).cast("bigint")
+    )
+    bins = staged.select(
+        "bin",
+        "n_docs",
+        F.round(F.col("_pms") / 1_000_000.0 / F.col("n_docs"), 6).alias(
+            "mean_pred"
+        ),
+        F.round(F.col("_ys") / F.col("n_docs"), 6).alias("frac_pos"),
+        F.round(F.col("_gm") / 1_000_000.0, 6).alias("abs_gap"),
+    )
+    total = staged.agg(
+        F.lit(-1).cast("int").alias("bin"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("_pms") / 1_000_000.0 / F.sum("n_docs"), 6
+        ).alias("mean_pred"),
+        F.round(F.sum("_ys") / F.sum("n_docs"), 6).alias("frac_pos"),
+        F.round(
+            F.sum(F.col("_gm") * F.col("n_docs"))
+            / 1_000_000.0
+            / F.sum("n_docs"),
+            6,
+        ).alias("abs_gap"),
+    )
+    return bins.unionByName(total)
+
+
+def sql_calibration_ece(corpus_sql: str) -> str:
+    qc = sql_quality_classifier(
+        f"SELECT doc_id, text FROM ({corpus_sql})"
+    )
+    return f"""
+    WITH scored AS ({qc}),
+    labeled AS (
+      SELECT s.quality_prob, (c.lang = 'en') AS pos
+      FROM scored s JOIN ({corpus_sql}) c USING (doc_id)
+    ),
+    binned AS (
+      SELECT CAST(least(floor(quality_prob * {ECE_BINS}),
+                        {ECE_BINS - 1}) AS INTEGER) AS bin,
+             CAST(round(quality_prob * 1000000) AS BIGINT) AS pm,
+             CASE WHEN pos THEN 1 ELSE 0 END AS y
+      FROM labeled
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pm) AS BIGINT) AS pms,
+             CAST(sum(y) AS BIGINT) AS ys
+      FROM binned GROUP BY bin
+    ),
+    staged AS (
+      SELECT bin, n_docs, pms, ys,
+             CAST(round(1000000 * round(abs(
+               round(CAST(pms AS DOUBLE) / 1000000.0 / n_docs, 6)
+               - round(CAST(ys AS DOUBLE) / n_docs, 6)), 6)) AS BIGINT)
+               AS gm
+      FROM per_bin
+    )
+    SELECT bin, n_docs,
+           round(CAST(pms AS DOUBLE) / 1000000.0 / n_docs, 6) AS mean_pred,
+           round(CAST(ys AS DOUBLE) / n_docs, 6) AS frac_pos,
+           round(CAST(gm AS DOUBLE) / 1000000.0, 6) AS abs_gap
+    FROM staged
+    UNION ALL
+    SELECT CAST(-1 AS INTEGER) AS bin,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(CAST(sum(pms) AS DOUBLE) / 1000000.0 / sum(n_docs), 6)
+             AS mean_pred,
+           round(CAST(sum(ys) AS DOUBLE) / sum(n_docs), 6) AS frac_pos,
+           round(CAST(sum(gm * n_docs) AS DOUBLE) / 1000000.0
+                 / sum(n_docs), 6) AS abs_gap
+    FROM staged
+    """

@@ -1394,3 +1394,123 @@ register(
     _join_cardinality,
     _sql_join_cardinality(),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_changepoint — CUSUM mean-shift detection on the daily revenue
+# series (Page 1954): the largest |cumulative deviation from the global
+# mean| marks the most likely level-shift point — the monitoring query
+# behind "did revenue structurally change, and when?".
+#
+# Numeric parity: the corpus collapses to the DATE-LEVEL rollup first
+# (exact DECIMAL revenue per day); the CUSUM numerator is kept exact by
+# scaling through n — C_d·n = n·cumrev_d − idx_d·total, all
+# DECIMAL×BIGINT products — and doubles appear only in the final
+# round(·/n, 4) projections (cents < 2^53, so the casts are exact).
+#
+# Scale shape: one map-side-combined groupBy onto the calendar-bounded
+# daily frame (~2.4k rows at ANY SF); the single-row (n, total) frame
+# joins back via broadcast; the running sum + row_number window is
+# global-but-bounded (whitelisted in the meta-pin with the bound
+# stated); argmax via one more 1-row aggregate. The fact table is never
+# sorted or range-shuffled.
+# --------------------------------------------------------------------------
+
+
+def _changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("rev")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("rev").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "n_days",
+            "total",
+            F.sum("rev").over(w).alias("cumrev"),
+            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        )
+        # idx = n_days has CUSUM exactly 0 by construction and an empty
+        # "after" side — not a candidate
+        .filter(F.col("idx") < F.col("n_days"))
+        .withColumn(
+            "numer",
+            F.col("n_days") * F.col("cumrev") - F.col("idx") * F.col("total"),
+        )
+    )
+    best = cum.select(
+        F.struct(
+            F.abs(F.col("numer")).alias("a"),
+            (-F.unix_timestamp("day")).alias("negday"),
+            F.col("day"),
+            F.col("idx"),
+            F.col("n_days"),
+            F.col("total"),
+            F.col("cumrev"),
+            F.col("numer"),
+        ).alias("s")
+    ).agg(F.max("s").alias("s"))
+    return best.select(
+        F.col("s.day").alias("cp_day"),
+        F.col("s.n_days").alias("n_days"),
+        F.round(
+            F.col("s.numer").cast("double") / F.col("s.n_days"), 4
+        ).alias("cusum_peak"),
+        F.round(
+            F.col("s.cumrev").cast("double") / F.col("s.idx"), 4
+        ).alias("mean_before"),
+        F.round(
+            (F.col("s.total") - F.col("s.cumrev")).cast("double")
+            / (F.col("s.n_days") - F.col("s.idx")),
+            4,
+        ).alias("mean_after"),
+    )
+
+
+register(
+    "rel_changepoint",
+    _changepoint,
+    # oracle ranks by (|numer| DESC, day ASC) over the bounded daily
+    # frame — equivalent to the struct-max (ties broken to the earliest
+    # day on both engines)
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(rev) AS DECIMAL(38,2)) AS total
+      FROM daily
+    ),
+    cum AS (
+      SELECT day, n_days, total,
+             CAST(sum(rev) OVER (ORDER BY day) AS DECIMAL(38,2)) AS cumrev,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+      FROM daily CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT *, n_days * cumrev - idx * total AS numer
+      FROM cum WHERE idx < n_days
+    )
+    SELECT CAST(day AS TIMESTAMP) AS cp_day,
+           n_days,
+           round(CAST(numer AS DOUBLE) / n_days, 4) AS cusum_peak,
+           round(CAST(cumrev AS DOUBLE) / idx, 4) AS mean_before,
+           round(CAST(total - cumrev AS DOUBLE) / (n_days - idx), 4)
+             AS mean_after
+    FROM scored
+    ORDER BY abs(numer) DESC, day ASC
+    LIMIT 1
+    """,
+)

@@ -2438,3 +2438,48 @@ register(
     _src_csv_documents,
     _sql_src_csv_documents(),
 )
+
+
+# text_code_detection — structural-symbol code-vs-prose routing screen
+# (operators/text_analysis.py::code_detection has the rationale).
+register(
+    "text_code_detection",
+    lambda spark, sf_dir: text_analysis.code_detection(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_code_detection(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+
+# text_calibration_ece — reliability table + ECE of the quality
+# classifier vs the lang='en' proxy label
+# (operators/text_analysis.py::calibration_ece has the rationale).
+register(
+    "text_calibration_ece",
+    lambda spark, sf_dir: text_analysis.calibration_ece(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_calibration_ece(
+        "SELECT doc_id, text, lang FROM documents"
+    ),
+)
+
+
+# src_manifest_scan — manifest-stats file skipping, the lakehouse
+# pruning contract over plain parquet
+# (sources/manifest.py has the rationale).
+def _src_manifest_scan(spark, sf_dir):
+    from ..sources import manifest as mf
+
+    return mf.manifest_scan(spark, sf_dir)
+
+
+from ..sources.manifest import sql_manifest_scan as _sql_manifest_scan
+
+register(
+    "src_manifest_scan",
+    _src_manifest_scan,
+    _sql_manifest_scan(),
+)

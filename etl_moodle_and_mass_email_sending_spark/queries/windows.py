@@ -1533,3 +1533,50 @@ register(
     FROM j
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_unpivot_metrics — UNPIVOT/melt, the inverse of rel_pivot_events:
+# a wide per-source metrics row turns into (source, metric, value) long
+# form — the shape metric stores and report layers ingest.  Spark's
+# native DataFrame.unpivot (Expand under the hood: one scan, rows×k
+# output, no shuffle beyond the feeding aggregate) vs DuckDB's UNPIVOT
+# clause.  The wide frame is the |sources|-row rollup, so the Expand
+# multiplies a bounded frame, never the corpus.  All four metrics are
+# exact BIGINTs — no float parity surface.
+# --------------------------------------------------------------------------
+
+
+def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wide = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.max("n_chars").cast("bigint").alias("chars_max"),
+    )
+    return wide.unpivot(
+        ids=["source"],
+        values=["n_docs", "n_langs", "chars_total", "chars_max"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+register(
+    "rel_unpivot_metrics",
+    _unpivot_metrics,
+    """
+    WITH wide AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             CAST(max(n_chars) AS BIGINT) AS chars_max
+      FROM documents GROUP BY source
+    )
+    SELECT source, metric, value
+    FROM wide UNPIVOT (value FOR metric IN
+                       (n_docs, n_langs, chars_total, chars_max))
+    """,
+)

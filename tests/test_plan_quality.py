@@ -621,6 +621,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # centered moving average over the MONTH-LEVEL rollup: one row per
     # distinct order month — calendar-bounded (~80 rows) at any SF
     "rel_seasonality_index": "date_trunc(month",
+    # CUSUM running sum over the DATE-LEVEL rollup: one row per distinct
+    # order date — calendar-bounded (~2.4k rows) at any SF
+    "rel_changepoint": "HashAggregate(keys=[o_orderdate",
 }
 
 _BOUNDED_MARKERS = __import__("re").compile(
@@ -871,7 +874,12 @@ def test_round9_second_wave_plan_shapes(spark, registry_queries):
     prof = _plan(registry_queries["rel_profile_table"](spark, SF_SMALL))
     assert "Join" not in prof  # one scan feeds every metric
     assert prof.count("Expand") == 1
-    assert prof.count("Exchange") <= 2
+    # 3 = the deliberate round-robin spread of the scan (the x8 Expand
+    # is interpreter-bound, so the few-file testbed scan must fan out
+    # to cluster parallelism first — SCALE.md round-9 close) + the
+    # exact-distinct partial/final pair
+    assert prof.count("Exchange") <= 3
+    assert "RoundRobinPartitioning" in prof
 
     dim = _plan(registry_queries["sim_dim_health"](spark, SF_SMALL))
     assert "Join" not in dim  # no recompute-the-corpus crossJoin
