@@ -62,8 +62,10 @@ def staged_frame(
 _SCRATCH_ROOT: str | None = None
 
 
-def scratch_dir(prefix: str) -> str:
-    """A fresh temp dir under the process-scoped, atexit-removed root."""
+def scratch_root() -> str:
+    """The process-scoped, atexit-removed root under which every
+    `scratch_dir` lives. Exposed so tests can locate engine scratch
+    artifacts (e.g. streaming checkpoints) without hardcoding paths."""
     import atexit
     import shutil
     import tempfile
@@ -72,7 +74,14 @@ def scratch_dir(prefix: str) -> str:
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_engine_scratch_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    return _SCRATCH_ROOT
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh temp dir under the process-scoped, atexit-removed root."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
 
 
 _SESSION_PATHS: dict[tuple, tuple[str, SparkSession]] = {}

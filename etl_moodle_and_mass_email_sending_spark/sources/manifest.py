@@ -26,9 +26,12 @@ from pyspark.sql import functions as F
 
 from ..operators.util import staged_path
 
-# the pruning predicate: a ~7-month day range mid-corpus
-SCAN_LO = "1994-03-01"
-SCAN_HI = "1994-09-30"
+# the pruning predicate: a ~7-month day range mid-corpus. The testbed
+# orders span 1995-01-01..2001-08-01 at every sf, so this window selects
+# a nonzero, proper subset of month files at all certified scales — a
+# pruning demo must actually prune SOME and read SOME.
+SCAN_LO = "1996-03-01"
+SCAN_HI = "1996-09-30"
 
 
 def _build_drop(spark: SparkSession, sf_dir: str) -> str:
@@ -137,7 +140,8 @@ def sql_manifest_scan() -> str:
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM manifest) AS files_total,
            (SELECT CAST(count(*) AS BIGINT) FROM sel) AS files_read,
-           (SELECT CAST(sum(n_rows) AS BIGINT) FROM sel) AS rows_in_files,
+           (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) FROM sel)
+             AS rows_in_files,
            n_orders, revenue
     FROM q
     """

@@ -27,6 +27,23 @@ def test_scale_md_registry_total_matches_code():
     )
 
 
+def test_every_registered_query_is_ledgered():
+    """Round-10 policy fix (VERDICT r9 item 5): the round-9 snapshot
+    registered 5 queries with no SCALE.md entry and the total-only
+    check couldn't name them. Every registered query name must now
+    appear somewhere in SCALE.md (wave entry or the registry-index
+    appendix) — an unledgered registration fails fast, by name."""
+    from etl_moodle_and_mass_email_sending_spark import registry
+
+    with open(os.path.join(HERE, "SCALE.md")) as f:
+        text = f.read()
+    missing = [n for n in registry.queries() if n not in text]
+    assert not missing, (
+        f"registered queries absent from SCALE.md: {missing} — add a "
+        "wave entry and the registry-index appendix line"
+    )
+
+
 def test_scale_md_window_size_is_50():
     from etl_moodle_and_mass_email_sending_spark.registry import _WINDOW
 

@@ -518,6 +518,9 @@ class TestNearDupFilterStream:
         from etl_moodle_and_mass_email_sending_spark.operators.dedup import (
             EXACT_COPY_OFFSET,
         )
+        from etl_moodle_and_mass_email_sending_spark.operators.util import (
+            scratch_root,
+        )
         from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
             stream_near_dup_filter,
         )
@@ -538,7 +541,11 @@ class TestNearDupFilterStream:
         assert rows[copy_id]["dropped"] is True
         assert rows[copy_id]["n_earlier_dups"] >= 1
         # the checkpoint's offset log proves one batch per chunk file
-        ck_offsets = glob.glob("/tmp/ndf_*/ck/offsets/*")
+        # (checkpoints live under the engine's atexit-cleaned scratch
+        # root, not bare /tmp — derive the glob, don't hardcode it)
+        ck_offsets = glob.glob(
+            os.path.join(scratch_root(), "ndf_*", "ck", "offsets", "*")
+        )
         batches = {os.path.basename(p) for p in ck_offsets}
         assert len(batches) >= 4
 
