@@ -9,6 +9,7 @@ after a warm-up of the session. Times are per-query wall seconds.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -202,11 +203,14 @@ HEADLINE = [
     "rel_gap_fill",
     "rel_join_cardinality",
     "stream_split_sink",
-    # round-9 twelfth-wave additions
+    # round-9 twelfth-wave additions (src_manifest_scan joined after its
+    # round-10 repair — ADVICE r9: it was the only twelfth-wave query
+    # missing from the sweep)
     "text_code_detection",
     "text_calibration_ece",
     "rel_unpivot_metrics",
     "rel_changepoint",
+    "src_manifest_scan",
     # capstone composition
     "llm_corpus_pipeline",
 ]
@@ -343,6 +347,14 @@ def main() -> None:
         gc_delta[name] = round(gc1 - gc0, 3) if gc0 >= 0 else -1.0
         heap_mb[name] = round(heap, 1)
         total += med
+        # Python GC first: a finished query's localCheckpoint RDDs can
+        # only be unpersisted by the JVM ContextCleaner once their py4j
+        # refs are released — reference cycles in the DataFrame object
+        # graph defer that indefinitely without an explicit collect.
+        # Then the JVM GC both runs the cleaner and levels heap state
+        # between queries (round-8/9 drift findings: heap residue from
+        # checkpoint-heavy queries showed up as GC time in later ones).
+        gc.collect()
         spark._jvm.System.gc()
 
     # The driver captures only the last ~2 KB of stdout; round 4's line

@@ -793,9 +793,22 @@ def contamination_direction(
     )
     grams = words.select(
         "doc_id", "source", F.explode(F.expr(gen)).alias("gram")
-    ).localCheckpoint(eager=False)  # bench split + both probes
+    )
+    # The gram fan-out is RECOMPUTED per probe (codegen'd scan work)
+    # rather than materialized: checkpointing the full exploded
+    # (doc_id, source, gram) stream is an n-grams×corpus block-storage
+    # residency — measured as this engine's worst GC profile at sf0.1
+    # and an outright scale-killer at 100 TB (VERDICT r9 item 3). What
+    # IS persisted is the bounded frame every probe shares: the eval
+    # slice's distinct (doc_id, gram) pairs — eval-suite-sized at any
+    # corpus scale, by construction of the benchmark split.
     is_bench = F.col("doc_id") % bench_mod == 0
-    bench_grams = grams.filter(is_bench).select("doc_id", "gram").distinct()
+    bench_grams = (
+        grams.filter(is_bench)
+        .select("doc_id", "gram")
+        .distinct()
+        .localCheckpoint()
+    )
     bench_set = bench_grams.select("gram").distinct()
     n_eval_docs = bench_grams.agg(
         F.countDistinct("doc_id").alias("_ne")

@@ -28,7 +28,23 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-9 ROTATION (VERDICT r8 item 1):
+# entries in iteration order. ROUND-10 ROTATION (VERDICT r9 item 4):
+#   (a) all 34 round-9 tail additions — never externally certified
+#       (includes the five end-of-round-snapshot queries and the
+#       round-10-repaired src_manifest_scan: scan window moved inside
+#       the corpus date range, coalesce'd empty-selection oracle);
+#       every one driver-sim green at sf0.01 this round (standing
+#       promotion policy — run BEFORE promotion, recorded here);
+#   (b) text_contamination_direction — its IMPLEMENTATION changed this
+#       round (the gram-stream localCheckpoint replaced by a bounded
+#       bench_grams checkpoint, VERDICT r9 item 3), so the window
+#       certifies the new plan;
+#   (c) 15 refresh slots for the oldest round-5 certifications
+#       (alphabetical head of the remaining 35-name r5 cohort; the
+#       other 20 rotate in round 11).
+# After CORRECTNESS_r10 goes green, every registered query has an
+# external certification and none is older than round 5.
+# ROUND-9 ROTATION (VERDICT r8 item 1; kept for the ledger):
 #   (a) the 10 round-8 tail additions — never externally certified,
 #       all independently driver-sim green during the round-8 judging
 #       (standing promotion policy).  Two of them also changed THIS
@@ -74,60 +90,60 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-8 tail additions (incl. this round's rewrites of
-    # text_contamination_pairs and dedup_source_shift)
+    # (a) round-9 tail additions, registration order — all driver-sim
+    # green at sf0.01 in round 10 before promotion
+    "rel_bucketed_join",
+    "rel_skew_stats",
+    "rel_join_cardinality",
+    "rel_changepoint",
+    "dedup_incremental",
+    "sim_cluster_diversity",
+    "text_pii_density",
+    "dedup_survivor_quality",
+    "text_temperature_mixture",
+    "mm_payload_entropy",
+    "text_readability",
+    "sim_dim_health",
+    "mm_codec_sniff",
+    "sim_bq_topk",
+    "sim_mmr_topk",
+    "sim_range_search",
+    "text_filter_funnel",
+    "sim_knn_classifier",
+    "src_csv_documents",
+    "text_code_detection",
+    "text_calibration_ece",
+    "src_manifest_scan",
+    "rel_profile_table",
+    "stream_crawl_dedup",
+    "stream_pii_filter",
+    "stream_profile",
+    "stream_drift_monitor",
+    "stream_anomaly",
+    "stream_split_sink",
+    "rel_interval_coverage",
+    "rel_attribution",
+    "rel_event_paths",
+    "rel_gap_fill",
+    "rel_unpivot_metrics",
+    # (b) implementation changed in round 10 — re-certify the new plan
     "text_contamination_direction",
-    "dedup_cluster_quota",
-    "sim_source_outliers",
-    "sim_kcenter_sample",
-    "dedup_cross_source_matrix",
-    "text_pack_efficiency",
-    "dedup_source_shift",
-    "stream_decontaminate",
-    "text_contamination_pairs",
-    "src_jsonl_documents",
-    # (b) the full round-4 cohort — stalest certifications
-    "rel_incremental_agg",
-    "rel_kmv_distinct",
-    "rel_latest_per_key",
-    "rel_pivot_events",
-    "rel_q13_custdist",
-    "rel_q18_big_spenders",
-    "rel_q7_nation_volume",
-    "rel_retention",
-    "rel_rolling_window",
-    "rel_scd2_history",
-    "rel_skew_salted_join",
-    "rel_snapshot_diff",
-    "rel_trend_slope",
-    "rel_value_deciles",
-    "rel_value_outliers",
-    "rel_winsorize",
-    "sim_sq_topk",
-    "stream_dedup",
-    "stream_enrich",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_trending",
-    "stream_windowed_counts",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_boilerplate_ngrams",
-    "text_tfidf_keywords",
-    # (c) round-5 refreshes (alphabetical head of the r5 cohort)
-    "dedup_components",
-    "dedup_exact",
-    "dedup_jaccard_lsh_verified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "llm_corpus_pipeline",
-    "ref_duplicate_usernames",
-    "ref_header_promotion",
-    "ref_mail_variant_fallback",
-    "ref_mail_variant_moodle",
-    "ref_mail_variant_old",
-    "ref_password_patterns",
+    # (c) oldest round-5 refreshes (alphabetical head of the r5 cohort)
+    "ref_pick_email",
+    "ref_preview_limit",
+    "ref_roster_normalize",
+    "ref_roster_segments",
+    "ref_send_counter",
+    "ref_template_render",
+    "rel_asof_join",
+    "rel_bloom_prejoin",
+    "rel_cms_heavy_hitters",
+    "rel_distinct_parts",
+    "rel_q10_returned_items",
+    "rel_q14_promo_share",
+    "rel_q15_top_supplier",
+    "rel_q17_small_quantity",
+    "rel_q19_disjunctive",
 ]
 
 
