@@ -211,6 +211,10 @@ HEADLINE = [
     "rel_unpivot_metrics",
     "rel_changepoint",
     "src_manifest_scan",
+    # round-10 curation-executor wave
+    "text_mixture_execute",
+    "dedup_mirror_score",
+    "stream_manifest_ingest",
     # capstone composition
     "llm_corpus_pipeline",
 ]

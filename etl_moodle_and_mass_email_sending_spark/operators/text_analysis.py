@@ -3900,6 +3900,223 @@ def sql_temperature_mixture(
 
 
 # --------------------------------------------------------------------------
+# Mixture EXECUTOR (round 10, VERDICT r9 item 7a) — the step after the
+# temperature_mixture plan: actually materialize the sampled corpus.
+# Per source with epochs e_s: every document is emitted floor(e_s)
+# whole times (full epochs), and the fractional epoch f_s = e_s -
+# floor(e_s) is filled deterministically — documents in md5(doc_id)
+# hash order are admitted one more time while the tokens admitted
+# BEFORE them stay under f_s · n_tokens_s (so the fractional slice is
+# an unbiased, reproducible ~f_s-of-an-epoch token prefix, overshooting
+# by at most one document). No RNG state anywhere: the same corpus and
+# knobs emit the identical sample on any cluster, which is what makes
+# the executor oracle-checkable and a re-run of a 100 TB job resumable.
+#
+# 100 TB shape: the plan is |sources| rows (broadcast); the fractional
+# admission needs a per-source running token sum in hash order — the
+# few-huge-groups case, so it runs through two_pass_running_sum_in_
+# groups (range shuffle of NARROW (source, doc_id, tokens) triples,
+# never the text column; per-source offsets carried by a broadcast
+# |sources|·|partitions| frame). Replication is explode(sequence(1,
+# n_copies)) — row fan-out inside the scan stage, no extra shuffle. A
+# production sink joins the emitted (doc_id, copy) spine back to text
+# on the co-partitioned doc_id key at write time.
+# --------------------------------------------------------------------------
+
+
+def _mixture_plan(
+    corpus: DataFrame, temperature: float, max_epochs: float
+) -> DataFrame:
+    """(source, n_docs, n_tokens, epochs): the capped temperature plan
+    (same math as temperature_mixture, kept to the columns the executor
+    needs)."""
+    toks = corpus.select(
+        "source", F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t")
+    ).groupBy("source").agg(
+        F.sum("_t").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    powed = toks.withColumn(
+        "_p",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / temperature)),
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("_p").alias("_ptot")
+    )
+    epochs = F.least(
+        F.try_divide(
+            (F.col("_p") / F.col("_ptot")) * F.col("_tot"),
+            F.col("n_tokens"),
+        ),
+        F.lit(float(max_epochs)),
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select("source", "n_docs", "n_tokens", epochs.alias("epochs"))
+    )
+
+
+def mixture_execute(
+    corpus: DataFrame,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = MIX_MAX_EPOCHS,
+) -> DataFrame:
+    """The emitted sample spine: (source, doc_id, n_toks, copy) — one
+    row per emitted copy of each admitted document. ``corpus`` must
+    carry (doc_id, text, source)."""
+    from .util import two_pass_running_sum_in_groups
+
+    plan = _mixture_plan(corpus, temperature, max_epochs)
+    hashed = corpus.select(
+        "source",
+        "doc_id",
+        F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"MX{SEED_SEP}"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("_h"),
+    )
+    cum = two_pass_running_sum_in_groups(
+        hashed,
+        "source",
+        [F.col("_h"), F.col("doc_id")],
+        "_t",
+        out_col="_cin",
+    )
+    frac_target = (F.col("epochs") - F.floor("epochs")) * F.col(
+        "n_tokens"
+    )
+    n_copies = (
+        F.floor("epochs").cast("bigint")
+        + F.when(
+            (F.col("_cin") - F.col("_t")) < frac_target, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        cum.join(F.broadcast(plan), "source")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("_t").alias("n_toks"),
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))
+            ).alias("copy"),
+        )
+    )
+
+
+def mixture_report(
+    corpus: DataFrame,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = MIX_MAX_EPOCHS,
+) -> DataFrame:
+    """(source, n_docs, n_full_epochs, target_tokens, n_rows_emitted,
+    emitted_tokens, fill_rate): the achieved-vs-target receipt computed
+    FROM the materialized sample, so the oracle certifies the executor,
+    not just the plan."""
+    plan = _mixture_plan(corpus, temperature, max_epochs)
+    emitted = mixture_execute(corpus, temperature, max_epochs)
+    rolled = emitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_emitted"),
+        F.sum("n_toks").cast("bigint").alias("emitted_tokens"),
+    )
+    return (
+        rolled.join(F.broadcast(plan), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.floor("epochs").cast("bigint").alias("n_full_epochs"),
+            F.round(F.col("epochs") * F.col("n_tokens"), 3).alias(
+                "target_tokens"
+            ),
+            "n_rows_emitted",
+            "emitted_tokens",
+            F.round(
+                F.try_divide(
+                    F.col("emitted_tokens"),
+                    F.col("epochs") * F.col("n_tokens"),
+                ),
+                4,
+            ).alias("fill_rate"),
+        )
+    )
+
+
+def sql_mixture_report(
+    corpus_sql: str,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = MIX_MAX_EPOCHS,
+) -> str:
+    inv_t = repr(1.0 / temperature)
+    cap = repr(float(max_epochs))
+    h = (
+        f"CAST('0x' || substr(md5('MX{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST({_N_TOKS_DUCK} AS BIGINT) AS t
+      FROM ({corpus_sql})
+    ),
+    agg AS (
+      SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM toks GROUP BY 1
+    ),
+    powed AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {inv_t}) AS p FROM agg
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt, sum(p) AS ptot
+      FROM powed
+    ),
+    plan AS (
+      SELECT source, n_docs, n_tokens,
+             least((p / ptot) * tt / n_tokens, {cap}) AS epochs
+      FROM powed CROSS JOIN tot
+    ),
+    cum AS (
+      SELECT source, doc_id, t,
+             coalesce(sum(t) OVER (PARTITION BY source
+                  ORDER BY {h}, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cex
+      FROM toks
+    ),
+    cop AS (
+      SELECT c.source, c.t,
+             CAST(floor(p.epochs) AS BIGINT)
+               + CASE WHEN c.cex < (p.epochs - floor(p.epochs))
+                               * p.n_tokens
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM cum c JOIN plan p USING (source)
+    )
+    SELECT p.source, p.n_docs,
+           CAST(floor(p.epochs) AS BIGINT) AS n_full_epochs,
+           round(p.epochs * p.n_tokens, 3) AS target_tokens,
+           CAST(sum(n_copies) AS BIGINT) AS n_rows_emitted,
+           CAST(sum(n_copies * t) AS BIGINT) AS emitted_tokens,
+           round(CAST(sum(n_copies * t) AS DOUBLE)
+                 / (p.epochs * p.n_tokens), 4) AS fill_rate
+    FROM cop JOIN plan p USING (source)
+    WHERE n_copies > 0
+    GROUP BY p.source, p.n_docs, p.epochs, p.n_tokens
+    """
+
+
+# --------------------------------------------------------------------------
 # Readability (round 9) — Flesch-style reading-ease per source. The
 # curation signal the quality composite (quality_score) doesn't carry:
 # a source whose text reads at graduate density (score < 30) or

@@ -2483,3 +2483,178 @@ register(
     _src_manifest_scan,
     _sql_manifest_scan(),
 )
+
+
+# --------------------------------------------------------------------------
+# text_mixture_execute — the mixture EXECUTOR (round 10, VERDICT r9
+# item 7a): materialize the temperature_mixture plan as an actual
+# stratified token-budget sample (floor(epochs) whole copies per doc +
+# a deterministic hash-ordered fractional-epoch prefix) and report
+# achieved-vs-target per source FROM the emitted rows — the oracle
+# certifies the executor, not just the plan
+# (operators/text_analysis.py::mixture_execute has the full rationale
+# and the 100 TB shape).
+# --------------------------------------------------------------------------
+
+register(
+    "text_mixture_execute",
+    lambda spark, sf_dir: text_analysis.mixture_report(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_mixture_report(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+
+# --------------------------------------------------------------------------
+# dedup_mirror_score — the source/domain-level dedup ROLLUP (round 10,
+# VERDICT r9 item 7b): cross_source_matrix says which source PAIRS
+# share near-dup content; this turns the cluster evidence into the
+# per-source decision a crawl actually makes — drop the whole mirror,
+# review it, or keep it. Per source: how many of its docs sit in a
+# near-dup cluster that also contains another source's doc
+# (cross_rate), and which single counterpart source contributes the
+# most co-clustered docs (the mirror's origin). verdict thresholds:
+# cross_rate ≥ 0.5 → 'drop' (the source is mostly a mirror), ≥ 0.2 →
+# 'review', else 'keep'. With a URL column the source key would be the
+# registrable domain; the testbed's provenance column stands in.
+#
+# 100 TB shape: clusters come from the session-staged LSH pipeline
+# (banded candidate generation — no all-pairs anywhere); source
+# attribution is a doc-keyed hash equi-join (|documents| is linear in
+# SF, never broadcast); the (component, source) rollup collapses the
+# corpus before ANY pairwise step, so the counterpart self-join fans
+# out per component by source-diversity (≤ |sources|), not by cluster
+# size; every later frame is ≤ |sources|² rows and the top-counterpart
+# window partitions by source over that bounded frame.
+# --------------------------------------------------------------------------
+
+MIRROR_DROP_RATE = 0.5
+MIRROR_REVIEW_RATE = 0.2
+
+
+def _dedup_mirror_score(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..catalog import load_table
+
+    clusters = _staged_clusters(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_base"), "source"
+    )
+    labeled = clusters.withColumn(
+        "_base", F.col("doc_id") % 100000
+    ).join(src, "_base")
+    cs = labeled.groupBy("component", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ct = cs.groupBy("component").agg(F.sum("cnt").alias("tot"))
+    per_src = (
+        cs.join(ct, "component")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("tot") > F.col("cnt"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("bigint").alias("n_cross_dup"),
+        )
+    )
+    other = cs.select(
+        F.col("component").alias("component"),
+        F.col("source").alias("counterpart"),
+        F.col("cnt").alias("_oc"),
+    )
+    pairwise = (
+        cs.join(other, "component")
+        .filter(F.col("source") != F.col("counterpart"))
+        .groupBy("source", "counterpart")
+        .agg(F.sum("_oc").cast("bigint").alias("counterpart_docs"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("counterpart_docs").desc(), "counterpart"
+    )
+    top = (
+        pairwise.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rate = F.round(F.col("n_cross_dup") / F.col("n_docs"), 6)
+    verdict = (
+        F.when(rate >= MIRROR_DROP_RATE, F.lit("drop"))
+        .when(rate >= MIRROR_REVIEW_RATE, F.lit("review"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        per_src.join(top, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_cross_dup",
+            rate.alias("cross_rate"),
+            "counterpart",
+            F.coalesce("counterpart_docs", F.lit(0))
+            .cast("bigint")
+            .alias("counterpart_docs"),
+            verdict.alias("verdict"),
+        )
+    )
+
+
+def _sql_dedup_mirror_score() -> str:
+    return f"""
+    WITH clustered AS ({_sql_dedup_components()}),
+    labeled AS (
+      SELECT c.component, s.source
+      FROM clustered c
+      JOIN documents s ON s.doc_id = c.doc_id % 100000
+    ),
+    cs AS (
+      SELECT component, source, CAST(count(*) AS BIGINT) AS cnt
+      FROM labeled GROUP BY 1, 2
+    ),
+    ct AS (SELECT component, sum(cnt) AS tot FROM cs GROUP BY 1),
+    per_src AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN tot > cnt THEN cnt ELSE 0 END)
+                  AS BIGINT) AS n_cross_dup
+      FROM cs JOIN ct USING (component)
+      GROUP BY 1
+    ),
+    pairwise AS (
+      SELECT a.source, b.source AS counterpart,
+             CAST(sum(b.cnt) AS BIGINT) AS counterpart_docs
+      FROM cs a JOIN cs b
+        ON a.component = b.component AND a.source <> b.source
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, counterpart, counterpart_docs FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY counterpart_docs DESC, counterpart) AS rn
+        FROM pairwise
+      ) WHERE rn = 1
+    )
+    SELECT p.source, p.n_docs, p.n_cross_dup,
+           round(CAST(p.n_cross_dup AS DOUBLE) / p.n_docs, 6)
+             AS cross_rate,
+           t.counterpart,
+           CAST(coalesce(t.counterpart_docs, 0) AS BIGINT)
+             AS counterpart_docs,
+           CASE WHEN CAST(p.n_cross_dup AS DOUBLE) / p.n_docs
+                     >= {MIRROR_DROP_RATE!r} THEN 'drop'
+                WHEN CAST(p.n_cross_dup AS DOUBLE) / p.n_docs
+                     >= {MIRROR_REVIEW_RATE!r} THEN 'review'
+                ELSE 'keep' END AS verdict
+    FROM per_src p LEFT JOIN top t USING (source)
+    """
+
+
+register(
+    "dedup_mirror_score",
+    _dedup_mirror_score,
+    _sql_dedup_mirror_score(),
+)

@@ -1813,3 +1813,172 @@ def test_mmr_topk_diversifies_greedily(spark):
             assert r.mmr_score == math.floor(t * 1e6 + 0.5) / 1e6, (qid, r.rank)
             assert r.relevance == rels[(qid, r.vec_id)]
             sel.append(r.vec_id)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 curation wave: mixture executor, mirror rollup, manifest ingest
+# ---------------------------------------------------------------------------
+
+
+class TestMixtureExecute:
+    def test_tau_one_emits_every_doc_exactly_once(self, spark):
+        """At temperature 1 the plan is the natural distribution:
+        epochs = 1.0 for every source, so the executor must emit each
+        document exactly once (floor = 1, fractional epoch = 0)."""
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            mixture_execute,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 7 + 1), f"s{i % 3}") for i in range(60)],
+            "doc_id long, text string, source string",
+        )
+        out = mixture_execute(df, temperature=1.0).collect()
+        assert len(out) == 60
+        assert {r["doc_id"] for r in out} == set(range(60))
+        assert all(r["copy"] == 1 for r in out)
+
+    def test_copies_are_floor_or_floor_plus_one_and_prefix_shaped(
+        self, spark
+    ):
+        """With a flattening temperature every doc of a source appears
+        either floor(epochs) or floor(epochs)+1 times, and the +1 docs
+        are exactly a prefix of the source's md5 hash order (the
+        deterministic fractional-epoch admission)."""
+        import hashlib
+
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            SEED_SEP,
+            mixture_execute,
+        )
+
+        rows = [(i, "tok " * 20, "big") for i in range(200)] + [
+            (1000 + i, "tok " * 20, "small") for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = mixture_execute(df, temperature=2.0, max_epochs=4.0)
+        per_doc = {
+            (r["source"], r["doc_id"]): r["n"]
+            for r in out.groupBy("source", "doc_id")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        for source in ("big", "small"):
+            counts = sorted(
+                {n for (s, _), n in per_doc.items() if s == source}
+            )
+            assert len(counts) <= 2
+            if len(counts) == 2:
+                assert counts[1] == counts[0] + 1
+                # the +1 docs are a hash-order prefix
+                hi = counts[1]
+
+                def h(d):
+                    return int(
+                        hashlib.md5(
+                            f"MX{SEED_SEP}{d}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+
+                docs = sorted(
+                    (d for (s, d) in per_doc if s == source),
+                    key=lambda d: (h(d), d),
+                )
+                flags = [per_doc[(source, d)] == hi for d in docs]
+                assert flags == sorted(flags, reverse=True)
+
+    def test_report_fill_rate_is_near_one(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        registry_queries = registry.queries()
+        """The executor's achieved tokens track the plan target: the
+        fractional prefix overshoots by at most one document, so
+        fill_rate ≥ 1 and ≤ 1 + max_doc/target at every source."""
+        rep = registry_queries["text_mixture_execute"](
+            spark, SF_SMALL
+        ).collect()
+        assert rep
+        for r in rep:
+            assert r["emitted_tokens"] >= r["n_full_epochs"] * 0  # sanity
+            assert 0.95 <= r["fill_rate"] <= 1.5
+
+
+class TestMirrorScore:
+    def test_fields_are_internally_consistent(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        registry_queries = registry.queries()
+        rows = registry_queries["dedup_mirror_score"](
+            spark, SF_SMALL
+        ).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["n_cross_dup"] <= r["n_docs"]
+            rate = round(r["n_cross_dup"] / r["n_docs"], 6)
+            assert abs(r["cross_rate"] - rate) < 1e-9
+            if r["counterpart"] is not None:
+                assert r["counterpart"] != r["source"]
+                assert r["counterpart_docs"] >= 1
+            else:
+                assert r["counterpart_docs"] == 0
+                assert r["n_cross_dup"] == 0
+            expected = (
+                "drop"
+                if rate >= 0.5
+                else "review" if rate >= 0.2 else "keep"
+            )
+            assert r["verdict"] == expected
+
+
+class TestManifestIngest:
+    def test_manifest_matches_batch_rollup_and_straddles_batches(
+        self, spark
+    ):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        registry_queries = registry.queries()
+        """The incrementally-merged manifest must equal the full-table
+        rollup (associative merge of per-batch partials), and at least
+        one month must have accumulated stats from >1 micro-batch —
+        the cross-batch merge path, not just per-batch passthrough."""
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        got = {
+            r["file_mo"]: r
+            for r in registry_queries["stream_manifest_ingest"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        want = {
+            r["file_mo"]: r
+            for r in load_table(spark, SF_SMALL, "orders")
+            .groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("int")
+                .alias("file_mo")
+            )
+            .agg(
+                F.min("o_orderdate").alias("lo"),
+                F.max("o_orderdate").alias("hi"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for mo, w in want.items():
+            g = got[mo]
+            assert (g["lo"], g["hi"], g["n_rows"]) == (
+                w["lo"],
+                w["hi"],
+                w["n_rows"],
+            )
+        assert max(r["n_batches"] for r in got.values()) >= 2
+        assert all(1 <= r["n_batches"] <= 4 for r in got.values())
