@@ -215,6 +215,10 @@ HEADLINE = [
     "text_mixture_execute",
     "dedup_mirror_score",
     "stream_manifest_ingest",
+    # round-10 writer/index/table-maintenance wave
+    "text_shard_balance",
+    "sim_ivf_append",
+    "rel_compaction_plan",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -3214,3 +3214,109 @@ def sql_knn_classifier() -> str:
            p.pred_label = q.true_label AS correct
     FROM q JOIN pred p USING (query_id)
     """
+
+
+# --------------------------------------------------------------------------
+# IVF index APPEND (round 10) — index maintenance at crawl time, the
+# vector-side twin of dedup_incremental: a frozen IVF index receives a
+# batch of NEW vectors, which are routed to the EXISTING centroids (no
+# retrain — the production contract: centroids retrain offline, the
+# ingest path only assigns). The receipt is the per-list health report
+# after ingest: old size, appended count, growth, and the post-ingest
+# share — flagging the lists the append made HOT (share ≥ 2× uniform),
+# which is exactly the signal that schedules the next offline retrain
+# or list split. The "incoming batch" is the vec_id % 5 == 0 slice;
+# the frozen side is the rest, with centroids = the frozen side's
+# vectors below N_CENTROIDS (same deterministic seeding contract as
+# ivf_topk, so both engines build the identical index).
+#
+# 100 TB shape: both assignments are ivf_assign's broadcast-centroids +
+# struct-max argmax (one narrow row per vector over the wire, nothing
+# sorted); the rollups are |lists|-row frames; the hot flag reads a
+# broadcast 1-row total. The frozen side's assignment would be the
+# stored index in production — here it is recomputed because the
+# testbed has no persisted index, which costs one extra scan, not a
+# different shape.
+# --------------------------------------------------------------------------
+
+APPEND_MOD = 5
+HOT_FACTOR = 2.0
+
+
+def ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, n_old, n_new, growth_rate, new_total_share, hot): per-list
+    ingest receipt after routing the incoming slice into the frozen
+    IVF index."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    frozen = v.filter(F.col("vec_id") % APPEND_MOD != 0)
+    incoming = v.filter(F.col("vec_id") % APPEND_MOD == 0)
+    cent = _centroids(frozen)
+    old = (
+        ivf_assign(frozen, cent, n_best=1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_old"))
+    )
+    new = (
+        ivf_assign(incoming, cent, n_best=1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    per = old.join(new, "cid", "left").select(
+        "cid",
+        "n_old",
+        F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    tot = per.agg(
+        F.sum(F.col("n_old") + F.col("n_new")).alias("_t"),
+        F.count(F.lit(1)).alias("_lists"),
+    )
+    share = (F.col("n_old") + F.col("n_new")) / F.col("_t")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_old",
+        "n_new",
+        F.round(F.col("n_new") / F.col("n_old"), 6).alias("growth_rate"),
+        F.round(share, 6).alias("new_total_share"),
+        (share >= F.lit(HOT_FACTOR) / F.col("_lists")).alias("hot"),
+    )
+
+
+def sql_ivf_append() -> str:
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    frozen AS (
+      SELECT vec_id, vec FROM base WHERE vec_id % {APPEND_MOD} <> 0
+    ),
+    incoming AS (
+      SELECT vec_id, vec FROM base WHERE vec_id % {APPEND_MOD} = 0
+    ),
+    cent AS (
+      SELECT vec_id AS cid, vec AS cvec FROM frozen
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    old AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_old
+      FROM ({_duck_ivf_assign("SELECT vec_id, vec FROM frozen", 1)})
+      GROUP BY 1
+    ),
+    new AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_new
+      FROM ({_duck_ivf_assign("SELECT vec_id, vec FROM incoming", 1)})
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT o.cid, o.n_old,
+             CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+      FROM old o LEFT JOIN new n USING (cid)
+    ),
+    tot AS (
+      SELECT CAST(sum(n_old + n_new) AS DOUBLE) AS t,
+             count(*) AS n_lists
+      FROM per
+    )
+    SELECT cid, n_old, n_new,
+           round(CAST(n_new AS DOUBLE) / n_old, 6) AS growth_rate,
+           round((n_old + n_new) / t, 6) AS new_total_share,
+           (n_old + n_new) / t >= {HOT_FACTOR!r} / n_lists AS hot
+    FROM per CROSS JOIN tot
+    """

@@ -4537,3 +4537,108 @@ def sql_calibration_ece(corpus_sql: str) -> str:
                  / sum(n_docs), 6) AS abs_gap
     FROM staged
     """
+
+
+# --------------------------------------------------------------------------
+# Token-balanced shard assignment (round 10) — the corpus WRITER step:
+# training jobs read fixed-size shards (webdataset/TFRecord style), so
+# after curation+mixing the corpus must be cut into N shards of
+# near-equal TOKEN mass in a globally shuffled order. Both needs are
+# served by one construction: order documents by the md5(doc_id) hash
+# (the deterministic global shuffle — no RNG state, identical layout on
+# re-run), take the global running token sum, and cut at multiples of
+# target = ceil(total/N) in the cumulative domain: shard(doc) =
+# floor(tokens_before_doc / target). A shard boundary lands inside at
+# most one document, so shard token mass deviates from target by less
+# than one document — the balance a naive hash-mod assignment only
+# achieves in expectation.
+#
+# 100 TB shape: the global running sum is two_pass_running_sum (range
+# shuffle of NARROW (doc_id, tokens, hash) triples + a broadcast
+# |partitions|-row offset frame — never a single-task sort, never the
+# text column); the receipt is an N-row rollup. The real writer then
+# repartitions BY the shard id so each shard lands as one output file.
+# --------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def shard_balance(corpus: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """(shard, n_docs, n_tokens, fill_rate): the per-shard receipt of
+    the token-balanced hash-shuffled shard cut. ``corpus`` must carry
+    (doc_id, text)."""
+    from .util import two_pass_running_sum
+
+    toks = corpus.select(
+        "doc_id",
+        F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"SH{SEED_SEP}"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").alias("_h"),
+    )
+    cum = two_pass_running_sum(
+        toks, [F.col("_h"), F.col("doc_id")], "_t", out_col="_cin"
+    )
+    total = toks.agg(F.sum("_t").alias("_tot"))
+    target = F.ceil(F.col("_tot") / F.lit(n_shards)).cast("bigint")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn("_target", target)
+        .withColumn(
+            "shard",
+            F.floor(
+                (F.col("_cin") - F.col("_t")) / F.col("_target")
+            ).cast("int"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_t").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("_t") / F.first("_target").cast("double"), 4
+            ).alias("fill_rate"),
+        )
+    )
+
+
+def sql_shard_balance(corpus_sql: str, n_shards: int = N_SHARDS) -> str:
+    h = (
+        f"CAST('0x' || substr(md5('SH{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST({_N_TOKS_DUCK} AS BIGINT) AS t
+      FROM ({corpus_sql})
+    ),
+    tot AS (
+      SELECT CAST(ceil(CAST(sum(t) AS DOUBLE) / {n_shards}) AS BIGINT)
+               AS target
+      FROM toks
+    ),
+    cum AS (
+      SELECT t,
+             coalesce(sum(t) OVER (ORDER BY {h}, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cex
+      FROM toks
+    )
+    SELECT CAST(floor(CAST(cex AS DOUBLE) / target) AS INTEGER)
+             AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           round(CAST(sum(t) AS DOUBLE) / target, 4) AS fill_rate
+    FROM cum CROSS JOIN tot
+    GROUP BY 1, target
+    """

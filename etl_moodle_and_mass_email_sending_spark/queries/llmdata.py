@@ -2658,3 +2658,26 @@ register(
     _dedup_mirror_score,
     _sql_dedup_mirror_score(),
 )
+
+
+# text_shard_balance — token-balanced, hash-shuffled shard cut: the
+# corpus WRITER step after curation+mixing
+# (operators/text_analysis.py::shard_balance has the rationale and the
+# two-pass running-sum shape).
+register(
+    "text_shard_balance",
+    lambda spark, sf_dir: text_analysis.shard_balance(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_shard_balance("SELECT doc_id, text FROM documents"),
+)
+
+
+# sim_ivf_append — IVF index maintenance at crawl time: route a new
+# vector batch into the frozen index's centroids and report per-list
+# growth/hot flags (operators/similarity.py::ivf_append).
+register(
+    "sim_ivf_append",
+    lambda spark, sf_dir: similarity.ivf_append(spark, sf_dir),
+    similarity.sql_ivf_append(),
+)

@@ -1247,3 +1247,95 @@ def _profile_table_sql() -> str:
 
 
 register("rel_profile_table", _profile_table, _profile_table_sql())
+
+
+# --------------------------------------------------------------------------
+# rel_compaction_plan (round 10) — the lakehouse maintenance planner
+# behind OPTIMIZE / rewrite_data_files: a continuously-ingested table
+# accumulates small files (here: the per-month drop src_manifest_scan
+# plans over, one "file" per order-month), and the compactor must group
+# consecutive files into ~equal-row outputs WITHOUT scanning data —
+# only the manifest's per-file row counts. Grouping rule: files in
+# layout (month) order, cut at multiples of target = ceil(total/8) in
+# the cumulative-row domain — bin(file) = floor(rows_before / target).
+# Boundaries land inside at most one file per bin, so outputs deviate
+# from target by less than one input file; consecutive months stay
+# together, preserving the sort-column clustering that makes the
+# manifest's min/max pruning effective AFTER compaction (a hash-based
+# grouping would destroy it).
+#
+# 100 TB shape: the plan runs ENTIRELY on the manifest rollup (one
+# map-side-combined groupBy to |months| rows, KBs at any corpus size);
+# the cumulative cut is a window over that bounded frame (whitelisted
+# bound: the calendar), and the receipt is ≤ 8 rows. The actual
+# rewrite job then reads exactly the files of each bin — the plan is
+# the only step that needs to exist at query time.
+# --------------------------------------------------------------------------
+
+COMPACT_BINS = 8
+
+
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("file_mo")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    w = Window.orderBy("file_mo").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = files.agg(F.sum("n_rows").alias("_t"))
+    target = F.ceil(F.col("_t") / F.lit(COMPACT_BINS)).cast("bigint")
+    binned = (
+        files.withColumn(
+            "_cex", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_target", target)
+        .withColumn(
+            "bin",
+            F.floor(F.col("_cex") / F.col("_target")).cast("int"),
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+        F.min("file_mo").alias("mo_first"),
+        F.max("file_mo").alias("mo_last"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.round(
+            F.sum("n_rows") / F.first("_target").cast("double"), 4
+        ).alias("fill_rate"),
+    )
+
+
+_COMPACTION_PLAN_SQL = f"""
+WITH files AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+           AS file_mo,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(ceil(CAST(sum(n_rows) AS DOUBLE) / {COMPACT_BINS})
+              AS BIGINT) AS target
+  FROM files
+),
+binned AS (
+  SELECT file_mo, n_rows, target,
+         coalesce(sum(n_rows) OVER (ORDER BY file_mo
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cex
+  FROM files CROSS JOIN tot
+)
+SELECT CAST(floor(CAST(cex AS DOUBLE) / target) AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_input_files,
+       min(file_mo) AS mo_first,
+       max(file_mo) AS mo_last,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       round(CAST(sum(n_rows) AS DOUBLE) / target, 4) AS fill_rate
+FROM binned
+GROUP BY 1, target
+"""
+
+register("rel_compaction_plan", _compaction_plan, _COMPACTION_PLAN_SQL)

@@ -1982,3 +1982,105 @@ class TestManifestIngest:
             )
         assert max(r["n_batches"] for r in got.values()) >= 2
         assert all(1 <= r["n_batches"] <= 4 for r in got.values())
+
+
+class TestShardBalance:
+    def test_shards_are_balanced_and_exhaustive(self, spark):
+        """Every token lands in exactly one shard; shard ids are the
+        contiguous prefix 0..k-1; and because the cut points are
+        multiples of target in the cumulative domain, every shard's
+        token mass is below target + max_doc (a boundary splits at most
+        one document into the next shard)."""
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            N_SHARDS,
+            _N_TOKS_SPARK,
+            shard_balance,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text"
+        )
+        stats = docs.select(
+            F.sum(F.expr(_N_TOKS_SPARK)).alias("total"),
+            F.max(F.expr(_N_TOKS_SPARK)).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        rows = shard_balance(docs).collect()
+        target = -(-stats["total"] // N_SHARDS)  # ceil
+        assert sorted(r["shard"] for r in rows) == list(range(len(rows)))
+        assert len(rows) <= N_SHARDS
+        assert sum(r["n_tokens"] for r in rows) == stats["total"]
+        assert sum(r["n_docs"] for r in rows) == stats["n"]
+        for r in rows:
+            assert r["n_tokens"] < target + stats["mx"]
+
+
+class TestIvfAppend:
+    def test_routing_is_exhaustive_and_flags_consistent(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            APPEND_MOD,
+            _vectors,
+            ivf_append,
+        )
+
+        v = _vectors(spark, SF_SMALL)
+        n_frozen = v.filter(F.col("vec_id") % APPEND_MOD != 0).count()
+        n_incoming = v.filter(F.col("vec_id") % APPEND_MOD == 0).count()
+        rows = ivf_append(spark, SF_SMALL).collect()
+        assert sum(r["n_old"] for r in rows) == n_frozen
+        assert sum(r["n_new"] for r in rows) == n_incoming
+        tot = sum(r["n_old"] + r["n_new"] for r in rows)
+        for r in rows:
+            share = (r["n_old"] + r["n_new"]) / tot
+            assert abs(r["new_total_share"] - round(share, 6)) < 1e-9
+            assert r["hot"] == (share >= 2.0 / len(rows))
+
+
+class TestCompactionPlan:
+    def test_bins_are_consecutive_month_runs_near_target(self, spark):
+        """Bins are contiguous 0..k-1, cover disjoint consecutive month
+        ranges in order, preserve the total row count, and each bin
+        lands within one input file of the target."""
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.quality import (
+            COMPACT_BINS,
+        )
+
+        o = load_table(spark, SF_SMALL, "orders")
+        per_mo = {
+            r["mo"]: r["n"]
+            for r in o.groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("int")
+                .alias("mo")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total, mx = sum(per_mo.values()), max(per_mo.values())
+        target = -(-total // COMPACT_BINS)
+        rows = sorted(
+            registry.queries()["rel_compaction_plan"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert [r["bin"] for r in rows] == list(range(len(rows)))
+        assert sum(r["rows_total"] for r in rows) == total
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["mo_last"] < cur["mo_first"]
+        for r in rows:
+            assert r["mo_first"] <= r["mo_last"]
+            assert r["rows_total"] < target + mx

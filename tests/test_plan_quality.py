@@ -624,6 +624,11 @@ _BOUNDED_GLOBAL_WINDOWS = {
     # CUSUM running sum over the DATE-LEVEL rollup: one row per distinct
     # order date — calendar-bounded (~2.4k rows) at any SF
     "rel_changepoint": "HashAggregate(keys=[o_orderdate",
+    # cumulative-row bin cut over the MONTH-LEVEL manifest rollup: one
+    # row per order month — calendar-bounded (~80 rows) at any SF
+    # (the rollup keys render as _groupingexpression in the plan, so
+    # the marker is the month-truncation expression itself)
+    "rel_compaction_plan": "month(cast(o_orderdate",
 }
 
 _BOUNDED_MARKERS = __import__("re").compile(
