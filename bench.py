@@ -219,6 +219,10 @@ HEADLINE = [
     "text_shard_balance",
     "sim_ivf_append",
     "rel_compaction_plan",
+    # round-10 governance/tuning/telemetry wave
+    "rel_deletion_audit",
+    "text_quality_threshold_sweep",
+    "stream_mixture_monitor",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -4642,3 +4642,161 @@ def sql_shard_balance(corpus_sql: str, n_shards: int = N_SHARDS) -> str:
     FROM cum CROSS JOIN tot
     GROUP BY 1, target
     """
+
+
+# --------------------------------------------------------------------------
+# Quality-threshold sweep (round 10) — the tuning step AFTER
+# calibration_ece says the classifier's probabilities are (or aren't)
+# trustworthy: pick the keep/drop cutoff. For each candidate threshold,
+# precision / recall / F1 of "quality_prob >= t" against the lang='en'
+# proxy label — the dedup_threshold_sweep pattern applied to the
+# quality dial, so the curation config records WHY its cutoff was
+# chosen instead of inheriting a folklore 0.5.
+#
+# 100 TB shape: one classifier pass (the same hashed-linear scorer the
+# other quality queries stage), then a broadcast 9-row threshold frame
+# fans each scored doc into 9 candidate verdicts whose confusion
+# counts partial-aggregate inside the scan task — reducer traffic is
+# 9 rows × |partitions|, and the report is 9 rows. Probabilities are
+# compared in exact micro-units (the classifier rounds to 6 decimals),
+# so both engines make identical keep/drop calls at every threshold.
+# --------------------------------------------------------------------------
+
+QT_THRESHOLDS = [i * 100_000 for i in range(1, 10)]  # 0.1 .. 0.9 micros
+
+
+def quality_threshold_sweep(corpus: DataFrame) -> DataFrame:
+    """(threshold, n_kept, tp, fp, fn, precision, recall, f1) per
+    candidate cutoff; ``corpus`` must carry (doc_id, text, lang)."""
+    scored = quality_classifier(corpus.select("doc_id", "text"))
+    labeled = scored.join(
+        corpus.select("doc_id", (F.col("lang") == "en").alias("_pos")),
+        "doc_id",
+    ).select(
+        F.round(F.col("quality_prob") * 1_000_000)
+        .cast("bigint")
+        .alias("_pm"),
+        F.when(F.col("_pos"), 1).otherwise(0).cast("bigint").alias("_y"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in QT_THRESHOLDS])
+    ).alias("threshold")
+    fanned = labeled.select("_pm", "_y", thr)
+    keep = F.col("_pm") >= F.col("threshold")
+    per = fanned.groupBy("threshold").agg(
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(keep, F.col("_y")).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(keep, 1 - F.col("_y")).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~keep, F.col("_y")).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return per.select(
+        F.round(F.col("threshold") / 1_000_000.0, 1).alias("threshold"),
+        "n_kept",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.try_divide(F.col("tp"), F.col("tp") + F.col("fp")), 6)
+        .alias("precision"),
+        F.round(F.try_divide(F.col("tp"), F.col("tp") + F.col("fn")), 6)
+        .alias("recall"),
+        F.round(
+            F.try_divide(
+                2 * F.col("tp"),
+                2 * F.col("tp") + F.col("fp") + F.col("fn"),
+            ),
+            6,
+        ).alias("f1"),
+    )
+
+
+def sql_quality_threshold_sweep(corpus_sql: str) -> str:
+    qc = sql_quality_classifier(
+        f"SELECT doc_id, text FROM ({corpus_sql})"
+    )
+    thr_rows = ", ".join(f"({t})" for t in QT_THRESHOLDS)
+    return f"""
+    WITH scored AS ({qc}),
+    labeled AS (
+      SELECT CAST(round(s.quality_prob * 1000000) AS BIGINT) AS pm,
+             CASE WHEN c.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM scored s JOIN ({corpus_sql}) c USING (doc_id)
+    ),
+    thr(t) AS (VALUES {thr_rows}),
+    per AS (
+      SELECT t,
+             CAST(sum(CASE WHEN pm >= t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN pm >= t THEN y ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(sum(CASE WHEN pm >= t THEN 1 - y ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pm < t THEN y ELSE 0 END) AS BIGINT)
+               AS fn
+      FROM labeled CROSS JOIN thr GROUP BY 1
+    )
+    SELECT round(t / 1000000.0, 1) AS threshold, n_kept, tp, fp, fn,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6)
+             AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0), 6)
+             AS f1
+    FROM per
+    """
+
+
+def sql_mixture_emitted(
+    corpus_sql: str,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = MIX_MAX_EPOCHS,
+) -> str:
+    """Per-document emitted-copy counts of the mixture executor —
+    (doc_id, source, t, n_copies) for admitted docs — the reusable
+    oracle fragment downstream audits (deletion propagation) build on."""
+    inv_t = repr(1.0 / temperature)
+    cap = repr(float(max_epochs))
+    h = (
+        f"CAST('0x' || substr(md5('MX{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST({_N_TOKS_DUCK} AS BIGINT) AS t
+      FROM ({corpus_sql})
+    ),
+    agg AS (
+      SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    powed AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {inv_t}) AS p FROM agg
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt, sum(p) AS ptot
+      FROM powed
+    ),
+    plan AS (
+      SELECT source, n_tokens,
+             least((p / ptot) * tt / n_tokens, {cap}) AS epochs
+      FROM powed CROSS JOIN tot
+    ),
+    cum AS (
+      SELECT source, doc_id, t,
+             coalesce(sum(t) OVER (PARTITION BY source
+                  ORDER BY {h}, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cex
+      FROM toks
+    )
+    SELECT c.doc_id, c.source, c.t,
+           CAST(floor(p.epochs) AS BIGINT)
+             + CASE WHEN c.cex < (p.epochs - floor(p.epochs))
+                             * p.n_tokens
+                    THEN 1 ELSE 0 END AS n_copies
+    FROM cum c JOIN plan p USING (source)
+    """

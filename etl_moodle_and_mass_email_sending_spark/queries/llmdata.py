@@ -2681,3 +2681,134 @@ register(
     lambda spark, sf_dir: similarity.ivf_append(spark, sf_dir),
     similarity.sql_ivf_append(),
 )
+
+
+# --------------------------------------------------------------------------
+# rel_deletion_audit (round 10) — right-to-be-forgotten propagation:
+# when a delete batch lands (here: doc_id % 97 == 0, the takedown
+# list), the primary table is only the FIRST place the data lives. The
+# audit enumerates every derived artifact the pipeline materialized
+# and reports how many of its rows reference a deleted document — the
+# work order for the purge job, and the compliance receipt afterwards
+# (artifact, n_total, n_purged, purge_rate):
+#   documents       — primary rows to drop
+#   embeddings      — vectors keyed by the deleted doc ids
+#   dedup_pairs     — near-dup evidence with a deleted endpoint (pair
+#                     endpoints map to base docs, copy offsets strip)
+#   mixture_sample  — emitted training-sample rows (copies COUNT:
+#                     every replica of a deleted doc must go)
+#
+# 100 TB shape: each artifact contributes ONE filtered aggregation over
+# its own frame (documents/embeddings scans; the session-staged pair
+# list; the mixture executor's emitted spine) — no joins between
+# artifacts, a 4-row report. At production scale the delete list is a
+# broadcast anti-join side instead of a modulus predicate; the shape
+# is identical.
+# --------------------------------------------------------------------------
+
+DELETE_MOD = 97
+
+
+def _rel_deletion_audit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    def one(name, df, purged_col):
+        return df.agg(
+            F.lit(name).alias("artifact"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(purged_col, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purged"),
+        )
+
+    deleted = lambda c: F.col(c) % DELETE_MOD == 0  # noqa: E731
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    pairs = _staged_pairs(spark, sf_dir)
+    emitted = text_analysis.mixture_execute(_docs_sourced(spark, sf_dir))
+    parts = [
+        one("documents", docs, deleted("doc_id")),
+        one("embeddings", vecs, deleted("vec_id")),
+        one(
+            "dedup_pairs",
+            pairs.select(
+                (F.col("doc_a") % 100000).alias("_a"),
+                (F.col("doc_b") % 100000).alias("_b"),
+            ),
+            deleted("_a") | deleted("_b"),
+        ),
+        one("mixture_sample", emitted, deleted("doc_id")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "artifact",
+        "n_total",
+        "n_purged",
+        F.round(F.col("n_purged") / F.col("n_total"), 6).alias(
+            "purge_rate"
+        ),
+    )
+
+
+def _sql_rel_deletion_audit() -> str:
+    pairs = dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    emitted = text_analysis.sql_mixture_emitted(
+        "SELECT doc_id, text, source FROM documents"
+    )
+    m = DELETE_MOD
+    return f"""
+    WITH parts AS (
+      SELECT 'documents' AS artifact,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN doc_id % {m} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purged
+      FROM documents
+      UNION ALL
+      SELECT 'embeddings',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN vec_id % {m} = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM embeddings
+      UNION ALL
+      SELECT 'dedup_pairs',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN (doc_a % 100000) % {m} = 0
+                             OR (doc_b % 100000) % {m} = 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM ({pairs})
+      UNION ALL
+      SELECT 'mixture_sample',
+             CAST(sum(n_copies) AS BIGINT),
+             CAST(sum(CASE WHEN doc_id % {m} = 0 THEN n_copies
+                           ELSE 0 END) AS BIGINT)
+      FROM ({emitted}) WHERE n_copies > 0
+    )
+    SELECT artifact, n_total, n_purged,
+           round(CAST(n_purged AS DOUBLE) / n_total, 6) AS purge_rate
+    FROM parts
+    """
+
+
+register(
+    "rel_deletion_audit",
+    _rel_deletion_audit,
+    _sql_rel_deletion_audit(),
+)
+
+
+# text_quality_threshold_sweep — precision/recall/F1 sweep of the
+# quality classifier's keep/drop cutoff vs the lang='en' proxy
+# (operators/text_analysis.py::quality_threshold_sweep).
+register(
+    "text_quality_threshold_sweep",
+    lambda spark, sf_dir: text_analysis.quality_threshold_sweep(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_quality_threshold_sweep(
+        "SELECT doc_id, text, lang FROM documents"
+    ),
+)

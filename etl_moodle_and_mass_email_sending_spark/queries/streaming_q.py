@@ -1327,3 +1327,128 @@ register(
     stream_manifest_ingest,
     STREAM_MANIFEST_INGEST_SQL,
 )
+
+
+def stream_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture telemetry at ingest time (round 10): as document batches
+    arrive, does the arriving token mix still match the temperature
+    plan the mixture executor will sample to? Each micro-batch lands
+    its per-source token partials in an idempotent batch_id partition;
+    the report compares every batch's per-source token SHARE against
+    the plan's capped achieved share — the alarm that fires when one
+    crawl source floods an arrival window (the drift_monitor pattern
+    pointed at mixture targets instead of value means). The replay
+    chunks by doc_id ntile, so batch b IS chunk b+1 and the oracle
+    reproduces the batching exactly."""
+    import os
+
+    from ..operators import text_analysis as ta
+
+    base = scratch_dir("mixmon_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    stage = _stage_ordered_chunks(
+        docs, "doc_id", cache_key=("stage_mixmon_docs", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = os.path.join(base, "partials")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("source").agg(
+            F.sum(F.expr(ta._N_TOKS_SPARK)).cast("bigint").alias("toks")
+        )
+        (
+            part.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out)
+    plan = ta._mixture_plan(docs, ta.MIX_TEMPERATURE, ta.MIX_MAX_EPOCHS)
+    ach = plan.withColumn("_a", F.col("epochs") * F.col("n_tokens"))
+    atot = ach.agg(F.sum("_a").alias("_at"))
+    target = ach.crossJoin(F.broadcast(atot)).select(
+        "source", (F.col("_a") / F.col("_at")).alias("_ts")
+    )
+    btot = partials.groupBy("batch_id").agg(F.sum("toks").alias("_bt"))
+    return (
+        partials.join(btot, "batch_id")
+        .join(F.broadcast(target), "source")
+        .select(
+            (F.col("batch_id") + 1).cast("int").alias("chunk"),
+            "source",
+            F.col("toks").cast("bigint").alias("batch_tokens"),
+            F.round(F.col("toks") / F.col("_bt"), 6).alias("batch_share"),
+            F.round(F.col("_ts"), 6).alias("target_share"),
+            F.round(
+                F.col("toks") / F.col("_bt") - F.col("_ts"), 6
+            ).alias("deviation"),
+        )
+    )
+
+
+def _stream_mixture_monitor_sql() -> str:
+    from ..operators import text_analysis as ta
+
+    inv_t = repr(1.0 / ta.MIX_TEMPERATURE)
+    cap = repr(float(ta.MIX_MAX_EPOCHS))
+    return f"""
+    WITH chunked AS (
+      SELECT source, CAST({ta._N_TOKS_DUCK} AS BIGINT) AS t,
+             ntile(4) OVER (ORDER BY doc_id) AS chunk
+      FROM documents
+    ),
+    per AS (
+      SELECT chunk, source, CAST(sum(t) AS BIGINT) AS batch_tokens
+      FROM chunked GROUP BY 1, 2
+    ),
+    btot AS (
+      SELECT chunk, CAST(sum(batch_tokens) AS DOUBLE) AS bt
+      FROM per GROUP BY 1
+    ),
+    agg AS (
+      SELECT source, CAST(sum(t) AS BIGINT) AS n_tokens
+      FROM chunked GROUP BY 1
+    ),
+    powed AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {inv_t}) AS p FROM agg
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt, sum(p) AS ptot
+      FROM powed
+    ),
+    plan AS (
+      SELECT source,
+             least((p / ptot) * tt / n_tokens, {cap}) * n_tokens AS a
+      FROM powed CROSS JOIN tot
+    ),
+    target AS (
+      SELECT source, a / (SELECT sum(a) FROM plan) AS ts FROM plan
+    )
+    SELECT CAST(p.chunk AS INTEGER) AS chunk, p.source, p.batch_tokens,
+           round(p.batch_tokens / b.bt, 6) AS batch_share,
+           round(g.ts, 6) AS target_share,
+           round(p.batch_tokens / b.bt - g.ts, 6) AS deviation
+    FROM per p JOIN btot b USING (chunk) JOIN target g USING (source)
+    """
+
+
+register(
+    "stream_mixture_monitor",
+    stream_mixture_monitor,
+    _stream_mixture_monitor_sql(),
+)

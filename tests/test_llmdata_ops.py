@@ -2084,3 +2084,88 @@ class TestCompactionPlan:
         for r in rows:
             assert r["mo_first"] <= r["mo_last"]
             assert r["rows_total"] < target + mx
+
+
+class TestDeletionAudit:
+    def test_counts_match_direct_predicates(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+            DELETE_MOD,
+        )
+
+        rows = {
+            r["artifact"]: r
+            for r in registry.queries()["rel_deletion_audit"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert set(rows) == {
+            "documents",
+            "embeddings",
+            "dedup_pairs",
+            "mixture_sample",
+        }
+        docs = load_table(spark, SF_SMALL, "documents")
+        want = docs.filter(F.col("doc_id") % DELETE_MOD == 0).count()
+        assert rows["documents"]["n_purged"] == want
+        assert rows["documents"]["n_total"] == docs.count()
+        for r in rows.values():
+            assert 0 <= r["n_purged"] <= r["n_total"]
+            assert abs(
+                r["purge_rate"] - round(r["n_purged"] / r["n_total"], 6)
+            ) < 1e-9
+        # every emitted copy of a deleted doc counts (copies >= docs)
+        assert rows["mixture_sample"]["n_purged"] >= want - 1
+
+
+class TestQualityThresholdSweep:
+    def test_sweep_is_monotone_and_conserves_positives(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = sorted(
+            registry.queries()["text_quality_threshold_sweep"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["threshold"],
+        )
+        assert [r["threshold"] for r in rows] == [
+            round(0.1 * i, 1) for i in range(1, 10)
+        ]
+        pos = {r["tp"] + r["fn"] for r in rows}
+        assert len(pos) == 1  # total positives invariant to threshold
+        kept = [r["n_kept"] for r in rows]
+        assert kept == sorted(kept, reverse=True)
+        recalls = [r["recall"] for r in rows]
+        assert recalls == sorted(recalls, reverse=True)
+        for r in rows:
+            assert r["n_kept"] == r["tp"] + r["fp"]
+
+
+class TestStreamMixtureMonitor:
+    def test_shares_sum_to_one_and_targets_are_static(self, spark):
+        import collections
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["stream_mixture_monitor"](
+            spark, SF_SMALL
+        ).collect()
+        assert {r["chunk"] for r in rows} == {1, 2, 3, 4}
+        by_chunk = collections.defaultdict(list)
+        targets = collections.defaultdict(set)
+        for r in rows:
+            by_chunk[r["chunk"]].append(r)
+            targets[r["source"]].add(r["target_share"])
+            assert abs(
+                r["deviation"]
+                - round(r["batch_share"] - r["target_share"], 6)
+            ) < 2e-6
+        for chunk, rs in by_chunk.items():
+            assert abs(sum(x["batch_share"] for x in rs) - 1.0) < 1e-4
+        # the plan target is a property of the corpus, not the batch
+        assert all(len(v) == 1 for v in targets.values())
