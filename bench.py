@@ -223,6 +223,10 @@ HEADLINE = [
     "rel_deletion_audit",
     "text_quality_threshold_sweep",
     "stream_mixture_monitor",
+    # round-10 schedule/modality/compaction-executor wave
+    "text_curriculum_stages",
+    "mm_modality_balance",
+    "rel_compaction_execute",
     # capstone composition
     "llm_corpus_pipeline",
 ]

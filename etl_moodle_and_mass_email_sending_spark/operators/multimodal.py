@@ -1539,3 +1539,66 @@ def sql_codec_sniff() -> str:
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
     FROM sniffed GROUP BY 1, 2, 3
     """
+
+
+# --------------------------------------------------------------------------
+# Modality balance (round 10) — the multimodal twin of the source
+# mixture report: per (origin source, media type), item and byte
+# volume plus the within-source modality mix. A multimodal training
+# recipe fixes a modality ratio (e.g. 60/25/15 image/audio/video);
+# this is the report that says which ingest source is off-recipe
+# BEFORE the sampler tries to correct it. One rollup over the media
+# table (map-side combined, |sources|·|modalities| cells), shares via
+# a second |sources|-row rollup joined back — no window over the scan.
+# --------------------------------------------------------------------------
+
+
+def modality_balance(media: DataFrame) -> DataFrame:
+    """(source, media_type, n_items, bytes_total, declared_total,
+    item_share) over the media table's meta.origin provenance."""
+    cells = media.select(
+        F.col("meta.origin").alias("source"),
+        "media_type",
+        F.length("payload").cast("bigint").alias("_b"),
+        F.col("meta.declared_size").cast("bigint").alias("_d"),
+    ).groupBy("source", "media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("_b").cast("bigint").alias("bytes_total"),
+        F.sum("_d").cast("bigint").alias("declared_total"),
+    )
+    per_src = cells.groupBy("source").agg(
+        F.sum("n_items").alias("_n")
+    )
+    return cells.join(per_src, "source").select(
+        "source",
+        "media_type",
+        "n_items",
+        "bytes_total",
+        "declared_total",
+        F.round(F.col("n_items") / F.col("_n"), 6).alias("item_share"),
+    )
+
+
+def sql_modality_balance() -> str:
+    return f"""
+    WITH media AS (
+      SELECT doc_id, source,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)]
+               AS media_type,
+             {16 * PAYLOAD_REPEAT} AS payload_bytes,
+             n_chars AS declared_size
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, media_type,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(payload_bytes) AS BIGINT) AS bytes_total,
+             CAST(sum(declared_size) AS BIGINT) AS declared_total
+      FROM media GROUP BY 1, 2
+    ),
+    per_src AS (SELECT source, sum(n_items) AS n FROM cells GROUP BY 1)
+    SELECT c.source, c.media_type, c.n_items, c.bytes_total,
+           c.declared_total,
+           round(CAST(c.n_items AS DOUBLE) / p.n, 6) AS item_share
+    FROM cells c JOIN per_src p USING (source)
+    """

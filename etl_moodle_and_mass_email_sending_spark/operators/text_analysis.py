@@ -4800,3 +4800,124 @@ def sql_mixture_emitted(
                     THEN 1 ELSE 0 END AS n_copies
     FROM cum c JOIN plan p USING (source)
     """
+
+
+# --------------------------------------------------------------------------
+# Curriculum stages (round 10) — the data SCHEDULE step: order the
+# corpus by quality and cut it into K equal-count stages (curriculum /
+# annealing training feeds low-stage data early and saves the
+# highest-quality stage for the final tokens). The receipt per stage:
+# volume (docs, tokens), mean quality, and the SOURCE-mix entropy —
+# a quality-ordered curriculum silently narrowing to one source at the
+# top stage is exactly the failure this report exposes before training.
+#
+# 100 TB shape: the global quality ordering runs through two_pass_rank
+# (range shuffle of narrow rows + broadcast offsets — never a
+# single-task sort), stage = ntile_from_rank arithmetic on the rank;
+# the entropy needs one extra (stage, source) rollup — K·|sources|
+# rows — merged back onto the K-row stage frame. Quality sums
+# accumulate in exact micro-units (the score is round-6 by contract),
+# so mean_quality carries no float-summation-order surface.
+# --------------------------------------------------------------------------
+
+CURRICULUM_STAGES = 10
+
+
+def curriculum_stages(
+    corpus: DataFrame, n_stages: int = CURRICULUM_STAGES
+) -> DataFrame:
+    """(stage, n_docs, n_tokens, mean_quality, src_entropy) over
+    (doc_id, text, source); stage 1 = lowest quality."""
+    from .util import ntile_from_rank, two_pass_rank
+
+    scored = quality_score(corpus.select("doc_id", "text")).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("quality") * 1_000_000)
+        .cast("bigint")
+        .alias("_qm"),
+    )
+    labeled = scored.join(corpus.select("doc_id", "source"), "doc_id")
+    ranked = two_pass_rank(
+        labeled, [F.col("_qm"), F.col("doc_id")], out_col="_rank"
+    )
+    total = ranked.agg(F.max("_rank").alias("_n"))
+    staged = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "stage", ntile_from_rank(F.col("_rank"), F.col("_n"), n_stages)
+    )
+    per = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("_qm").alias("_qms"),
+    )
+    cs = staged.groupBy("stage", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    # H = ln(tot) - sum(c·ln c)/tot (exact regrouping of -Σ p ln p);
+    # each c·ln c term rounds to micro-units BEFORE the sum so the
+    # accumulation is integer — float-summation order can't diverge
+    # between engines (the drift/ECE oracle idiom).
+    clc = F.round(F.col("_c") * F.log("_c") * 1_000_000).cast("bigint")
+    ent = (
+        cs.select("stage", "_c", clc.alias("_clc"))
+        .groupBy("stage")
+        .agg(F.sum("_c").alias("_tot"), F.sum("_clc").alias("_clcs"))
+        .select(
+            "stage",
+            (
+                F.log("_tot")
+                - F.col("_clcs") / 1_000_000.0 / F.col("_tot")
+            ).alias("_h"),
+        )
+    )
+    return per.join(ent, "stage").select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_qms") / 1_000_000.0 / F.col("n_docs"), 6).alias(
+            "mean_quality"
+        ),
+        F.round(F.col("_h"), 6).alias("src_entropy"),
+    )
+
+
+def sql_curriculum_stages(
+    corpus_sql: str, n_stages: int = CURRICULUM_STAGES
+) -> str:
+    qs = sql_quality_score(f"SELECT doc_id, text FROM ({corpus_sql})")
+    return f"""
+    WITH scored AS ({qs}),
+    labeled AS (
+      SELECT s.doc_id, s.n_tokens,
+             CAST(round(s.quality * 1000000) AS BIGINT) AS qm,
+             c.source
+      FROM scored s JOIN ({corpus_sql}) c USING (doc_id)
+    ),
+    staged AS (
+      SELECT *, CAST(ntile({n_stages}) OVER (ORDER BY qm, doc_id)
+                     AS INTEGER) AS stage
+      FROM labeled
+    ),
+    per AS (
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             sum(qm) AS qms
+      FROM staged GROUP BY 1
+    ),
+    cs AS (
+      SELECT stage, source, CAST(count(*) AS BIGINT) AS c
+      FROM staged GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT stage,
+             ln(sum(c))
+               - CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT))
+                      AS DOUBLE) / 1000000.0 / sum(c) AS h
+      FROM cs GROUP BY 1
+    )
+    SELECT p.stage, p.n_docs, p.n_tokens,
+           round(CAST(p.qms AS DOUBLE) / 1000000.0 / p.n_docs, 6)
+             AS mean_quality,
+           round(e.h, 6) AS src_entropy
+    FROM per p JOIN ent e USING (stage)
+    """

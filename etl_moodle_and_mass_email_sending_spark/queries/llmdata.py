@@ -2812,3 +2812,28 @@ register(
         "SELECT doc_id, text, lang FROM documents"
     ),
 )
+
+
+# text_curriculum_stages — quality-ordered K-stage curriculum cut with
+# per-stage volume, mean quality, and source-mix entropy
+# (operators/text_analysis.py::curriculum_stages).
+register(
+    "text_curriculum_stages",
+    lambda spark, sf_dir: text_analysis.curriculum_stages(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_curriculum_stages(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+
+# mm_modality_balance — per (source, media_type) item/byte volume and
+# within-source modality mix (operators/multimodal.py::modality_balance).
+register(
+    "mm_modality_balance",
+    lambda spark, sf_dir: multimodal.modality_balance(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_modality_balance(),
+)

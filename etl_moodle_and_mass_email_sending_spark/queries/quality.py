@@ -1339,3 +1339,107 @@ GROUP BY 1, target
 """
 
 register("rel_compaction_plan", _compaction_plan, _COMPACTION_PLAN_SQL)
+
+
+# --------------------------------------------------------------------------
+# rel_compaction_execute (round 10) — the rewrite job that CARRIES OUT
+# rel_compaction_plan: read the month-partitioned small-file drop
+# (the same staged layout src_manifest_scan plans over), attach each
+# month's bin from the broadcast plan mapping, and rewrite into
+# bin-partitioned parquet — then read the compacted table back and
+# report per output bin what actually landed: rows, months spanned,
+# and the sort-column [lo, hi] envelope. The envelope is the point:
+# consecutive-month bins keep o_orderdate ranges disjoint, so the
+# manifest's min/max pruning works on the COMPACTED files too — the
+# property the plan promised, verified on the rewritten data.
+#
+# 100 TB shape: the mapping is a KB-sized broadcast (month → bin); the
+# rewrite is one scan + a partitioned write with no shuffle beyond the
+# partitioning; the receipt is ≤ |bins| rows. The compacted output is
+# session-staged (staged_path), so repeated invocations measure the
+# read-back, not a re-write — matching how a real OPTIMIZE runs once.
+# --------------------------------------------------------------------------
+
+
+def _compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.util import staged_path
+    from ..sources.manifest import _build_drop
+
+    base = _build_drop(spark, sf_dir)
+
+    def build(path: str) -> None:
+        files = (
+            spark.read.parquet(os.path.join(base, "orders_by_mo"))
+            .groupBy("file_mo")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        )
+        w = Window.orderBy("file_mo").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        tot = files.agg(F.sum("n_rows").alias("_t"))
+        target = F.ceil(F.col("_t") / F.lit(COMPACT_BINS)).cast("bigint")
+        mapping = (
+            files.withColumn(
+                "_cex", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "file_mo",
+                F.floor(F.col("_cex") / target).cast("int").alias("bin"),
+            )
+        )
+        (
+            spark.read.parquet(os.path.join(base, "orders_by_mo"))
+            .join(F.broadcast(mapping), "file_mo")
+            .write.partitionBy("bin")
+            .parquet(os.path.join(path, "compacted"))
+        )
+
+    out = staged_path(spark, ("compaction_exec", sf_dir), build, "compact_")
+    compacted = spark.read.parquet(os.path.join(out, "compacted"))
+    return compacted.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_written"),
+        F.countDistinct("file_mo").cast("bigint").alias("n_months"),
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+    )
+
+
+_COMPACTION_EXECUTE_SQL = f"""
+WITH files AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+           AS file_mo,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(ceil(CAST(sum(n_rows) AS DOUBLE) / {COMPACT_BINS})
+              AS BIGINT) AS target
+  FROM files
+),
+mapping AS (
+  SELECT file_mo,
+         CAST(floor(CAST(coalesce(sum(n_rows) OVER (ORDER BY file_mo
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) / target) AS INTEGER) AS bin
+  FROM files CROSS JOIN tot
+)
+SELECT m.bin,
+       CAST(count(*) AS BIGINT) AS rows_written,
+       CAST(count(DISTINCT m.file_mo) AS BIGINT) AS n_months,
+       CAST(min(o.o_orderdate) AS TIMESTAMP) AS lo,
+       CAST(max(o.o_orderdate) AS TIMESTAMP) AS hi
+FROM orders o
+JOIN mapping m
+  ON CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS INTEGER)
+     = m.file_mo
+GROUP BY 1
+"""
+
+register(
+    "rel_compaction_execute",
+    _compaction_execute,
+    _COMPACTION_EXECUTE_SQL,
+)

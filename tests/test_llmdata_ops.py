@@ -2169,3 +2169,75 @@ class TestStreamMixtureMonitor:
             assert abs(sum(x["batch_share"] for x in rs) - 1.0) < 1e-4
         # the plan target is a property of the corpus, not the batch
         assert all(len(v) == 1 for v in targets.values())
+
+
+class TestCurriculumStages:
+    def test_stages_partition_corpus_and_quality_is_monotone(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        rows = sorted(
+            registry.queries()["text_curriculum_stages"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["stage"],
+        )
+        n_docs = load_table(spark, SF_SMALL, "documents").count()
+        assert [r["stage"] for r in rows] == list(range(1, 11))
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        # equal-count cut: sizes differ by at most one
+        sizes = [r["n_docs"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1
+        # quality ordering: stage means non-decreasing
+        means = [r["mean_quality"] for r in rows]
+        assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
+        import math
+
+        for r in rows:
+            assert 0.0 <= r["src_entropy"] <= math.log(20) + 1e-9
+
+
+class TestModalityBalance:
+    def test_shares_and_volumes_are_consistent(self, spark):
+        import collections
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["mm_modality_balance"](
+            spark, SF_SMALL
+        ).collect()
+        per_src = collections.defaultdict(list)
+        for r in rows:
+            per_src[r["source"]].append(r)
+            assert r["bytes_total"] == r["n_items"] * 128
+            assert r["media_type"] in {"image", "audio", "video"}
+        for src, rs in per_src.items():
+            assert abs(sum(x["item_share"] for x in rs) - 1.0) < 1e-4
+
+
+class TestCompactionExecute:
+    def test_rewrite_matches_plan_and_keeps_ranges_disjoint(self, spark):
+        """The executed rewrite must land exactly the rows the plan
+        promised per bin, and the compacted bins' o_orderdate envelopes
+        must stay disjoint (clustering preserved through compaction —
+        the property that keeps min/max pruning alive)."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        q = registry.queries()
+        plan = {
+            r["bin"]: r
+            for r in q["rel_compaction_plan"](spark, SF_SMALL).collect()
+        }
+        got = sorted(
+            q["rel_compaction_execute"](spark, SF_SMALL).collect(),
+            key=lambda r: r["bin"],
+        )
+        assert {r["bin"] for r in got} == set(plan)
+        for r in got:
+            p = plan[r["bin"]]
+            assert r["rows_written"] == p["rows_total"]
+            assert r["n_months"] == p["n_input_files"]
+        for prev, cur in zip(got, got[1:]):
+            assert prev["hi"] < cur["lo"]
