@@ -227,6 +227,10 @@ HEADLINE = [
     "text_curriculum_stages",
     "mm_modality_balance",
     "rel_compaction_execute",
+    # round-10 integrity/tuning wave
+    "rel_fk_integrity",
+    "stream_fk_guard",
+    "sim_recall_at_k_sweep",
     # capstone composition
     "llm_corpus_pipeline",
 ]

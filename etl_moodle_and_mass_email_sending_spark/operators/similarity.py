@@ -3320,3 +3320,79 @@ def sql_ivf_append() -> str:
            (n_old + n_new) / t >= {HOT_FACTOR!r} / n_lists AS hot
     FROM per CROSS JOIN tot
     """
+
+
+# --------------------------------------------------------------------------
+# Recall@k sweep (round 10) — ann_recall_eval grades every method at
+# one k; index TUNING needs the curve: recall@k for k = 1..TOP_K tells
+# you whether an index is losing the nearest neighbor (recall@1 low —
+# quantization too coarse) or only the tail (recall@1 fine, recall@5
+# sagging — raise nprobe/bands instead of rebuilding). Two arms (ivf,
+# lsh) against the exact top-k, truncating BOTH sides to rank ≤ k.
+#
+# 100 TB shape: the three top-k frames are query-batch-sized (the
+# corpus-side work to build them is the ANN queries' own documented
+# shape); the sweep is a k-way union of |queries|-row joins — driver
+# loop over k builds the plan, nothing data-sized iterates.
+# --------------------------------------------------------------------------
+
+RECALL_KS = (1, 2, 3, 5)
+
+
+def recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, k, n_hits, mean_recall) for k in RECALL_KS over the ivf
+    and lsh arms vs the exact top-k."""
+    truth = topk_bruteforce(spark, sf_dir).select(
+        "query_id", "vec_id", F.col("rank").alias("_tr")
+    ).localCheckpoint()  # consumed once per (method, k) arm
+    nq = N_QUERIES
+    out = None
+    for name, fn in (("ivf", ivf_topk), ("lsh", ann_lsh_topk)):
+        approx = fn(spark, sf_dir).select(
+            "query_id", "vec_id", F.col("rank").alias("_ar")
+        ).localCheckpoint()
+        for k in RECALL_KS:
+            hits = (
+                truth.filter(F.col("_tr") <= k)
+                .join(
+                    approx.filter(F.col("_ar") <= k),
+                    ["query_id", "vec_id"],
+                )
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+            )
+            row = hits.select(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("int").alias("k"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(float(k * nq)), 6).alias(
+                    "mean_recall"
+                ),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_recall_at_k_sweep() -> str:
+    def arm(name: str, approx_sql: str, k: int) -> str:
+        return f"""
+        SELECT '{name}' AS method, CAST({k} AS INTEGER) AS k,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               round(CAST(count(*) AS DOUBLE) / {float(k * N_QUERIES)!r},
+                     6) AS mean_recall
+        FROM (SELECT query_id, vec_id FROM truth WHERE rank <= {k}) t
+        JOIN (SELECT query_id, vec_id FROM {name}_arm
+              WHERE rank <= {k}) a
+          USING (query_id, vec_id)
+        """
+
+    arms = " UNION ALL ".join(
+        arm(name, None, k)
+        for name in ("ivf", "lsh")
+        for k in RECALL_KS
+    )
+    return f"""
+    WITH truth AS ({sql_topk_bruteforce()}),
+    ivf_arm AS ({sql_ivf_topk()}),
+    lsh_arm AS ({sql_ann_lsh_topk()})
+    {arms}
+    """

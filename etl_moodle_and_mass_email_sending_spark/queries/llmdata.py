@@ -2837,3 +2837,12 @@ register(
     ),
     multimodal.sql_modality_balance(),
 )
+
+
+# sim_recall_at_k_sweep — recall@k curve of the ivf/lsh arms vs exact
+# (operators/similarity.py::recall_at_k_sweep).
+register(
+    "sim_recall_at_k_sweep",
+    lambda spark, sf_dir: similarity.recall_at_k_sweep(spark, sf_dir),
+    similarity.sql_recall_at_k_sweep(),
+)

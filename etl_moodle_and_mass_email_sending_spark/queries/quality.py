@@ -1443,3 +1443,130 @@ register(
     _compaction_execute,
     _COMPACTION_EXECUTE_SQL,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_fk_integrity (round 10) — referential-integrity gate over the
+# star schema, BOTH directions per relationship: child rows whose
+# foreign key resolves to no parent (orphans — a broken ingest feed),
+# and parent rows no child references (unreferenced dimension members
+# — archival candidates, and the population a dimension-only rollup
+# silently includes that fact-joined reports won't). One row per FK
+# relationship: row counts, orphan count, unreferenced-parent count,
+# both rates.
+#
+# 100 TB shape: each direction is ONE anti-join on the key — the child
+# side shuffles on its FK (the unavoidable key-reconciliation cost;
+# rel_bloom_prejoin documents the pushdown that cheapens it when the
+# miss rate is low), the parent side anti-joins against the child's
+# DISTINCT keys (map-side-combined to |keys| first, never the fact's
+# row count). AQE turns the dim side into a broadcast where it fits.
+# The receipt is 4 rows.
+#
+# The synthetic testbed is referentially perfect in BOTH directions at
+# every sf, so two relationships audit deliberately DEGRADED snapshots
+# (documented below) — a gate whose failure paths never fire on its
+# own testbed demonstrates nothing (the stream_fk_guard posture):
+#   orders.custkey       — parent degraded (c_custkey % 10 == 0
+#                          dropped): the ORPHAN path fires;
+#   lineitem.orderkey    — child degraded (l_orderkey % 3 == 0
+#                          dropped): the UNREFERENCED-parent path
+#                          fires (orders whose lineitems all fell out);
+#   lineitem.partkey / lineitem.suppkey — audited as-is: the clean
+#                          path must report exact zeros.
+# --------------------------------------------------------------------------
+
+
+def _fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (name, child_t, ck, child_mod, parent_t, pk, parent_mod):
+    # *_mod k means "drop key % k == 0 rows from that side"
+    rels = [
+        ("orders.custkey", "orders", "o_custkey", None, "customer", "c_custkey", 10),
+        ("lineitem.orderkey", "lineitem", "l_orderkey", 3, "orders", "o_orderkey", None),
+        ("lineitem.partkey", "lineitem", "l_partkey", None, "part", "p_partkey", None),
+        ("lineitem.suppkey", "lineitem", "l_suppkey", None, "supplier", "s_suppkey", None),
+    ]
+    out = None
+    for name, child_t, ck, cmod, parent_t, pk, pmod in rels:
+        child = load_table(spark, sf_dir, child_t).select(
+            F.col(ck).alias("_k")
+        )
+        if cmod:
+            child = child.filter(F.col("_k") % cmod != 0)
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("_k")
+        )
+        if pmod:
+            parent = parent.filter(F.col("_k") % pmod != 0)
+        child_keys = child.distinct()
+        orphans = child.join(parent, "_k", "left_anti")
+        unref = parent.join(child_keys, "_k", "left_anti")
+        row = (
+            child.agg(F.count(F.lit(1)).alias("_nc"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("_no")))
+            .crossJoin(parent.agg(F.count(F.lit(1)).alias("_np")))
+            .crossJoin(unref.agg(F.count(F.lit(1)).alias("_nu")))
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("_nc").cast("bigint").alias("n_child_rows"),
+                F.col("_no").cast("bigint").alias("n_orphans"),
+                F.round(F.col("_no") / F.col("_nc"), 6).alias(
+                    "orphan_rate"
+                ),
+                F.col("_np").cast("bigint").alias("n_parents"),
+                F.col("_nu").cast("bigint").alias("n_unreferenced"),
+                F.round(F.col("_nu") / F.col("_np"), 6).alias(
+                    "unreferenced_rate"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _fk_integrity_sql() -> str:
+    def side(table, key, mod):
+        base = f"SELECT {key} AS k FROM {table}"
+        return base + (f" WHERE {key} % {mod} <> 0" if mod else "")
+
+    def arm(name, child_t, ck, cmod, parent_t, pk, pmod):
+        c = side(child_t, ck, cmod)
+        p = side(parent_t, pk, pmod)
+        return f"""
+        SELECT '{name}' AS relationship,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({c}))
+                 AS n_child_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({c}) c
+                WHERE NOT EXISTS (SELECT 1 FROM ({p}) p
+                                  WHERE p.k = c.k)) AS n_orphans,
+               round((SELECT CAST(count(*) AS DOUBLE) FROM ({c}) c
+                      WHERE NOT EXISTS (SELECT 1 FROM ({p}) p
+                                        WHERE p.k = c.k))
+                     / (SELECT count(*) FROM ({c})), 6)
+                 AS orphan_rate,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({p}))
+                 AS n_parents,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({p}) p
+                WHERE NOT EXISTS (SELECT 1 FROM ({c}) c
+                                  WHERE c.k = p.k))
+                 AS n_unreferenced,
+               round((SELECT CAST(count(*) AS DOUBLE) FROM ({p}) p
+                      WHERE NOT EXISTS (SELECT 1 FROM ({c}) c
+                                        WHERE c.k = p.k))
+                     / (SELECT count(*) FROM ({p})), 6)
+                 AS unreferenced_rate
+        """
+
+    arms = " UNION ALL ".join(
+        arm(*r)
+        for r in [
+            ("orders.custkey", "orders", "o_custkey", None, "customer", "c_custkey", 10),
+            ("lineitem.orderkey", "lineitem", "l_orderkey", 3, "orders", "o_orderkey", None),
+            ("lineitem.partkey", "lineitem", "l_partkey", None, "part", "p_partkey", None),
+            ("lineitem.suppkey", "lineitem", "l_suppkey", None, "supplier", "s_suppkey", None),
+        ]
+    )
+    return arms
+
+
+register("rel_fk_integrity", _fk_integrity, _fk_integrity_sql())

@@ -1452,3 +1452,95 @@ register(
     stream_mixture_monitor,
     _stream_mixture_monitor_sql(),
 )
+
+
+def stream_fk_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming referential-integrity gate (round 10): each arriving
+    order batch anti-joins the static customer dimension; rows whose
+    FK resolves land, orphans are counted and quarantined — the ingest
+    gate that keeps a broken upstream feed out of the fact table. The
+    dimension is deliberately DEGRADED (c_custkey % 10 == 0 dropped)
+    so the guard path actually fires on the testbed — a guard that
+    never rejects demonstrates nothing. Per-batch receipts land in
+    idempotent batch_id partitions; the replay chunks by o_orderkey
+    ntile, so batch b IS chunk b+1 and the oracle reproduces the
+    batching."""
+    import os
+
+    base = scratch_dir("fkg_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 != 0)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    stage = _stage_ordered_chunks(
+        orders, "o_orderkey", cache_key=("stage_fk_orders", sf_dir)
+    )
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = os.path.join(base, "receipts")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        orphans = batch_df.join(dim, "o_custkey", "left_anti")
+        receipt = batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")
+        ).crossJoin(
+            orphans.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orphan")
+            )
+        )
+        (
+            receipt.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    r = spark.read.parquet(out)
+    return r.select(
+        (F.col("batch_id") + 1).cast("int").alias("chunk"),
+        (F.col("n_rows") - F.col("n_orphan"))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.col("n_orphan").cast("bigint").alias("n_orphan"),
+        F.round(F.col("n_orphan") / F.col("n_rows"), 6).alias(
+            "orphan_rate"
+        ),
+    )
+
+
+STREAM_FK_GUARD_SQL = """
+WITH chunked AS (
+  SELECT o_custkey, ntile(4) OVER (ORDER BY o_orderkey) AS chunk
+  FROM orders
+),
+dim AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+SELECT CAST(chunk AS INTEGER) AS chunk,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM dim d
+                                  WHERE d.c_custkey = o_custkey)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM dim d
+                                  WHERE d.c_custkey = o_custkey)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_orphan,
+       round(CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM dim d
+                                        WHERE d.c_custkey = o_custkey)
+                           THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS orphan_rate
+FROM chunked GROUP BY 1
+"""
+
+register("stream_fk_guard", stream_fk_guard, STREAM_FK_GUARD_SQL)

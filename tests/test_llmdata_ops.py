@@ -2241,3 +2241,89 @@ class TestCompactionExecute:
             assert r["n_months"] == p["n_input_files"]
         for prev, cur in zip(got, got[1:]):
             assert prev["hi"] < cur["lo"]
+
+
+class TestFkIntegrity:
+    def test_orphans_zero_unreferenced_positive_rates_consistent(
+        self, spark
+    ):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = {
+            r["relationship"]: r
+            for r in registry.queries()["rel_fk_integrity"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert len(rows) == 4
+        for r in rows.values():
+            assert 0 <= r["n_orphans"] <= r["n_child_rows"]
+            assert 0 <= r["n_unreferenced"] <= r["n_parents"]
+            assert abs(
+                r["orphan_rate"]
+                - round(r["n_orphans"] / r["n_child_rows"], 6)
+            ) < 1e-9
+            assert abs(
+                r["unreferenced_rate"]
+                - round(r["n_unreferenced"] / r["n_parents"], 6)
+            ) < 1e-9
+        # the degraded-parent arm fires the orphan path; the
+        # degraded-child arm fires the unreferenced path; the clean
+        # arms report exact zeros in both directions
+        assert rows["orders.custkey"]["n_orphans"] > 0
+        assert rows["lineitem.orderkey"]["n_unreferenced"] > 0
+        for clean in ("lineitem.partkey", "lineitem.suppkey"):
+            assert rows[clean]["n_orphans"] == 0
+            assert rows[clean]["n_unreferenced"] == 0
+
+
+class TestStreamFkGuard:
+    def test_guard_fires_and_conserves_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        rows = registry.queries()["stream_fk_guard"](
+            spark, SF_SMALL
+        ).collect()
+        assert {r["chunk"] for r in rows} == {1, 2, 3, 4}
+        n_orders = load_table(spark, SF_SMALL, "orders").count()
+        assert sum(r["n_ok"] + r["n_orphan"] for r in rows) == n_orders
+        # the degraded dimension makes the guard actually reject
+        assert sum(r["n_orphan"] for r in rows) > 0
+        # exact cross-check: orphans = orders whose custkey % 10 == 0
+        # OR custkey missing from the dim (the former by construction)
+        orders = load_table(spark, SF_SMALL, "orders")
+        cust = load_table(spark, SF_SMALL, "customer").filter(
+            F.col("c_custkey") % 10 != 0
+        )
+        want = orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).count()
+        assert sum(r["n_orphan"] for r in rows) == want
+
+
+class TestRecallAtKSweep:
+    def test_curve_shape_and_bounds(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            N_QUERIES,
+            RECALL_KS,
+        )
+
+        rows = registry.queries()["sim_recall_at_k_sweep"](
+            spark, SF_SMALL
+        ).collect()
+        assert len(rows) == 2 * len(RECALL_KS)
+        for r in rows:
+            assert 0.0 <= r["mean_recall"] <= 1.0
+            assert r["n_hits"] <= r["k"] * N_QUERIES
+            assert abs(
+                r["mean_recall"]
+                - round(r["n_hits"] / (r["k"] * N_QUERIES), 6)
+            ) < 1e-9
