@@ -1115,3 +1115,114 @@ def test_skew_stats_matches_numpy_quantiles(spark):
         assert row.top_key_share == pytest.approx(
             cnts.max() / cnts.sum(), abs=5e-7
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 executors: shard cut + mixture sample vs Python oracles
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=40),  # token count
+        st.integers(min_value=0, max_value=2),  # source index
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy, n_shards=st.integers(min_value=1, max_value=6))
+def test_shard_balance_matches_bruteforce(spark_mod, docs, n_shards):
+    """Spark's two-pass shard cut must equal the sequential Python
+    oracle: docs in (md5 hash, doc_id) order, shard = floor(cumulative
+    tokens before the doc / ceil(total / n_shards))."""
+    import hashlib
+    import math
+
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        SEED_SEP,
+        shard_balance,
+    )
+
+    spark = spark_mod
+    rows = [(i, "tok " * nt) for i, (nt, _) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h(d):
+        return int(
+            hashlib.md5(f"SH{SEED_SEP}{d}".encode()).hexdigest()[:15], 16
+        )
+
+    toks = {i: nt for i, (nt, _) in enumerate(docs)}
+    total = sum(toks.values())
+    target = math.ceil(total / n_shards)
+    want = {}
+    cum = 0
+    for d in sorted(toks, key=lambda d: (h(d), d)):
+        shard = cum // target
+        want.setdefault(shard, [0, 0])
+        want[shard][0] += 1
+        want[shard][1] += toks[d]
+        cum += toks[d]
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"])
+        for r in shard_balance(df, n_shards=n_shards).collect()
+    }
+    assert got == {s: tuple(v) for s, v in want.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy)
+def test_mixture_execute_matches_bruteforce(spark_mod, docs):
+    """The executor's per-doc copy counts must equal the sequential
+    Python oracle of the plan math + hash-ordered fractional prefix."""
+    import hashlib
+    import math
+
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        SEED_SEP,
+        mixture_execute,
+    )
+
+    spark = spark_mod
+    tau, cap = 2.0, 4.0
+    rows = [
+        (i, "tok " * nt, f"s{srcix}") for i, (nt, srcix) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    per_src = {}
+    for i, (nt, srcix) in enumerate(docs):
+        per_src.setdefault(f"s{srcix}", []).append((i, nt))
+    tot = sum(nt for _, nt in [d for v in per_src.values() for d in v])
+    ptot = sum(
+        sum(nt for _, nt in v) ** (1.0 / tau) for v in per_src.values()
+    )
+
+    def h(d):
+        return int(
+            hashlib.md5(f"MX{SEED_SEP}{d}".encode()).hexdigest()[:15], 16
+        )
+
+    want = {}
+    for src, members in per_src.items():
+        n_tokens = sum(nt for _, nt in members)
+        epochs = min((n_tokens ** (1.0 / tau) / ptot) * tot / n_tokens, cap)
+        whole = math.floor(epochs)
+        frac_target = (epochs - whole) * n_tokens
+        cum = 0
+        for d, nt in sorted(members, key=lambda m: (h(m[0]), m[0])):
+            copies = whole + (1 if cum < frac_target else 0)
+            cum += nt
+            if copies > 0:
+                want[d] = copies
+    got = {}
+    for r in (
+        mixture_execute(df, temperature=tau, max_epochs=cap)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    ):
+        got[r["doc_id"]] = r["count"]
+    assert got == want
