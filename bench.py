@@ -231,6 +231,9 @@ HEADLINE = [
     "rel_fk_integrity",
     "stream_fk_guard",
     "sim_recall_at_k_sweep",
+    # round-10 split-hygiene/skew wave
+    "text_split_leakage",
+    "rel_salt_plan",
     # capstone composition
     "llm_corpus_pipeline",
 ]

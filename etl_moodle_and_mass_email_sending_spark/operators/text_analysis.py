@@ -4921,3 +4921,123 @@ def sql_curriculum_stages(
            round(e.h, 6) AS src_entropy
     FROM per p JOIN ent e USING (stage)
     """
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit (round 10) — certifies text_train_val_split's
+# output the way decontaminate certifies the corpus against an external
+# benchmark: a hash split guarantees DISJOINT DOCUMENTS, not disjoint
+# CONTENT — near-identical docs land on opposite sides of any
+# id-hash split, and the val loss silently becomes a memorization
+# probe. The audit counts val documents sharing ≥1 word n-gram with
+# the train side, the leaked-doc rate, and the worst offender's shared
+# gram count — the receipt an eval split ships with.
+#
+# 100 TB shape: the same spread + element_at gram pipeline as
+# decontaminate; both sides collapse to distinct grams BEFORE the join
+# (map-side combined); the join shuffles on the gram key (val is the
+# 5% slice, so its distinct-gram frame is the small side AQE can
+# broadcast at testbed scale; at 100 TB it stays a key-partitioned
+# equi-join). The receipt is one row.
+# --------------------------------------------------------------------------
+
+
+def split_leakage(corpus: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """(n_train, n_val, n_leaked_val, leak_rate, max_shared_grams) over
+    (doc_id, text) under the SPLIT-hash 95/5 assignment."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('SPLIT', cast(doc_id as string)"
+        ")), 1, 8), 16, 10) as bigint) % 100"
+    )
+    is_val = bucket >= 95
+    words = spread_for_compute(corpus).select(
+        "doc_id", is_val.alias("_v"), F.expr(_SPARK_TOKS).alias("w")
+    )
+    gram_i = "concat_ws(' ', " + ", ".join(
+        f"element_at(w, i + {j})" for j in range(n)
+    ) + ")"
+    gen = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n} + 1), i -> {gram_i}) "
+        f"ELSE array() END"
+    )
+    grams = words.select(
+        "doc_id", "_v", F.explode(F.expr(gen)).alias("gram")
+    )
+    val_grams = (
+        grams.filter(F.col("_v")).select("doc_id", "gram").distinct()
+    )
+    train_grams = grams.filter(~F.col("_v")).select("gram").distinct()
+    hits = (
+        val_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_s"))
+    )
+    counts = corpus.select(is_val.alias("_v")).agg(
+        F.sum(F.when(F.col("_v"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("_v"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_val"),
+    )
+    leak = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaked_val"),
+        F.coalesce(F.max("_s"), F.lit(0))
+        .cast("bigint")
+        .alias("max_shared_grams"),
+    )
+    return counts.crossJoin(F.broadcast(leak)).select(
+        "n_train",
+        "n_val",
+        "n_leaked_val",
+        F.round(F.col("n_leaked_val") / F.col("n_val"), 6).alias(
+            "leak_rate"
+        ),
+        "max_shared_grams",
+    )
+
+
+def sql_split_leakage(corpus_sql: str, n: int = DECON_NGRAM) -> str:
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> {gram_i}) ELSE [] END"
+    )
+    is_val = (
+        "CAST('0x' || substr(md5('SPLIT' || CAST(doc_id AS VARCHAR)), "
+        "1, 8) AS BIGINT) % 100 >= 95"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {is_val} AS v, {_DUCK_TOKS} AS w
+      FROM ({corpus_sql})
+    ),
+    e AS (SELECT doc_id, v, unnest({grams}) AS gram FROM tok),
+    val_grams AS (
+      SELECT DISTINCT doc_id, gram FROM e WHERE v
+    ),
+    train_grams AS (SELECT DISTINCT gram FROM e WHERE NOT v),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+      FROM val_grams JOIN train_grams USING (gram)
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT CAST(sum(CASE WHEN {is_val} THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_train,
+             CAST(sum(CASE WHEN {is_val} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_val
+      FROM ({corpus_sql})
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leaked_val,
+             CAST(coalesce(max(s), 0) AS BIGINT) AS max_shared_grams
+      FROM hits
+    )
+    SELECT n_train, n_val, n_leaked_val,
+           round(CAST(n_leaked_val AS DOUBLE) / n_val, 6) AS leak_rate,
+           max_shared_grams
+    FROM counts CROSS JOIN leak
+    """

@@ -2846,3 +2846,14 @@ register(
     lambda spark, sf_dir: similarity.recall_at_k_sweep(spark, sf_dir),
     similarity.sql_recall_at_k_sweep(),
 )
+
+
+# text_split_leakage — content-leakage audit of the hash train/val
+# split (operators/text_analysis.py::split_leakage).
+register(
+    "text_split_leakage",
+    lambda spark, sf_dir: text_analysis.split_leakage(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ),
+    text_analysis.sql_split_leakage("SELECT doc_id, text FROM documents"),
+)

@@ -1570,3 +1570,79 @@ def _fk_integrity_sql() -> str:
 
 
 register("rel_fk_integrity", _fk_integrity, _fk_integrity_sql())
+
+
+# --------------------------------------------------------------------------
+# rel_salt_plan (round 10) — the pre-shuffle skew prescription: for a
+# grouping/join key with FEW HUGE groups, per-key row counts against a
+# target-rows-per-task budget recommend the salt factor each hot key
+# needs (salt = ceil(rows / target)) and show the max task size before
+# vs after salting. AQE's skew-join split handles the JOIN-side case
+# at runtime; salting is the plan-side fix for aggregations and for
+# engines/stages AQE can't re-plan — this report is the config a
+# salted two-stage rollout reads. The event_type key is the testbed's
+# honest few-huge-groups case (5 keys over 32 tasks).
+#
+# 100 TB shape: one map-side-combined groupBy to |keys| counters, one
+# 1-row total broadcast back over the |keys|-row frame; the report is
+# |keys| rows. Nothing fact-sized shuffles twice.
+# --------------------------------------------------------------------------
+
+SALT_TARGET_TASKS = 16
+
+
+def _salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = per_key.agg(F.sum("n_rows").alias("_t"))
+    target = F.ceil(F.col("_t") / F.lit(SALT_TARGET_TASKS)).cast(
+        "bigint"
+    )
+    salt = F.greatest(
+        F.ceil(F.col("n_rows") / F.col("_target")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .withColumn("_target", target)
+        .withColumn("salt_factor", salt)
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_t"), 6).alias("row_share"),
+            "_target",
+            "salt_factor",
+            F.ceil(F.col("n_rows") / F.col("salt_factor"))
+            .cast("bigint")
+            .alias("max_task_rows_after"),
+        )
+        .withColumnRenamed("_target", "target_task_rows")
+    )
+
+
+_SALT_PLAN_SQL = f"""
+WITH per_key AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+         CAST(ceil(CAST(sum(n_rows) AS DOUBLE) / {SALT_TARGET_TASKS})
+              AS BIGINT) AS target
+  FROM per_key
+)
+SELECT event_type, n_rows,
+       round(CAST(n_rows AS DOUBLE) / t, 6) AS row_share,
+       target AS target_task_rows,
+       greatest(CAST(ceil(CAST(n_rows AS DOUBLE) / target) AS BIGINT),
+                1) AS salt_factor,
+       CAST(ceil(CAST(n_rows AS DOUBLE) /
+            greatest(CAST(ceil(CAST(n_rows AS DOUBLE) / target)
+                          AS BIGINT), 1)) AS BIGINT)
+         AS max_task_rows_after
+FROM per_key CROSS JOIN tot
+"""
+
+register("rel_salt_plan", _salt_plan, _SALT_PLAN_SQL)

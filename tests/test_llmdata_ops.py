@@ -2327,3 +2327,73 @@ class TestRecallAtKSweep:
                 r["mean_recall"]
                 - round(r["n_hits"] / (r["k"] * N_QUERIES), 6)
             ) < 1e-9
+
+
+class TestSaltPlan:
+    def test_salt_math_and_conservation(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        rows = registry.queries()["rel_salt_plan"](
+            spark, SF_SMALL
+        ).collect()
+        total = load_table(spark, SF_SMALL, "events").count()
+        assert sum(r["n_rows"] for r in rows) == total
+        target = -(-total // 16)
+        for r in rows:
+            assert r["target_task_rows"] == target
+            assert r["salt_factor"] == max(
+                -(-r["n_rows"] // target), 1
+            )
+            assert (
+                r["max_task_rows_after"]
+                == -(-r["n_rows"] // r["salt_factor"])
+            )
+            assert r["max_task_rows_after"] <= target or r[
+                "salt_factor"
+            ] == 1
+        # the few-huge-groups case must actually prescribe salting
+        assert any(r["salt_factor"] > 1 for r in rows)
+
+
+class TestSplitLeakage:
+    def test_leakage_fires_on_planted_duplicates(self, spark):
+        """A corpus with exact duplicate docs on opposite sides of the
+        hash split must report them as leaked; a disjoint-content
+        corpus must report zero."""
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            split_leakage,
+        )
+
+        def bucket(d):
+            import hashlib
+
+            return (
+                int(hashlib.md5(f"SPLIT{d}".encode()).hexdigest()[:8], 16)
+                % 100
+            )
+
+        train_ids = [d for d in range(200) if bucket(d) < 95]
+        val_ids = [d for d in range(200) if bucket(d) >= 95]
+        assert train_ids and val_ids
+        # leaky corpus: every val doc copies a train doc's text
+        text_of = {d: f"alpha beta gamma delta doc {d} " * 3 for d in train_ids}
+        leaky = [(d, text_of[d]) for d in train_ids] + [
+            (v, text_of[train_ids[i % len(train_ids)]])
+            for i, v in enumerate(val_ids)
+        ]
+        df = spark.createDataFrame(leaky, "doc_id long, text string")
+        r = split_leakage(df).collect()[0]
+        assert r["n_val"] == len(val_ids)
+        assert r["n_leaked_val"] == len(val_ids)
+        assert r["leak_rate"] == 1.0
+        # disjoint corpus: unique token per doc, no shared 4-grams
+        clean = [
+            (d, f"u{d}a u{d}b u{d}c u{d}d u{d}e") for d in range(200)
+        ]
+        df2 = spark.createDataFrame(clean, "doc_id long, text string")
+        r2 = split_leakage(df2).collect()[0]
+        assert r2["n_leaked_val"] == 0
+        assert r2["max_shared_grams"] == 0
