@@ -234,6 +234,8 @@ HEADLINE = [
     # round-10 split-hygiene/skew wave
     "text_split_leakage",
     "rel_salt_plan",
+    # round-10 boilerplate-scrub executor
+    "text_boilerplate_scrub",
     # capstone composition
     "llm_corpus_pipeline",
 ]

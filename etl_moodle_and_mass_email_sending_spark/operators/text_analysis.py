@@ -5041,3 +5041,107 @@ def sql_split_leakage(corpus_sql: str, n: int = DECON_NGRAM) -> str:
            max_shared_grams
     FROM counts CROSS JOIN leak
     """
+
+
+# --------------------------------------------------------------------------
+# Boilerplate scrub (round 10) — the executor behind line_dedup's
+# diagnostic: actually REMOVE the corpus-frequent segments (navigation
+# chrome, cookie banners, footer text — any LINE_WORDS-word segment
+# occurring >= LINE_DUP_MIN times corpus-wide) and report per source
+# what the scrub took out. The C4/RefinedWeb line-dedup cleaning step,
+# expressed as segment-hash frequency + a keep/drop verdict per
+# segment; the receipt (docs touched, words removed, removal rate per
+# source) is what a curation run records before committing the
+# scrubbed corpus.
+#
+# 100 TB shape: identical skeleton to line_dedup (one segment-hash
+# fan-out inside the scan, one map-side-combined frequency rollup on
+# the 16-byte hash key, one join back on that key) plus a |sources|-row
+# rollup — the executor costs ONE more aggregation than the
+# diagnostic. The segment WORD COUNTS ride along in the fan-out struct
+# so removed volume is exact (tail segments are shorter than
+# LINE_WORDS).
+# --------------------------------------------------------------------------
+
+
+def boilerplate_scrub(corpus: DataFrame) -> DataFrame:
+    """(source, n_docs, n_docs_touched, segs_total, segs_removed,
+    words_removed, removal_rate) over (doc_id, text, source)."""
+    words = F.expr(f"filter({_SPARK_TOKS}, t -> t <> '')")
+    base = spread_for_compute(
+        corpus.select("doc_id", "source", words.alias("_w")).filter(
+            F.size("_w") > 0
+        )
+    )
+    segs_expr = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(_w) / {LINE_WORDS}.0) "
+        f"AS INT) - 1), "
+        f"i -> struct("
+        f"md5(array_join(slice(_w, i * {LINE_WORDS} + 1, {LINE_WORDS}), "
+        f"' ')) AS h, "
+        f"size(slice(_w, i * {LINE_WORDS} + 1, {LINE_WORDS})) AS wc))"
+    )
+    segs = base.select(
+        "doc_id", "source", F.explode(segs_expr).alias("_s")
+    ).select("doc_id", "source", F.col("_s.h").alias("_h"), F.col("_s.wc").alias("_wc"))
+    freq = segs.groupBy("_h").agg(F.count("*").alias("_n"))
+    dup = F.col("_n") >= LINE_DUP_MIN
+    return (
+        segs.join(freq, "_h")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct(F.when(dup, F.col("doc_id")))
+            .cast("bigint")
+            .alias("n_docs_touched"),
+            F.count("*").cast("bigint").alias("segs_total"),
+            F.sum(F.when(dup, 1).otherwise(0))
+            .cast("bigint")
+            .alias("segs_removed"),
+            F.sum(F.when(dup, F.col("_wc")).otherwise(0))
+            .cast("bigint")
+            .alias("words_removed"),
+            F.round(
+                F.sum(F.when(dup, F.col("_wc")).otherwise(0))
+                / F.sum("_wc"),
+                6,
+            ).alias("removal_rate"),
+        )
+    )
+
+
+def sql_boilerplate_scrub(corpus_sql: str) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, source,
+             list_filter({_DUCK_TOKS}, t -> t <> '') AS w
+      FROM ({corpus_sql})
+    ),
+    nz AS (SELECT * FROM words WHERE len(w) > 0),
+    segs AS (
+      SELECT doc_id, source,
+             md5(array_to_string(
+               w[(g.i * {LINE_WORDS} + 1):(g.i * {LINE_WORDS} + {LINE_WORDS})],
+               ' ')) AS h,
+             len(w[(g.i * {LINE_WORDS} + 1):(g.i * {LINE_WORDS} + {LINE_WORDS})])
+               AS wc
+      FROM nz,
+           LATERAL (SELECT unnest(generate_series(0,
+             CAST(ceil(len(w) / {LINE_WORDS}.0) AS INT) - 1)) AS i) g
+    ),
+    freq AS (SELECT h, count(*) AS n FROM segs GROUP BY h)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT CASE WHEN n >= {LINE_DUP_MIN}
+                                    THEN doc_id END) AS BIGINT)
+             AS n_docs_touched,
+           CAST(count(*) AS BIGINT) AS segs_total,
+           CAST(coalesce(sum(CASE WHEN n >= {LINE_DUP_MIN} THEN 1 END),
+                0) AS BIGINT) AS segs_removed,
+           CAST(coalesce(sum(CASE WHEN n >= {LINE_DUP_MIN} THEN wc END),
+                0) AS BIGINT) AS words_removed,
+           round(coalesce(sum(CASE WHEN n >= {LINE_DUP_MIN} THEN wc END),
+                 0) / CAST(sum(wc) AS DOUBLE), 6) AS removal_rate
+    FROM segs JOIN freq USING (h)
+    GROUP BY source
+    """

@@ -2857,3 +2857,17 @@ register(
     ),
     text_analysis.sql_split_leakage("SELECT doc_id, text FROM documents"),
 )
+
+
+# text_boilerplate_scrub — the executor behind line_dedup: remove
+# corpus-frequent segments, per-source removal receipt
+# (operators/text_analysis.py::boilerplate_scrub).
+register(
+    "text_boilerplate_scrub",
+    lambda spark, sf_dir: text_analysis.boilerplate_scrub(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_boilerplate_scrub(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)

@@ -2397,3 +2397,35 @@ class TestSplitLeakage:
         r2 = split_leakage(df2).collect()[0]
         assert r2["n_leaked_val"] == 0
         assert r2["max_shared_grams"] == 0
+
+
+class TestBoilerplateScrub:
+    def test_planted_boilerplate_is_removed_unique_text_kept(self, spark):
+        """Docs sharing a planted 16-word banner must report it removed
+        (the banner segment recurs corpus-wide); fully unique docs must
+        report zero removal."""
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            LINE_DUP_MIN,
+            boilerplate_scrub,
+        )
+
+        banner = " ".join(f"nav{j}" for j in range(16))
+        rows = [
+            (i, banner + " " + " ".join(f"u{i}w{j}" for j in range(16)), "dirty")
+            for i in range(LINE_DUP_MIN + 2)
+        ] + [
+            (100 + i, " ".join(f"q{i}w{j}" for j in range(32)), "clean")
+            for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = {r["source"]: r for r in boilerplate_scrub(df).collect()}
+        dirty = out["dirty"]
+        assert dirty["n_docs_touched"] == LINE_DUP_MIN + 2
+        assert dirty["segs_removed"] == LINE_DUP_MIN + 2  # one banner each
+        assert dirty["words_removed"] == 16 * (LINE_DUP_MIN + 2)
+        clean = out["clean"]
+        assert clean["segs_removed"] == 0
+        assert clean["words_removed"] == 0
+        assert clean["removal_rate"] == 0.0
