@@ -17,6 +17,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# HEADLINE policy (round 11, VERDICT r10 item 2): HEADLINE is the
+# per-round 3-5-run-median sweep the driver times; it grows by each
+# round's additions and perf-rewrite re-records, but it is NOT the
+# whole registry — 88 of the 278 registered queries (sub-second ref_*
+# shapes, early rel_* variants, ...) had no perf record at all.  The
+# one-shot FULL-SWEEP mode (`python bench.py --full`, or env
+# SPARK_GRAFT_BENCH_FULL=1) times EVERY registered query once (one
+# warm-up + one timed run — enough to observe a regression, cheap
+# enough to run per-round) and writes FULLBENCH.json, so a perf
+# regression in ANY registered query is observable even when the query
+# is not in HEADLINE.
 HEADLINE = [
     # reference-parity pipeline
     "ref_roster_normalize",
@@ -259,6 +270,60 @@ def _jvm_gc_stats(spark) -> tuple[float, float]:
         return -1.0, -1.0
 
 
+def _full_sweep(spark, qs, sf_dir: str, sf: str) -> str:
+    """One-shot sweep of EVERY registered query (VERDICT r10 item 2):
+    one warm-up + one timed run each, alphabetical order, results to
+    FULLBENCH.json.  Not a cross-round comparison series (single runs
+    carry up to 2x run-to-run noise — the round-4 finding); it exists
+    so no registered query can regress unobserved.  HEADLINE remains
+    the per-round median-of-3/5 comparison sweep."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    times: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    total = 0.0
+    for name in sorted(qs):
+        fn = qs[name]
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record, keep sweeping
+            errs[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        times[name] = t
+        total += t
+        gc.collect()
+    payload = {
+        "metric": "full_sweep_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(times),
+        "n_errors": len(errs),
+        "warmup_runs": 1,
+        "timed_runs": 1,
+        "aggregation": "single-run (regression tripwire, not a "
+        "cross-round comparison series)",
+        "queries": times,
+        "errors": errs,
+    }
+    with open(os.path.join(here, "FULLBENCH.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    return json.dumps(
+        {
+            "metric": "full_sweep_wall_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": float(sf),
+            "n_queries": len(times),
+            "n_errors": len(errs),
+            "detail": "FULLBENCH.json",
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -272,6 +337,22 @@ def main() -> None:
     # whitelisted-bounded) WindowExec WARN lines — quiet them so the
     # capture carries the JSON line, not log noise (VERDICT r7 item 2).
     spark.sparkContext.setLogLevel("ERROR")
+    # Round-11 capture hardening (VERDICT r10 item 3): BENCH_r10's tail
+    # opened with a benign DAGScheduler ERROR stack ("attempted to
+    # access non-existent accumulator" — the known harmless race when a
+    # task from a streaming query completes after its job's accumulators
+    # are GC'd). bench rc stayed 0 and the JSON line survived, but the
+    # stack ate ~1.9 KB of the driver's ~2 KB capture. Pin that one
+    # logger to FATAL for the bench session so teardown races can't
+    # crowd out the metrics line.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # log4j1 fallback environments: ERROR level already set
     qs = registry.queries()
 
     # Warm up the JVM, parquet footers, AND the Arrow/Python-worker pool
@@ -285,6 +366,12 @@ def main() -> None:
     warm.mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+
+    if "--full" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+        line = _full_sweep(spark, qs, sf_dir, sf)
+        spark.stop()  # teardown noise lands BEFORE the metrics line
+        print(line)
+        return
 
     # Steady-state methodology (round 4): one untimed warm-up run per
     # query absorbs codegen compilation and footer caching, then THREE
@@ -428,8 +515,12 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf),
     }
-    print(json.dumps(payload, separators=(",", ":")))
+    # stop() BEFORE the print: session teardown is exactly where the
+    # benign accumulator-race / ContextCleaner stacks fire, and the
+    # driver keeps only the LAST ~2 KB — the metrics line must be the
+    # final thing this process writes (VERDICT r10 item 3).
     spark.stop()
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,22 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-10 ROTATION (VERDICT r9 item 4):
+# entries in iteration order. ROUND-11 ROTATION (VERDICT r10 item 1):
+#   (a) all 18 round-10 tail additions — never externally certified;
+#       every one driver-sim green at sf0.001 and sf0.01 when it was
+#       registered (standing promotion policy), independently re-run
+#       green by the round-10 judge, and re-run green again this
+#       round before promotion;
+#   (b) the 20 remaining round-5-stale names (the tail of the r5
+#       cohort after the r9/r10 refreshes) — the oldest external
+#       certifications left in the ledger;
+#   (c) 12 refresh slots for the oldest round-6 certifications
+#       (alphabetical head of the 44-name r6 cohort; the rest rotate
+#       in later rounds).
+# After CORRECTNESS_r11 goes green, every registered query has an
+# external certification and none is older than round 6.
+# ROUND-10 ROTATION (kept for the ledger; superseded above;
+# VERDICT r9 item 4):
 #   (a) all 34 round-9 tail additions — never externally certified
 #       (includes the five end-of-round-snapshot queries and the
 #       round-10-repaired src_manifest_scan: scan window moved inside
@@ -90,60 +105,62 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-9 tail additions, registration order — all driver-sim
-    # green at sf0.01 in round 10 before promotion
-    "rel_bucketed_join",
-    "rel_skew_stats",
-    "rel_join_cardinality",
-    "rel_changepoint",
-    "dedup_incremental",
-    "sim_cluster_diversity",
-    "text_pii_density",
-    "dedup_survivor_quality",
-    "text_temperature_mixture",
-    "mm_payload_entropy",
-    "text_readability",
-    "sim_dim_health",
-    "mm_codec_sniff",
-    "sim_bq_topk",
-    "sim_mmr_topk",
-    "sim_range_search",
-    "text_filter_funnel",
-    "sim_knn_classifier",
-    "src_csv_documents",
-    "text_code_detection",
-    "text_calibration_ece",
-    "src_manifest_scan",
-    "rel_profile_table",
-    "stream_crawl_dedup",
-    "stream_pii_filter",
-    "stream_profile",
-    "stream_drift_monitor",
-    "stream_anomaly",
-    "stream_split_sink",
-    "rel_interval_coverage",
-    "rel_attribution",
-    "rel_event_paths",
-    "rel_gap_fill",
-    "rel_unpivot_metrics",
-    # (b) implementation changed in round 10 — re-certify the new plan
-    "text_contamination_direction",
-    # (c) oldest round-5 refreshes (alphabetical head of the r5 cohort)
-    "ref_pick_email",
-    "ref_preview_limit",
-    "ref_roster_normalize",
-    "ref_roster_segments",
-    "ref_send_counter",
-    "ref_template_render",
-    "rel_asof_join",
-    "rel_bloom_prejoin",
-    "rel_cms_heavy_hitters",
-    "rel_distinct_parts",
-    "rel_q10_returned_items",
-    "rel_q14_promo_share",
-    "rel_q15_top_supplier",
-    "rel_q17_small_quantity",
-    "rel_q19_disjunctive",
+    # (a) round-10 tail additions, registration order — all driver-sim
+    # green at sf0.01 before promotion (builder r10, judge r10, and
+    # re-run at the top of round 11)
+    "text_mixture_execute",
+    "dedup_mirror_score",
+    "stream_manifest_ingest",
+    "text_shard_balance",
+    "sim_ivf_append",
+    "rel_compaction_plan",
+    "rel_deletion_audit",
+    "text_quality_threshold_sweep",
+    "stream_mixture_monitor",
+    "text_curriculum_stages",
+    "mm_modality_balance",
+    "rel_compaction_execute",
+    "rel_fk_integrity",
+    "stream_fk_guard",
+    "sim_recall_at_k_sweep",
+    "text_split_leakage",
+    "rel_salt_plan",
+    "text_boilerplate_scrub",
+    # (b) the 20 remaining round-5-stale names (oldest external
+    # certifications in the ledger)
+    "rel_q1_pricing_summary",
+    "rel_q22_dormant_customers",
+    "rel_q4_order_priority",
+    "rel_q6_forecast_revenue",
+    "rel_q8_market_share",
+    "rel_rollup",
+    "rel_running_total",
+    "rel_setops",
+    "rel_supplier_part_volume",
+    "sim_ann_lsh_topk",
+    "sim_embedding_near_dup",
+    "sim_hard_negatives",
+    "sim_topk_bruteforce",
+    "stream_outer_join",
+    "stream_sliding_counts",
+    "text_cdc_chunks",
+    "text_dsir_weights",
+    "text_fingerprint",
+    "text_gopher_rules",
+    "text_unigram_logprob",
+    # (c) oldest round-6 refreshes (alphabetical head of the r6 cohort)
+    "dedup_cluster_profile",
+    "dedup_minhash_calibration",
+    "dedup_soft_weights",
+    "graph_bfs_depth",
+    "graph_degree_profile",
+    "graph_kcore",
+    "graph_label_prop",
+    "graph_modularity",
+    "graph_triangles",
+    "mm_clip_align",
+    "rel_abc_analysis",
+    "rel_benford_check",
 ]
 
 
