@@ -1477,17 +1477,21 @@ register(
 # --------------------------------------------------------------------------
 
 
+# (name, child_t, ck, child_mod, parent_t, pk, parent_mod): *_mod k
+# means "drop key % k == 0 rows from that side". Shared with round 11's
+# rel_quarantine_rollup, which re-emits these audits in the unified
+# governance receipt schema.
+FK_RELS = [
+    ("orders.custkey", "orders", "o_custkey", None, "customer", "c_custkey", 10),
+    ("lineitem.orderkey", "lineitem", "l_orderkey", 3, "orders", "o_orderkey", None),
+    ("lineitem.partkey", "lineitem", "l_partkey", None, "part", "p_partkey", None),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", None, "supplier", "s_suppkey", None),
+]
+
+
 def _fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # (name, child_t, ck, child_mod, parent_t, pk, parent_mod):
-    # *_mod k means "drop key % k == 0 rows from that side"
-    rels = [
-        ("orders.custkey", "orders", "o_custkey", None, "customer", "c_custkey", 10),
-        ("lineitem.orderkey", "lineitem", "l_orderkey", 3, "orders", "o_orderkey", None),
-        ("lineitem.partkey", "lineitem", "l_partkey", None, "part", "p_partkey", None),
-        ("lineitem.suppkey", "lineitem", "l_suppkey", None, "supplier", "s_suppkey", None),
-    ]
     out = None
-    for name, child_t, ck, cmod, parent_t, pk, pmod in rels:
+    for name, child_t, ck, cmod, parent_t, pk, pmod in FK_RELS:
         child = load_table(spark, sf_dir, child_t).select(
             F.col(ck).alias("_k")
         )
@@ -1557,15 +1561,7 @@ def _fk_integrity_sql() -> str:
                  AS unreferenced_rate
         """
 
-    arms = " UNION ALL ".join(
-        arm(*r)
-        for r in [
-            ("orders.custkey", "orders", "o_custkey", None, "customer", "c_custkey", 10),
-            ("lineitem.orderkey", "lineitem", "l_orderkey", 3, "orders", "o_orderkey", None),
-            ("lineitem.partkey", "lineitem", "l_partkey", None, "part", "p_partkey", None),
-            ("lineitem.suppkey", "lineitem", "l_suppkey", None, "supplier", "s_suppkey", None),
-        ]
-    )
+    arms = " UNION ALL ".join(arm(*r) for r in FK_RELS)
     return arms
 
 

@@ -2429,3 +2429,212 @@ class TestBoilerplateScrub:
         assert clean["segs_removed"] == 0
         assert clean["words_removed"] == 0
         assert clean["removal_rate"] == 0.0
+
+
+class TestCorpusRelease:
+    def test_sections_and_token_conservation(self, spark):
+        """The release receipt's three volume sections describe the SAME
+        emitted sample, so their token totals must agree exactly:
+        sum(shard) == sum(stage) == sum(source emitted_tokens); ditto
+        copy counts. The gate row is a single verdict with a rate."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["llm_corpus_release"](
+            spark, SF_SMALL
+        ).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["section"], []).append(r)
+        assert set(by) == {"source", "shard", "stage", "gate"}
+        tok = {
+            s: sum(r["n_tokens"] for r in by[s])
+            for s in ("source", "shard", "stage")
+        }
+        assert tok["source"] == tok["shard"] == tok["stage"]
+        units = {
+            s: sum(r["n_units"] for r in by[s])
+            for s in ("source", "shard", "stage")
+        }
+        assert units["source"] == units["shard"] == units["stage"]
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            RELEASE_SHARDS,
+            RELEASE_STAGES,
+        )
+
+        assert len(by["shard"]) <= RELEASE_SHARDS + 1
+        assert len(by["stage"]) == RELEASE_STAGES
+        # every shard but the last (highest key) must be filled to
+        # target within one document
+        shards = sorted(by["shard"], key=lambda r: int(r["key"]))
+        for r in shards[:-1]:
+            assert r["metric"] >= 0.9
+        (g,) = by["gate"]
+        assert g["key"] == "split_leakage"
+        assert 0.0 <= g["metric"] <= 1.0
+
+    def test_stage_quality_is_monotone(self, spark):
+        """Stages are a quality-ordered ntile cut: stage k's
+        copy-weighted mean quality must not decrease with k."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["llm_corpus_release"](
+            spark, SF_SMALL
+        ).collect()
+        stages = sorted(
+            (r for r in rows if r["section"] == "stage"),
+            key=lambda r: int(r["key"]),
+        )
+        qs = [r["metric"] for r in stages]
+        assert qs == sorted(qs)
+
+
+class TestIvfRecluster:
+    def test_split_fires_and_rebalances(self, spark):
+        """On the testbed exactly the ≥1.1x-uniform lists split; the
+        children partition the parent's membership and the post-split
+        max share must not exceed the pre-split max share."""
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            ivf_recluster,
+        )
+
+        rows = ivf_recluster(spark, SF_SMALL).collect()
+        split = [r for r in rows if r["split"]]
+        cold = [r for r in rows if not r["split"]]
+        assert split, "no hot list split — trigger never fired"
+        for r in cold:
+            assert r["n_after"] == r["n_before"]
+            assert r["sub"] == 0
+        # children of one parent partition its members
+        from collections import defaultdict
+
+        per_parent = defaultdict(list)
+        for r in split:
+            per_parent[r["cid"]].append(r)
+        for cid, kids in per_parent.items():
+            assert sum(k["n_after"] for k in kids) == kids[0]["n_before"]
+            assert len({k["sub"] for k in kids}) == len(kids)
+        assert max(r["share_after"] for r in rows) <= max(
+            r["share_before"] for r in rows
+        )
+
+    def test_total_membership_conserved(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            ivf_recluster,
+        )
+
+        rows = ivf_recluster(spark, SF_SMALL).collect()
+        before = {r["cid"]: r["n_before"] for r in rows}
+        assert sum(r["n_after"] for r in rows) == sum(before.values())
+
+
+class TestQuarantineRollup:
+    def test_all_producers_present_with_known_receipts(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["rel_quarantine_rollup"](
+            spark, SF_SMALL
+        ).collect()
+        assert len(rows) == 12
+        by = {(r["producer"], r["reason"]): r for r in rows}
+        j = by[("src_jsonl_documents", "corrupt_record")]
+        assert j["n_flagged"] == 2 and j["sample_key"] is None
+        c = by[("src_csv_documents", "corrupt_record")]
+        # REGRESSION PIN (column pruning): the CSV arm must parse the
+        # typed n_chars column or the planted corruption never fires —
+        # n_flagged silently becomes 0 (hit twice in round 11: once
+        # with no reference, once with an optimizer-eliminated one)
+        assert c["n_flagged"] == 2
+        assert c["sample_key"] == 991001
+        orph = by[("rel_fk_integrity:orders.custkey", "orphan")]
+        assert orph["n_flagged"] > 0  # degraded parent fires the path
+        assert orph["sample_key"] is not None
+        clean = by[("rel_fk_integrity:lineitem.partkey", "orphan")]
+        assert clean["n_flagged"] == 0 and clean["sample_key"] is None
+        for t in ("documents", "embeddings"):
+            d = by[(f"rel_deletion_audit:{t}", "pending_purge")]
+            assert d["n_flagged"] > 0 and d["sample_key"] == 0
+
+
+class TestY4mVideoEngine:
+    """Round-11 live video seam (VERDICT r10 item 5): engine='real'
+    decodes genuine YUV4MPEG2 clips through the stdlib parser —
+    unconditional, no pyav — under the same schemas as the fake
+    engine; compressed containers remain the documented pyav seam."""
+
+    @staticmethod
+    def _clip(w=6, h=4, n=5, fps=(10, 1)):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            y4m_lite,
+        )
+
+        fsize = w * h * 3 // 2  # C420
+        frames = [bytes([i]) * fsize for i in range(n)]
+        return y4m_lite.encode_y4m(frames, w, h, fps=fps), frames
+
+    def test_y4m_lite_roundtrip(self):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            y4m_lite,
+        )
+
+        clip, frames = self._clip(w=8, h=2, n=7, fps=(30, 1))
+        assert y4m_lite.is_y4m(clip)
+        assert y4m_lite.y4m_info(clip) == (8, 2, 30, 1, 7)
+        got = list(y4m_lite.y4m_frames(clip))
+        assert [i for i, _ in got] == list(range(7))
+        assert [f for _, f in got] == frames
+        # sampling: every 2nd frame, capped at 3
+        got2 = list(y4m_lite.y4m_frames(clip, every_n=2, max_frames=3))
+        assert [i for i, _ in got2] == [0, 2, 4]
+        # truncated tail frame is dropped like a streaming demuxer
+        assert y4m_lite.y4m_info(clip[:-5])[4] == 6
+
+    def test_decode_media_real_engine_decodes_y4m(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        clip, _ = self._clip(w=6, h=4, n=5, fps=(10, 1))
+        media = spark.createDataFrame(
+            [(3, "video", bytearray(clip))],
+            schema="doc_id long, media_type string, payload binary",
+        )
+        (row,) = multimodal.decode_media(media, engine="real").collect()
+        assert (row["width"], row["height"]) == (6, 4)
+        assert row["n_frames"] == 5
+        assert row["duration_ms"] == 500  # 5 frames @ 10 fps
+        assert row["payload_len"] == len(clip)
+
+    def test_sample_frames_real_engine_extracts_y4m_frames(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        clip, frames = self._clip(w=6, h=4, n=5)
+        media = spark.createDataFrame(
+            [(3, "video", bytearray(clip)), (4, "image", bytearray(b"x"))],
+            schema="doc_id long, media_type string, payload binary",
+        )
+        rows = sorted(
+            multimodal.sample_frames(
+                media, every_n=2, max_frames=2, engine="real"
+            ).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [(r["doc_id"], r["frame_index"]) for r in rows] == [
+            (3, 0),
+            (3, 2),
+        ]
+        assert rows[0]["frame_hex"] == frames[0].hex()
+        assert rows[1]["frame_hex"] == frames[2].hex()
+
+    def test_compressed_video_still_raises(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        media = spark.createDataFrame(
+            [(9, "video", bytearray(b"\x00\x00\x00\x18ftypmp42-fake"))],
+            schema="doc_id long, media_type string, payload binary",
+        )
+        with pytest.raises(Exception, match="pyav"):
+            multimodal.sample_frames(media, engine="real").collect()
