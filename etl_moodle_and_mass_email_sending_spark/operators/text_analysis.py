@@ -4563,10 +4563,13 @@ def sql_calibration_ece(corpus_sql: str) -> str:
 N_SHARDS = 16
 
 
-def shard_balance(corpus: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
-    """(shard, n_docs, n_tokens, fill_rate): the per-shard receipt of
-    the token-balanced hash-shuffled shard cut. ``corpus`` must carry
-    (doc_id, text)."""
+def shard_assign(
+    corpus: DataFrame, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """(doc_id, _t, _target, shard): the doc-level token-balanced
+    hash-shuffled shard assignment — shard_balance's rollup input,
+    exposed (round 11) so cross-audits (dedup_shard_locality) can read
+    WHERE each doc lands, not just how full each shard is."""
     from .util import two_pass_running_sum
 
     toks = corpus.select(
@@ -4601,6 +4604,16 @@ def shard_balance(corpus: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
                 (F.col("_cin") - F.col("_t")) / F.col("_target")
             ).cast("int"),
         )
+        .select("doc_id", "_t", "_target", "shard")
+    )
+
+
+def shard_balance(corpus: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
+    """(shard, n_docs, n_tokens, fill_rate): the per-shard receipt of
+    the token-balanced hash-shuffled shard cut. ``corpus`` must carry
+    (doc_id, text)."""
+    return (
+        shard_assign(corpus, n_shards)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -4612,13 +4625,14 @@ def shard_balance(corpus: DataFrame, n_shards: int = N_SHARDS) -> DataFrame:
     )
 
 
-def sql_shard_balance(corpus_sql: str, n_shards: int = N_SHARDS) -> str:
+def _sql_shard_assign_ctes(corpus_sql: str, n_shards: int) -> str:
+    """The shared toks/tot/cum CTE chain of the shard cut; ``cum``
+    carries doc_id so the assignment is readable per doc."""
     h = (
         f"CAST('0x' || substr(md5('SH{SEED_SEP}' || "
         f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, CAST({_N_TOKS_DUCK} AS BIGINT) AS t
       FROM ({corpus_sql})
     ),
@@ -4628,12 +4642,17 @@ def sql_shard_balance(corpus_sql: str, n_shards: int = N_SHARDS) -> str:
       FROM toks
     ),
     cum AS (
-      SELECT t,
+      SELECT doc_id, t,
              coalesce(sum(t) OVER (ORDER BY {h}, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                0) AS cex
       FROM toks
-    )
+    )"""
+
+
+def sql_shard_balance(corpus_sql: str, n_shards: int = N_SHARDS) -> str:
+    return f"""
+    WITH {_sql_shard_assign_ctes(corpus_sql, n_shards)}
     SELECT CAST(floor(CAST(cex AS DOUBLE) / target) AS INTEGER)
              AS shard,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -5396,4 +5415,148 @@ def sql_corpus_release(
     )
     SELECT * FROM src UNION ALL SELECT * FROM shard
     UNION ALL SELECT * FROM stage UNION ALL SELECT * FROM gate
+    """
+
+
+# --------------------------------------------------------------------------
+# DSIR EXECUTE (round 11) — the sampler behind text_dsir_weights, the
+# same diagnostic→executor promotion mixture_execute gave
+# temperature_mixture: dsir_weights scores every doc by the
+# target-vs-raw hashed-bigram log-likelihood ratio (Xie et al. 2023);
+# this DRAWS the importance-weighted sample. Gumbel top-k — score =
+# weight + Gumbel(u), u from the portable md5 top-60-bit fraction of
+# doc_id — is the exact weighted-sampling-without-replacement scheme
+# (equivalent to A-ES, the weighted_sample precedent) with no RNG
+# state, so the drawn sample is reproducible and oracle-checkable.
+# The receipt aggregates FROM the materialized sample, per language:
+# the selection-pressure proof is mean_weight_sampled ≫
+# mean_weight_all and the target domain (en) oversampled.
+#
+# 100 TB shape: weights are the dsir_weights pipeline (hash-bucketed
+# bigram partial aggregation, broadcast 10k-bucket LM); the top-n is
+# the salted two-stage rank (stage 1 ranks within 16 hash salts so no
+# task ever sorts the corpus; stage 2's global window sees ≤ 16·n
+# survivor rows — the documented bounded escape hatch). The receipt is
+# |langs| rows.
+# --------------------------------------------------------------------------
+
+DSIR_SAMPLE_N = 100
+DSIR_SALTS = 16
+
+
+def dsir_execute(
+    corpus: DataFrame, n: int = DSIR_SAMPLE_N
+) -> DataFrame:
+    """(lang, n_docs, n_sampled, sample_rate, mean_weight_all,
+    mean_weight_sampled) after drawing the global Gumbel-top-n
+    importance sample; ``corpus`` must carry (doc_id, text, lang).
+    n_docs counts the eligible pool (docs with ≥1 bigram)."""
+    from pyspark.sql.window import Window
+
+    w = dsir_weights(corpus)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"DX{SEED_SEP}"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**15))
+    )
+    # the DSIR sampling weight is the per-doc SUM of bigram
+    # log-ratios (avg · n_bigrams) — the mean alone is O(1e-3) and
+    # Gumbel noise would drown the selection pressure entirely
+    doc_w = F.col("dsir_weight") * F.col("n_bigrams")
+    scored = w.join(corpus.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "doc_id",
+        F.round(doc_w * 1_000_000).cast("bigint").alias("_wm"),
+        F.round(doc_w - F.log(-F.log(u)), 12).alias("_score"),
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(DSIR_SALTS)).alias(
+            "_salt"
+        ),
+    )
+    w1 = Window.partitionBy("_salt").orderBy(
+        F.col("_score").desc(), "doc_id"
+    )
+    stage1 = scored.withColumn(
+        "_rn", F.row_number().over(w1)
+    ).filter(F.col("_rn") <= n)
+    w2 = Window.orderBy(F.col("_score").desc(), "doc_id")
+    sampled = stage1.withColumn(
+        "_rank", F.row_number().over(w2)
+    ).filter(F.col("_rank") <= n)
+    alla = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_wm").alias("_wa"),
+    )
+    smp = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_ns"),
+        F.sum("_wm").alias("_ws"),
+    )
+    return alla.join(smp, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("_ns", F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.round(
+            F.coalesce("_ns", F.lit(0)) / F.col("n_docs"), 6
+        ).alias("sample_rate"),
+        F.round(F.col("_wa") / 1_000_000.0 / F.col("n_docs"), 6).alias(
+            "mean_weight_all"
+        ),
+        F.round(
+            F.try_divide(F.col("_ws") / 1_000_000.0, F.col("_ns")), 6
+        ).alias("mean_weight_sampled"),
+    )
+
+
+def sql_dsir_execute(corpus_sql: str, n: int = DSIR_SAMPLE_N) -> str:
+    weights = sql_dsir_weights(corpus_sql)
+    u = (
+        f"CAST('0x' || substr(md5('DX{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+        f"/ {float(16**15)!r}"
+    )
+    return f"""
+    WITH w AS ({weights}),
+    scored AS (
+      SELECT c.lang, w.doc_id,
+             CAST(round(w.dsir_weight * w.n_bigrams * 1000000)
+                  AS BIGINT) AS wm,
+             round(w.dsir_weight * w.n_bigrams - ln(-ln({u})), 12)
+               AS score
+      FROM w JOIN ({corpus_sql}) c USING (doc_id)
+    ),
+    samp AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS rk
+        FROM scored
+      ) WHERE rk <= {n}
+    ),
+    a AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, sum(wm) AS wa
+      FROM scored GROUP BY 1
+    ),
+    s AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS ns, sum(wm) AS ws
+      FROM samp GROUP BY 1
+    )
+    SELECT a.lang, a.n_docs,
+           CAST(coalesce(s.ns, 0) AS BIGINT) AS n_sampled,
+           round(CAST(coalesce(s.ns, 0) AS DOUBLE) / a.n_docs, 6)
+             AS sample_rate,
+           round(CAST(a.wa AS DOUBLE) / 1000000.0 / a.n_docs, 6)
+             AS mean_weight_all,
+           round(CAST(s.ws AS DOUBLE) / 1000000.0 / s.ns, 6)
+             AS mean_weight_sampled
+    FROM a LEFT JOIN s USING (lang)
     """

@@ -4,7 +4,7 @@ LSH-bucketed ANN), text analysis, and multimodal decode."""
 
 from __future__ import annotations
 
-from ..operators import dedup, multimodal, similarity, text_analysis
+from ..operators import components, dedup, multimodal, similarity, text_analysis
 from ..registry import register
 
 _CORPUS_SQL = dedup.sql_dup_corpus()
@@ -3150,4 +3150,219 @@ register(
     "rel_quarantine_rollup",
     _rel_quarantine_rollup,
     _sql_rel_quarantine_rollup(),
+)
+
+
+# sim_recall_after_recluster — the maintenance loop's go/no-go: the
+# IVF recall@k curve on the pre-split vs post-split index
+# (operators/similarity.py::recall_after_recluster).
+register(
+    "sim_recall_after_recluster",
+    lambda spark, sf_dir: similarity.recall_after_recluster(
+        spark, sf_dir
+    ),
+    similarity.sql_recall_after_recluster(),
+)
+
+
+# text_dsir_execute — the importance-weighted sampler behind
+# dsir_weights: Gumbel-top-n draw + the per-language selection-pressure
+# receipt (operators/text_analysis.py::dsir_execute).
+register(
+    "text_dsir_execute",
+    lambda spark, sf_dir: text_analysis.dsir_execute(
+        _docs(spark, sf_dir)
+    ),
+    text_analysis.sql_dsir_execute(_DOCS_SQL),
+)
+
+
+# --------------------------------------------------------------------------
+# dedup_shard_locality (round 11) — the writer × dedup cross-audit:
+# after the token-balanced hash-shuffled shard cut, does a near-dup
+# cluster land in ONE shard or straddle several? A hash cut scatters
+# near-dups by construction (ids hash independently), which defeats
+# any shard-local dedup/packing pass downstream — this receipt
+# measures how badly: the distribution of clusters (size > 1) over
+# the number of distinct shards they touch. A release wanting
+# shard-local dedup must see mass at n_shards_touched = 1 — the
+# signal to switch the writer to cluster-aware bucketing
+# (repartition by component before the cut).
+#
+# 100 TB shape: the cluster frame is the session-staged LSH pipeline
+# (banded, never all-pairs); the shard assignment is the documented
+# two-pass running-sum cut; the audit itself is a doc-keyed hash
+# equi-join + two bounded rollups (|clusters| rows, then
+# ≤ n_shards rows out). Nothing pairwise, nothing windowed.
+# --------------------------------------------------------------------------
+
+
+def _dedup_shard_locality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    corpus = dedup.dup_corpus(spark, sf_dir)
+    clusters = _staged_clusters(spark, sf_dir).filter(
+        F.col("cluster_size") > 1
+    )
+    shards = text_analysis.shard_assign(
+        corpus.select("doc_id", "text")
+    ).select("doc_id", "shard")
+    per = (
+        clusters.join(shards, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.countDistinct("shard").cast("int").alias(
+                "n_shards_touched"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("_nd"),
+        )
+    )
+    return (
+        per.groupBy("n_shards_touched")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("_nd").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+def _sql_dedup_shard_locality() -> str:
+    clusters = components.sql_dedup_clusters(
+        _CORPUS_SQL, dedup.sql_minhash_lsh_pairs(_CORPUS_SQL)
+    )
+    from ..operators.text_analysis import _sql_shard_assign_ctes, N_SHARDS
+
+    return f"""
+    WITH {_sql_shard_assign_ctes(_CORPUS_SQL, N_SHARDS)},
+    shards AS (
+      SELECT doc_id,
+             CAST(floor(CAST(cex AS DOUBLE) / target) AS INTEGER)
+               AS shard
+      FROM cum CROSS JOIN tot
+    ),
+    clusters AS ({clusters}),
+    per AS (
+      SELECT c.component,
+             CAST(count(DISTINCT s.shard) AS INTEGER)
+               AS n_shards_touched,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM clusters c JOIN shards s USING (doc_id)
+      WHERE c.cluster_size > 1
+      GROUP BY 1
+    )
+    SELECT n_shards_touched,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(nd) AS BIGINT) AS n_docs
+    FROM per GROUP BY 1
+    """
+
+
+register(
+    "dedup_shard_locality",
+    _dedup_shard_locality,
+    _sql_dedup_shard_locality(),
+)
+
+
+# --------------------------------------------------------------------------
+# llm_eval_guard (round 11) — the EVAL-side composition, the release
+# receipt's twin: llm_corpus_release certifies what ships to TRAINING;
+# this certifies that evaluation on the held-out slice will measure
+# generalization, not memorization. Three existing audits in one
+# long-format verdict (section, key, n_flagged, n_total, rate):
+#   decontaminate — how much of the training corpus carries benchmark
+#     n-grams (key='train_docs'; the gate that decides a scrub);
+#   direction     — per source, which way the contamination flows
+#     (rate = direction_ratio: >1 means the source copies the
+#     benchmark, <1 means the benchmark drew from the source);
+#   split         — content leakage across the train/val hash split
+#     (rate = leak_rate).
+#
+# 100 TB shape: every constituent reuses its own audited skeleton
+# (gram fan-outs recomputed codegen-side, only eval-slice-bounded
+# frames persisted, distinct-before-join on both gram sides); the
+# composition adds two single-row aggregations and a union —
+# |sources| + 2 rows out.
+# --------------------------------------------------------------------------
+
+
+def _llm_eval_guard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.text_analysis import DECON_BENCH_MOD
+
+    docs = _docs(spark, sf_dir)
+    contam = text_analysis.decontaminate(docs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged")
+    )
+    n_train = docs.filter(
+        F.col("doc_id") % DECON_BENCH_MOD != 0
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    d1 = contam.crossJoin(F.broadcast(n_train)).select(
+        F.lit("decontaminate").alias("section"),
+        F.lit("train_docs").alias("key"),
+        "n_flagged",
+        "n_total",
+        F.round(F.col("n_flagged") / F.col("n_total"), 6).alias(
+            "rate"
+        ),
+    )
+    d2 = text_analysis.contamination_direction(
+        _docs_sourced(spark, sf_dir)
+    ).select(
+        F.lit("direction").alias("section"),
+        F.col("source").alias("key"),
+        F.col("n_contam_train_docs").alias("n_flagged"),
+        F.col("n_train_docs").alias("n_total"),
+        F.col("direction_ratio").alias("rate"),
+    )
+    d3 = text_analysis.split_leakage(
+        docs.select("doc_id", "text")
+    ).select(
+        F.lit("split").alias("section"),
+        F.lit("leakage").alias("key"),
+        F.col("n_leaked_val").alias("n_flagged"),
+        F.col("n_val").alias("n_total"),
+        F.col("leak_rate").alias("rate"),
+    )
+    return d1.unionByName(d2).unionByName(d3)
+
+
+def _sql_llm_eval_guard() -> str:
+    from ..operators.text_analysis import (
+        DECON_BENCH_MOD,
+        sql_contamination_direction,
+        sql_decontaminate,
+        sql_split_leakage,
+    )
+
+    decon = sql_decontaminate(_DOCS_SQL)
+    dirn = sql_contamination_direction(
+        "SELECT doc_id, text, source FROM documents"
+    )
+    leak = sql_split_leakage("SELECT doc_id, text FROM documents")
+    return f"""
+    SELECT 'decontaminate' AS section, 'train_docs' AS key,
+           (SELECT CAST(count(*) AS BIGINT) FROM ({decon}))
+             AS n_flagged,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % {DECON_BENCH_MOD} <> 0) AS n_total,
+           round((SELECT CAST(count(*) AS DOUBLE) FROM ({decon}))
+                 / (SELECT count(*) FROM documents
+                    WHERE doc_id % {DECON_BENCH_MOD} <> 0), 6)
+             AS rate
+    UNION ALL
+    SELECT 'direction', source, n_contam_train_docs, n_train_docs,
+           direction_ratio
+    FROM ({dirn})
+    UNION ALL
+    SELECT 'split', 'leakage', n_leaked_val, n_val, leak_rate
+    FROM ({leak})
+    """
+
+
+register(
+    "llm_eval_guard",
+    _llm_eval_guard,
+    _sql_llm_eval_guard(),
 )

@@ -1544,3 +1544,67 @@ FROM chunked GROUP BY 1
 """
 
 register("stream_fk_guard", stream_fk_guard, STREAM_FK_GUARD_SQL)
+
+
+def stream_quarantine_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest quarantine (round 11): the staged JSONL drop
+    (full documents table + 2 planted corrupt lines) arrives as a file
+    stream, one file per micro-batch, each batch PERMISSIVE-parsed
+    under the explicit contract schema; per-batch partial health rows
+    (corrupt lines under __corrupt__) are summed into the whole-drop
+    health report. Counts are additive, so the result is independent
+    of how the files batch — the exact batch oracle
+    (streaming/quarantine_stream.py has the architecture)."""
+    import os
+
+    from ..queries.llmdata import _staged_jsonl_drop
+    from ..sources.jsonl import DOCUMENTS_JSONL_SCHEMA
+    from ..streaming import quarantine_stream
+
+    drop = _staged_jsonl_drop(spark, sf_dir)
+    base = scratch_dir("quarantine_feed_")
+    # ~4 micro-batches at ANY drop size: one-file-per-trigger would
+    # scale batch COUNT (and its fixed checkpoint orchestration cost)
+    # with the file count — measured 3.4x at 8x data — while an
+    # autoloader in production batches many files per trigger. Counts
+    # are additive, so the result is batching-independent either way.
+    n_files = sum(
+        1 for f in os.listdir(drop) if not f.startswith((".", "_"))
+    )
+    stream = (
+        spark.readStream.schema(DOCUMENTS_JSONL_SCHEMA)
+        .option("maxFilesPerTrigger", max(1, n_files // 4))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(drop)
+    )
+    q = quarantine_stream.start_quarantine_stream(
+        stream,
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(base, "out"))
+        .groupBy("source")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )
+
+
+def _stream_quarantine_feed_sql() -> str:
+    from ..queries.llmdata import N_PLANTED_CORRUPT
+
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    UNION ALL
+    SELECT '__corrupt__' AS source,
+           CAST({N_PLANTED_CORRUPT} AS BIGINT) AS n_docs
+    """
+
+
+register(
+    "stream_quarantine_feed",
+    stream_quarantine_feed,
+    _stream_quarantine_feed_sql(),
+)

@@ -2638,3 +2638,148 @@ class TestY4mVideoEngine:
         )
         with pytest.raises(Exception, match="pyav"):
             multimodal.sample_frames(media, engine="real").collect()
+
+
+class TestRecallAfterRecluster:
+    def test_recall_holds_after_split(self, spark):
+        """The maintenance loop's go/no-go: post-split recall must not
+        collapse — allow at most one lost hit per (arm, k) — and both
+        arms must produce the full RECALL_KS curve."""
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            RECALL_KS,
+            recall_after_recluster,
+        )
+
+        rows = recall_after_recluster(spark, SF_SMALL).collect()
+        by = {(r["arm"], r["k"]): r for r in rows}
+        assert set(by) == {
+            (a, k) for a in ("pre", "post") for k in RECALL_KS
+        }
+        for k in RECALL_KS:
+            pre, post = by[("pre", k)], by[("post", k)]
+            assert post["n_hits"] >= pre["n_hits"] - 1
+            assert 0.0 <= post["mean_recall"] <= 1.0
+
+
+class TestDsirExecute:
+    def test_selection_pressure_and_budget(self, spark):
+        """The Gumbel-top-n draw must (a) emit exactly n docs overall,
+        (b) show positive POOLED selection pressure (the sample's
+        overall mean weight above the corpus's — per-language buckets
+        are too small for the invariant to hold bucket-wise against
+        Gumbel noise), and (c) oversample the target domain: en's
+        sample_rate must be the maximum."""
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            DSIR_SAMPLE_N,
+            dsir_execute,
+        )
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        rows = dsir_execute(docs).collect()
+        assert sum(r["n_sampled"] for r in rows) == DSIR_SAMPLE_N
+        rates = {r["lang"]: r["sample_rate"] for r in rows}
+        assert rates["en"] == max(rates.values())
+        pooled_all = sum(
+            r["mean_weight_all"] * r["n_docs"] for r in rows
+        ) / sum(r["n_docs"] for r in rows)
+        pooled_sampled = sum(
+            r["mean_weight_sampled"] * r["n_sampled"]
+            for r in rows
+            if r["n_sampled"]
+        ) / sum(r["n_sampled"] for r in rows)
+        assert pooled_sampled > pooled_all
+
+
+class TestDedupShardLocality:
+    def test_distribution_covers_all_multi_doc_clusters(self, spark):
+        """The locality histogram must account for every multi-doc
+        cluster exactly once, and planted near-dup pairs (hash-cut on
+        independent ids) must show scatter: some clusters straddle
+        more than one shard."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        qs = registry.queries()
+        rows = qs["dedup_shard_locality"](spark, SF_SMALL).collect()
+        assert all(r["n_shards_touched"] >= 1 for r in rows)
+        assert any(r["n_shards_touched"] > 1 for r in rows)
+        # cross-check totals against the cluster frame itself
+        from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+            _staged_clusters,
+        )
+        from pyspark.sql import functions as F
+
+        multi = (
+            _staged_clusters(spark, SF_SMALL)
+            .filter(F.col("cluster_size") > 1)
+            .agg(
+                F.countDistinct("component").alias("nc"),
+                F.count(F.lit(1)).alias("nd"),
+            )
+            .collect()[0]
+        )
+        assert sum(r["n_clusters"] for r in rows) == multi["nc"]
+        assert sum(r["n_docs"] for r in rows) == multi["nd"]
+
+
+class TestStreamQuarantineFeed:
+    def test_incremental_rollup_matches_batch_health(self, spark):
+        """The cross-batch sum of per-batch partial health rows must
+        equal the whole-drop batch rollup — including the planted
+        __corrupt__ bucket — regardless of file batching."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+            _staged_jsonl_drop,
+        )
+        from etl_moodle_and_mass_email_sending_spark.sources import jsonl
+
+        got = {
+            r["source"]: r["n_docs"]
+            for r in registry.queries()["stream_quarantine_feed"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        want = {
+            r["source"]: r["n_docs"]
+            for r in jsonl.jsonl_health(
+                jsonl.read_documents_jsonl(
+                    spark, _staged_jsonl_drop(spark, SF_SMALL)
+                )
+            ).collect()
+        }
+        assert got == want
+        assert got["__corrupt__"] == 2
+
+
+class TestLlmEvalGuard:
+    def test_sections_consistent_with_constituents(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        qs = registry.queries()
+        rows = qs["llm_eval_guard"](spark, SF_SMALL).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["section"], []).append(r)
+        assert set(by) == {"decontaminate", "direction", "split"}
+        (d,) = by["decontaminate"]
+        assert 0 < d["n_flagged"] <= d["n_total"]
+        assert d["rate"] == round(d["n_flagged"] / d["n_total"], 6)
+        (s,) = by["split"]
+        assert s["key"] == "leakage"
+        assert 0.0 <= s["rate"] <= 1.0
+        # direction rows mirror the standalone per-source audit
+        dirn = {
+            r["source"]: r
+            for r in qs["text_contamination_direction"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        for r in by["direction"]:
+            ref = dirn[r["key"]]
+            assert r["n_flagged"] == ref["n_contam_train_docs"]
+            assert r["n_total"] == ref["n_train_docs"]
+            assert r["rate"] == ref["direction_ratio"]
