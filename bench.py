@@ -256,6 +256,7 @@ HEADLINE = [
     "dedup_shard_locality",
     "stream_quarantine_feed",
     "llm_eval_guard",
+    "sim_pq_refresh",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -3799,3 +3799,145 @@ def sql_recall_after_recluster() -> str:
     UNION ALL
     {arm_rows("post")}
     """
+
+
+# --------------------------------------------------------------------------
+# PQ REFRESH (round 11) — the PQ axis of the index-maintenance story
+# (ivf_append flags ingest pressure, ivf_recluster splits hot lists;
+# this decides whether the ingest wave justifies RETRAINING the PQ
+# codebooks): distortion of the full post-ingest corpus is measured
+# under (a) the STALE codebooks — trained on the frozen pre-ingest
+# slice only (vec_id % APPEND_MOD != 0, the ivf_append contract) —
+# and (b) the REFRESHED codebooks trained on everything (the staged
+# books pq_topk already shares). The per-subspace receipt
+# (m, n_vectors, avg_dist_stale, avg_dist_fresh, improvement) is the
+# retrain trigger: improvement above a budget threshold schedules the
+# offline refresh, near-zero says the frozen books still quantize the
+# new data fine.
+#
+# 100 TB shape: both codebooks are 128-row broadcast artifacts (the
+# stale one session-staged like the fresh one — train once, score
+# many); each distortion pass is the same broadcast-fanout struct-min
+# pq_distortion runs (one narrow row per (vector, subspace) to the
+# exchange, map-side partial aggregation); the receipt is PQ_M rows.
+# --------------------------------------------------------------------------
+
+
+def pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, n_vectors, avg_dist_stale, avg_dist_fresh, improvement):
+    full-corpus PQ distortion under pre-ingest vs post-ingest
+    codebooks."""
+    from .util import staged_frame
+
+    subs, fresh_books = _staged_pq(spark, sf_dir)
+    stale_books = staged_frame(
+        spark,
+        ("pq_books_frozen", sf_dir),
+        lambda: _pq_codebooks(
+            subs.filter(F.col("vec_id") % APPEND_MOD != 0)
+        ),
+    )
+
+    def dist(books: DataFrame, out: str) -> DataFrame:
+        d = F.expr(_l2sq_spark("sub", "cvec")).alias("_d")
+        return (
+            subs.join(F.broadcast(books), "m")
+            .select("vec_id", "m", "cid", d)
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_mn")
+            )
+            .select("m", F.col("_mn._d").alias("_d"))
+            .groupBy("m")
+            .agg(
+                F.count("*").cast("bigint").alias(f"_n_{out}"),
+                F.round(
+                    F.avg(F.col("_d").cast("decimal(18,6)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias(out),
+            )
+        )
+
+    stale = dist(stale_books, "avg_dist_stale")
+    fresh = dist(fresh_books, "avg_dist_fresh")
+    return stale.join(fresh, "m").select(
+        "m",
+        F.col("_n_avg_dist_stale").alias("n_vectors"),
+        "avg_dist_stale",
+        "avg_dist_fresh",
+        F.round(
+            F.try_divide(
+                F.col("avg_dist_stale") - F.col("avg_dist_fresh"),
+                F.col("avg_dist_stale"),
+            ),
+            6,
+        ).alias("improvement"),
+    )
+
+
+def sql_pq_refresh() -> str:
+    sub_means = ", ".join(
+        f"round(avg(sub[{i + 1}]), 6)" for i in range(PQ_SUB)
+    )
+    d_seed = _l2sq_duck("s.sub", "c.cvec")
+    d_book = _l2sq_duck("s.sub", "b.cvec")
+
+    def train_and_score(tag: str, train_filter: str) -> str:
+        """CTE fragment: train books on the filtered slice, score ALL
+        subs — yields best_{tag}(m, d)."""
+        return f"""
+    tsubs_{tag} AS (SELECT * FROM subs {train_filter}),
+    seed_{tag} AS (
+      SELECT m, vec_id AS cid, sub AS cvec FROM tsubs_{tag}
+      WHERE vec_id < {PQ_K}
+    ),
+    a1_{tag} AS (
+      SELECT vec_id, m, sub, cid FROM (
+        SELECT s.vec_id, s.m, s.sub, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_seed.replace("c.cvec", "c.cvec")}, c.cid)
+                 AS rn
+        FROM tsubs_{tag} s JOIN seed_{tag} c USING (m)
+      ) WHERE rn = 1
+    ),
+    books_{tag} AS (
+      SELECT m, cid, [{sub_means}] AS cvec
+      FROM a1_{tag} GROUP BY m, cid
+    ),
+    best_{tag} AS (
+      SELECT m, d FROM (
+        SELECT s.m, {d_book} AS d,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                    ORDER BY {d_book}, b.cid) AS rn
+        FROM subs s JOIN books_{tag} b USING (m)
+      ) WHERE rn = 1
+    )"""
+
+    return f"""
+    WITH v AS (SELECT vec_id, vec FROM ({_DUCK_VECTORS})),
+    subs AS (
+      SELECT vec_id, CAST(t.r AS INTEGER) AS m,
+             vec[(t.r * {PQ_SUB} + 1):((t.r + 1) * {PQ_SUB})] AS sub
+      FROM v CROSS JOIN range({PQ_M}) t(r)
+    ),
+    {train_and_score("stale", f"WHERE vec_id % {APPEND_MOD} <> 0")},
+    {train_and_score("fresh", "")},
+    ro AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_vectors,
+             round(CAST(avg(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS avg_dist_stale
+      FROM best_stale GROUP BY m
+    ),
+    rn AS (
+      SELECT m,
+             round(CAST(avg(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS avg_dist_fresh
+      FROM best_fresh GROUP BY m
+    )
+    SELECT m, n_vectors, avg_dist_stale, avg_dist_fresh,
+           round((avg_dist_stale - avg_dist_fresh)
+                 / avg_dist_stale, 6) AS improvement
+    FROM ro JOIN rn USING (m)
+    """

@@ -3366,3 +3366,13 @@ register(
     _llm_eval_guard,
     _sql_llm_eval_guard(),
 )
+
+
+# sim_pq_refresh — the PQ retrain trigger: full-corpus distortion
+# under stale (pre-ingest) vs refreshed codebooks
+# (operators/similarity.py::pq_refresh).
+register(
+    "sim_pq_refresh",
+    lambda spark, sf_dir: similarity.pq_refresh(spark, sf_dir),
+    similarity.sql_pq_refresh(),
+)

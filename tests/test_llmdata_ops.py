@@ -2783,3 +2783,24 @@ class TestLlmEvalGuard:
             assert r["n_flagged"] == ref["n_contam_train_docs"]
             assert r["n_total"] == ref["n_train_docs"]
             assert r["rate"] == ref["direction_ratio"]
+
+
+class TestPqRefresh:
+    def test_refresh_reduces_distortion_on_average(self, spark):
+        """Fresh codebooks (trained on the post-ingest corpus) must fit
+        that corpus at least as well as the stale pre-ingest books in
+        aggregate; the receipt covers every subspace with the full
+        vector count."""
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            PQ_M,
+            pq_refresh,
+        )
+
+        rows = pq_refresh(spark, SF_SMALL).collect()
+        assert len(rows) == PQ_M
+        assert len({r["n_vectors"] for r in rows}) == 1
+        for r in rows:
+            assert r["avg_dist_stale"] > 0
+            assert r["avg_dist_fresh"] > 0
+        mean_impr = sum(r["improvement"] for r in rows) / len(rows)
+        assert mean_impr > 0
