@@ -257,6 +257,7 @@ HEADLINE = [
     "stream_quarantine_feed",
     "llm_eval_guard",
     "sim_pq_refresh",
+    "rel_zorder_execute",
     # capstone composition
     "llm_corpus_pipeline",
 ]

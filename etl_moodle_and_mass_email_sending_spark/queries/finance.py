@@ -1514,3 +1514,203 @@ register(
     LIMIT 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_zorder_execute (round 11) — the layout plan's EFFECT receipt
+# (the compaction_plan→compaction_execute promotion applied to
+# z-ordering): rel_zorder_layout assigns Morton-order file buckets;
+# this measures what the assignment BUYS at read time, against the
+# baseline a naive writer produces (arrival order = event_id ranges).
+# Per layout: the per-file min/max envelope tightness on BOTH
+# dimensions (avg span) and the file-skip rate a point predicate on
+# user_id achieves against the envelopes (16 deterministic probes) —
+# the number a lakehouse layout decision is actually made on. Z-order
+# must show far tighter user spans and a high skip rate; arrival
+# order must show near-full spans and ~zero skips.
+#
+# 100 TB shape: both layouts rank via the two-pass global rank (range
+# shuffle + broadcast offsets, no single-task sort); envelopes are a
+# 32-row-per-layout map-side-combined rollup; the probe sweep is a
+# broadcast 16-literal fan-out over the 64-row envelope frame. The
+# receipt is 2 rows.
+# --------------------------------------------------------------------------
+
+ZX_BUCKETS = 32
+ZX_N_PROBES = 16  # probes per dimension, evenly spaced in the domain
+
+
+def _zorder_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import zorder_value
+    from ..operators.util import ntile_from_rank, two_pass_rank
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(3_600_000_000))
+        .cast("bigint")
+        .alias("epoch_hour"),
+    )
+    z = e.withColumn("zvalue", zorder_value("user_id", "epoch_hour"))
+
+    def bucketed(df, order_col: str, layout: str):
+        ranked = two_pass_rank(
+            df, [F.col(order_col), F.col("event_id")], out_col="_rank"
+        )
+        total = ranked.agg(F.max("_rank").alias("_n"))
+        return (
+            ranked.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(layout).alias("layout"),
+                "user_id",
+                "epoch_hour",
+                ntile_from_rank(
+                    F.col("_rank"), F.col("_n"), ZX_BUCKETS
+                ).alias("_bucket"),
+            )
+        )
+
+    both = bucketed(z, "zvalue", "zorder").unionByName(
+        bucketed(z.select("event_id", "user_id", "epoch_hour"),
+                 "event_id", "arrival")
+    )
+    env = both.groupBy("layout", "_bucket").agg(
+        F.min("user_id").alias("_minu"),
+        F.max("user_id").alias("_maxu"),
+        F.min("epoch_hour").alias("_minh"),
+        F.max("epoch_hour").alias("_maxh"),
+    )
+    # probes: ZX_N_PROBES evenly-spaced points of each dimension's
+    # GLOBAL domain (derived, never hardcoded — both user_id and
+    # epoch-hour ranges are data-dependent and SF-dependent); integer
+    # arithmetic so both engines pick identical probes
+    dom = e.agg(
+        F.min("user_id").alias("_u0"),
+        F.max("user_id").alias("_u1"),
+        F.min("epoch_hour").alias("_g0"),
+        F.max("epoch_hour").alias("_g1"),
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k) for k in range(1, ZX_N_PROBES + 1)])
+    ).alias("_k")
+    step = F.lit(ZX_N_PROBES + 1)
+
+    def probe(lo: str, hi: str):
+        return (
+            F.col(lo)
+            + ((F.col(hi) - F.col(lo)) * F.col("_k"))
+            .cast("bigint")
+            / step
+        ).cast("bigint")
+
+    fanned = (
+        env.crossJoin(F.broadcast(dom))
+        .select(
+            "layout", "_minu", "_maxu", "_minh", "_maxh",
+            "_u0", "_u1", "_g0", "_g1", ks,
+        )
+        .withColumn("_up", probe("_u0", "_u1"))
+        .withColumn("_hp", probe("_g0", "_g1"))
+    )
+    skip = fanned.groupBy("layout").agg(
+        F.avg(
+            F.when(
+                (F.col("_up") < F.col("_minu"))
+                | (F.col("_up") > F.col("_maxu")),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("_sr"),
+        F.avg(
+            F.when(
+                (F.col("_hp") < F.col("_minh"))
+                | (F.col("_hp") > F.col("_maxh")),
+                1.0,
+            ).otherwise(0.0)
+        ).alias("_hsr"),
+    )
+    spans = env.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.round(F.avg(F.col("_maxu") - F.col("_minu")), 3).alias(
+            "avg_user_span"
+        ),
+        F.round(F.avg(F.col("_maxh") - F.col("_minh")), 3).alias(
+            "avg_hour_span"
+        ),
+    )
+    return (
+        spans.join(skip, "layout")
+        .select(
+            "layout",
+            "n_buckets",
+            "avg_user_span",
+            "avg_hour_span",
+            F.round(F.col("_sr"), 6).alias("user_skip_rate"),
+            F.round(F.col("_hsr"), 6).alias("hour_skip_rate"),
+        )
+    )
+
+
+def _sql_zorder_execute() -> str:
+    from ..operators.sketches import sql_zorder_value
+
+    zexpr = sql_zorder_value("user_id", "epoch_hour")
+    return f"""
+    WITH base AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS epoch_hour
+      FROM events
+    ),
+    z AS (SELECT *, {zexpr} AS zvalue FROM base),
+    lay AS (
+      SELECT 'zorder' AS layout, user_id, epoch_hour,
+             CAST(ntile({ZX_BUCKETS}) OVER (ORDER BY zvalue, event_id)
+                  AS INTEGER) AS bucket
+      FROM z
+      UNION ALL
+      SELECT 'arrival', user_id, epoch_hour,
+             CAST(ntile({ZX_BUCKETS}) OVER (ORDER BY event_id)
+                  AS INTEGER) AS bucket
+      FROM base
+    ),
+    env AS (
+      SELECT layout, bucket,
+             min(user_id) AS minu, max(user_id) AS maxu,
+             min(epoch_hour) AS minh, max(epoch_hour) AS maxh
+      FROM lay GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT min(user_id) AS u0, max(user_id) AS u1,
+             min(epoch_hour) AS g0, max(epoch_hour) AS g1
+      FROM base
+    ),
+    skip AS (
+      SELECT layout,
+             avg(CASE WHEN up < minu OR up > maxu THEN 1.0 ELSE 0.0
+                 END) AS sr,
+             avg(CASE WHEN hp < minh OR hp > maxh THEN 1.0 ELSE 0.0
+                 END) AS hsr
+      FROM (
+        SELECT e.layout, e.minu, e.maxu, e.minh, e.maxh,
+               u0 + CAST((u1 - u0) * k AS BIGINT) // {ZX_N_PROBES + 1}
+                 AS up,
+               g0 + CAST((g1 - g0) * k AS BIGINT) // {ZX_N_PROBES + 1}
+                 AS hp
+        FROM env e CROSS JOIN dom
+        CROSS JOIN (SELECT unnest(range(1, {ZX_N_PROBES + 1})) AS k)
+      )
+      GROUP BY 1
+    ),
+    spans AS (
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+             round(avg(maxu - minu), 3) AS avg_user_span,
+             round(avg(maxh - minh), 3) AS avg_hour_span
+      FROM env GROUP BY 1
+    )
+    SELECT layout, n_buckets, avg_user_span, avg_hour_span,
+           round(sr, 6) AS user_skip_rate,
+           round(hsr, 6) AS hour_skip_rate
+    FROM spans JOIN skip USING (layout)
+    """
+
+
+register("rel_zorder_execute", _zorder_execute, _sql_zorder_execute())

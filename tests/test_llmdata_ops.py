@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_SMALL
+from conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_exact_dedup_finds_planted_copies(spark):
@@ -2804,3 +2804,29 @@ class TestPqRefresh:
             assert r["avg_dist_fresh"] > 0
         mean_impr = sum(r["improvement"] for r in rows) / len(rows)
         assert mean_impr > 0
+
+
+class TestZorderExecute:
+    def test_zorder_prunes_on_both_dimensions(self, spark):
+        """The layout-effect receipt must show the canonical z-order
+        trade: arrival order prunes ONLY on time (high hour skip, no
+        user skip); the Morton layout prunes on BOTH dimensions.
+        Asserted at SF_MEDIUM — at sf0.001 the user domain is ~14
+        values wide, so per-bucket user spans saturate under either
+        layout and z-ordering genuinely buys nothing (the receipt
+        honestly reports that; it's the wrong scale to pin the story)."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = {
+            r["layout"]: r
+            for r in registry.queries()["rel_zorder_execute"](
+                spark, SF_MEDIUM
+            ).collect()
+        }
+        assert set(rows) == {"zorder", "arrival"}
+        a, z = rows["arrival"], rows["zorder"]
+        assert a["n_buckets"] == z["n_buckets"] == 32
+        assert a["user_skip_rate"] == 0.0
+        assert z["user_skip_rate"] > 0.1
+        assert z["hour_skip_rate"] > 0.5
+        assert z["avg_user_span"] < a["avg_user_span"]
