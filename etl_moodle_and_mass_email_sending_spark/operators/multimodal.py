@@ -768,12 +768,43 @@ def detect_scene_changes(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from . import y4m_lite
+
         for pdf in batches:
             if engine == "real":
-                raise NotImplementedError(
-                    "no video codecs in this environment; decode frames "
-                    "with pyav here and keep the same delta math"
+                # Y4M through the stdlib parser (round 11): per-frame
+                # intensity = the Y-plane byte sum (true luma energy),
+                # the SAME delta/threshold math as the fake engine.
+                # Compressed containers remain the pyav seam.
+                out = []
+                for row in pdf.itertuples(index=False):
+                    b = bytes(row.payload)
+                    if not y4m_lite.is_y4m(b):
+                        raise NotImplementedError(
+                            "engine='real' detects scenes on Y4M via "
+                            "operators/y4m_lite.py; compressed "
+                            "containers need the optional pyav extra "
+                            "— plug it here, keep SCENES_SCHEMA"
+                        )
+                    w, h, _, _, _ = y4m_lite.y4m_info(b)
+                    prev = None
+                    for i, frame in y4m_lite.y4m_frames(b):
+                        luma = int(
+                            np.frombuffer(
+                                frame[: w * h], dtype=np.uint8
+                            ).astype(np.int64).sum()
+                        )
+                        d = 0 if prev is None else abs(luma - prev)
+                        out.append(
+                            (int(row.doc_id), i, luma, d,
+                             int(d > threshold))
+                        )
+                        prev = luma
+                yield pd.DataFrame(
+                    out,
+                    columns=[f.name for f in SCENES_SCHEMA.fields],
                 )
+                continue
             if not len(pdf):
                 continue
             payloads = np.frombuffer(

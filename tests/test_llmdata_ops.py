@@ -2830,3 +2830,35 @@ class TestZorderExecute:
         assert z["user_skip_rate"] > 0.1
         assert z["hour_skip_rate"] > 0.5
         assert z["avg_user_span"] < a["avg_user_span"]
+
+
+def test_scene_changes_real_engine_on_y4m(spark):
+    """Round-11 live video seam, scene detection: engine='real' reads
+    true per-frame Y-plane luma off a genuine Y4M clip and applies the
+    same delta/threshold math as the fake engine. A planted bright
+    frame must flag exactly one scene change at its index."""
+    from etl_moodle_and_mass_email_sending_spark.operators import (
+        multimodal,
+        y4m_lite,
+    )
+
+    w, h = 8, 4
+    fsize = w * h * 3 // 2
+    dark = bytes([10]) * fsize
+    bright = bytes([200]) * fsize
+    clip = y4m_lite.encode_y4m(
+        [dark, dark, bright, bright], w, h, fps=(10, 1)
+    )
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(clip))],
+        schema="doc_id long, media_type string, payload binary",
+    )
+    rows = sorted(
+        multimodal.detect_scene_changes(media, engine="real").collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["intensity"] == 10 * w * h
+    assert rows[2]["intensity"] == 200 * w * h
+    assert [r["is_scene_change"] for r in rows] == [0, 0, 1, 0]
+    assert rows[2]["delta"] == (200 - 10) * w * h
