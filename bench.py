@@ -258,6 +258,8 @@ HEADLINE = [
     "llm_eval_guard",
     "sim_pq_refresh",
     "rel_zorder_execute",
+    "llm_datacard",
+    "stream_ivf_append",
     # capstone composition
     "llm_corpus_pipeline",
 ]

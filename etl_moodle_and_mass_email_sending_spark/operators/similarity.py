@@ -3269,6 +3269,13 @@ def ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
     )
+    return append_receipt(old, new)
+
+
+def append_receipt(old: DataFrame, new: DataFrame) -> DataFrame:
+    """The per-list ingest receipt off (cid, n_old) × (cid, n_new)
+    count frames — shared by the batch ivf_append and the streaming
+    twin (stream_ivf_append sums per-batch partials into ``new``)."""
     per = old.join(new, "cid", "left").select(
         "cid",
         "n_old",

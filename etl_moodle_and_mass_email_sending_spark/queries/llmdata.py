@@ -3376,3 +3376,170 @@ register(
     lambda spark, sf_dir: similarity.pq_refresh(spark, sf_dir),
     similarity.sql_pq_refresh(),
 )
+
+
+# --------------------------------------------------------------------------
+# llm_datacard (round 11) — the dataset-documentation artifact every
+# corpus release ships (Gebru et al., "Datasheets for Datasets"): one
+# long-format (metric, value) frame summarizing the whole corpus in a
+# single pass family — volume (docs, tokens, mean doc length),
+# composition concentration (language/source count and top-share),
+# hygiene (exact-duplicate rate, PII-bearing-doc rate), and quality
+# (mean composite score, share above the 0.6 curation cutoff). The
+# release/eval receipts (llm_corpus_release, llm_eval_guard) certify
+# PROCESSES; the datacard states what the corpus IS.
+#
+# 100 TB shape: every metric is a scan-shaped aggregation — the only
+# shuffles are the two map-side-combined rollups (lang, source) and
+# one count-distinct on the 16-byte text digest; quality and PII reuse
+# the codegen'd scan fragments their own queries stage. The artifact
+# is a ~12-row frame assembled by crossJoining 1-row broadcast aggs.
+# --------------------------------------------------------------------------
+
+
+def _llm_datacard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_toks = text_analysis._N_TOKS_SPARK
+    base = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.expr(n_toks)).alias("_toks"),
+        F.countDistinct("lang").alias("_nl"),
+        F.countDistinct("source").alias("_ns"),
+        F.countDistinct(F.md5("text")).alias("_nd"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_tl"))
+    )
+    top_src = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("_ts"))
+    )
+    q = text_analysis.quality_score(
+        docs.select("doc_id", "text")
+    ).agg(
+        F.sum(F.round(F.col("quality") * 1_000_000).cast("bigint"))
+        .alias("_qm"),
+        F.sum(F.when(F.col("quality") >= 0.6, 1).otherwise(0)).alias(
+            "_qhi"
+        ),
+    )
+    pii = text_analysis.scrub_pii(docs.select("doc_id", "text")).agg(
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1)
+            .otherwise(0)
+        ).alias("_np")
+    )
+    j = (
+        base.crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(top_src))
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(pii))
+    )
+    metrics = [
+        ("n_docs", F.col("_n").cast("double")),
+        ("total_tokens", F.col("_toks").cast("double")),
+        ("mean_doc_tokens", F.round(F.col("_toks") / F.col("_n"), 6)),
+        ("n_langs", F.col("_nl").cast("double")),
+        ("n_sources", F.col("_ns").cast("double")),
+        ("top_lang_share", F.round(F.col("_tl") / F.col("_n"), 6)),
+        ("top_source_share", F.round(F.col("_ts") / F.col("_n"), 6)),
+        (
+            "exact_dup_rate",
+            F.round(
+                (F.col("_n") - F.col("_nd")) / F.col("_n"), 6
+            ),
+        ),
+        ("pii_doc_rate", F.round(F.col("_np") / F.col("_n"), 6)),
+        (
+            "mean_quality",
+            F.round(F.col("_qm") / 1_000_000.0 / F.col("_n"), 6),
+        ),
+        (
+            "quality_ge_06_share",
+            F.round(F.col("_qhi") / F.col("_n"), 6),
+        ),
+    ]
+    out = None
+    for name, expr in metrics:
+        row = j.select(
+            F.lit(name).alias("metric"), expr.alias("value")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_llm_datacard() -> str:
+    nt = text_analysis._N_TOKS_DUCK
+    q = text_analysis.sql_quality_score(
+        "SELECT doc_id, text FROM documents"
+    )
+    pii = text_analysis.sql_scrub_pii(
+        "SELECT doc_id, text FROM documents"
+    )
+    return f"""
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({nt}) AS BIGINT) AS toks,
+             count(DISTINCT lang) AS nl,
+             count(DISTINCT source) AS ns,
+             count(DISTINCT md5(text)) AS nd
+      FROM documents
+    ),
+    tl AS (
+      SELECT max(c) AS tl FROM (
+        SELECT count(*) AS c FROM documents GROUP BY lang
+      )
+    ),
+    ts AS (
+      SELECT max(c) AS ts FROM (
+        SELECT count(*) AS c FROM documents GROUP BY source
+      )
+    ),
+    q AS (
+      SELECT CAST(sum(CAST(round(quality * 1000000) AS BIGINT))
+                  AS BIGINT) AS qm,
+             CAST(sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS qhi
+      FROM ({q})
+    ),
+    p AS (
+      SELECT CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1
+                           ELSE 0 END) AS BIGINT) AS np
+      FROM ({pii})
+    ),
+    j AS (
+      SELECT * FROM base CROSS JOIN tl CROSS JOIN ts
+      CROSS JOIN q CROSS JOIN p
+    )
+    SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM j
+    UNION ALL SELECT 'total_tokens', CAST(toks AS DOUBLE) FROM j
+    UNION ALL SELECT 'mean_doc_tokens',
+                     round(CAST(toks AS DOUBLE) / n, 6) FROM j
+    UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM j
+    UNION ALL SELECT 'n_sources', CAST(ns AS DOUBLE) FROM j
+    UNION ALL SELECT 'top_lang_share',
+                     round(CAST(tl AS DOUBLE) / n, 6) FROM j
+    UNION ALL SELECT 'top_source_share',
+                     round(CAST(ts AS DOUBLE) / n, 6) FROM j
+    UNION ALL SELECT 'exact_dup_rate',
+                     round(CAST(n - nd AS DOUBLE) / n, 6) FROM j
+    UNION ALL SELECT 'pii_doc_rate',
+                     round(CAST(np AS DOUBLE) / n, 6) FROM j
+    UNION ALL SELECT 'mean_quality',
+                     round(CAST(qm AS DOUBLE) / 1000000.0 / n, 6)
+                     FROM j
+    UNION ALL SELECT 'quality_ge_06_share',
+                     round(CAST(qhi AS DOUBLE) / n, 6) FROM j
+    """
+
+
+register("llm_datacard", _llm_datacard, _sql_llm_datacard())

@@ -1608,3 +1608,57 @@ register(
     stream_quarantine_feed,
     _stream_quarantine_feed_sql(),
 )
+
+
+def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance (round 11): the incoming vector
+    slice (vec_id % APPEND_MOD == 0, the ivf_append contract) replays
+    as four arrival chunks; each micro-batch routes into the FROZEN
+    index's centroids and lands its per-list partial counts in its own
+    batch_id partition (streaming/ivf_stream.py). The receipt — old
+    size, appended count, growth, post-ingest share, hot flag per
+    list — is assembled from the summed partials and equals the batch
+    ivf_append exactly (assignment is per-vector independent and
+    counts are additive), so sql_ivf_append is the oracle verbatim."""
+    import os
+
+    from ..operators import similarity
+    from ..operators.similarity import APPEND_MOD, append_receipt
+    from ..streaming import ivf_stream
+
+    v = similarity._vectors(spark, sf_dir).select("vec_id", "vec")
+    frozen = v.filter(F.col("vec_id") % APPEND_MOD != 0)
+    incoming = v.filter(F.col("vec_id") % APPEND_MOD == 0)
+    cent = similarity._centroids(frozen).localCheckpoint()
+    stage = _stage_ordered_chunks(
+        incoming, "vec_id", cache_key=("stage_ivf_incoming", sf_dir)
+    )
+    base = scratch_dir("ivf_append_feed_")
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = ivf_stream.start_ivf_append_stream(
+        stream,
+        cent,
+        os.path.join(base, "out"),
+        os.path.join(base, "ck"),
+    )
+    q.awaitTermination()
+    new = (
+        spark.read.parquet(os.path.join(base, "out"))
+        .groupBy("cid")
+        .agg(F.sum("n_new").cast("bigint").alias("n_new"))
+    )
+    old = (
+        similarity.ivf_assign(frozen, cent, n_best=1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_old"))
+    )
+    return append_receipt(old, new)
+
+
+from ..operators.similarity import sql_ivf_append as _sql_ivf_append
+
+register("stream_ivf_append", stream_ivf_append, _sql_ivf_append())

@@ -2862,3 +2862,53 @@ def test_scene_changes_real_engine_on_y4m(spark):
     assert rows[2]["intensity"] == 200 * w * h
     assert [r["is_scene_change"] for r in rows] == [0, 0, 1, 0]
     assert rows[2]["delta"] == (200 - 10) * w * h
+
+
+class TestLlmDatacard:
+    def test_metrics_present_and_sane(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = {
+            r["metric"]: r["value"]
+            for r in registry.queries()["llm_datacard"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert len(rows) == 11
+        assert rows["n_docs"] > 0
+        assert rows["total_tokens"] > rows["n_docs"]  # docs avg > 1 tok
+        assert rows["mean_doc_tokens"] == round(
+            rows["total_tokens"] / rows["n_docs"], 6
+        )
+        for share in (
+            "top_lang_share",
+            "top_source_share",
+            "exact_dup_rate",
+            "pii_doc_rate",
+            "quality_ge_06_share",
+        ):
+            assert 0.0 <= rows[share] <= 1.0
+        assert 0.0 <= rows["mean_quality"] <= 1.0
+        # raw documents table has no planted exact dups
+        assert rows["exact_dup_rate"] == 0.0
+
+
+class TestStreamIvfAppend:
+    def test_incremental_receipt_equals_batch_append(self, spark):
+        """Per-batch partial list counts summed across micro-batches
+        must reproduce the batch ivf_append receipt exactly —
+        assignment is per-vector independent and counts are additive."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        qs = registry.queries()
+        got = sorted(
+            (tuple(r) for r in qs["stream_ivf_append"](
+                spark, SF_SMALL
+            ).collect()),
+        )
+        want = sorted(
+            (tuple(r) for r in qs["sim_ivf_append"](
+                spark, SF_SMALL
+            ).collect()),
+        )
+        assert got == want
