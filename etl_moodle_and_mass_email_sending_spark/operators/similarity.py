@@ -3547,6 +3547,13 @@ def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-split list balance after one bounded 2-means split of every
     hot list (sub = child index within a split; 0 for unsplit)."""
     v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    return ivf_recluster_frame(v)
+
+
+def ivf_recluster_frame(v: DataFrame) -> DataFrame:
+    """ivf_recluster over an arbitrary (vec_id, vec) frame — the
+    frame-parameterized core, property-tested against a sequential
+    Python oracle on random vector sets."""
     assign, tot, flagged, members, centc = _recluster_split(
         v, _centroids(v)
     )

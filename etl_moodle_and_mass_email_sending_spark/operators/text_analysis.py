@@ -5010,9 +5010,13 @@ def split_leakage(corpus: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
         "n_train",
         "n_val",
         "n_leaked_val",
-        F.round(F.col("n_leaked_val") / F.col("n_val"), 6).alias(
-            "leak_rate"
-        ),
+        # try_divide: a corpus small enough that NO doc hashes into
+        # the 5% val bucket has n_val = 0 — ANSI `/` threw where the
+        # DuckDB oracle yields NULL (found by the round-11 random-
+        # corpus property test; the testbed never exercises it)
+        F.round(
+            F.try_divide(F.col("n_leaked_val"), F.col("n_val")), 6
+        ).alias("leak_rate"),
         "max_shared_grams",
     )
 

@@ -1226,3 +1226,133 @@ def test_mixture_execute_matches_bruteforce(spark_mod, docs):
     ):
         got[r["doc_id"]] = r["count"]
     assert got == want
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.integers(min_value=1, max_value=9), min_size=64, max_size=64
+    ),
+    min_size=8,  # seeds are vec_id < 8 — need all centroids present
+    max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=vectors_strategy)
+def test_ivf_recluster_matches_sequential_oracle(spark_mod, vecs):
+    """The round-11 hot-list 2-means split must equal a sequential
+    Python oracle of the whole recipe on random vector sets: seed
+    assignment (rounded-cosine argmax, cid tiebreak), hot flag at
+    1.1x uniform, min/max-id seeds, first assign, rounded-6 means,
+    final re-route with sub tiebreak. All-positive integer components
+    keep every arithmetic step bit-identical across engines."""
+    import math
+    from collections import Counter
+
+    from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+        RECLUSTER_HOT_FACTOR,
+        ivf_recluster_frame,
+    )
+
+    spark = spark_mod
+    vectors = {i: [float(x) for x in v] for i, v in enumerate(vecs)}
+
+    def r6(x):  # Spark round() is half-up for positives
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return r6(
+            dot
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            )
+        )
+
+    cents = {i: vectors[i] for i in vectors if i < 8}
+    assign = {
+        vid: max(cents, key=lambda c: (cos(vec, cents[c]), -c))
+        for vid, vec in vectors.items()
+    }
+    sizes = Counter(assign.values())
+    t = float(sum(sizes.values()))
+    nl = len(sizes)
+    hot = {c for c in sizes if sizes[c] / t >= RECLUSTER_HOT_FACTOR / nl}
+    want = []
+    for c in sorted(sizes):
+        sb = round(sizes[c] / t, 6)
+        if c not in hot:
+            want.append((c, 0, False, sizes[c], sb, sizes[c], sb))
+            continue
+        members = sorted(v for v in assign if assign[v] == c)
+        s0, s1 = min(members), max(members)
+        sub = {
+            m: 0
+            if cos(vectors[m], vectors[s0])
+            >= cos(vectors[m], vectors[s1])
+            else 1
+            for m in members
+        }
+        centc = {}
+        for sv in (0, 1):
+            mem = [m for m in members if sub[m] == sv]
+            if mem:
+                centc[sv] = [
+                    r6(sum(vectors[m][i] for m in mem) / len(mem))
+                    for i in range(64)
+                ]
+        routed = Counter(
+            max(centc, key=lambda sv: (cos(vectors[m], centc[sv]), -sv))
+            for m in members
+        )
+        for sv in sorted(routed):
+            want.append(
+                (c, sv, True, sizes[c], sb, routed[sv],
+                 round(routed[sv] / t, 6))
+            )
+    df = spark.createDataFrame(
+        [(i, vectors[i]) for i in vectors],
+        "vec_id long, vec array<double>",
+    )
+    got = sorted(
+        tuple(r) for r in ivf_recluster_frame(df).collect()
+    )
+    assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=docs_strategy)
+def test_corpus_release_conserves_volume_on_random_corpora(
+    spark_mod, docs
+):
+    """On ANY corpus, the release receipt's three volume sections
+    describe the same emitted sample: token and copy totals agree
+    exactly across source/shard/stage, and the gate row is present."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        corpus_release,
+    )
+
+    spark = spark_mod
+    rows = [
+        (i, "tok " * nt, f"s{src}")
+        for i, (nt, src) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = corpus_release(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["section"], []).append(r)
+    assert set(by) == {"source", "shard", "stage", "gate"}
+    tok = {
+        s: sum(r["n_tokens"] for r in by[s])
+        for s in ("source", "shard", "stage")
+    }
+    units = {
+        s: sum(r["n_units"] for r in by[s])
+        for s in ("source", "shard", "stage")
+    }
+    assert tok["source"] == tok["shard"] == tok["stage"]
+    assert units["source"] == units["shard"] == units["stage"]
