@@ -786,7 +786,7 @@ def detect_scene_changes(
                             "containers need the optional pyav extra "
                             "— plug it here, keep SCENES_SCHEMA"
                         )
-                    w, h, _, _, _ = y4m_lite.y4m_info(b)
+                    w, h, _, _, _, _ = y4m_lite._parse_header(b)
                     prev = None
                     for i, frame in y4m_lite.y4m_frames(b):
                         luma = int(

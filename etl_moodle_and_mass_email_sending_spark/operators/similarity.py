@@ -3929,7 +3929,7 @@ def sql_pq_refresh() -> str:
       SELECT vec_id, m, sub, cid FROM (
         SELECT s.vec_id, s.m, s.sub, c.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.m
-                    ORDER BY {d_seed.replace("c.cvec", "c.cvec")}, c.cid)
+                    ORDER BY {d_seed}, c.cid)
                  AS rn
         FROM tsubs_{tag} s JOIN seed_{tag} c USING (m)
       ) WHERE rn = 1

@@ -16,9 +16,11 @@ Format (https://wiki.multimedia.cx/index.php/YUV4MPEG2):
   where frame_size depends on the colorspace (C420* = w*h*3/2,
   C422 = 2*w*h, C444 = 3*w*h, Cmono = w*h; default 420).
 
-Scope: the geometry/duration metadata path is O(header); frame
-iteration is O(1) per frame (size arithmetic, no per-pixel work), so
-the decode seam stays cheap inside an Arrow batch at any payload size.
+Scope: header geometry is O(header) via ``_parse_header``; frame
+iteration (``y4m_frames``) is a SINGLE marker walk, O(1) per frame
+(size arithmetic, no per-pixel work and no counting pre-pass —
+ADVICE r11); only ``y4m_info`` pays a full walk, to count frames. The
+decode seam stays cheap inside an Arrow batch at any payload size.
 A production cluster wanting COMPRESSED containers (mp4/webm) should
 install pyav, which the multimodal seam still documents as the
 preferred plug-in; Y4M makes the seam REAL without it.
@@ -51,10 +53,10 @@ def _frame_size(width: int, height: int, cs: str) -> int:
     raise ValueError(f"unsupported Y4M colorspace {cs!r}")
 
 
-def y4m_info(data: bytes):
-    """(width, height, fps_num, fps_den, n_frames) off the stream
-    header + frame markers. Raises ValueError on a non-Y4M payload."""
-    data = bytes(data)
+def _parse_header(data: bytes):
+    """(width, height, fps_num, fps_den, cs, body_pos) off the stream
+    header alone — O(header), no frame walk. Raises ValueError on a
+    non-Y4M payload."""
     if not is_y4m(data):
         raise ValueError("not a YUV4MPEG2 stream")
     nl = data.index(b"\n")
@@ -74,8 +76,17 @@ def y4m_info(data: bytes):
             cs = t
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
+    return width, height, fps_num, fps_den, cs, nl + 1
+
+
+def y4m_info(data: bytes):
+    """(width, height, fps_num, fps_den, n_frames) off the stream
+    header + one frame-marker walk. Raises ValueError on a non-Y4M
+    payload."""
+    data = bytes(data)
+    width, height, fps_num, fps_den, cs, pos = _parse_header(data)
     fsize = _frame_size(width, height, cs)
-    n_frames = sum(1 for _ in _frame_offsets(data, nl + 1, fsize))
+    n_frames = sum(1 for _ in _frame_offsets(data, pos, fsize))
     return width, height, fps_num, fps_den, n_frames
 
 
@@ -97,17 +108,14 @@ def _frame_offsets(data: bytes, pos: int, fsize: int):
 def y4m_frames(data: bytes, every_n: int = 1, max_frames: int | None = None):
     """Yield (frame_index, frame_bytes) for every ``every_n``-th frame,
     at most ``max_frames`` of them — the ffmpeg-select shape
-    sample_frames exposes."""
+    sample_frames exposes. Single pass: header geometry is parsed once
+    (no counting pre-walk — ADVICE r11), then each FRAME marker is
+    visited exactly once."""
     data = bytes(data)
-    width, height, _, _, _ = y4m_info(data)
-    nl = data.index(b"\n")
-    cs = "C420"
-    for tok in data[len(MAGIC) : nl].split(b" "):
-        if tok[:1] == b"C":
-            cs = tok.decode("ascii", "replace")
+    width, height, _, _, cs, pos = _parse_header(data)
     fsize = _frame_size(width, height, cs)
     emitted = 0
-    for i, (a, b) in enumerate(_frame_offsets(data, nl + 1, fsize)):
+    for i, (a, b) in enumerate(_frame_offsets(data, pos, fsize)):
         if i % every_n:
             continue
         if max_frames is not None and emitted >= max_frames:

@@ -2083,7 +2083,13 @@ def _staged_jsonl_drop(spark, sf_dir) -> str:
         drop = os.path.join(base, "docs")
         load_table(spark, sf_dir, "documents").write.json(drop)
         with open(os.path.join(drop, "part-corrupt.json"), "w") as f:
-            f.write('{"doc_id": 1, "text": truncated-no-close\n')
+            # Both lines must be unparseable BEFORE any field: with
+            # spark.sql.json.enablePartialResults (default on in some
+            # Spark >=3.4 builds) a line like '{"doc_id": 1, ...' can
+            # yield doc_id=1 on a corrupt row, and the rollup's
+            # min(doc_id)-over-corrupt sample_key (oracle: NULL) would
+            # break on a version bump (ADVICE r11).
+            f.write("{truncated before any field\n")
             f.write("not json at all\n")
 
     base = staged_path(

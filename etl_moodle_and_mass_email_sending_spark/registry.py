@@ -28,7 +28,24 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-11 ROTATION (VERDICT r10 item 1):
+# entries in iteration order. ROUND-12 ROTATION (VERDICT r11 item 1):
+#   (a) all 12 round-11 tail additions — never externally certified;
+#       every one driver-sim green at sf0.001 and sf0.01 when it was
+#       registered (standing promotion policy), independently re-run
+#       green by the round-11 judge (12/12), and re-run green again
+#       this round before promotion;
+#   (b) the 32 round-6-stale names — the oldest external
+#       certifications left in the ledger (computed from the union of
+#       CORRECTNESS_r01..r11: latest green == r6);
+#   (c) 6 refresh slots for the oldest round-7 certifications
+#       (alphabetical head of the 47-name r7 cohort:
+#       dedup_threshold_sweep, graph_assortativity,
+#       graph_clustering_coeff, mm_audio_fp_dedup, mm_decode_media,
+#       mm_extract_features; the rest rotate in later rounds).
+# After CORRECTNESS_r12 goes green, every registered query has an
+# external certification and none is older than round 7.
+# ROUND-11 ROTATION (kept for the ledger; superseded above;
+# VERDICT r10 item 1):
 #   (a) all 18 round-10 tail additions — never externally certified;
 #       every one driver-sim green at sf0.001 and sf0.01 when it was
 #       registered (standing promotion policy), independently re-run
@@ -105,62 +122,62 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-10 tail additions, registration order — all driver-sim
-    # green at sf0.01 before promotion (builder r10, judge r10, and
-    # re-run at the top of round 11)
-    "text_mixture_execute",
-    "dedup_mirror_score",
-    "stream_manifest_ingest",
-    "text_shard_balance",
-    "sim_ivf_append",
-    "rel_compaction_plan",
-    "rel_deletion_audit",
-    "text_quality_threshold_sweep",
-    "stream_mixture_monitor",
-    "text_curriculum_stages",
-    "mm_modality_balance",
-    "rel_compaction_execute",
-    "rel_fk_integrity",
-    "stream_fk_guard",
-    "sim_recall_at_k_sweep",
-    "text_split_leakage",
-    "rel_salt_plan",
-    "text_boilerplate_scrub",
-    # (b) the 20 remaining round-5-stale names (oldest external
-    # certifications in the ledger)
-    "rel_q1_pricing_summary",
-    "rel_q22_dormant_customers",
-    "rel_q4_order_priority",
-    "rel_q6_forecast_revenue",
-    "rel_q8_market_share",
-    "rel_rollup",
-    "rel_running_total",
-    "rel_setops",
-    "rel_supplier_part_volume",
-    "sim_ann_lsh_topk",
-    "sim_embedding_near_dup",
-    "sim_hard_negatives",
-    "sim_topk_bruteforce",
-    "stream_outer_join",
-    "stream_sliding_counts",
-    "text_cdc_chunks",
-    "text_dsir_weights",
-    "text_fingerprint",
-    "text_gopher_rules",
-    "text_unigram_logprob",
-    # (c) oldest round-6 refreshes (alphabetical head of the r6 cohort)
-    "dedup_cluster_profile",
-    "dedup_minhash_calibration",
-    "dedup_soft_weights",
-    "graph_bfs_depth",
-    "graph_degree_profile",
-    "graph_kcore",
-    "graph_label_prop",
-    "graph_modularity",
-    "graph_triangles",
-    "mm_clip_align",
-    "rel_abc_analysis",
-    "rel_benford_check",
+    # (a) round-11 tail additions, registration order — all driver-sim
+    # green at sf0.001+sf0.01 before promotion (builder r11, judge r11
+    # 12/12, and re-run at the top of round 12)
+    "llm_corpus_release",
+    "sim_ivf_recluster",
+    "rel_quarantine_rollup",
+    "sim_recall_after_recluster",
+    "text_dsir_execute",
+    "dedup_shard_locality",
+    "stream_quarantine_feed",
+    "llm_eval_guard",
+    "sim_pq_refresh",
+    "rel_zorder_execute",
+    "llm_datacard",
+    "stream_ivf_append",
+    # (b) the 32 round-6-stale names (oldest external certifications
+    # in the ledger; latest green == r6 in CORRECTNESS_r01..r11)
+    "rel_grouping_sets",
+    "rel_hll_distinct",
+    "rel_kmv_setops",
+    "rel_psi_drift",
+    "rel_q11_important_stock",
+    "rel_q12_late_priority",
+    "rel_q16_supplier_count",
+    "rel_q20_excess_shippers",
+    "rel_q21_sole_blame",
+    "rel_q2_min_price_supplier",
+    "rel_q9_product_profit",
+    "rel_quantile_sketch",
+    "rel_session_concurrency",
+    "rel_time_weighted_avg",
+    "rel_zorder_layout",
+    "sim_ann_multiprobe_topk",
+    "sim_centroid_drift",
+    "sim_knn_graph",
+    "sim_mrl_topk",
+    "stream_bloom_membership",
+    "stream_cms_counts",
+    "stream_hll_distinct",
+    "stream_near_dup_filter",
+    "stream_quantile_sketch",
+    "stream_upsert_latest",
+    "text_bpe_merges",
+    "text_langid_confusion",
+    "text_ngram_novelty",
+    "text_quality_classifier",
+    "text_substring_dedup",
+    "text_token_entropy",
+    "text_weighted_sample",
+    # (c) oldest round-7 refreshes (alphabetical head of the r7 cohort)
+    "dedup_threshold_sweep",
+    "graph_assortativity",
+    "graph_clustering_coeff",
+    "mm_audio_fp_dedup",
+    "mm_decode_media",
+    "mm_extract_features",
 ]
 
 
