@@ -283,7 +283,78 @@ def _jvm_gc_stats(spark) -> tuple[float, float]:
         return -1.0, -1.0
 
 
-def _full_sweep(spark, qs, sf_dir: str, sf: str) -> str:
+# Environment sentinels (round 12, VERDICT r11 item 2): two FIXED,
+# data-independent micro-benchmarks (spark.range only — no testdata, no
+# registry code) benched FIRST in every bench session. Their code never
+# changes, so a shift in their medians is ENVIRONMENT drift (CPU
+# contention, page cache, JVM state), not an engine change — round 11
+# showed a uniform 1.14x cross-round drift on untouched queries that
+# was unattributable without exactly this baseline. Cross-round
+# per-query ratios should be divided by the matching sentinel ratio
+# before indicting any query's code.
+#   cpu:     one whole-stage-codegen hash loop, single stage, 0 shuffle
+#   shuffle: 2M-key hash exchange + single-row final agg
+# Reference medians recorded on an idle (load < 0.2) round-12 session;
+# re-pin them ONLY alongside a full re-record of BENCH_DETAIL.json.
+# Pinned on 2026-08-15 (round 12), fresh bench-context session on an
+# idle local[32] (load < 0.2), median of 5 after 1 warm-up.
+SENTINEL_REF = {"cpu": 0.383, "shuffle": 1.121}
+
+
+def _sentinel_frames(spark):
+    cpu = (
+        spark.range(500_000_000)
+        .selectExpr("xxhash64(id, id + 1, id * 7) % 1000003 AS h")
+        .selectExpr("sum(h) AS s")  # bounded |h| — ANSI-safe sum
+    )
+    shuffle = (
+        spark.range(20_000_000)
+        .selectExpr("id % 2000000 AS k")
+        .groupBy("k")
+        .count()
+        .selectExpr("sum(count) AS s", "count(*) AS n")
+    )
+    return {"cpu": cpu, "shuffle": shuffle}
+
+
+def _measure_sentinels(spark) -> dict:
+    """Median of 5 timed runs (after 1 warm-up) per sentinel, plus the
+    pinned reference medians and the per-sentinel drift ratios."""
+    out: dict = {}
+    for name, df in _sentinel_frames(spark).items():
+        df.write.format("noop").mode("overwrite").save()
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        med = sorted(samples)[2]
+        ref = SENTINEL_REF[name]
+        out[name] = med
+        out[f"{name}_ref"] = ref
+        out[f"{name}_drift"] = (
+            round(med / ref, 3) if ref else None
+        )
+        gc.collect()
+        spark._jvm.System.gc()
+    drifts = [v for k, v in out.items() if k.endswith("_drift") and v]
+    out["drift"] = (
+        round(
+            float(
+                __import__("math").exp(
+                    sum(__import__("math").log(d) for d in drifts)
+                    / len(drifts)
+                )
+            ),
+            3,
+        )
+        if drifts
+        else None
+    )
+    return out
+
+
+def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
     """One-shot sweep of EVERY registered query (VERDICT r10 item 2):
     one warm-up + one timed run each, alphabetical order, results to
     FULLBENCH.json.  Not a cross-round comparison series (single runs
@@ -318,6 +389,7 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str) -> str:
         "timed_runs": 1,
         "aggregation": "single-run (regression tripwire, not a "
         "cross-round comparison series)",
+        "sentinels": sentinels,
         "queries": times,
         "errors": errs,
     }
@@ -380,8 +452,13 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Environment sentinels run FIRST, before any registry query
+    # (VERDICT r11 item 2) — the session's drift factor is established
+    # on code that never changes.
+    sentinels = _measure_sentinels(spark)
+
     if "--full" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_FULL"):
-        line = _full_sweep(spark, qs, sf_dir, sf)
+        line = _full_sweep(spark, qs, sf_dir, sf, sentinels)
         spark.stop()  # teardown noise lands BEFORE the metrics line
         print(line)
         return
@@ -506,6 +583,10 @@ def main() -> None:
         "remeasured": remeasured,
         "execution_order": order,
         "aggregation": "median",
+        # fixed environment sentinels, benched first (VERDICT r11
+        # item 2): divide cross-round per-query ratios by `drift`
+        # before indicting a query's code
+        "sentinels": sentinels,
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -527,6 +608,11 @@ def main() -> None:
         "n_queries": len(times),
         "detail": "BENCH_DETAIL.json",
         "sf": float(sf),
+        "sentinels": {
+            k: sentinels[k]
+            for k in ("cpu", "shuffle", "drift")
+            if sentinels.get(k) is not None
+        },
     }
     # stop() BEFORE the print: session teardown is exactly where the
     # benign accumulator-race / ContextCleaner stacks fire, and the
