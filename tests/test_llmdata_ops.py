@@ -2912,3 +2912,79 @@ class TestStreamIvfAppend:
             ).collect()),
         )
         assert got == want
+
+
+class TestReceiptsTable:
+    """Round-12 materialized governance receipts (VERDICT r11 item 3):
+    producers append run-stamped rows, the rollup reads the table."""
+
+    SCHEMA = (
+        "producer string, reason string, n_audited long, "
+        "n_flagged long, flag_rate double, sample_key long"
+    )
+
+    def _row(self, spark, producer, n_flagged):
+        return spark.createDataFrame(
+            [(producer, "r", 10, n_flagged, n_flagged / 10.0, None)],
+            self.SCHEMA,
+        )
+
+    def test_same_run_reappend_is_idempotent(self, spark, tmp_path):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            receipts as rcpt,
+        )
+
+        path = str(tmp_path / "receipts")
+        rcpt.append_receipts(self._row(spark, "p1", 1), path, "run-000001")
+        rcpt.append_receipts(self._row(spark, "p2", 2), path, "run-000001")
+        # re-running p1 for the SAME run replaces its partition — no
+        # duplicate rows, p2 untouched
+        rcpt.append_receipts(self._row(spark, "p1", 1), path, "run-000001")
+        assert spark.read.parquet(path).count() == 2
+        assert rcpt.latest_rollup(spark, path).count() == 2
+
+    def test_latest_run_shadows_older(self, spark, tmp_path):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            receipts as rcpt,
+        )
+
+        path = str(tmp_path / "receipts")
+        rcpt.append_receipts(self._row(spark, "p1", 1), path, "run-000001")
+        rcpt.append_receipts(self._row(spark, "p2", 2), path, "run-000001")
+        rcpt.append_receipts(self._row(spark, "p1", 5), path, "run-000002")
+        got = {
+            r["producer"]: r["n_flagged"]
+            for r in rcpt.latest_rollup(spark, path).collect()
+        }
+        assert got == {"p1": 5, "p2": 2}
+        # older run's rows remain in the table (audit history), only
+        # the rollup resolves to the latest
+        assert spark.read.parquet(path).count() == 3
+
+    def test_quarantine_rollup_rerun_twice_identical(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        fn = registry.queries()["rel_quarantine_rollup"]
+        a = sorted(tuple(r) for r in fn(spark, SF_SMALL).collect())
+        b = sorted(tuple(r) for r in fn(spark, SF_SMALL).collect())
+        assert a == b
+        assert len(a) == 12
+
+    def test_rollup_matches_producer_frames(self, spark):
+        """The materialized-table rollup equals the union of the four
+        producer frames computed directly (the round-11 inline form)."""
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+            _quarantine_receipt_frames,
+        )
+
+        direct = []
+        for frame in _quarantine_receipt_frames(spark, SF_SMALL).values():
+            direct.extend(tuple(r) for r in frame.collect())
+        got = sorted(
+            tuple(r)
+            for r in registry.queries()["rel_quarantine_rollup"](
+                spark, SF_SMALL
+            ).collect()
+        )
+        assert got == sorted(direct)
