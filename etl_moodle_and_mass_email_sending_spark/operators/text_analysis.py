@@ -4021,13 +4021,20 @@ def mixture_report(
     corpus: DataFrame,
     temperature: float = MIX_TEMPERATURE,
     max_epochs: float = MIX_MAX_EPOCHS,
+    emitted: DataFrame | None = None,
 ) -> DataFrame:
     """(source, n_docs, n_full_epochs, target_tokens, n_rows_emitted,
     emitted_tokens, fill_rate): the achieved-vs-target receipt computed
     FROM the materialized sample, so the oracle certifies the executor,
-    not just the plan."""
+    not just the plan.
+
+    ``emitted``: optionally a pre-computed ``mixture_execute`` frame
+    over the same corpus/params (round 12, VERDICT r11 item 4 — the
+    registered queries session-stage one emitted spine and share it
+    across the three consumers)."""
     plan = _mixture_plan(corpus, temperature, max_epochs)
-    emitted = mixture_execute(corpus, temperature, max_epochs)
+    if emitted is None:
+        emitted = mixture_execute(corpus, temperature, max_epochs)
     rolled = emitted.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows_emitted"),
         F.sum("n_toks").cast("bigint").alias("emitted_tokens"),
@@ -5212,10 +5219,23 @@ def corpus_release(
     corpus: DataFrame,
     n_shards: int = RELEASE_SHARDS,
     n_stages: int = RELEASE_STAGES,
+    leakage: DataFrame | None = None,
+    emitted: DataFrame | None = None,
+    quality: DataFrame | None = None,
 ) -> DataFrame:
     """(section, key, n_units, n_tokens, metric) release receipt over
     (doc_id, text, source) — see the block comment for section
-    semantics."""
+    semantics.
+
+    ``leakage`` / ``emitted`` / ``quality``: optionally PRE-COMPUTED
+    constituent frames over the same corpus (round 12, VERDICT r11
+    item 4) — the split_leakage result (1 row; also computed by
+    text_split_leakage and llm_eval_guard), the mixture_execute
+    emitted spine (O(corpus); also consumed by text_mixture_execute
+    and rel_deletion_audit), and the (doc_id, quality) scores
+    (O(corpus); also a registered query of their own). The registered
+    queries session-stage each once and share them, instead of
+    re-deriving the gram fan-out / sampler / score scan per query."""
     from .util import ntile_from_rank, two_pass_rank, two_pass_running_sum
 
     # The emitted sample spine feeds THREE sections (source, shard,
@@ -5226,8 +5246,10 @@ def corpus_release(
     # + gram-join leakage gate, each already shape-audited alone).
     # O(corpus) materialization, the same size class the two-pass
     # helpers already checkpoint internally — NOT the n-grams×corpus
-    # blowup the r9 lesson bans.
-    emitted = mixture_execute(corpus).localCheckpoint()
+    # blowup the r9 lesson bans. A caller holding a session-staged
+    # spine (already checkpointed) passes it via ``emitted``.
+    if emitted is None:
+        emitted = mixture_execute(corpus).localCheckpoint()
     plan = _mixture_plan(
         corpus, MIX_TEMPERATURE, MIX_MAX_EPOCHS
     ).select(
@@ -5317,7 +5339,11 @@ def corpus_release(
         .groupBy("doc_id", "_t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
-    q = quality_score(corpus.select("doc_id", "text")).select(
+    if quality is None:
+        quality = quality_score(corpus.select("doc_id", "text")).select(
+            "doc_id", "quality"
+        )
+    q = quality.select(
         "doc_id",
         F.round(F.col("quality") * 1_000_000)
         .cast("bigint")
@@ -5354,7 +5380,9 @@ def corpus_release(
         )
     )
 
-    gate = split_leakage(corpus.select("doc_id", "text")).select(
+    if leakage is None:
+        leakage = split_leakage(corpus.select("doc_id", "text"))
+    gate = leakage.select(
         F.lit("gate").alias("section"),
         F.lit("split_leakage").alias("key"),
         F.col("n_leaked_val").alias("n_units"),

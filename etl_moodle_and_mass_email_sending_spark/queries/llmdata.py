@@ -2519,10 +2519,46 @@ register(
 # and the 100 TB shape).
 # --------------------------------------------------------------------------
 
+def _staged_quality_scores(spark, sf_dir):
+    """(doc_id, quality) session-staged (round 12, VERDICT r11
+    item 4): the score scan feeding llm_corpus_release's stage
+    section. O(corpus) but two columns; built once per
+    (session, sf_dir)."""
+    from ..operators.util import staged_frame
+
+    return staged_frame(
+        spark,
+        ("quality_scores", sf_dir),
+        lambda: text_analysis.quality_score(
+            _docs(spark, sf_dir)
+        ).select("doc_id", "quality"),
+    )
+
+
+def _staged_emitted_spine(spark, sf_dir):
+    """The mixture_execute emitted spine, session-staged (round 12,
+    VERDICT r11 item 4): three registered queries consume the SAME
+    materialized sample (text_mixture_execute's receipt,
+    llm_corpus_release's source/shard/stage sections,
+    rel_deletion_audit's mixture_sample artifact) — the sampler runs
+    once per (session, sf_dir). O(corpus) checkpoint, the same size
+    class corpus_release already materialized per call."""
+    from ..operators.util import staged_frame
+
+    return staged_frame(
+        spark,
+        ("mixture_emitted_spine", sf_dir),
+        lambda: text_analysis.mixture_execute(
+            _docs_sourced(spark, sf_dir)
+        ),
+    )
+
+
 register(
     "text_mixture_execute",
     lambda spark, sf_dir: text_analysis.mixture_report(
-        _docs_sourced(spark, sf_dir)
+        _docs_sourced(spark, sf_dir),
+        emitted=_staged_emitted_spine(spark, sf_dir),
     ),
     text_analysis.sql_mixture_report(
         "SELECT doc_id, text, source FROM documents"
@@ -2750,7 +2786,7 @@ def _rel_deletion_audit(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     vecs = load_table(spark, sf_dir, "embeddings")
     pairs = _staged_pairs(spark, sf_dir)
-    emitted = text_analysis.mixture_execute(_docs_sourced(spark, sf_dir))
+    emitted = _staged_emitted_spine(spark, sf_dir)
     parts = [
         one("documents", docs, deleted("doc_id")),
         one("embeddings", vecs, deleted("vec_id")),
@@ -2873,11 +2909,27 @@ register(
 
 # text_split_leakage — content-leakage audit of the hash train/val
 # split (operators/text_analysis.py::split_leakage).
+def _staged_split_leakage(spark, sf_dir):
+    """The split_leakage result frame (1 bounded row), session-staged
+    (round 12, VERDICT r11 item 4): three registered queries
+    (text_split_leakage, llm_corpus_release's gate section,
+    llm_eval_guard's split section) compute the IDENTICAL frame over
+    the same documents table — the gram fan-out + double-distinct +
+    join runs once per (session, sf_dir), not once per query."""
+    from ..operators.util import staged_frame
+
+    return staged_frame(
+        spark,
+        ("split_leakage_result", sf_dir),
+        lambda: text_analysis.split_leakage(
+            _docs(spark, sf_dir).select("doc_id", "text")
+        ),
+    )
+
+
 register(
     "text_split_leakage",
-    lambda spark, sf_dir: text_analysis.split_leakage(
-        _docs(spark, sf_dir).select("doc_id", "text")
-    ),
+    _staged_split_leakage,
     text_analysis.sql_split_leakage("SELECT doc_id, text FROM documents"),
 )
 
@@ -2906,7 +2958,10 @@ register(
 register(
     "llm_corpus_release",
     lambda spark, sf_dir: text_analysis.corpus_release(
-        _docs_sourced(spark, sf_dir)
+        _docs_sourced(spark, sf_dir),
+        leakage=_staged_split_leakage(spark, sf_dir),
+        emitted=_staged_emitted_spine(spark, sf_dir),
+        quality=_staged_quality_scores(spark, sf_dir),
     ),
     text_analysis.sql_corpus_release(
         "SELECT doc_id, text, source FROM documents"
@@ -3367,9 +3422,7 @@ def _llm_eval_guard(spark, sf_dir):
         F.col("n_train_docs").alias("n_total"),
         F.col("direction_ratio").alias("rate"),
     )
-    d3 = text_analysis.split_leakage(
-        docs.select("doc_id", "text")
-    ).select(
+    d3 = _staged_split_leakage(spark, sf_dir).select(
         F.lit("split").alias("section"),
         F.lit("leakage").alias("key"),
         F.col("n_leaked_val").alias("n_flagged"),
