@@ -260,6 +260,8 @@ HEADLINE = [
     "rel_zorder_execute",
     "llm_datacard",
     "stream_ivf_append",
+    # round-12 additions
+    "sim_index_maintenance",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -3482,6 +3482,19 @@ register(
 )
 
 
+# sim_index_maintenance (round 12, VERDICT r11 item 6) — the composed
+# end-to-end IVF/PQ maintenance-cycle receipt: per-list ingest growth,
+# hot-list split decision, recall before/after the split, and the two
+# lifecycle verdicts (recall_go, pq_retrain) in one long-format frame
+# (operators/similarity.py::index_maintenance has section semantics
+# and the 100 TB shape).
+register(
+    "sim_index_maintenance",
+    lambda spark, sf_dir: similarity.index_maintenance(spark, sf_dir),
+    similarity.sql_index_maintenance(),
+)
+
+
 # --------------------------------------------------------------------------
 # llm_datacard (round 11) — the dataset-documentation artifact every
 # corpus release ships (Gebru et al., "Datasheets for Datasets"): one

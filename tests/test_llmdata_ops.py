@@ -2988,3 +2988,56 @@ class TestReceiptsTable:
             ).collect()
         )
         assert got == sorted(direct)
+
+
+class TestIndexMaintenance:
+    """Round-12 composed IVF/PQ lifecycle receipt (VERDICT r11 item 6)."""
+
+    def test_sections_consistent_with_constituents(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            similarity as sim,
+        )
+
+        rows = registry.queries()["sim_index_maintenance"](
+            spark, SF_SMALL
+        ).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["section"], {})[r["key"]] = r
+
+        ap = {str(r["cid"]): r for r in sim.ivf_append(spark, SF_SMALL).collect()}
+        assert set(by["append"]) == set(ap)
+        for k, r in by["append"].items():
+            assert r["n_base"] == ap[k]["n_old"]
+            assert r["n_change"] == ap[k]["n_new"]
+            assert r["flag"] == ap[k]["hot"]
+
+        ra = {
+            (r["arm"], r["k"]): r
+            for r in sim.recall_after_recluster(spark, SF_SMALL).collect()
+        }
+        for (arm, k), r in ra.items():
+            got = by["recall"][f"{arm}@{k}"]
+            assert got["n_change"] == r["n_hits"]
+            assert got["metric"] == r["mean_recall"]
+
+        # the verdicts recompute from the constituent frames
+        deltas = [
+            ra[("post", k)]["mean_recall"] - ra[("pre", k)]["mean_recall"]
+            for k in sim.RECALL_KS
+        ]
+        v = by["verdict"]["recall_go"]
+        assert v["flag"] == (
+            round(min(deltas), 6) >= -sim.RECALL_DROP_TOL
+        )
+        pq = sim.pq_refresh(spark, SF_SMALL).collect()
+        vq = by["verdict"]["pq_retrain"]
+        n_over = sum(
+            1
+            for r in pq
+            if r["improvement"] is not None
+            and r["improvement"] > sim.PQ_RETRAIN_MIN_IMPROVEMENT
+        )
+        assert vq["n_change"] == n_over
+        assert vq["flag"] == (n_over > 0)
