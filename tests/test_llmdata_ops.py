@@ -2629,9 +2629,12 @@ class TestY4mVideoEngine:
 
     def test_compressed_video_still_raises(self, spark):
         from etl_moodle_and_mass_email_sending_spark.operators import (
+            av_codec,
             multimodal,
         )
 
+        if av_codec.have_av():  # pragma: no cover - env-dependent
+            pytest.skip("pyav installed: the compressed seam is live")
         media = spark.createDataFrame(
             [(9, "video", bytearray(b"\x00\x00\x00\x18ftypmp42-fake"))],
             schema="doc_id long, media_type string, payload binary",
@@ -3041,3 +3044,78 @@ class TestIndexMaintenance:
         )
         assert vq["n_change"] == n_over
         assert vq["flag"] == (n_over > 0)
+
+
+class TestAvCompressedVideoEngine:
+    """Round-12 pyav seam (VERDICT r11 item 7): skip-gated e2e — a real
+    mp4 is encoded and decoded through engine='real' wherever the
+    optional av wheel exists; the fake-engine oracles never touch this
+    path."""
+
+    @staticmethod
+    def _mp4(w=16, h=16, n=5):
+        av = pytest.importorskip("av")  # noqa: F841
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            av_codec,
+        )
+
+        fsize = w * h * 3 // 2
+        frames = [bytes([30 * i] * fsize) for i in range(n)]
+        return av_codec.encode_mp4(frames, w, h, fps=25), frames
+
+    def test_video_info_contract(self):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            av_codec,
+        )
+
+        clip, _ = self._mp4(w=16, h=16, n=5)
+        width, height, fnum, fden, n_frames = av_codec.video_info(clip)
+        assert (width, height) == (16, 16)
+        assert n_frames == 5
+        assert fnum / fden == 25
+
+    def test_video_frames_planar_layout(self):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            av_codec,
+        )
+
+        clip, _ = self._mp4(w=16, h=16, n=5)
+        got = list(av_codec.video_frames(clip, every_n=2, max_frames=2))
+        assert [i for i, _ in got] == [0, 2]
+        # yuv420p planar: exactly a Y4M C420 frame payload size
+        assert all(len(f) == 16 * 16 * 3 // 2 for _, f in got)
+
+    def test_decode_media_real_engine_reads_mp4(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        clip, _ = self._mp4(w=16, h=16, n=5)
+        media = spark.createDataFrame(
+            [(7, "video", bytearray(clip))],
+            schema="doc_id long, media_type string, payload binary",
+        )
+        (row,) = multimodal.decode_media(media, engine="real").collect()
+        assert (row["width"], row["height"]) == (16, 16)
+        assert row["n_frames"] == 5
+        assert row["duration_ms"] == 200  # 5 frames @ 25 fps
+
+    def test_scene_changes_real_engine_on_mp4(self, spark):
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        clip, _ = self._mp4(w=16, h=16, n=3)
+        media = spark.createDataFrame(
+            [(8, "video", bytearray(clip))],
+            schema="doc_id long, media_type string, payload binary",
+        )
+        rows = sorted(
+            multimodal.detect_scene_changes(
+                media, engine="real"
+            ).collect(),
+            key=lambda r: r["frame_index"],
+        )
+        assert [r["frame_index"] for r in rows] == [0, 1, 2]
+        # constant-fill frames with increasing Y: strictly rising luma
+        assert rows[0]["luma"] < rows[1]["luma"] < rows[2]["luma"]
