@@ -185,10 +185,8 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.clicks_errors_interval_join(ev)
     name = f"ssj_{uuid.uuid4().hex[:8]}"
     ck = scratch_dir("ck_ssj_")
-    # 8 state partitions: a stream-stream join keeps 4 stores per
-    # partition — see state_shuffle's rationale (VERDICT r11 item 5)
-    with sw.state_shuffle(spark, 8):
-        return sw.run_to_memory_sink(joined, name, ck)
+    # run_to_memory_sink sizes state partitions (VERDICT r11 item 5)
+    return sw.run_to_memory_sink(joined, name, ck)
 
 
 STREAM_INTERVAL_JOIN_SQL = """
@@ -345,9 +343,8 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.clicks_errors_outer_join(ev)
     name = f"soj_{uuid.uuid4().hex[:8]}"
     ck = scratch_dir("ck_soj_")
-    # 8 state partitions — see state_shuffle (VERDICT r11 item 5)
-    with sw.state_shuffle(spark, 8):
-        return sw.run_to_memory_sink(joined, name, ck)
+    # run_to_memory_sink sizes state partitions (VERDICT r11 item 5)
+    return sw.run_to_memory_sink(joined, name, ck)
 
 
 # Emission model for the bounded replay: the global watermark after the
