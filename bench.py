@@ -262,6 +262,7 @@ HEADLINE = [
     "stream_ivf_append",
     # round-12 additions
     "sim_index_maintenance",
+    "text_decontaminate_execute",
     # capstone composition
     "llm_corpus_pipeline",
 ]

@@ -742,6 +742,100 @@ def sql_decontaminate(
     """
 
 
+DECON_SCRUB_THRESHOLD = 0.03  # drop a train doc at >=3% gram overlap
+
+
+def decontaminate_execute(
+    corpus: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    threshold: float = DECON_SCRUB_THRESHOLD,
+) -> DataFrame:
+    """(source, n_train_docs, n_dropped, tokens_kept, tokens_dropped,
+    drop_rate): the decontamination SCRUB EXECUTOR's per-source receipt
+    (round 12) — ``decontaminate`` detects, this applies the release
+    decision (drop every training doc whose benchmark-gram overlap is
+    at or above ``threshold``) and reports what shipping the scrub
+    costs each source in documents and tokens. Sources with zero drops
+    appear with 0 (left join + coalesce — the dedup_source_shift
+    lesson).
+
+    100 TB shape: the detection side is ``decontaminate``'s audited
+    plan (gram stream -> broadcast bench-distinct join -> per-doc agg);
+    the executor adds one bounded-side join (flagged doc_ids, a tiny
+    fraction of the corpus) against the token-counted train frame and
+    a per-source aggregation — no second gram pass, no new corpus
+    shuffle beyond the groupBy(source)."""
+    flagged = (
+        decontaminate(corpus.select("doc_id", "text"), n, bench_mod)
+        .filter(F.col("contamination") >= threshold)
+        .select("doc_id", F.lit(1).alias("_drop"))
+    )
+    train = corpus.filter(
+        F.col("doc_id") % bench_mod != 0
+    ).select(
+        "doc_id", "source", F.expr(_N_TOKS_SPARK).alias("_t")
+    )
+    return (
+        train.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.coalesce(F.sum("_drop"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("_drop").isNull(), F.col("_t")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(F.col("_drop").isNotNull(), F.col("_t")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_dropped",
+            "tokens_kept",
+            "tokens_dropped",
+            F.round(
+                F.col("n_dropped") / F.col("n_train_docs"), 6
+            ).alias("drop_rate"),
+        )
+    )
+
+
+def sql_decontaminate_execute(
+    corpus_sql: str,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    threshold: float = DECON_SCRUB_THRESHOLD,
+) -> str:
+    decon = sql_decontaminate(
+        f"SELECT doc_id, text FROM ({corpus_sql})", n, bench_mod
+    )
+    return f"""
+    WITH flagged AS (
+      SELECT doc_id, 1 AS drp FROM ({decon})
+      WHERE contamination >= {threshold!r}
+    ),
+    train AS (
+      SELECT doc_id, source, CAST({_N_TOKS_DUCK} AS BIGINT) AS t
+      FROM ({corpus_sql}) WHERE doc_id % {bench_mod} <> 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(sum(drp), 0) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN drp IS NULL THEN t ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(CASE WHEN drp IS NOT NULL THEN t ELSE 0 END)
+                AS BIGINT) AS tokens_dropped,
+           round(CAST(coalesce(sum(drp), 0) AS DOUBLE) / count(*), 6)
+             AS drop_rate
+    FROM train LEFT JOIN flagged USING (doc_id)
+    GROUP BY source
+    """
+
+
 # --------------------------------------------------------------------------
 # Per-source contamination DIRECTION (round 8, VERDICT r7 item 8) — the
 # forensic follow-up to decontaminate: once n-gram overlap with the

@@ -499,6 +499,21 @@ register(
     text_analysis.sql_decontaminate(_DOCS_SQL),
 )
 
+# text_decontaminate_execute (round 12) — the scrub EXECUTOR:
+# decontaminate detects, this applies the release decision (drop every
+# training doc at >= DECON_SCRUB_THRESHOLD benchmark-gram overlap) and
+# reports the per-source document/token cost
+# (operators/text_analysis.py::decontaminate_execute).
+register(
+    "text_decontaminate_execute",
+    lambda spark, sf_dir: text_analysis.decontaminate_execute(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_decontaminate_execute(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
 # Unigram-LM quality scoring: corpus token distribution broadcast back
 # over the token stream, per-doc mean log probability.
 register(

@@ -3119,3 +3119,49 @@ class TestAvCompressedVideoEngine:
         assert [r["frame_index"] for r in rows] == [0, 1, 2]
         # constant-fill frames with increasing Y: strictly rising luma
         assert rows[0]["luma"] < rows[1]["luma"] < rows[2]["luma"]
+
+
+class TestDecontaminateExecute:
+    """Round-12 scrub executor: the receipt must reconcile exactly with
+    the detection frame and the train-slice totals."""
+
+    def test_receipt_reconciles_with_detection(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            text_analysis as ta,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+            _docs_sourced,
+        )
+
+        corpus = _docs_sourced(spark, SF_SMALL)
+        rows = registry.queries()["text_decontaminate_execute"](
+            spark, SF_SMALL
+        ).collect()
+        # every source of the train slice appears, zero-drop ones too
+        train = corpus.filter(
+            F.col("doc_id") % ta.DECON_BENCH_MOD != 0
+        )
+        n_sources = train.select("source").distinct().count()
+        assert len(rows) == n_sources
+        # total drops = detection frame above the threshold
+        flagged = (
+            ta.decontaminate(corpus.select("doc_id", "text"))
+            .filter(
+                F.col("contamination") >= ta.DECON_SCRUB_THRESHOLD
+            )
+            .count()
+        )
+        assert sum(r["n_dropped"] for r in rows) == flagged
+        # kept + dropped tokens = the train slice's token total
+        total_toks = train.select(
+            F.sum(F.expr(ta._N_TOKS_SPARK)).alias("t")
+        ).collect()[0]["t"]
+        assert (
+            sum(r["tokens_kept"] + r["tokens_dropped"] for r in rows)
+            == total_toks
+        )
+        # doc counts reconcile too
+        assert sum(r["n_train_docs"] for r in rows) == train.count()
