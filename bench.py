@@ -263,6 +263,7 @@ HEADLINE = [
     # round-12 additions
     "sim_index_maintenance",
     "text_decontaminate_execute",
+    "sim_filtered_topk",
     # capstone composition
     "llm_corpus_pipeline",
 ]

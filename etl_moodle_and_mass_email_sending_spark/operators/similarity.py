@@ -102,6 +102,72 @@ def sql_topk_bruteforce() -> str:
 
 
 # --------------------------------------------------------------------------
+# FILTERED vector search (round 12) — the production ANN feature every
+# serving stack needs: top-k under a metadata predicate ("nearest
+# docs IN my language / my tenant / this date range"). Two strategies
+# exist at scale: PRE-filter (apply the predicate to the corpus before
+# any distance work — exact, and optimal when the predicate is
+# selective or is a partition/cluster key the scan can prune on) vs
+# POST-filter (over-fetch k' > k from an index, then filter — cheaper
+# against a prebuilt index but recall-lossy when the predicate is
+# selective). This operator is the PRE-filter exact form: the
+# predicate lands in the scan (label is a plain column -> parquet
+# predicate pushdown prunes row groups), the query batch broadcasts,
+# and ranking runs on the filtered candidate set only. With an IVF
+# index the same shape composes by filtering the probed lists'
+# members before scoring.
+# --------------------------------------------------------------------------
+
+FILTER_LABEL_MAX = 5  # the receipt's predicate: label < 5 (~half the corpus)
+
+
+def filtered_topk(
+    spark: SparkSession, sf_dir: str, label_max: int = FILTER_LABEL_MAX
+) -> DataFrame:
+    """(query_id, vec_id, label, cosine, rank): exact top-K among
+    corpus vectors passing the metadata predicate (label < label_max),
+    per query vector. Queries are NOT themselves filtered — a caller
+    searches on behalf of any query against the restricted corpus."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    corpus = v.filter(F.col("label") < label_max)
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def sql_filtered_topk(label_max: int = FILTER_LABEL_MAX) -> str:
+    cos = _duck_cosine("q.vec", "v.vec")
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec FROM base
+          WHERE vec_id < {N_QUERIES}),
+    corpus AS (SELECT vec_id, vec, label FROM base
+               WHERE label < {label_max}),
+    sims AS (
+      SELECT q.query_id, v.vec_id, v.label, {cos} AS cosine
+      FROM corpus v CROSS JOIN q WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cosine, rank FROM (
+      SELECT query_id, vec_id, label, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INTEGER) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+# --------------------------------------------------------------------------
 # Random-hyperplane LSH buckets: plane p coefficient for dim d =
 # hash32('p·§·d') mapped to [-1, 1); bucket = sign-bit string.
 # --------------------------------------------------------------------------

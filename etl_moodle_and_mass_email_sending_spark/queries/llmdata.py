@@ -114,6 +114,16 @@ register(
     similarity.sql_topk_bruteforce(),
 )
 
+# sim_filtered_topk (round 12) — filtered vector search: exact top-k
+# under a metadata predicate, PRE-filter strategy (predicate pushed to
+# the scan before any distance work; operators/similarity.py has the
+# pre-vs-post-filter design note).
+register(
+    "sim_filtered_topk",
+    similarity.filtered_topk,
+    similarity.sql_filtered_topk(),
+)
+
 register(
     "sim_ann_lsh_topk",
     similarity.ann_lsh_topk,

@@ -3165,3 +3165,61 @@ class TestDecontaminateExecute:
         )
         # doc counts reconcile too
         assert sum(r["n_train_docs"] for r in rows) == train.count()
+
+
+class TestFilteredTopk:
+    """Round-12 filtered vector search: exact top-k under a metadata
+    predicate, pre-filter strategy."""
+
+    def test_results_respect_predicate_and_rank(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            similarity as sim,
+        )
+
+        rows = registry.queries()["sim_filtered_topk"](
+            spark, SF_SMALL
+        ).collect()
+        assert all(r["label"] < sim.FILTER_LABEL_MAX for r in rows)
+        assert all(1 <= r["rank"] <= sim.TOP_K for r in rows)
+        # per query: exactly TOP_K rows, strictly descending cosine
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q) == sim.N_QUERIES
+        for q, rs in by_q.items():
+            rs = sorted(rs, key=lambda r: r["rank"])
+            assert len(rs) == sim.TOP_K
+            assert all(
+                rs[i]["cosine"] >= rs[i + 1]["cosine"]
+                for i in range(len(rs) - 1)
+            )
+
+    def test_subset_of_unfiltered_when_labels_allow(self, spark):
+        """Any unfiltered top-k hit whose label passes the predicate
+        must appear in the filtered top-k at an equal-or-better rank
+        (removing candidates can only promote the survivors)."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            similarity as sim,
+        )
+
+        unf = {
+            (r["query_id"], r["vec_id"]): r["rank"]
+            for r in sim.topk_bruteforce(spark, SF_SMALL).collect()
+        }
+        lab = {
+            r["vec_id"]: r["label"]
+            for r in sim._vectors(spark, SF_SMALL)
+            .select("vec_id", "label")
+            .collect()
+        }
+        filt = {
+            (r["query_id"], r["vec_id"]): r["rank"]
+            for r in sim.filtered_topk(spark, SF_SMALL).collect()
+        }
+        for (q, v), rank in unf.items():
+            if lab[v] < sim.FILTER_LABEL_MAX:
+                assert (q, v) in filt
+                assert filt[(q, v)] <= rank
