@@ -4944,13 +4944,24 @@ CURRICULUM_STAGES = 10
 
 
 def curriculum_stages(
-    corpus: DataFrame, n_stages: int = CURRICULUM_STAGES
+    corpus: DataFrame,
+    n_stages: int = CURRICULUM_STAGES,
+    quality: DataFrame | None = None,
 ) -> DataFrame:
     """(stage, n_docs, n_tokens, mean_quality, src_entropy) over
-    (doc_id, text, source); stage 1 = lowest quality."""
+    (doc_id, text, source); stage 1 = lowest quality.
+
+    ``quality``: optionally a pre-computed (doc_id, n_tokens, quality)
+    frame over the same corpus — the registered query passes the
+    session-staged score scan shared with llm_corpus_release
+    (round 12, VERDICT r11 item 4)."""
     from .util import ntile_from_rank, two_pass_rank
 
-    scored = quality_score(corpus.select("doc_id", "text")).select(
+    if quality is None:
+        quality = quality_score(corpus.select("doc_id", "text")).select(
+            "doc_id", "n_tokens", "quality"
+        )
+    scored = quality.select(
         "doc_id",
         "n_tokens",
         F.round(F.col("quality") * 1_000_000)

@@ -2562,10 +2562,10 @@ register(
 # --------------------------------------------------------------------------
 
 def _staged_quality_scores(spark, sf_dir):
-    """(doc_id, quality) session-staged (round 12, VERDICT r11
-    item 4): the score scan feeding llm_corpus_release's stage
-    section. O(corpus) but two columns; built once per
-    (session, sf_dir)."""
+    """(doc_id, n_tokens, quality) session-staged (round 12, VERDICT
+    r11 item 4): the score scan feeding llm_corpus_release's stage
+    section and text_curriculum_stages. O(corpus) but three columns;
+    built once per (session, sf_dir)."""
     from ..operators.util import staged_frame
 
     return staged_frame(
@@ -2573,7 +2573,7 @@ def _staged_quality_scores(spark, sf_dir):
         ("quality_scores", sf_dir),
         lambda: text_analysis.quality_score(
             _docs(spark, sf_dir)
-        ).select("doc_id", "quality"),
+        ).select("doc_id", "n_tokens", "quality"),
     )
 
 
@@ -2921,7 +2921,8 @@ register(
 register(
     "text_curriculum_stages",
     lambda spark, sf_dir: text_analysis.curriculum_stages(
-        _docs_sourced(spark, sf_dir)
+        _docs_sourced(spark, sf_dir),
+        quality=_staged_quality_scores(spark, sf_dir),
     ),
     text_analysis.sql_curriculum_stages(
         "SELECT doc_id, text, source FROM documents"
