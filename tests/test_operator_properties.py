@@ -1356,3 +1356,166 @@ def test_corpus_release_conserves_volume_on_random_corpora(
     }
     assert tok["source"] == tok["shard"] == tok["stage"]
     assert units["source"] == units["shard"] == units["stage"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1.0,
+                    max_value=1.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+            st.integers(min_value=0, max_value=3),  # label
+        ),
+        min_size=6,
+        max_size=24,
+    ),
+)
+def test_filtered_topk_matches_python_oracle(spark_mod, vecs):
+    """Round-12 filtered search: pre-filter exact top-k over random
+    vectors/labels must equal the sequential oracle (filter -> cosine
+    -> sort desc, vec_id asc -> head k)."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+        _spark_cosine,
+    )
+
+    spark = spark_mod
+    LABEL_MAX, K, NQ = 2, 3, 2
+    rows = [
+        (i, [float(x) for x in v], int(lab))
+        for i, (v, lab) in enumerate(vecs)
+    ]
+    # skip all-zero vectors: cosine is NULL/undefined there and the
+    # engine's try_divide convention is covered by the fixed testdata
+    rows = [r for r in rows if any(abs(x) > 1e-9 for x in r[1])]
+    if len(rows) < 3:
+        return
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, label int"
+    )
+    q = df.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    corpus = df.filter(F.col("label") < LABEL_MAX)
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return num / (da * db) if da and db else None
+
+    for qid, qv, _ in (r for r in rows if r[0] < NQ):
+        cands = [
+            (c, vid)
+            for vid, v, lab in rows
+            if lab < LABEL_MAX and vid != qid
+            for c in [cos(qv, v)]
+            if c is not None
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, vid) in enumerate(cands[:K], start=1):
+            if (qid, rank) in got:
+                # ties on cosine can reorder only among equal values
+                got_vid = got[(qid, rank)]
+                got_cos = next(
+                    cc for cc, vv in cands if vv == got_vid
+                )
+                # 1e-6: Spark's aggregate-lambda summation and the
+                # Python oracle accumulate in different orders
+                assert abs(got_cos - c) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # doc_id
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=0,
+                max_size=8,
+            ),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_decontaminate_execute_matches_python_oracle(spark_mod, docs):
+    """Round-12 scrub executor: per-source receipt over random corpora
+    must equal the sequential oracle (detect via gram overlap with the
+    bench slice, drop at threshold, count docs/tokens per source)."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        DECON_SCRUB_THRESHOLD,
+        decontaminate_execute,
+    )
+
+    spark = spark_mod
+    N, MOD = 2, 5  # small grams + bench mod so tiny corpora exercise both slices
+    rows = [(d, " ".join(toks), src) for d, toks, src in docs]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = {
+        r["source"]: (
+            r["n_train_docs"],
+            r["n_dropped"],
+            r["tokens_kept"],
+            r["tokens_dropped"],
+        )
+        for r in decontaminate_execute(
+            df, n=N, bench_mod=MOD, threshold=DECON_SCRUB_THRESHOLD
+        ).collect()
+    }
+
+    def grams(toks):
+        return [
+            " ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)
+        ]
+
+    bench_grams = set()
+    for d, toks, _ in docs:
+        if d % MOD == 0:
+            bench_grams.update(grams(toks))
+    want: dict = {}
+    for d, toks, src in docs:
+        if d % MOD == 0:
+            continue
+        g = grams(toks)
+        hits = sum(1 for x in g if x in bench_grams)
+        contamination = hits / len(g) if g else 0.0
+        dropped = g and round(contamination, 6) >= DECON_SCRUB_THRESHOLD
+        nt, nd, tk, td = want.get(src, (0, 0, 0, 0))
+        want[src] = (
+            nt + 1,
+            nd + (1 if dropped else 0),
+            tk + (0 if dropped else len(toks)),
+            td + (len(toks) if dropped else 0),
+        )
+    assert got == want
