@@ -682,8 +682,11 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
+    # 2 chunks (round 12): the bottom-k sample is rank-mergeable and
+    # bit-for-bit batch-count-independent (docstring above); two
+    # batches still exercise the cross-batch store merge
     stage = _stage_ordered_chunks(
-        ev, "event_id", cache_key=("stage_events", sf_dir)
+        ev, "event_id", n_chunks=2, cache_key=("stage_events", sf_dir)
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -691,10 +694,13 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     store = os.path.join(base, "store")
-    q = sample_stream.start_bottomk_stream(
-        stream, store, os.path.join(base, "ck")
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the light per-batch sample maintenance
+    # (hash + filter + per-group bottom-k; state_shuffle rationale)
+    with sw.state_shuffle(spark, 8):
+        q = sample_stream.start_bottomk_stream(
+            stream, store, os.path.join(base, "ck")
+        )
+        q.awaitTermination()
     sample = spark.read.parquet(os.path.join(store, "sample"))
     counts = spark.read.parquet(os.path.join(store, "counts"))
     wr = Window.partitionBy("g").orderBy("_v", "_k")
@@ -931,21 +937,29 @@ def stream_crawl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = scratch_dir("crawl_dedup_")
     incoming = dedup.new_crawl(spark, sf_dir).select("doc_id", "text")
+    # 2 chunks (round 12, VERDICT r11 item 5): verdicts are per-doc vs
+    # the STATIC index (docstring above — oracle batch-count-
+    # independent); two batches keep the multi-batch streaming shape,
+    # chunks 3/4 only re-paid checkpoint orchestration
     stage = _stage_ordered_chunks(
-        incoming, "doc_id", cache_key=("stage_crawl", sf_dir)
+        incoming, "doc_id", n_chunks=2, cache_key=("stage_crawl", sf_dir)
     )
     stream = (
         spark.readStream.schema(incoming.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    q = crawl_dedup_stream.start_crawl_dedup_stream(
-        stream,
-        _staged_frozen_index(spark, sf_dir),
-        os.path.join(base, "out"),
-        os.path.join(base, "ck"),
-    )
-    q.awaitTermination()
+    # 8 shuffle partitions for the per-batch LSH scoring joins — each
+    # batch is a quarter-slice vs the broadcast-sized static index
+    # (state_shuffle rationale, VERDICT r11 item 5)
+    with sw.state_shuffle(spark, 8):
+        q = crawl_dedup_stream.start_crawl_dedup_stream(
+            stream,
+            _staged_frozen_index(spark, sf_dir),
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+        )
+        q.awaitTermination()
     # drop the idempotency partition column
     return spark.read.parquet(os.path.join(base, "out")).drop("batch_id")
 
