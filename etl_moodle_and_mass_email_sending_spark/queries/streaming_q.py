@@ -550,8 +550,9 @@ register(
 
 def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distinct-count via HLL register max-merge
-    (streaming/hll_stream.py), replayed as four real micro-batches
-    (event_id-range chunks, increasing mtimes). Register merge is
+    (streaming/hll_stream.py), replayed as two real micro-batches
+    (event_id-range chunks, increasing mtimes; round 12 — two is the
+    minimum exercising the cross-batch merge). Register merge is
     order-independent, so the streamed sketch state — and therefore the
     estimate — is bit-identical to the batch sketch, which is what lets
     this approximate STREAMING aggregate hash-gate against the batch
@@ -566,7 +567,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id"
     )
     stage = _stage_ordered_chunks(
-        ev, "event_id", cache_key=("stage_events", sf_dir)
+        ev, "event_id", n_chunks=2, cache_key=("stage_events", sf_dir)
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -597,7 +598,7 @@ register("stream_hll_distinct", stream_hll_distinct, _stream_hll_sql())
 def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS frequency tracking (streaming/cms_stream.py):
     per-user event counts sketched into 1024 sum-merged counter cells
-    across four real micro-batches, then point-queried for the fixed
+    across two real micro-batches (round 12), then point-queried for the fixed
     user_id 0..99 probe spine. Counter addition is order-independent,
     so the streamed table — and every probe — is bit-identical to the
     batch sketch (the additive sibling of stream_hll_distinct)."""
@@ -611,7 +612,7 @@ def stream_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id"
     )
     stage = _stage_ordered_chunks(
-        ev, "event_id", cache_key=("stage_events", sf_dir)
+        ev, "event_id", n_chunks=2, cache_key=("stage_events", sf_dir)
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -746,7 +747,7 @@ register(
 def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming bloom watchlist (streaming/bloom_stream.py — the
     OR-merge member of the sketch-stream family): user_id bloom bucket
-    ids union-distinct across four real micro-batches, then a fixed
+    ids union-distinct across two real micro-batches (round 12), then a fixed
     user_id 0..199 spine probes membership. Set union is idempotent and
     order-independent, so the streamed bitset — and every probe —
     matches the batch bloom exactly, no false negatives included."""
@@ -760,7 +761,7 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id"
     )
     stage = _stage_ordered_chunks(
-        ev, "event_id", cache_key=("stage_events", sf_dir)
+        ev, "event_id", n_chunks=2, cache_key=("stage_events", sf_dir)
     )
     stream = (
         spark.readStream.schema(ev.schema)
@@ -839,7 +840,7 @@ register(
 
 def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online benchmark decontamination (round 8): the training docs
-    replay as four arrival chunks (one file per trigger) through
+    replay as two arrival chunks (one file per trigger; round 12) through
     streaming/decon_stream.py's stateless foreachBatch filter; the
     benchmark slice's distinct n-gram set is the STATIC broadcast side.
     Docs arrive whole, so every verdict is complete within its batch
@@ -862,7 +863,7 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % text_analysis.DECON_BENCH_MOD != 0
     )
     stage = _stage_ordered_chunks(
-        train, "doc_id", cache_key=("stage_decon", sf_dir)
+        train, "doc_id", n_chunks=2, cache_key=("stage_decon", sf_dir)
     )
     stream = (
         spark.readStream.schema(train.schema)
@@ -981,7 +982,7 @@ register(
 
 def stream_pii_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online PII scrubbing (round 9): the documents table replays as
-    four arrival chunks through streaming/pii_stream.py's stateless
+    two arrival chunks (round 12) through streaming/pii_stream.py's stateless
     foreachBatch scrubber. Verdicts are per-doc (pure scan-transform),
     so the exact batch oracle holds regardless of chunking."""
     import os
@@ -991,7 +992,7 @@ def stream_pii_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir("pii_filter_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     stage = _stage_ordered_chunks(
-        docs, "doc_id", cache_key=("stage_pii_docs", sf_dir)
+        docs, "doc_id", n_chunks=2, cache_key=("stage_pii_docs", sf_dir)
     )
     stream = (
         spark.readStream.schema(docs.schema)
