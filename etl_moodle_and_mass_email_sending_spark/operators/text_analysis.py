@@ -5725,3 +5725,497 @@ def sql_dsir_execute(corpus_sql: str, n: int = DSIR_SAMPLE_N) -> str:
              AS mean_weight_sampled
     FROM a LEFT JOIN s USING (lang)
     """
+
+
+# --------------------------------------------------------------------------
+# Fixed-budget token allocation under epoch caps (round 12) — the
+# missing half of temperature_mixture: that plan caps each source at
+# MAX_EPOCHS and simply UNDER-FILLS when the cap binds (achieved_share
+# < temp_share, the budget shortfall is dropped on the floor). A real
+# data-constrained training run has a FIXED token budget B and must
+# redistribute what capped sources cannot absorb to the sources that
+# still have headroom — the waterfall every published mixing recipe
+# (epoch-capped temperature sampling) actually runs. Deterministic
+# unrolled waterfall, no iteration-to-convergence: each pass assigns
+# uncapped sources budget ∝ their temperature weight, moves sources
+# that would exceed cap·supply onto the cap, and re-offers the
+# remainder; with monotone cap sets, |passes| needed ≤ |sources|, and
+# three passes are exact unless three separate cap frontiers bind in
+# sequence — the receipt carries the residual (`unallocated_tokens`)
+# so an inexact fill is visible, never silent.
+#
+# 100 TB shape: one hash aggregation to (source, Σtokens) — map-side
+# partial, |sources| cells — then pure arithmetic over the bounded
+# per-source frame with broadcast 1-row totals per pass (3 passes = 3
+# tiny agg+crossJoin rounds, no corpus re-scan).
+# --------------------------------------------------------------------------
+
+# B = 1.45 × total corpus tokens with a 1.5-epoch repetition ceiling:
+# chosen so the cap frontier BINDS on the long-tail sources in the
+# near-uniform testbed (epochs_raw spans ~1.36–1.59 at these knobs) and
+# the redistribution passes are genuinely exercised — with the
+# temperature_mixture defaults (cap 4.0) every source sits far under
+# cap and the waterfall would be dead code in every test run.
+BUDGET_EPOCHS = 1.45
+BUDGET_MAX_EPOCHS = 1.5
+
+
+def _budget_pass(plan: DataFrame, budget_col: str) -> DataFrame:
+    """One waterfall pass: offer each UNCAPPED source its weight share
+    of the remaining budget on top of its current allocation; sources
+    that would exceed cap·supply land ON the cap. ``plan`` carries
+    (source, n_tokens, _w, _cap, _alloc, _capped)."""
+    rem = plan.agg(
+        (F.first(budget_col) - F.sum("_alloc")).alias("_rem"),
+        F.sum(F.when(~F.col("_capped"), F.col("_w"))).alias("_wu"),
+    )
+    offered = F.when(
+        F.col("_capped") | F.col("_wu").isNull(), F.col("_alloc")
+    ).otherwise(
+        F.col("_alloc") + F.col("_rem") * F.col("_w") / F.col("_wu")
+    )
+    return (
+        plan.crossJoin(F.broadcast(rem))
+        .withColumn("_offer", offered)
+        .withColumn(
+            "_alloc",
+            F.when(F.col("_offer") > F.col("_cap"), F.col("_cap")).otherwise(
+                F.col("_offer")
+            ),
+        )
+        .withColumn(
+            "_capped", F.col("_capped") | (F.col("_offer") > F.col("_cap"))
+        )
+        .drop("_rem", "_wu", "_offer")
+    )
+
+
+def token_budget(
+    corpus: DataFrame,
+    budget_epochs: float = BUDGET_EPOCHS,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = BUDGET_MAX_EPOCHS,
+) -> DataFrame:
+    """(source, n_tokens, temp_share, alloc_tokens, epochs, cap_bound,
+    budget_share, unallocated_tokens): per-source allocation of the
+    fixed budget B = budget_epochs · Σtokens, weights ∝ tokens^(1/τ),
+    each source capped at max_epochs · tokens, capped sources' excess
+    re-offered to the rest (3-pass waterfall). ``corpus`` must carry
+    (text, source)."""
+    toks = (
+        corpus.select(
+            "source", F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t")
+        )
+        .groupBy("source")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    powed = toks.withColumn(
+        "_p",
+        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / temperature)),
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").cast("double").alias("_tot"),
+        F.sum("_p").alias("_ptot"),
+    )
+    plan = (
+        powed.crossJoin(F.broadcast(totals))
+        .withColumn("_w", F.col("_p") / F.col("_ptot"))
+        .withColumn("_b", F.col("_tot") * F.lit(float(budget_epochs)))
+        .withColumn(
+            "_cap",
+            F.col("n_tokens").cast("double") * F.lit(float(max_epochs)),
+        )
+        .withColumn("_alloc", F.lit(0.0))
+        .withColumn("_capped", F.lit(False))
+        .select(
+            "source", "n_tokens", "_w", "_b", "_cap", "_alloc", "_capped"
+        )
+    )
+    for _ in range(3):
+        plan = _budget_pass(plan, "_b")
+    # + 0.0 normalizes IEEE -0.0 to +0.0 (repr parity across engines)
+    resid = plan.agg(
+        (F.round(F.first("_b") - F.sum("_alloc"), 3) + F.lit(0.0)).alias(
+            "_resid"
+        )
+    )
+    return (
+        plan.crossJoin(F.broadcast(resid))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("_w"), 6).alias("temp_share"),
+            F.round(F.col("_alloc"), 3).alias("alloc_tokens"),
+            F.round(
+                F.col("_alloc") / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs"),
+            F.col("_capped").alias("cap_bound"),
+            F.round(F.col("_alloc") / F.col("_b"), 6).alias(
+                "budget_share"
+            ),
+            F.col("_resid").alias("unallocated_tokens"),
+        )
+    )
+
+
+def sql_token_budget(
+    corpus_sql: str,
+    budget_epochs: float = BUDGET_EPOCHS,
+    temperature: float = MIX_TEMPERATURE,
+    max_epochs: float = BUDGET_MAX_EPOCHS,
+) -> str:
+    inv_t = repr(1.0 / temperature)
+    be = repr(float(budget_epochs))
+    me = repr(float(max_epochs))
+    # unrolled 3-pass waterfall, one CTE pair per pass (rem_k, p_k)
+    passes = []
+    prev = "p0"
+    for k in (1, 2, 3):
+        passes.append(
+            f"""
+    rem{k} AS (
+      SELECT any_value(b) - sum(alloc) AS rem,
+             sum(CASE WHEN NOT capped THEN w END) AS wu
+      FROM {prev}
+    ),
+    p{k} AS (
+      SELECT source, n_tokens, w, b, cap,
+             CASE WHEN offer > cap THEN cap ELSE offer END AS alloc,
+             capped OR offer > cap AS capped
+      FROM (
+        SELECT p.*,
+               CASE WHEN p.capped OR r.wu IS NULL THEN p.alloc
+                    ELSE p.alloc + r.rem * p.w / r.wu END AS offer
+        FROM {prev} p CROSS JOIN rem{k} r
+      )
+    )"""
+        )
+        prev = f"p{k}"
+    return f"""
+    WITH toks AS (
+      SELECT source, CAST(sum({_N_TOKS_DUCK}) AS BIGINT) AS n_tokens
+      FROM ({corpus_sql}) GROUP BY 1
+    ),
+    powed AS (
+      SELECT *, pow(CAST(n_tokens AS DOUBLE), {inv_t}) AS p FROM toks
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS DOUBLE) AS t, sum(p) AS ptot
+      FROM powed
+    ),
+    p0 AS (
+      SELECT source, n_tokens, p / ptot AS w, t * {be} AS b,
+             CAST(n_tokens AS DOUBLE) * {me} AS cap,
+             0.0 AS alloc, FALSE AS capped
+      FROM powed CROSS JOIN tot
+    ),{",".join(passes)},
+    resid AS (
+      SELECT round(any_value(b) - sum(alloc), 3) + 0.0 AS resid FROM p3
+    )
+    SELECT source, n_tokens,
+           round(w, 6) AS temp_share,
+           round(alloc, 3) AS alloc_tokens,
+           round(alloc / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+           capped AS cap_bound,
+           round(alloc / b, 6) AS budget_share,
+           resid AS unallocated_tokens
+    FROM p3 CROSS JOIN resid
+    """
+
+
+# --------------------------------------------------------------------------
+# K-fold split balance audit (round 12) — the ablation-infrastructure
+# sibling of train_val_split (2-way leakage) and split_leakage: a
+# deterministic md5 hash assigns every document to one of K folds, and
+# the receipt answers "are the folds exchangeable?" — per-fold volume
+# (docs, tokens) plus the fold×source contingency fit: chi² against
+# the independence expectation and the worst per-source composition
+# deviation. A fold whose source mix drifts from the corpus makes every
+# ablation trained on it confounded; this is the check run before
+# trusting K-fold data ablations.
+#
+# χ² per fold uses the present-cells identity Σ(obs−exp)²/exp =
+# (N/n_f)·Σ obs²/n_s − n_f, but the worst-deviation max must also see
+# ABSENT (fold, source) cells (deviation n_s/N), so the rollup runs on
+# the full K×|sources| spine (bounded, broadcast).
+#
+# 100 TB shape: one scan to (fold, source) cells — map-side partial,
+# K·|sources| cells — then arithmetic over the bounded spine; the fold
+# hash is one md5 per row inside the scan stage.
+# --------------------------------------------------------------------------
+
+FOLD_K = 5
+
+
+def fold_balance(corpus: DataFrame, k: int = FOLD_K) -> DataFrame:
+    """(fold, n_docs, n_tokens, doc_share, chi2, max_src_dev): per-fold
+    balance receipt over the md5(doc_id) fold assignment. ``corpus``
+    must carry (doc_id, text, source)."""
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"FB{SEED_SEP}"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(k),
+    )
+    assigned = corpus.select(
+        fold.alias("fold"),
+        "source",
+        F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t"),
+    )
+    cells = assigned.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_obs"),
+        F.sum("_t").alias("_tok"),
+    )
+    src = cells.groupBy("source").agg(F.sum("_obs").alias("_ns"))
+    tot = src.agg(F.sum("_ns").cast("double").alias("_n"))
+    spine = (
+        assigned.sparkSession.range(k)
+        .select(F.col("id").cast("bigint").alias("fold"))
+        .crossJoin(F.broadcast(src))
+    )
+    full = (
+        spine.join(cells, ["fold", "source"], "left")
+        .withColumn("_obs", F.coalesce("_obs", F.lit(0)))
+        .withColumn("_tok", F.coalesce("_tok", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    per_fold = full.groupBy("fold").agg(
+        F.sum("_obs").cast("bigint").alias("n_docs"),
+        F.sum("_tok").cast("bigint").alias("n_tokens"),
+        F.first("_n").alias("_n"),
+        F.sum(
+            F.col("_obs").cast("double") * F.col("_obs") / F.col("_ns")
+        ).alias("_o2"),
+    )
+    fold_tot = full.groupBy("fold").agg(
+        F.sum("_obs").cast("double").alias("_nf")
+    )
+    devs = (
+        full.join(fold_tot, "fold")
+        .withColumn(
+            "_dev",
+            F.when(F.col("_nf") == 0, F.lit(None)).otherwise(
+                F.abs(
+                    F.try_divide(
+                        F.col("_obs").cast("double"), F.col("_nf")
+                    )
+                    - F.col("_ns") / F.col("_n")
+                )
+            ),
+        )
+        .groupBy("fold")
+        .agg(F.max("_dev").alias("_maxdev"))
+    )
+    return (
+        per_fold.join(fold_tot, "fold")
+        .join(devs, "fold")
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("_nf") / F.col("_n"), 6).alias("doc_share"),
+            F.round(
+                F.when(F.col("_nf") == 0, F.lit(None)).otherwise(
+                    F.col("_n") / F.col("_nf") * F.col("_o2")
+                    - F.col("_nf")
+                ),
+                6,
+            ).alias("chi2"),
+            F.round(F.col("_maxdev"), 6).alias("max_src_dev"),
+        )
+    )
+
+
+def sql_fold_balance(corpus_sql: str, k: int = FOLD_K) -> str:
+    fold = (
+        f"CAST('0x' || substr(md5('FB{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {k}"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT {fold} AS fold, source,
+             CAST({_N_TOKS_DUCK} AS BIGINT) AS t
+      FROM ({corpus_sql})
+    ),
+    cells AS (
+      SELECT fold, source, CAST(count(*) AS BIGINT) AS obs,
+             sum(t) AS tok
+      FROM assigned GROUP BY 1, 2
+    ),
+    src AS (SELECT source, sum(obs) AS ns FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(ns) AS DOUBLE) AS n FROM src),
+    spine AS (
+      SELECT f.fold, s.source, s.ns
+      FROM (SELECT CAST(unnest(generate_series(0, {k - 1})) AS BIGINT)
+                   AS fold) f
+      CROSS JOIN src s
+    ),
+    full_cells AS (
+      SELECT sp.fold, sp.source, sp.ns,
+             coalesce(c.obs, 0) AS obs, coalesce(c.tok, 0) AS tok
+      FROM spine sp LEFT JOIN cells c USING (fold, source)
+    ),
+    ft AS (
+      SELECT fold, CAST(sum(obs) AS DOUBLE) AS nf FROM full_cells
+      GROUP BY 1
+    )
+    SELECT CAST(fc.fold AS INTEGER) AS fold,
+           CAST(sum(fc.obs) AS BIGINT) AS n_docs,
+           CAST(sum(fc.tok) AS BIGINT) AS n_tokens,
+           round(any_value(ft.nf) / any_value(t.n), 6) AS doc_share,
+           round(CASE WHEN any_value(ft.nf) = 0 THEN NULL
+                 ELSE any_value(t.n) / any_value(ft.nf)
+                      * sum(CAST(fc.obs AS DOUBLE) * fc.obs / fc.ns)
+                      - any_value(ft.nf) END, 6) AS chi2,
+           round(max(CASE WHEN ft.nf = 0 THEN NULL
+                     ELSE abs(CAST(fc.obs AS DOUBLE) / ft.nf
+                              - fc.ns / t.n) END), 6) AS max_src_dev
+    FROM full_cells fc
+    JOIN ft USING (fold)
+    CROSS JOIN tot t
+    GROUP BY fc.fold
+    """
+
+
+# --------------------------------------------------------------------------
+# Training read-order shuffle audit (round 12) — dataloader hygiene:
+# a pretraining loader reads the corpus in a deterministic shuffled
+# order (hash order within hash-assigned blocks — the block-shuffle
+# every sharded loader actually implements, because a single global
+# permutation of 100 TB is unbuildable). If consecutive reads cluster
+# by source, gradient batches are serially correlated and loss curves
+# go wavy; the receipt measures per-source adjacency in the PLANNED
+# read order against the well-shuffled expectation (P(next is same
+# source) = p_s) and reports the lift. Lift ≈ 1 everywhere is the
+# green light; lift >> 1 on a source means the hash/block scheme is
+# leaking arrival locality into training order.
+#
+# 100 TB shape: block count SCALES with the corpus (⌈n/BLOCK_TARGET⌉,
+# counted in one map-side aggregate) so the per-block ordered window
+# is bounded at ~BLOCK_TARGET rows regardless of corpus size — never
+# a few-huge-groups window; one md5 per row inside the scan; the pair
+# stream aggregates map-side to |sources| cells.
+# --------------------------------------------------------------------------
+
+SHUFFLE_BLOCK_TARGET = 512  # docs per loader block
+
+
+def shuffle_quality(
+    corpus: DataFrame, block_target: int = SHUFFLE_BLOCK_TARGET
+) -> DataFrame:
+    """(source, n_docs, n_pairs, n_adj_same, adj_rate, expected_rate,
+    lift): per-source adjacency audit of the planned block-shuffled
+    read order. ``corpus`` must carry (doc_id, source)."""
+    n = corpus.agg(
+        F.ceil(
+            F.count(F.lit(1)).cast("double") / F.lit(float(block_target))
+        ).alias("_nb"),
+        F.count(F.lit(1)).cast("double").alias("_n"),
+    )
+    h = F.md5(
+        F.concat(F.lit(f"SH{SEED_SEP}"), F.col("doc_id").cast("string"))
+    )
+    keyed = (
+        corpus.crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "doc_id",
+            "_n",
+            h.alias("_h"),
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+                F.col("_nb"),
+            ).alias("_block"),
+        )
+    )
+    w = Window.partitionBy("_block").orderBy("_h", "doc_id")
+    pairs = keyed.withColumn(
+        "_prev", F.lag("source").over(w)
+    ).filter(F.col("_prev").isNotNull())
+    per_src = pairs.groupBy(F.col("_prev").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_prev") == F.col("source"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_adj_same"),
+    )
+    base = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.first("_n").alias("_n"),
+    )
+    rate = F.try_divide(
+        F.col("n_adj_same").cast("double"), F.col("n_pairs")
+    )
+    expected = F.col("n_docs").cast("double") / F.col("_n")
+    return (
+        base.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias(
+                "n_pairs"
+            ),
+            F.coalesce("n_adj_same", F.lit(0)).cast("bigint").alias(
+                "n_adj_same"
+            ),
+            F.round(rate, 6).alias("adj_rate"),
+            F.round(expected, 6).alias("expected_rate"),
+            F.round(F.try_divide(rate, expected), 6).alias("lift"),
+        )
+    )
+
+
+def sql_shuffle_quality(
+    corpus_sql: str, block_target: int = SHUFFLE_BLOCK_TARGET
+) -> str:
+    h = f"md5('SH{SEED_SEP}' || CAST(doc_id AS VARCHAR))"
+    return f"""
+    WITH n AS (
+      SELECT ceil(CAST(count(*) AS DOUBLE) / {float(block_target)!r})
+               AS nb,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM ({corpus_sql})
+    ),
+    keyed AS (
+      SELECT source, doc_id, {h} AS h,
+             CAST('0x' || substr({h}, 1, 8) AS BIGINT)
+               % CAST(nb AS BIGINT) AS block
+      FROM ({corpus_sql}) CROSS JOIN n
+    ),
+    pairs AS (
+      SELECT lag(source) OVER (PARTITION BY block ORDER BY h, doc_id)
+               AS prev, source
+      FROM keyed
+    ),
+    per_src AS (
+      SELECT prev AS source, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(CASE WHEN prev = source THEN 1 END), 0)
+                  AS BIGINT) AS n_adj_same
+      FROM pairs WHERE prev IS NOT NULL GROUP BY 1
+    ),
+    base AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM keyed GROUP BY 1
+    )
+    SELECT b.source, b.n_docs,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(p.n_adj_same, 0) AS BIGINT) AS n_adj_same,
+           round(CAST(p.n_adj_same AS DOUBLE) / p.n_pairs, 6)
+             AS adj_rate,
+           round(b.n_docs / n.n, 6) AS expected_rate,
+           round(CAST(p.n_adj_same AS DOUBLE) / p.n_pairs
+                 / (b.n_docs / n.n), 6) AS lift
+    FROM base b LEFT JOIN per_src p USING (source) CROSS JOIN n
+    """

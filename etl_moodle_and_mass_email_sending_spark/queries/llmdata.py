@@ -524,6 +524,47 @@ register(
     ),
 )
 
+# llm_token_budget (round 12) — fixed-budget token allocation under
+# epoch caps with waterfall redistribution: temperature_mixture caps
+# and under-fills; this fills B = 1.5 × Σtokens exactly, re-offering
+# capped sources' excess to the rest
+# (operators/text_analysis.py::token_budget).
+register(
+    "llm_token_budget",
+    lambda spark, sf_dir: text_analysis.token_budget(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_token_budget(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+# text_fold_balance (round 12) — K-fold ablation-split hygiene: per-fold
+# volume + fold×source chi² fit and worst composition deviation
+# (operators/text_analysis.py::fold_balance).
+register(
+    "text_fold_balance",
+    lambda spark, sf_dir: text_analysis.fold_balance(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_fold_balance(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
+# text_shuffle_quality (round 12) — planned-read-order shuffle audit:
+# per-source adjacency in the block-shuffled loader order vs the
+# well-shuffled expectation (operators/text_analysis.py::shuffle_quality).
+register(
+    "text_shuffle_quality",
+    lambda spark, sf_dir: text_analysis.shuffle_quality(
+        _docs_src(spark, sf_dir)
+    ),
+    text_analysis.sql_shuffle_quality(
+        "SELECT doc_id, source FROM documents"
+    ),
+)
+
 # Unigram-LM quality scoring: corpus token distribution broadcast back
 # over the token stream, per-doc mean log probability.
 register(

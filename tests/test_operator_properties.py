@@ -1519,3 +1519,147 @@ def test_decontaminate_execute_matches_python_oracle(spark_mod, docs):
             td + (len(toks) if dropped else 0),
         )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy)
+def test_token_budget_matches_sequential_waterfall(spark_mod, docs):
+    """The 3-pass DataFrame waterfall must equal the same waterfall run
+    sequentially in Python, and fill the budget up to the documented
+    residual (a pass-3 cap frontier)."""
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        token_budget,
+    )
+
+    spark = spark_mod
+    be, tau, cap = 1.45, 2.0, 1.5
+    rows = [
+        (i, "tok " * nt, f"s{srcix}") for i, (nt, srcix) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    supply: dict = {}
+    for _, (nt, srcix) in zip(rows, docs):
+        supply[f"s{srcix}"] = supply.get(f"s{srcix}", 0) + nt
+    tot = float(sum(supply.values()))
+    ptot = sum(v ** (1.0 / tau) for v in supply.values())
+    w = {s: v ** (1.0 / tau) / ptot for s, v in supply.items()}
+    b = tot * be
+    caps = {s: v * cap for s, v in supply.items()}
+    alloc = {s: 0.0 for s in supply}
+    capped = {s: False for s in supply}
+    for _ in range(3):
+        rem = b - sum(alloc.values())
+        wu = sum(w[s] for s in supply if not capped[s])
+        for s in supply:
+            if capped[s] or wu == 0:
+                continue
+            offer = alloc[s] + rem * w[s] / wu
+            if offer > caps[s]:
+                alloc[s] = caps[s]
+                capped[s] = True
+            else:
+                alloc[s] = offer
+
+    got = {
+        r["source"]: (r["alloc_tokens"], r["cap_bound"], r["epochs"])
+        for r in token_budget(df).collect()
+    }
+    for s in supply:
+        want_alloc = round(alloc[s], 3)
+        assert abs(got[s][0] - want_alloc) <= 2e-3, (s, got[s], want_alloc)
+        assert got[s][1] == capped[s], s
+        assert got[s][2] <= cap + 1e-9, s
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy)
+def test_fold_balance_matches_bruteforce_contingency(spark_mod, docs):
+    import hashlib
+
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        FOLD_K,
+        SEED_SEP,
+        fold_balance,
+    )
+
+    spark = spark_mod
+    rows = [
+        (i, "tok " * nt, f"s{srcix}") for i, (nt, srcix) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def fold_of(d):
+        return (
+            int(
+                hashlib.md5(f"FB{SEED_SEP}{d}".encode()).hexdigest()[:8], 16
+            )
+            % FOLD_K
+        )
+
+    cells: dict = {}
+    srcs: dict = {}
+    for i, (nt, srcix) in enumerate(docs):
+        f, s = fold_of(i), f"s{srcix}"
+        d, t = cells.get((f, s), (0, 0))
+        cells[(f, s)] = (d + 1, t + nt)
+        srcs[s] = srcs.get(s, 0) + 1
+    n = float(sum(srcs.values()))
+
+    got = {
+        r["fold"]: (r["n_docs"], r["n_tokens"], r["chi2"])
+        for r in fold_balance(df).collect()
+    }
+    assert set(got) == set(range(FOLD_K))
+    for f in range(FOLD_K):
+        nd = sum(d for (ff, _), (d, _) in cells.items() if ff == f)
+        ntk = sum(t for (ff, _), (_, t) in cells.items() if ff == f)
+        assert got[f][0] == nd and got[f][1] == ntk, f
+        if nd:
+            chi2 = sum(
+                (cells.get((f, s), (0, 0))[0] - srcs[s] * nd / n) ** 2
+                / (srcs[s] * nd / n)
+                for s in srcs
+            )
+            assert abs(got[f][2] - chi2) <= 1e-4, (f, got[f][2], chi2)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=docs_strategy)
+def test_shuffle_quality_matches_bruteforce_adjacency(spark_mod, docs):
+    import hashlib
+    import math
+
+    from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+        SEED_SEP,
+        SHUFFLE_BLOCK_TARGET,
+        shuffle_quality,
+    )
+
+    spark = spark_mod
+    rows = [(i, f"s{srcix}") for i, (_, srcix) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    nb = max(1, math.ceil(len(rows) / SHUFFLE_BLOCK_TARGET))
+    keyed = []
+    for i, src in rows:
+        h = hashlib.md5(f"SH{SEED_SEP}{i}".encode()).hexdigest()
+        keyed.append((int(h[:8], 16) % nb, h, i, src))
+    pairs: dict = {}
+    same: dict = {}
+    for blk in {k[0] for k in keyed}:
+        order = sorted((k for k in keyed if k[0] == blk))
+        for (_, _, _, a), (_, _, _, c) in zip(order, order[1:]):
+            pairs[a] = pairs.get(a, 0) + 1
+            if a == c:
+                same[a] = same.get(a, 0) + 1
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_pairs"], r["n_adj_same"])
+        for r in shuffle_quality(df).collect()
+    }
+    base: dict = {}
+    for _, src in rows:
+        base[src] = base.get(src, 0) + 1
+    for s, nd in base.items():
+        assert got[s] == (nd, pairs.get(s, 0), same.get(s, 0)), s
