@@ -1092,3 +1092,146 @@ def sql_incremental_dedup(
     FROM ({incoming_sql}) inc
     LEFT JOIN (SELECT * FROM hits WHERE rn = 1) h USING (doc_id)
     """
+
+
+# --------------------------------------------------------------------------
+# Dedup CASCADE executor (round 12) — the staged pipeline production
+# corpora actually run, as ONE receipt: exact dedup first (md5 text
+# hash — removes byte-identical copies at hash-groupBy cost), simhash
+# near-dedup second over the exact survivors (catches small-edit
+# copies at bucketed-hamming cost), LSH-verified Jaccard last over
+# what remains (the expensive shingle-set verify runs only on what the
+# cheaper stages could not kill). Per-stage receipt: docs in, removed,
+# out, tokens removed, removal rate — the "what did each stage buy"
+# sheet that decides whether a stage earns its cost at the next scale
+# up. Removal rule per stage: a doc is removed iff a surviving
+# smaller-doc_id partner matches it (canonical-min-id, the same rule
+# each constituent query documents).
+#
+# 100 TB shape: each stage is its constituent operator's audited plan
+# (hash-groupBy / bucketed self-join / banded candidates + verify),
+# applied to a monotonically SHRINKING survivor set — the ordering is
+# the point: the quadratic-risk stages see only what linear stages
+# left. Stage receipts are 1-row aggregates of narrow (doc_id, tokens)
+# frames; survivors pass between stages as anti-joins on bounded
+# removed-id sets.
+# --------------------------------------------------------------------------
+
+_CASCADE_TOKS = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE size(split(trim(text), '\\\\s+')) END"
+)
+_CASCADE_TOKS_DUCK = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    r"ELSE len(string_split_regex(trim(text), '\s+')) END"
+)
+
+
+def cascade_execute(corpus: DataFrame) -> DataFrame:
+    """(stage, name, n_in, n_removed, n_out, tokens_removed,
+    removal_rate): the 3-stage dedup cascade receipt. ``corpus`` must
+    carry (doc_id, text)."""
+    tok = corpus.select(
+        "doc_id", "text", F.expr(_CASCADE_TOKS).cast("bigint").alias("_t")
+    )
+    canon = tok.groupBy(F.md5("text").alias("_d")).agg(
+        F.min("doc_id").alias("_cid")
+    )
+    s1 = tok.join(
+        canon,
+        (F.md5(tok["text"]) == canon["_d"])
+        & (tok["doc_id"] == canon["_cid"]),
+    ).select("doc_id", "text", "_t")
+    r2 = simhash_pairs(s1).select(F.col("doc_b").alias("doc_id")).distinct()
+    s2 = s1.join(r2, "doc_id", "left_anti")
+    r3 = (
+        ngram_jaccard_lsh_verified(s2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(r3, "doc_id", "left_anti")
+
+    def _cnt(df: DataFrame, n: str, t: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias(t),
+        )
+
+    a0, a1, a2, a3 = (
+        _cnt(tok, "n0", "t0"),
+        _cnt(s1, "n1", "t1"),
+        _cnt(s2, "n2", "t2"),
+        _cnt(s3, "n3", "t3"),
+    )
+    wide = (
+        a0.crossJoin(F.broadcast(a1))
+        .crossJoin(F.broadcast(a2))
+        .crossJoin(F.broadcast(a3))
+    )
+
+    def _stage(no: int, name: str, i: str, o: str):
+        return (
+            F.lit(no).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.col(f"n{i}").alias("n_in"),
+            (F.col(f"n{i}") - F.col(f"n{o}")).alias("n_removed"),
+            F.col(f"n{o}").alias("n_out"),
+            (F.col(f"t{i}") - F.col(f"t{o}")).alias("tokens_removed"),
+            F.round(
+                (F.col(f"n{i}") - F.col(f"n{o}"))
+                / F.col(f"n{i}").cast("double"),
+                6,
+            ).alias("removal_rate"),
+        )
+
+    return (
+        wide.select(*_stage(1, "exact", "0", "1"))
+        .unionByName(wide.select(*_stage(2, "simhash", "1", "2")))
+        .unionByName(wide.select(*_stage(3, "jaccard_lsh", "2", "3")))
+    )
+
+
+def sql_cascade_execute(corpus_sql: str) -> str:
+    r2 = sql_simhash_pairs("SELECT doc_id, text FROM s1")
+    r3 = sql_ngram_jaccard_lsh_verified("SELECT doc_id, text FROM s2")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             CAST({_CASCADE_TOKS_DUCK} AS BIGINT) AS t
+      FROM ({corpus_sql})
+    ),
+    canon AS (
+      SELECT md5(text) AS d, min(doc_id) AS cid FROM tok GROUP BY 1
+    ),
+    s1 AS (
+      SELECT tok.* FROM tok
+      JOIN canon ON md5(tok.text) = canon.d AND tok.doc_id = canon.cid
+    ),
+    r2 AS (SELECT DISTINCT doc_b AS doc_id FROM ({r2})),
+    s2 AS (
+      SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM r2)
+    ),
+    r3 AS (SELECT DISTINCT doc_b AS doc_id FROM ({r3})),
+    s3 AS (
+      SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM r3)
+    ),
+    a0 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(coalesce(sum(t),0) AS BIGINT) tk FROM tok),
+    a1 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(coalesce(sum(t),0) AS BIGINT) tk FROM s1),
+    a2 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(coalesce(sum(t),0) AS BIGINT) tk FROM s2),
+    a3 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(coalesce(sum(t),0) AS BIGINT) tk FROM s3)
+    SELECT CAST(1 AS INTEGER) AS stage, 'exact' AS name,
+           a0.n AS n_in, a0.n - a1.n AS n_removed, a1.n AS n_out,
+           a0.tk - a1.tk AS tokens_removed,
+           round(CAST(a0.n - a1.n AS DOUBLE) / a0.n, 6) AS removal_rate
+    FROM a0, a1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'simhash', a1.n, a1.n - a2.n, a2.n,
+           a1.tk - a2.tk,
+           round(CAST(a1.n - a2.n AS DOUBLE) / a1.n, 6)
+    FROM a1, a2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'jaccard_lsh', a2.n, a2.n - a3.n, a3.n,
+           a2.tk - a3.tk,
+           round(CAST(a2.n - a3.n AS DOUBLE) / a2.n, 6)
+    FROM a2, a3
+    """

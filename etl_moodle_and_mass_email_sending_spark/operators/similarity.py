@@ -4239,3 +4239,169 @@ def sql_index_maintenance() -> str:
                   > {PQ_RETRAIN_MIN_IMPROVEMENT!r} THEN 1 ELSE 0 END)
             FROM pq) > 0
     """
+
+
+# --------------------------------------------------------------------------
+# Label-noise audit (round 12) — confident-learning-lite over the
+# embedding geometry: for a fixed audit sample, each example's exact
+# top-K neighbors vote on its label; an example whose OWN label loses
+# the vote outright (own votes < K/2 AND a different label holds the
+# plurality) is flagged as likely mislabeled. The per-class receipt
+# (flag rate, mean own-vote share, the label most often confused with)
+# is the triage sheet for "which classes' labels can curation trust" —
+# the check run before using labels for cluster quotas, stratified
+# splits, or classifier-filtered curation (cleanlab's premise, reduced
+# to the kNN-vote estimator both engines can run exactly).
+#
+# 100 TB shape: the audit sample is FIXED size (NOISE_AUDIT_N — a rate
+# estimate needs a sample, not the corpus), so the broadcast side is
+# constant and the corpus side is one scan, exactly topk_bruteforce's
+# audited shape; production swaps the exact scan for IVF-probed
+# candidates (sim_ivf_topk's plan) without changing the vote or the
+# receipt. Vote rollups are K·|sample| rows.
+# --------------------------------------------------------------------------
+
+NOISE_AUDIT_N = 200  # fixed audit sample: vec_id < 200
+NOISE_K = 5  # neighbor votes per audited example
+
+
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_audited, n_flagged, flag_rate, mean_vote_share,
+    top_confused_with): per-class label-noise receipt from kNN votes
+    over the fixed audit sample."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < NOISE_AUDIT_N).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("label").alias("own_label"),
+    )
+    cos = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    knn = (
+        v.crossJoin(F.broadcast(q.drop("own_label")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NOISE_K)
+    )
+    votes = knn.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    maj = (
+        votes.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("maj_label"))
+    )
+    own = q.select("query_id", "own_label")
+    per_ex = (
+        own.join(
+            votes.withColumnRenamed("label", "own_label"),
+            ["query_id", "own_label"],
+            "left",
+        )
+        .withColumn("own_votes", F.coalesce("n_votes", F.lit(0)))
+        .join(maj, "query_id")
+        .withColumn(
+            "flagged",
+            (F.col("own_votes") * 2 < F.lit(NOISE_K))
+            & (F.col("maj_label") != F.col("own_label")),
+        )
+    )
+    confused = (
+        per_ex.filter("flagged")
+        .groupBy("own_label", "maj_label")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wc = Window.partitionBy("own_label").orderBy(
+        F.col("_c").desc(), F.col("maj_label")
+    )
+    top_conf = (
+        confused.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("own_label", F.col("maj_label").alias("top_confused_with"))
+    )
+    per_cls = per_ex.groupBy("own_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_audited"),
+        F.coalesce(F.sum(F.col("flagged").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.round(
+            F.avg(F.col("own_votes").cast("double") / F.lit(NOISE_K)), 6
+        ).alias("mean_vote_share"),
+    )
+    return (
+        per_cls.join(top_conf, "own_label", "left")
+        .select(
+            F.col("own_label").alias("label"),
+            "n_audited",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged") / F.col("n_audited").cast("double"), 6
+            ).alias("flag_rate"),
+            "mean_vote_share",
+            "top_confused_with",
+        )
+    )
+
+
+def sql_label_noise_audit() -> str:
+    cos = _duck_cosine("q.vec", "v.vec")
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec, label AS own_label
+          FROM v WHERE vec_id < {NOISE_AUDIT_N}),
+    knn AS (
+      SELECT query_id, vec_id, label FROM (
+        SELECT q.query_id, v.vec_id, v.label,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {cos} DESC, v.vec_id) AS rank
+        FROM v CROSS JOIN q WHERE v.vec_id <> q.query_id
+      ) WHERE rank <= {NOISE_K}
+    ),
+    votes AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM knn GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT query_id, label AS maj_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY n_votes DESC, label) AS rn FROM votes
+      ) WHERE rn = 1
+    ),
+    per_ex AS (
+      SELECT q.query_id, q.own_label,
+             coalesce(vo.n_votes, 0) AS own_votes, m.maj_label,
+             coalesce(vo.n_votes, 0) * 2 < {NOISE_K}
+               AND m.maj_label <> q.own_label AS flagged
+      FROM q
+      LEFT JOIN votes vo
+        ON vo.query_id = q.query_id AND vo.label = q.own_label
+      JOIN maj m ON m.query_id = q.query_id
+    ),
+    conf AS (
+      SELECT own_label, maj_label AS top_confused_with FROM (
+        SELECT own_label, maj_label, count(*) AS c,
+               row_number() OVER (PARTITION BY own_label
+                 ORDER BY count(*) DESC, maj_label) AS rn
+        FROM per_ex WHERE flagged GROUP BY own_label, maj_label
+      ) WHERE rn = 1
+    ),
+    cls AS (
+      SELECT own_label, CAST(count(*) AS BIGINT) AS n_audited,
+             CAST(coalesce(sum(CASE WHEN flagged THEN 1 END), 0)
+                  AS BIGINT) AS n_flagged,
+             round(avg(CAST(own_votes AS DOUBLE) / {NOISE_K}), 6)
+               AS mean_vote_share
+      FROM per_ex GROUP BY 1
+    )
+    SELECT c.own_label AS label, c.n_audited, c.n_flagged,
+           round(CAST(c.n_flagged AS DOUBLE) / c.n_audited, 6)
+             AS flag_rate,
+           c.mean_vote_share, cf.top_confused_with
+    FROM cls c LEFT JOIN conf cf USING (own_label)
+    """

@@ -114,6 +114,17 @@ register(
     similarity.sql_topk_bruteforce(),
 )
 
+# dedup_cascade_execute (round 12) — the staged exact → simhash →
+# LSH-verified-Jaccard dedup pipeline as one per-stage cost receipt
+# (operators/dedup.py::cascade_execute).
+register(
+    "dedup_cascade_execute",
+    lambda spark, sf_dir: dedup.cascade_execute(
+        dedup.dup_corpus(spark, sf_dir)
+    ),
+    dedup.sql_cascade_execute(_CORPUS_SQL),
+)
+
 # sim_filtered_topk (round 12) — filtered vector search: exact top-k
 # under a metadata predicate, PRE-filter strategy (predicate pushed to
 # the scan before any distance work; operators/similarity.py has the
@@ -507,6 +518,16 @@ register(
     "text_decontaminate",
     lambda spark, sf_dir: text_analysis.decontaminate(_docs(spark, sf_dir)),
     text_analysis.sql_decontaminate(_DOCS_SQL),
+)
+
+# sim_label_noise_audit (round 12) — confident-learning-lite: kNN
+# label votes over a fixed audit sample; per-class flag rate, mean
+# own-vote share, top confused-with label
+# (operators/similarity.py::label_noise_audit).
+register(
+    "sim_label_noise_audit",
+    similarity.label_noise_audit,
+    similarity.sql_label_noise_audit(),
 )
 
 # text_decontaminate_execute (round 12) — the scrub EXECUTOR:
