@@ -1642,3 +1642,125 @@ FROM per_key CROSS JOIN tot
 """
 
 register("rel_salt_plan", _salt_plan, _SALT_PLAN_SQL)
+
+
+# --------------------------------------------------------------------------
+# rel_ingest_freshness (round 12) — per-feed freshness/volume SLO
+# receipt, the batch readout an ingest pager alerts from: for each
+# event_type (≈ upstream feed), how long has it been silent relative
+# to the global high-water mark, and is that silence anomalous FOR
+# THAT FEED? A fixed minutes threshold can't serve feeds whose natural
+# cadence differs by 10× (and is density-dependent across test
+# scales), so the SLO is adaptive: `lagging` = the feed's lag exceeds
+# its OWN mean inter-arrival gap (span/(n−1); for a Poisson feed the
+# last gap exceeds the mean ~1/e of the time, so the flag names the
+# laggard tail, not a fixed wall). Volume health: last calendar day's
+# count vs the feed's mean daily volume, dip flagged under 50%.
+#
+# Scale: one hash aggregation per feed (map-side partials carry max/
+# min/count and the conditional last-day count against a broadcast
+# 1-row high-water mark); |event_type| receipt rows. At 100 TB the
+# same plan reads the partition-pruned tail (last N days), not
+# history — the receipt needs max/min/counts, all partition-prunable.
+# --------------------------------------------------------------------------
+
+VOLUME_DIP_FACTOR = 0.5
+
+
+def _ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    g = ev.agg(F.max("ts").alias("_gmax"))
+    e = ev.crossJoin(F.broadcast(g))
+    per = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("_first"),
+        F.first("_gmax").alias("_gmax"),
+        F.countDistinct(F.date_trunc("day", F.col("ts")))
+        .cast("bigint")
+        .alias("n_days"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.date_trunc("day", F.col("ts"))
+                    == F.date_trunc("day", F.col("_gmax")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("last_day_n"),
+    )
+    lag_min = F.round(
+        (F.unix_micros("_gmax") - F.unix_micros("last_ts")) / 6e7, 3
+    )
+    gap_min = F.round(
+        F.try_divide(
+            (F.unix_micros("last_ts") - F.unix_micros("_first")) / 6e7,
+            F.col("n_events") - 1,
+        ),
+        3,
+    )
+    mean_daily = F.round(
+        F.col("n_events") / F.col("n_days").cast("double"), 3
+    )
+    ratio = F.round(
+        F.col("last_day_n")
+        / (F.col("n_events") / F.col("n_days").cast("double")),
+        6,
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag_min.alias("lag_minutes"),
+        gap_min.alias("mean_gap_minutes"),
+        (lag_min > gap_min).alias("lagging"),
+        "n_days",
+        mean_daily.alias("mean_daily"),
+        "last_day_n",
+        ratio.alias("volume_ratio"),
+        (ratio < VOLUME_DIP_FACTOR).alias("volume_dip"),
+    )
+
+
+register(
+    "rel_ingest_freshness",
+    _ingest_freshness,
+    f"""
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    e AS (SELECT event_type, ts, g.gmax FROM events CROSS JOIN g),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_ts, min(ts) AS first_ts,
+             max(gmax) AS gmax,
+             CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+               AS n_days,
+             CAST(coalesce(sum(CASE WHEN date_trunc('day', ts)
+                                         = date_trunc('day', gmax)
+                                    THEN 1 END), 0) AS BIGINT)
+               AS last_day_n
+      FROM e GROUP BY 1
+    )
+    SELECT event_type, n_events, last_ts,
+           round((epoch_us(gmax) - epoch_us(last_ts)) / 6e7, 3)
+             AS lag_minutes,
+           round(CASE WHEN n_events = 1 THEN NULL
+                 ELSE (epoch_us(last_ts) - epoch_us(first_ts)) / 6e7
+                      / (n_events - 1) END, 3) AS mean_gap_minutes,
+           round((epoch_us(gmax) - epoch_us(last_ts)) / 6e7, 3)
+             > round(CASE WHEN n_events = 1 THEN NULL
+                     ELSE (epoch_us(last_ts) - epoch_us(first_ts)) / 6e7
+                          / (n_events - 1) END, 3) AS lagging,
+           n_days,
+           round(CAST(n_events AS DOUBLE) / n_days, 3) AS mean_daily,
+           last_day_n,
+           round(last_day_n / (CAST(n_events AS DOUBLE) / n_days), 6)
+             AS volume_ratio,
+           round(last_day_n / (CAST(n_events AS DOUBLE) / n_days), 6)
+             < {VOLUME_DIP_FACTOR!r} AS volume_dip
+    FROM per
+    """,
+)

@@ -1690,3 +1690,298 @@ def stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.similarity import sql_ivf_append as _sql_ivf_append
 
 register("stream_ivf_append", stream_ivf_append, _sql_ivf_append())
+
+
+def _enriched_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-drift feed: events with a CONSTRUCTED props JSON
+    document — base keys (k, t, u) on every row, a 'legacy' key only
+    on the oldest fifth of the stream (event_id·5 < max) and an 'exp'
+    key only on the newest fifth (event_id·5 > max·4). The planted
+    drift makes the monitor's new-key and missing-key paths actually
+    fire on the testbed (the stream_fk_guard degraded-dimension
+    lesson: a monitor that never alarms demonstrates nothing); the
+    thresholds are event_id ranges, so the 2-chunk event_id-ntile
+    replay puts 'legacy' only in batch 1 and 'exp' only in batch 2."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    mx = ev.agg(F.max("event_id").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "event_id",
+            F.concat(
+                F.lit('{"k": 1, "t": "'),
+                F.col("event_type"),
+                F.lit('", "u": '),
+                F.col("user_id").cast("string"),
+                F.when(
+                    F.col("event_id") * 5 < F.col("_mx"),
+                    F.lit(', "legacy": 1'),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("event_id") * 5 > F.col("_mx") * 4,
+                    F.lit(', "exp": 1'),
+                ).otherwise(F.lit("")),
+                F.lit("}"),
+            ).alias("props"),
+        )
+    )
+
+
+def stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSON schema-drift monitor (round 12): each arriving
+    batch's props documents are introspected (json_object_keys — the
+    schema-registry primitive for opaque JSON columns) into a per-key
+    prevalence partial; the readout compares every batch's key set
+    against the FIRST batch's baseline — 'new' keys (appeared after
+    the baseline: the upstream added a field without telling anyone)
+    and 'missing' keys (a baseline key absent from this batch: the
+    upstream dropped or renamed one). Per-batch partials land in
+    idempotent batch_id partitions; batches are event_id-ntile chunks,
+    so the oracle reproduces the batching exactly.
+
+    100 TB shape: the per-batch work is explode(keys) → hash agg to a
+    VOCABULARY-sized (key, count) frame — map-side partial, bounded by
+    the JSON schema not the stream; the readout joins bounded key
+    frames only. A production deployment points the same readout at a
+    schema-registry table instead of batch 0."""
+    import os
+
+    base = scratch_dir("schdrift_")
+    feed = _enriched_props(spark, sf_dir)
+    stage = _stage_ordered_chunks(
+        feed, "event_id", n_chunks=2,
+        cache_key=("stage_schema_drift", sf_dir),
+    )
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = os.path.join(base, "partials")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.select(
+                F.explode(F.expr("json_object_keys(props)")).alias("key")
+            )
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        )
+        (
+            part.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    present = spark.read.parquet(out).select("batch_id", "key", "n_rows")
+    baseline = (
+        present.filter(F.col("batch_id") == 0)
+        .select("key")
+        .withColumn("_base", F.lit(1))
+    )
+    spine = (
+        present.select("batch_id").distinct()
+        .crossJoin(F.broadcast(baseline))
+    )
+    merged = spine.join(present, ["batch_id", "key"], "full_outer")
+    status = (
+        F.when(F.col("_base").isNull(), F.lit("new"))
+        .when(F.col("n_rows").isNull(), F.lit("missing"))
+        .otherwise(F.lit("ok"))
+    )
+    return merged.select(
+        (F.col("batch_id") + 1).cast("int").alias("chunk"),
+        "key",
+        status.alias("status"),
+        F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+    )
+
+
+STREAM_SCHEMA_DRIFT_SQL = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+feed AS (
+  SELECT event_id,
+         '{"k": 1, "t": "' || event_type || '", "u": ' ||
+         CAST(user_id AS VARCHAR) ||
+         CASE WHEN event_id * 5 < m THEN ', "legacy": 1' ELSE '' END ||
+         CASE WHEN event_id * 5 > m * 4 THEN ', "exp": 1' ELSE '' END ||
+         '}' AS props,
+         ntile(2) OVER (ORDER BY event_id) AS chunk
+  FROM events CROSS JOIN mx
+),
+keyed AS (
+  SELECT chunk, unnest(json_keys(props)) AS key FROM feed
+),
+present AS (
+  SELECT chunk, key, CAST(count(*) AS BIGINT) AS n_rows
+  FROM keyed GROUP BY 1, 2
+),
+baseline AS (SELECT key FROM present WHERE chunk = 1),
+spine AS (
+  SELECT c.chunk, b.key
+  FROM (SELECT DISTINCT chunk FROM present) c CROSS JOIN baseline b
+),
+merged AS (
+  SELECT coalesce(s.chunk, p.chunk) AS chunk,
+         coalesce(s.key, p.key) AS key,
+         s.key IS NOT NULL AS in_base, p.n_rows
+  FROM spine s FULL OUTER JOIN present p
+    ON s.chunk = p.chunk AND s.key = p.key
+)
+SELECT CAST(chunk AS INTEGER) AS chunk, key,
+       CASE WHEN NOT in_base THEN 'new'
+            WHEN n_rows IS NULL THEN 'missing'
+            ELSE 'ok' END AS status,
+       CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows
+FROM merged
+"""
+
+register("stream_schema_drift", stream_schema_drift, STREAM_SCHEMA_DRIFT_SQL)
+
+
+def stream_backfill_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-backfill → streaming-tail handoff (round 12) — the
+    lambda/kappa cutover every re-ingestion runs: a batch job owns
+    history (arrival chunks 1–3), the stream starts from a checkpoint
+    BEFORE the batch high-water mark (chunks 3–4, so chunk 3 arrives
+    on BOTH paths — the deliberate overlap that makes the cutover safe
+    against a gap), and the serving union must still be exactly-once:
+    stream rows whose event_id the batch already owns are dropped by
+    an anti-join (batch wins). The receipt proves it per event_type:
+    batch rows, stream arrivals, overlap dropped, net stream rows, and
+    the exactly-once verdict (total == batch + net == the table).
+
+    100 TB shape: the streamed tail lands append-only in idempotent
+    batch_id partitions; the anti-join keys on event_id — in
+    production both sides are bucketed/partitioned on the same key so
+    the anti-join is co-located, and the batch side prunes to the
+    overlap window (here the overlap chunk) rather than scanning
+    history. Receipts are |event_type| rows."""
+    import os
+
+    base = scratch_dir("handoff_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    stage = _stage_ordered_chunks(
+        ev, "event_id", n_chunks=4,
+        cache_key=("stage_backfill", sf_dir),
+    )
+    batch_side = spark.read.parquet(
+        *[os.path.join(stage, f"chunk{i:02d}.parquet") for i in (1, 2, 3)]
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "chunk0[34].parquet")
+        .parquet(stage)
+    )
+    out = os.path.join(base, "tail")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tail = spark.read.parquet(out).select("event_id", "event_type")
+    batch_keys = batch_side.select("event_id")
+    net = tail.join(batch_keys, "event_id", "left_anti")
+    dropped = tail.join(batch_keys, "event_id", "left_semi")
+    b = batch_side.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch")
+    )
+    arr = tail.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stream_arrived")
+    )
+    dr = dropped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_dropped")
+    )
+    nt = net.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stream_net")
+    )
+    expect = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_expected")
+    )
+    return (
+        b.join(arr, "event_type", "full_outer")
+        .join(dr, "event_type", "full_outer")
+        .join(nt, "event_type", "full_outer")
+        .join(expect, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_batch", F.lit(0)).cast("bigint").alias(
+                "n_batch"
+            ),
+            F.coalesce("n_stream_arrived", F.lit(0))
+            .cast("bigint")
+            .alias("n_stream_arrived"),
+            F.coalesce("n_overlap_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap_dropped"),
+            F.coalesce("n_stream_net", F.lit(0)).cast("bigint").alias(
+                "n_stream_net"
+            ),
+            (
+                F.coalesce("n_batch", F.lit(0))
+                + F.coalesce("n_stream_net", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_total"),
+            (
+                F.coalesce("n_batch", F.lit(0))
+                + F.coalesce("n_stream_net", F.lit(0))
+                == F.coalesce("_expected", F.lit(0))
+            ).alias("exactly_once"),
+        )
+    )
+
+
+STREAM_BACKFILL_HANDOFF_SQL = """
+WITH chunked AS (
+  SELECT event_type,
+         ntile(4) OVER (ORDER BY event_id) AS chunk
+  FROM events
+)
+SELECT event_type,
+       CAST(coalesce(sum(CASE WHEN chunk <= 3 THEN 1 END), 0) AS BIGINT)
+         AS n_batch,
+       CAST(coalesce(sum(CASE WHEN chunk >= 3 THEN 1 END), 0) AS BIGINT)
+         AS n_stream_arrived,
+       CAST(coalesce(sum(CASE WHEN chunk = 3 THEN 1 END), 0) AS BIGINT)
+         AS n_overlap_dropped,
+       CAST(coalesce(sum(CASE WHEN chunk = 4 THEN 1 END), 0) AS BIGINT)
+         AS n_stream_net,
+       CAST(count(*) AS BIGINT) AS n_total,
+       coalesce(sum(CASE WHEN chunk <= 3 THEN 1 END), 0)
+         + coalesce(sum(CASE WHEN chunk = 4 THEN 1 END), 0)
+         = count(*) AS exactly_once
+FROM chunked GROUP BY 1
+"""
+
+register(
+    "stream_backfill_handoff",
+    stream_backfill_handoff,
+    STREAM_BACKFILL_HANDOFF_SQL,
+)

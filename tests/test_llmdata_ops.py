@@ -3223,3 +3223,81 @@ class TestFilteredTopk:
             if lab[v] < sim.FILTER_LABEL_MAX:
                 assert (q, v) in filt
                 assert filt[(q, v)] <= rank
+
+
+class TestSchemaDrift:
+    def test_planted_drift_fires_and_counts_match(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        rows = registry.queries()["stream_schema_drift"](
+            spark, SF_SMALL
+        ).collect()
+        by = {(r["chunk"], r["key"]): r for r in rows}
+        # batch 1 is the baseline: every key 'ok'
+        assert all(
+            r["status"] == "ok" for r in rows if r["chunk"] == 1
+        )
+        # planted drift: 'exp' appears only in batch 2 (new), 'legacy'
+        # vanishes after batch 1 (missing, prevalence 0)
+        assert by[(2, "exp")]["status"] == "new"
+        assert by[(2, "legacy")]["status"] == "missing"
+        assert by[(2, "legacy")]["n_rows"] == 0
+        assert (1, "exp") not in by
+        # base keys are on every row of every batch
+        n = load_table(spark, SF_SMALL, "events").count()
+        for key in ("k", "t", "u"):
+            assert by[(1, key)]["n_rows"] + by[(2, key)]["n_rows"] == n
+
+
+class TestBackfillHandoff:
+    def test_overlap_dedup_is_exactly_once(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        rows = registry.queries()["stream_backfill_handoff"](
+            spark, SF_SMALL
+        ).collect()
+        assert rows and all(r["exactly_once"] for r in rows)
+        # the overlap chunk genuinely arrived twice and was dropped
+        assert sum(r["n_overlap_dropped"] for r in rows) > 0
+        # stream arrivals = overlap + net (chunk 3 + chunk 4)
+        for r in rows:
+            assert (
+                r["n_stream_arrived"]
+                == r["n_overlap_dropped"] + r["n_stream_net"]
+            )
+        per_type = {
+            r["event_type"]: r["count"]
+            for r in load_table(spark, SF_SMALL, "events")
+            .groupBy("event_type")
+            .count()
+            .collect()
+        }
+        assert {r["event_type"]: r["n_total"] for r in rows} == per_type
+
+
+class TestIngestFreshness:
+    def test_adaptive_slo_discriminates(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["rel_ingest_freshness"](
+            spark, SF_SMALL
+        ).collect()
+        assert len(rows) == 5
+        # the high-water feed has zero lag and is never lagging
+        lead = min(rows, key=lambda r: r["lag_minutes"])
+        assert lead["lag_minutes"] == 0.0 and not lead["lagging"]
+        # the adaptive SLO discriminates on the testbed: some feed lags
+        assert any(r["lagging"] for r in rows)
+        for r in rows:
+            assert r["lagging"] == (
+                r["lag_minutes"] > r["mean_gap_minutes"]
+            )
+            assert r["volume_ratio"] is not None and r["n_days"] >= 1
