@@ -4074,6 +4074,52 @@ RECALL_DROP_TOL = 0.05  # a split may cost at most 5 recall points
 PQ_RETRAIN_MIN_IMPROVEMENT = 0.02  # refresh pays off above 2%
 
 
+# The four maintenance-cycle receipts are bounded (≤ ~20 rows) and a
+# cycle computes each exactly ONCE per run — so the staged forms below
+# are the canonical access path for BOTH the composed receipt
+# (index_maintenance) and the standalone registered queries: one
+# session computes each receipt once, every consumer assembles from
+# the staged frame (the governance-receipts-table pattern; round 12).
+
+
+def staged_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import staged_frame
+
+    return staged_frame(
+        spark, ("im_append", sf_dir), lambda: ivf_append(spark, sf_dir)
+    )
+
+
+def staged_ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import staged_frame
+
+    return staged_frame(
+        spark,
+        ("im_recluster", sf_dir),
+        lambda: ivf_recluster(spark, sf_dir),
+    )
+
+
+def staged_recall_after_recluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .util import staged_frame
+
+    return staged_frame(
+        spark,
+        ("im_recall", sf_dir),
+        lambda: recall_after_recluster(spark, sf_dir),
+    )
+
+
+def staged_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .util import staged_frame
+
+    return staged_frame(
+        spark, ("im_pq", sf_dir), lambda: pq_refresh(spark, sf_dir)
+    )
+
+
 def index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(section, key, n_base, n_change, metric, flag): the composed
     IVF/PQ maintenance-cycle receipt.
@@ -4085,24 +4131,10 @@ def index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is pure assembly over the staged frames. The first
     invocation in a session pays the full cycle, like the staged
     PQ/IVFPQ artifacts."""
-    from .util import staged_frame
-
-    ap = staged_frame(
-        spark, ("im_append", sf_dir), lambda: ivf_append(spark, sf_dir)
-    )
-    rc = staged_frame(
-        spark,
-        ("im_recluster", sf_dir),
-        lambda: ivf_recluster(spark, sf_dir),
-    )
-    ra = staged_frame(
-        spark,
-        ("im_recall", sf_dir),
-        lambda: recall_after_recluster(spark, sf_dir),
-    )
-    pq = staged_frame(
-        spark, ("im_pq", sf_dir), lambda: pq_refresh(spark, sf_dir)
-    )
+    ap = staged_ivf_append(spark, sf_dir)
+    rc = staged_ivf_recluster(spark, sf_dir)
+    ra = staged_recall_after_recluster(spark, sf_dir)
+    pq = staged_pq_refresh(spark, sf_dir)
 
     s_append = ap.select(
         F.lit("append").alias("section"),

@@ -2841,7 +2841,7 @@ register(
 # growth/hot flags (operators/similarity.py::ivf_append).
 register(
     "sim_ivf_append",
-    lambda spark, sf_dir: similarity.ivf_append(spark, sf_dir),
+    lambda spark, sf_dir: similarity.staged_ivf_append(spark, sf_dir),
     similarity.sql_ivf_append(),
 )
 
@@ -3080,7 +3080,7 @@ register(
 # (operators/similarity.py::ivf_recluster).
 register(
     "sim_ivf_recluster",
-    lambda spark, sf_dir: similarity.ivf_recluster(spark, sf_dir),
+    lambda spark, sf_dir: similarity.staged_ivf_recluster(spark, sf_dir),
     similarity.sql_ivf_recluster(),
 )
 
@@ -3369,7 +3369,7 @@ register(
 # (operators/similarity.py::recall_after_recluster).
 register(
     "sim_recall_after_recluster",
-    lambda spark, sf_dir: similarity.recall_after_recluster(
+    lambda spark, sf_dir: similarity.staged_recall_after_recluster(
         spark, sf_dir
     ),
     similarity.sql_recall_after_recluster(),
@@ -3589,7 +3589,7 @@ register(
 # (operators/similarity.py::pq_refresh).
 register(
     "sim_pq_refresh",
-    lambda spark, sf_dir: similarity.pq_refresh(spark, sf_dir),
+    lambda spark, sf_dir: similarity.staged_pq_refresh(spark, sf_dir),
     similarity.sql_pq_refresh(),
 )
 
