@@ -3772,3 +3772,184 @@ def _sql_llm_datacard() -> str:
 
 
 register("llm_datacard", _llm_datacard, _sql_llm_datacard())
+
+
+# --------------------------------------------------------------------------
+# llm_ingest_health (round 12) — the ingest-side capstone composition,
+# the twin of llm_corpus_release (writer side) and
+# sim_index_maintenance (index side): the four ingest monitors'
+# receipts assembled into one health sheet plus a go/no-go verdict.
+# Sections: schema (per-batch JSON key anomalies vs baseline), fk
+# (per-batch orphan counts vs the dimension), mixture (per-batch worst
+# source-share deviation vs the temperature plan), fresh (per-feed
+# adaptive lag SLO + volume dip). HARD gates = schema + fk (a broken
+# contract blocks the release); mixture/freshness are soft alerts. On
+# the testbed the verdict is deliberately NO-GO: the FK guard's
+# degraded dimension plants orphans, so the gate demonstrably fires.
+#
+# 100 TB shape: each constituent is its own audited plan; the receipts
+# are BOUNDED (batches × keys / feeds), session-staged once per
+# (session, sf_dir) — a production deployment reads them from the
+# governance receipts table the producers append to
+# (rel_quarantine_rollup's materialized pattern). Assembly is unions
+# of ≤ ~20-row frames.
+# --------------------------------------------------------------------------
+
+MIX_DEV_TOL = 0.02  # worst per-batch source-share deviation alert
+
+
+def _ingest_health(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.util import staged_frame
+    from . import streaming_q as sq
+    from .quality import _ingest_freshness
+
+    sch = staged_frame(
+        spark,
+        ("ih_schema", sf_dir),
+        lambda: sq.stream_schema_drift(spark, sf_dir),
+    )
+    fk = staged_frame(
+        spark,
+        ("ih_fk", sf_dir),
+        lambda: sq.stream_fk_guard(spark, sf_dir),
+    )
+    mix = staged_frame(
+        spark,
+        ("ih_mix", sf_dir),
+        lambda: sq.stream_mixture_monitor(spark, sf_dir),
+    )
+    fr = staged_frame(
+        spark,
+        ("ih_fresh", sf_dir),
+        lambda: _ingest_freshness(spark, sf_dir),
+    )
+
+    s_schema = sch.groupBy("chunk").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("status") != "ok", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("_anom"),
+        F.count(F.lit(1)).alias("_keys"),
+    ).select(
+        F.lit("schema").alias("section"),
+        F.concat(F.lit("chunk"), F.col("chunk").cast("string")).alias(
+            "key"
+        ),
+        F.col("_anom").alias("n"),
+        F.round(F.col("_anom") / F.col("_keys").cast("double"), 6).alias(
+            "metric"
+        ),
+        (F.col("_anom") > 0).alias("flag"),
+    )
+    s_fk = fk.select(
+        F.lit("fk").alias("section"),
+        F.concat(F.lit("chunk"), F.col("chunk").cast("string")).alias(
+            "key"
+        ),
+        F.col("n_orphan").cast("bigint").alias("n"),
+        F.col("orphan_rate").cast("double").alias("metric"),
+        (F.col("n_orphan") > 0).alias("flag"),
+    )
+    s_mix = mix.groupBy("chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.round(F.max(F.abs(F.col("deviation"))), 6).alias("_dev"),
+    ).select(
+        F.lit("mixture").alias("section"),
+        F.concat(F.lit("chunk"), F.col("chunk").cast("string")).alias(
+            "key"
+        ),
+        F.col("_n").alias("n"),
+        F.col("_dev").alias("metric"),
+        (F.col("_dev") > MIX_DEV_TOL).alias("flag"),
+    )
+    s_fresh = fr.select(
+        F.lit("fresh").alias("section"),
+        F.col("event_type").alias("key"),
+        F.col("n_events").alias("n"),
+        F.col("lag_minutes").cast("double").alias("metric"),
+        (F.col("lagging") | F.col("volume_dip")).alias("flag"),
+    )
+    body = (
+        s_schema.unionByName(s_fk)
+        .unionByName(s_mix)
+        .unionByName(s_fresh)
+    )
+    verdict = body.agg(
+        F.coalesce(F.sum(F.col("flag").cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("section").isin("schema", "fk")
+                    & F.col("flag"),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("metric"),
+    ).select(
+        F.lit("verdict").alias("section"),
+        F.lit("ingest_go").alias("key"),
+        "n",
+        "metric",
+        (F.col("metric") == 0).alias("flag"),
+    )
+    return body.unionByName(verdict)
+
+
+def _sql_ingest_health() -> str:
+    from . import streaming_q as sq
+    from .quality import INGEST_FRESHNESS_SQL
+
+    return f"""
+    WITH sch AS ({sq.STREAM_SCHEMA_DRIFT_SQL}),
+    fkg AS ({sq.STREAM_FK_GUARD_SQL}),
+    mix AS ({sq._stream_mixture_monitor_sql()}),
+    fr AS ({INGEST_FRESHNESS_SQL}),
+    body AS (
+      SELECT 'schema' AS section,
+             'chunk' || CAST(chunk AS VARCHAR) AS key,
+             CAST(coalesce(sum(CASE WHEN status <> 'ok' THEN 1 END), 0)
+                  AS BIGINT) AS n,
+             round(CAST(coalesce(sum(CASE WHEN status <> 'ok' THEN 1
+                                      END), 0) AS DOUBLE)
+                   / count(*), 6) AS metric,
+             coalesce(sum(CASE WHEN status <> 'ok' THEN 1 END), 0) > 0
+               AS flag
+      FROM sch GROUP BY chunk
+      UNION ALL
+      SELECT 'fk', 'chunk' || CAST(chunk AS VARCHAR),
+             CAST(n_orphan AS BIGINT), CAST(orphan_rate AS DOUBLE),
+             n_orphan > 0
+      FROM fkg
+      UNION ALL
+      SELECT 'mixture', 'chunk' || CAST(chunk AS VARCHAR),
+             CAST(count(*) AS BIGINT),
+             round(max(abs(deviation)), 6),
+             round(max(abs(deviation)), 6) > {MIX_DEV_TOL!r}
+      FROM mix GROUP BY chunk
+      UNION ALL
+      SELECT 'fresh', event_type, n_events,
+             CAST(lag_minutes AS DOUBLE), lagging OR volume_dip
+      FROM fr
+    )
+    SELECT * FROM body
+    UNION ALL
+    SELECT 'verdict', 'ingest_go',
+           CAST(coalesce(sum(CASE WHEN flag THEN 1 END), 0) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN section IN ('schema', 'fk')
+                                       AND flag THEN 1 END), 0)
+                AS DOUBLE),
+           coalesce(sum(CASE WHEN section IN ('schema', 'fk') AND flag
+                        THEN 1 END), 0) = 0
+    FROM body
+    """
+
+
+register("llm_ingest_health", _ingest_health, _sql_ingest_health())

@@ -1725,10 +1725,7 @@ def _ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "rel_ingest_freshness",
-    _ingest_freshness,
-    f"""
+INGEST_FRESHNESS_SQL = f"""
     WITH g AS (SELECT max(ts) AS gmax FROM events),
     e AS (SELECT event_type, ts, g.gmax FROM events CROSS JOIN g),
     per AS (
@@ -1762,5 +1759,6 @@ register(
            round(last_day_n / (CAST(n_events AS DOUBLE) / n_days), 6)
              < {VOLUME_DIP_FACTOR!r} AS volume_dip
     FROM per
-    """,
-)
+    """
+
+register("rel_ingest_freshness", _ingest_freshness, INGEST_FRESHNESS_SQL)

@@ -3301,3 +3301,39 @@ class TestIngestFreshness:
                 r["lag_minutes"] > r["mean_gap_minutes"]
             )
             assert r["volume_ratio"] is not None and r["n_days"] >= 1
+
+
+class TestIngestHealth:
+    def test_sections_and_verdict_consistency(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["llm_ingest_health"](
+            spark, SF_SMALL
+        ).collect()
+        by_sec = {}
+        for r in rows:
+            by_sec.setdefault(r["section"], []).append(r)
+        assert set(by_sec) == {
+            "schema",
+            "fk",
+            "mixture",
+            "fresh",
+            "verdict",
+        }
+        (v,) = by_sec["verdict"]
+        body = [r for r in rows if r["section"] != "verdict"]
+        assert v["n"] == sum(1 for r in body if r["flag"])
+        hard = sum(
+            1
+            for r in body
+            if r["section"] in ("schema", "fk") and r["flag"]
+        )
+        assert v["metric"] == float(hard)
+        assert v["flag"] == (hard == 0)
+        # the degraded FK dimension makes the gate demonstrably fire
+        assert any(r["flag"] for r in by_sec["fk"])
+        assert not v["flag"]
+        # planted schema drift lands in batch 2, batch 1 is clean
+        sch = {r["key"]: r for r in by_sec["schema"]}
+        assert not sch["chunk1"]["flag"] and sch["chunk2"]["flag"]
+        assert sch["chunk2"]["n"] == 2  # exp new + legacy missing
