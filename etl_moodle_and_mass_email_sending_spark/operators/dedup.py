@@ -1235,3 +1235,131 @@ def sql_cascade_execute(corpus_sql: str) -> str:
            round(CAST(a2.n - a3.n AS DOUBLE) / a2.n, 6)
     FROM a2, a3
     """
+
+
+# --------------------------------------------------------------------------
+# LSH recall metrology (round 12) — the measured answer to the
+# recall/cost dial every LSH section documents as "the standard
+# tradeoff via LSH_BANDS × LSH_ROWS": on a labeled evaluation stratum
+# (one language block — small enough for the exact all-pairs truth,
+# and sound because band collision is a PER-PAIR property of the two
+# signatures: whether (a,b) share a band does not depend on the rest
+# of the corpus), compute every exact-Jaccard pair ≥ threshold, then
+# ask which of them the banded candidate generation actually surfaced.
+# The per-Jaccard-bucket recall curve is the production tuning sheet:
+# recall should rise steeply with similarity (the S-curve
+# 1-(1-j^r)^b), and a bucket below target recall says add bands or
+# shorten rows BEFORE a 100 TB run silently under-dedups.
+#
+# 100 TB shape: the truth side is all-pairs ONLY on the bounded eval
+# stratum (the labeled-sample pattern — never the corpus); the LSH
+# side is the banded candidate join on the same stratum. The curve is
+# ≤ 6 rows.
+# --------------------------------------------------------------------------
+
+RECALL_EVAL_LANG = "de"  # smallest language block = cheapest truth
+RECALL_EVAL_TARGET = 500  # fixed-size eval sample: truth cost is
+# constant at ANY corpus scale (an 8x shape run showed the unsampled
+# stratum's all-pairs truth scaling 9.2x — the labeled sample must not
+# grow with the corpus). Deterministic md5-fraction thinning; at small
+# scales the fraction saturates at 1.0 and the whole stratum is kept.
+_RE_SCALE = 16**15
+
+
+def lsh_recall(
+    corpus: DataFrame,
+    eval_lang: str = RECALL_EVAL_LANG,
+    threshold: float = NEAR_THRESHOLD,
+    target: int = RECALL_EVAL_TARGET,
+) -> DataFrame:
+    """(bucket, n_truth, n_found, recall): per-Jaccard-bucket recall of
+    the MinHash-LSH candidate stage against the exact all-pairs truth
+    on a fixed-size sample of the ``eval_lang`` stratum. ``corpus``
+    must carry (doc_id, text, lang)."""
+    block = corpus.filter(F.col("lang") == eval_lang).select(
+        "doc_id", "text", "lang"
+    )
+    n = block.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"LR{SEED_SEP}"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(_RE_SCALE))
+    )
+    stratum = (
+        block.crossJoin(F.broadcast(n))
+        .filter(u < F.least(F.lit(1.0), F.lit(float(target)) / F.col("_n")))
+        .select("doc_id", "text", "lang")
+    )
+    truth = ngram_jaccard_pairs(stratum, threshold)
+    found = ngram_jaccard_lsh_verified(
+        stratum.select("doc_id", "text"), threshold
+    ).select("doc_a", "doc_b", F.lit(1).alias("_hit"))
+    bucket = (
+        F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) / 10.0
+    ).alias("bucket")
+    joined = truth.join(found, ["doc_a", "doc_b"], "left")
+    return (
+        joined.select(bucket, "_hit")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        .select(
+            "bucket",
+            "n_truth",
+            "n_found",
+            F.round(
+                F.col("n_found") / F.col("n_truth").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def sql_lsh_recall(
+    corpus_sql: str,
+    eval_lang: str = RECALL_EVAL_LANG,
+    threshold: float = NEAR_THRESHOLD,
+    target: int = RECALL_EVAL_TARGET,
+) -> str:
+    u = (
+        f"CAST('0x' || substr(md5('LR{SEED_SEP}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+        f"/ {float(_RE_SCALE)!r}"
+    )
+    stratum = (
+        f"SELECT doc_id, text, lang FROM ({corpus_sql}) "
+        f"CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n "
+        f"FROM ({corpus_sql}) WHERE lang = '{eval_lang}') _c "
+        f"WHERE lang = '{eval_lang}' "
+        f"AND {u} < least(1.0, {float(target)!r} / n)"
+    )
+    truth = sql_ngram_jaccard_pairs(stratum, threshold)
+    found = sql_ngram_jaccard_lsh_verified(
+        f"SELECT doc_id, text FROM ({stratum})", threshold
+    )
+    return f"""
+    WITH truth AS ({truth}),
+    found AS (SELECT doc_a, doc_b, 1 AS hit FROM ({found}))
+    SELECT least(floor(t.jaccard * 10), 9) / 10.0 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(f.hit), 0) AS BIGINT) AS n_found,
+           round(CAST(coalesce(sum(f.hit), 0) AS DOUBLE) / count(*), 6)
+             AS recall
+    FROM truth t LEFT JOIN found f USING (doc_a, doc_b)
+    GROUP BY 1
+    """

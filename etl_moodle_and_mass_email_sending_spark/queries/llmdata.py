@@ -114,6 +114,17 @@ register(
     similarity.sql_topk_bruteforce(),
 )
 
+# dedup_lsh_recall (round 12) — LSH metrology: per-Jaccard-bucket
+# recall of the banded candidate stage vs the exact all-pairs truth on
+# the smallest language stratum (operators/dedup.py::lsh_recall).
+register(
+    "dedup_lsh_recall",
+    lambda spark, sf_dir: dedup.lsh_recall(
+        dedup.dup_corpus(spark, sf_dir)
+    ),
+    dedup.sql_lsh_recall(_CORPUS_SQL),
+)
+
 # dedup_cascade_execute (round 12) — the staged exact → simhash →
 # LSH-verified-Jaccard dedup pipeline as one per-stage cost receipt
 # (operators/dedup.py::cascade_execute).
