@@ -264,7 +264,17 @@ HEADLINE = [
     "sim_index_maintenance",
     "text_decontaminate_execute",
     "sim_filtered_topk",
-    # capstone composition
+    "llm_token_budget",
+    "text_fold_balance",
+    "text_shuffle_quality",
+    "sim_label_noise_audit",
+    "dedup_cascade_execute",
+    "stream_schema_drift",
+    "stream_backfill_handoff",
+    "rel_ingest_freshness",
+    "dedup_lsh_recall",
+    # capstone compositions
+    "llm_ingest_health",
     "llm_corpus_pipeline",
 ]
 
