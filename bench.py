@@ -430,6 +430,11 @@ def main() -> None:
     from etl_moodle_and_mass_email_sending_spark import registry
     from etl_moodle_and_mass_email_sending_spark.session import get_spark
 
+    # Python workers inherit the env: silences the pyspark-internal
+    # pandas-concat FutureWarning (serializers.py, the
+    # applyInPandasWithState path) that otherwise lands in stderr ahead
+    # of the metrics line — capture hygiene, not a behavior change.
+    os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
     spark = get_spark(app_name="bench")
     # ERROR-level logging: the driver captures only the last ~2 KB of
     # stdout/stderr, and round 7's tail was mostly repeated (benign,

@@ -5830,9 +5830,15 @@ def token_budget(
         .select(
             "source", "n_tokens", "_w", "_b", "_cap", "_alloc", "_capped"
         )
+        # materialize the |sources|-row frame ONCE: each pass references
+        # its input twice (the remaining-budget agg + the join), so an
+        # unmaterialized lineage doubles per pass — 2^3 corpus re-scans
+        # and a 63-exchange plan, measured before this checkpoint.
+        .localCheckpoint()
     )
     for _ in range(3):
-        plan = _budget_pass(plan, "_b")
+        # checkpoint per pass: tiny frame, keeps the tree linear
+        plan = _budget_pass(plan, "_b").localCheckpoint()
     # + 0.0 normalizes IEEE -0.0 to +0.0 (repr parity across engines)
     resid = plan.agg(
         (F.round(F.first("_b") - F.sum("_alloc"), 3) + F.lit(0.0)).alias(
@@ -5973,10 +5979,13 @@ def fold_balance(corpus: DataFrame, k: int = FOLD_K) -> DataFrame:
         "source",
         F.expr(_N_TOKS_SPARK).cast("bigint").alias("_t"),
     )
+    # the K×|sources| cell frame feeds FOUR consumers (src totals, the
+    # spine, the per-fold rollup, the deviation pass) — materialize it
+    # once so the corpus aggregates exactly one time
     cells = assigned.groupBy("fold", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("_obs"),
         F.sum("_t").alias("_tok"),
-    )
+    ).localCheckpoint()
     src = cells.groupBy("source").agg(F.sum("_obs").alias("_ns"))
     tot = src.agg(F.sum("_ns").cast("double").alias("_n"))
     spine = (
