@@ -1137,13 +1137,19 @@ def cascade_execute(corpus: DataFrame) -> DataFrame:
     canon = tok.groupBy(F.md5("text").alias("_d")).agg(
         F.min("doc_id").alias("_cid")
     )
+    # Survivor frames materialize BETWEEN stages (localCheckpoint):
+    # each is consumed by its stage's pair generation AND the next
+    # stage AND its count aggregate — unmaterialized, the lineage
+    # re-derives the whole upstream cascade per consumer (measured: a
+    # 75-exchange executed plan). Production writes each stage's
+    # survivor set anyway — this is that barrier, survivor-sized.
     s1 = tok.join(
         canon,
         (F.md5(tok["text"]) == canon["_d"])
         & (tok["doc_id"] == canon["_cid"]),
-    ).select("doc_id", "text", "_t")
+    ).select("doc_id", "text", "_t").localCheckpoint()
     r2 = simhash_pairs(s1).select(F.col("doc_b").alias("doc_id")).distinct()
-    s2 = s1.join(r2, "doc_id", "left_anti")
+    s2 = s1.join(r2, "doc_id", "left_anti").localCheckpoint()
     r3 = (
         ngram_jaccard_lsh_verified(s2)
         .select(F.col("doc_b").alias("doc_id"))

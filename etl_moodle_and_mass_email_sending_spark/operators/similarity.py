@@ -4318,9 +4318,12 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= NOISE_K)
     )
+    # votes is sample×labels-bounded and feeds BOTH the majority pick
+    # and the own-vote lookup — materialize so the broadcast-Q cosine
+    # scan runs once, not once per consumer
     votes = knn.groupBy("query_id", "label").agg(
         F.count(F.lit(1)).alias("n_votes")
-    )
+    ).localCheckpoint()
     wv = Window.partitionBy("query_id").orderBy(
         F.col("n_votes").desc(), F.col("label")
     )
@@ -4343,6 +4346,7 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("own_votes") * 2 < F.lit(NOISE_K))
             & (F.col("maj_label") != F.col("own_label")),
         )
+        .localCheckpoint()  # bounded; feeds the confusion pick + rollup
     )
     confused = (
         per_ex.filter("flagged")
