@@ -1104,9 +1104,10 @@ def sql_incremental_dedup(
 # cheaper stages could not kill). Per-stage receipt: docs in, removed,
 # out, tokens removed, removal rate — the "what did each stage buy"
 # sheet that decides whether a stage earns its cost at the next scale
-# up. Removal rule per stage: a doc is removed iff a surviving
-# smaller-doc_id partner matches it (canonical-min-id, the same rule
-# each constituent query documents).
+# up. Removal rule per stage: a doc is removed iff ANY smaller-doc_id
+# doc in the stage input matches it (so a chain A<B<C with A~B, B~C
+# but no A~C removes both B and C — the same rule
+# stream_near_dup_filter documents).
 #
 # 100 TB shape: each stage is its constituent operator's audited plan
 # (hash-groupBy / bucketed self-join / banded candidates + verify),

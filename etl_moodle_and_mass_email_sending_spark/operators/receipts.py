@@ -77,3 +77,48 @@ def latest_rollup(spark: SparkSession, path: str) -> DataFrame:
     return t.join(latest, ["producer", "reason", "run_id"]).select(
         *RECEIPT_COLUMNS
     )
+
+
+# --------------------------------------------------------------------------
+# Ingest-monitor receipts (round 13, VERDICT r12 item 3) — the SAME
+# producers-append / rollup-reads contract as the governance receipts
+# above, instantiated for the ingest monitors' section sheets
+# (llm_ingest_health): schema drift, FK guard, mixture monitor,
+# freshness. Each monitor appends its whole SECTION per run; the
+# rollup resolves the latest run per section, so a re-run of one
+# monitor replaces exactly its own rows.
+#
+# 100 TB shape: identical to the governance table — O(sections × keys
+# × runs) rows (keys = micro-batch chunks / feeds, a few dozen), no
+# matter how big the monitored streams are. The monitors carry the
+# heavy scans; llm_ingest_health is a tiny-table read.
+# --------------------------------------------------------------------------
+
+INGEST_RECEIPT_COLUMNS = ["section", "key", "n", "metric", "flag"]
+
+
+def append_ingest_receipts(df: DataFrame, path: str, run_id: str) -> None:
+    """Append one monitor's section rows (section, key, n, metric,
+    flag) to the shared ingest-receipts table at ``path``, stamped
+    with ``run_id``. Idempotent per (run_id, section): the dynamic
+    overwrite replaces exactly the (run_id, section) partitions
+    present in ``df`` — same contract as :func:`append_receipts`."""
+    (
+        df.select(*INGEST_RECEIPT_COLUMNS)
+        .withColumn("run_id", F.lit(run_id))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id", "section")
+        .parquet(path)
+    )
+
+
+def latest_ingest_rollup(spark: SparkSession, path: str) -> DataFrame:
+    """Every section's rows from its LATEST run — a plain read +
+    max-run resolve; no monitor work re-runs here."""
+    t = spark.read.parquet(path)
+    latest = t.groupBy("section").agg(F.max("run_id").alias("run_id"))
+    return t.join(latest, ["section", "run_id"]).select(
+        *INGEST_RECEIPT_COLUMNS
+    )

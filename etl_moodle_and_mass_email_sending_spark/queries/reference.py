@@ -383,3 +383,51 @@ register(
     GROUP BY username HAVING count(*) > 1
     """,
 )
+
+# --------------------------------------------------------------------------
+# ref_first_user_render — A4 first-row selection, oracle-gated (round 13,
+# VERDICT r12 item 7): the reference's first-user email preview
+# (app.py:877–915 `update_email_preview_first_user`, `users_mail[0]`)
+# renders the SAME subject/preheader/plain/html quartet the send loop
+# uses — the preview plan IS the send plan (SURVEY §3.3 plan reuse). The
+# reference's "first" is CSV load order; here it's made deterministic as
+# min(email) over the normalized recipients. Spark plan: render columns
+# are pure concat expressions, so orderBy(email).limit(1) compiles to
+# TakeOrderedAndProject — a per-partition top-1 plus a 1-row driver merge,
+# no global sort at any scale.
+# --------------------------------------------------------------------------
+
+_RENDER_COLS = [
+    "email",
+    "nombre",
+    "usuario",
+    "contrasena",
+    "subject",
+    "preheader",
+    "plain",
+    "html",
+]
+
+
+def _first_user_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rendered = mailer.render_messages(
+        csv_variants.normalize_recipients(_variant_moodle_input(spark, sf_dir)),
+        course_name=_COURSE,
+        aula_url=_AULA,
+    )
+    return rendered.orderBy("email").limit(1).select(*_RENDER_COLS)
+
+
+register(
+    "ref_first_user_render",
+    _first_user_render,
+    f"""
+    WITH rendered AS ({mailer.sql_render_messages(
+        csv_variants.sql_normalize_moodle(_VARIANT_MOODLE_INPUT_SQL),
+        course_name=_COURSE,
+        aula_url=_AULA,
+    )})
+    SELECT {", ".join(_RENDER_COLS)}
+    FROM rendered ORDER BY email LIMIT 1
+    """,
+)

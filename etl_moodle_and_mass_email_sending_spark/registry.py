@@ -28,7 +28,34 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-12 ROTATION (VERDICT r11 item 1):
+# entries in iteration order. ROUND-13 ROTATION (VERDICT r12 items 1+7):
+#   (a) all 13 round-12 tail additions — never externally certified;
+#       every one driver-sim green at sf0.001 and sf0.01 when it was
+#       registered (standing promotion policy), independently re-run
+#       green by the round-12 judge (13/13), and re-run green again
+#       this round before promotion. NOTE: llm_ingest_health and
+#       rel_ingest_freshness changed THIS round (ingest monitors now
+#       append to the materialized governance receipts table, VERDICT
+#       item 3; freshness oracle casts ns→us defensively, ADVICE r12),
+#       so the window certifies the new code;
+#   (b) ref_first_user_render — new this round (VERDICT item 7: the
+#       last pytest-only §2 row, A4 first-row selection, now
+#       oracle-gated; driver-sim green at sf0.001+sf0.01 before
+#       promotion);
+#   (c) 36 refresh slots for the oldest round-7 certifications
+#       (alphabetical head of the 41-name r7 cohort, computed from the
+#       union of CORRECTNESS_r01..r12: latest green == r7;
+#       mm_phash_hamming_hist … text_ppl_buckets). The remaining 5
+#       (text_quality_score, text_source_mixture,
+#       text_stratified_sample, text_token_stats,
+#       text_tokenizer_fertility) rotate in round 14 — one slot of the
+#       prescribed 37 went to (b), which VERDICT item 7 places in this
+#       window explicitly.
+# After CORRECTNESS_r13 goes green, every registered query has an
+# external certification and none is older than round 7 (5 r7
+# stragglers, named above, rotate first in r14).
+# ROUND-12 ROTATION (kept for the ledger; superseded above;
+# VERDICT r11 item 1):
 #   (a) all 12 round-11 tail additions — never externally certified;
 #       every one driver-sim green at sf0.001 and sf0.01 when it was
 #       registered (standing promotion policy), independently re-run
@@ -122,62 +149,63 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-11 tail additions, registration order — all driver-sim
-    # green at sf0.001+sf0.01 before promotion (builder r11, judge r11
-    # 12/12, and re-run at the top of round 12)
-    "llm_corpus_release",
-    "sim_ivf_recluster",
-    "rel_quarantine_rollup",
-    "sim_recall_after_recluster",
-    "text_dsir_execute",
-    "dedup_shard_locality",
-    "stream_quarantine_feed",
-    "llm_eval_guard",
-    "sim_pq_refresh",
-    "rel_zorder_execute",
-    "llm_datacard",
-    "stream_ivf_append",
-    # (b) the 32 round-6-stale names (oldest external certifications
-    # in the ledger; latest green == r6 in CORRECTNESS_r01..r11)
-    "rel_grouping_sets",
-    "rel_hll_distinct",
-    "rel_kmv_setops",
-    "rel_psi_drift",
-    "rel_q11_important_stock",
-    "rel_q12_late_priority",
-    "rel_q16_supplier_count",
-    "rel_q20_excess_shippers",
-    "rel_q21_sole_blame",
-    "rel_q2_min_price_supplier",
-    "rel_q9_product_profit",
-    "rel_quantile_sketch",
-    "rel_session_concurrency",
-    "rel_time_weighted_avg",
-    "rel_zorder_layout",
-    "sim_ann_multiprobe_topk",
-    "sim_centroid_drift",
-    "sim_knn_graph",
-    "sim_mrl_topk",
-    "stream_bloom_membership",
-    "stream_cms_counts",
-    "stream_hll_distinct",
-    "stream_near_dup_filter",
-    "stream_quantile_sketch",
-    "stream_upsert_latest",
-    "text_bpe_merges",
-    "text_langid_confusion",
-    "text_ngram_novelty",
-    "text_quality_classifier",
-    "text_substring_dedup",
-    "text_token_entropy",
-    "text_weighted_sample",
-    # (c) oldest round-7 refreshes (alphabetical head of the r7 cohort)
-    "dedup_threshold_sweep",
-    "graph_assortativity",
-    "graph_clustering_coeff",
-    "mm_audio_fp_dedup",
-    "mm_decode_media",
-    "mm_extract_features",
+    # (a) round-12 tail additions, registration order — all driver-sim
+    # green at sf0.001+sf0.01 before promotion (builder r12, judge r12
+    # 13/13, and re-run at the top of round 13)
+    "sim_index_maintenance",
+    "text_decontaminate_execute",
+    "sim_filtered_topk",
+    "llm_token_budget",
+    "text_fold_balance",
+    "text_shuffle_quality",
+    "sim_label_noise_audit",
+    "dedup_cascade_execute",
+    "stream_schema_drift",
+    "stream_backfill_handoff",
+    "rel_ingest_freshness",
+    "llm_ingest_health",
+    "dedup_lsh_recall",
+    # (b) round-13 addition: A4 oracle-gated (VERDICT r12 item 7)
+    "ref_first_user_render",
+    # (c) alphabetical head 36 of the 41 round-7-stale names (latest
+    # green == r7 in the union of CORRECTNESS_r01..r12); the last 5
+    # (text_quality_score … text_tokenizer_fertility) rotate in r14
+    "mm_phash_hamming_hist",
+    "mm_resize_images",
+    "mm_video_frame_dedup",
+    "rel_arrival_disorder",
+    "rel_correlation_matrix",
+    "rel_dow_hour_profile",
+    "rel_duplicate_orders",
+    "rel_gap_detection",
+    "rel_k_anonymity",
+    "rel_market_basket",
+    "rel_new_vs_returning",
+    "rel_order_reconciliation",
+    "rel_range_join",
+    "rel_revenue_gini",
+    "rel_ship_lag_by_nation",
+    "rel_skew_salted_agg",
+    "rel_time_rollup",
+    "sim_ann_recall",
+    "sim_cluster_purity",
+    "sim_ivf_list_balance",
+    "sim_ivf_nprobe_sweep",
+    "sim_ivf_topk",
+    "sim_kmeans_refine",
+    "sim_norm_outliers",
+    "sim_semantic_dedup",
+    "text_burstiness",
+    "text_chunking",
+    "text_decontaminate",
+    "text_heaps_law",
+    "text_js_divergence",
+    "text_lang_id",
+    "text_lexical_diversity",
+    "text_line_dedup",
+    "text_oov_rate",
+    "text_pii_scrub",
+    "text_ppl_buckets",
 ]
 
 
