@@ -377,12 +377,15 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
     the per-round median-of-3/5 comparison sweep."""
     here = os.path.dirname(os.path.abspath(__file__))
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errs: dict[str, str] = {}
     total = 0.0
     for name in sorted(qs):
         fn = qs[name]
         try:
+            tc = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            c = round(time.perf_counter() - tc, 3)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t = round(time.perf_counter() - t0, 3)
@@ -390,8 +393,13 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
             errs[name] = f"{type(e).__name__}: {e}"[:200]
             continue
         times[name] = t
+        cold[name] = c
         total += t
         gc.collect()
+    from etl_moodle_and_mass_email_sending_spark.operators.util import (
+        staging_ledger,
+    )
+
     payload = {
         "metric": "full_sweep_wall_seconds",
         "value": round(total, 3),
@@ -405,6 +413,16 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
         "cross-round comparison series)",
         "sentinels": sentinels,
         "queries": times,
+        # staging ledger (VERDICT r12 item 2): session-staged builds
+        # (staged_frame/staged_path keys) with the wall seconds their
+        # FIRST build paid in this session — queries whose `queries`
+        # entry is a near-zero warm read charge their compute here.
+        # cold_seconds is each query's FIRST (warm-up) invocation in
+        # sweep order: for the first consumer of a staged cycle (e.g.
+        # sim_index_maintenance's constituents) cold-vs-warm is the
+        # staged compute made visible.
+        "staging_seconds": staging_ledger(),
+        "cold_seconds": cold,
         "errors": errs,
     }
     with open(os.path.join(here, "FULLBENCH.json"), "w") as f:
@@ -528,6 +546,10 @@ def main() -> None:
     except Exception:
         pass
 
+    from etl_moodle_and_mass_email_sending_spark.operators.util import (
+        staging_ledger as _staging_ledger,
+    )
+
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     run_counts: dict[str, int] = {}
@@ -535,9 +557,15 @@ def main() -> None:
     heap_mb: dict[str, float] = {}
     remeasured: dict[str, list[float]] = {}
 
+    cold: dict[str, float] = {}
+
     def measure(name: str, runs: int) -> tuple[float, list[float]]:
         fn = qs[name]
+        tc = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # first invocation this sweep = cold (keeps the FIRST measure
+        # call's value: re-measures re-run warm)
+        cold.setdefault(name, round(time.perf_counter() - tc, 3))
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -606,6 +634,16 @@ def main() -> None:
         # item 2): divide cross-round per-query ratios by `drift`
         # before indicting a query's code
         "sentinels": sentinels,
+        # staging ledger (VERDICT r12 item 2): per staged_frame /
+        # staged_path key, the wall seconds the FIRST build paid —
+        # warm-read query entries (IVF/PQ lifecycle, receipt rollups)
+        # charge their real compute here, so a staged-build regression
+        # is observable even when every consumer reads warm.
+        "staging_seconds": _staging_ledger(),
+        # each query's FIRST (warm-up) invocation in sweep order: for
+        # the first consumer of a staged cycle, cold-vs-warm IS the
+        # staged compute made visible (e.g. sim_index_maintenance).
+        "cold_seconds": cold,
     }
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -33,17 +33,44 @@ def _prune_session_stage() -> None:
             del _SESSION_STAGE[k]
 
 
+# Staging ledger (round 13, VERDICT r12 item 2): session-staging makes
+# the FIRST invocation pay the staged compute and every later one a
+# near-free warm read — so a regression inside a staged build is
+# invisible in its consumers' own bench entries. Every staged_frame /
+# staged_path build records its wall seconds here (keyed by the staging
+# key, appId stripped); bench.py ships the map as `staging_seconds`
+# alongside `queries` in BENCH_DETAIL/FULLBENCH.
+_STAGING_LEDGER: dict[str, float] = {}
+
+
+def _ledger_key(key: tuple) -> str:
+    return "/".join(str(p) for p in key)
+
+
+def staging_ledger() -> dict[str, float]:
+    """Build-cost ledger for this process: staging key -> wall seconds
+    of the FIRST (only) build per session. Cumulative across sessions
+    in one process; bench snapshots it after the sweep."""
+    return dict(_STAGING_LEDGER)
+
+
 def staged_frame(
     spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return the checkpointed frame for ``key``, building it on first
     use in this session. ``key`` must include every input the build
     depends on (e.g. the sf_dir)."""
+    import time
+
     _prune_session_stage()
     full_key = (spark.sparkContext.applicationId, *key)
     df = _SESSION_STAGE.get(full_key)
     if df is None:
+        t0 = time.perf_counter()
         df = build().localCheckpoint()
+        _STAGING_LEDGER[_ledger_key(key)] = round(
+            time.perf_counter() - t0, 3
+        )
         _SESSION_STAGE[full_key] = df
     return df
 
@@ -111,13 +138,17 @@ def staged_path(
     a scratch dir on first use in this session. ``key`` must include
     every input the build depends on (e.g. the sf_dir); the build must
     be deterministic, since later invocations read the first copy."""
+    import time
+
     _prune_session_paths()
     full_key = (spark.sparkContext.applicationId, *key)
     hit = _SESSION_PATHS.get(full_key)
     if hit is not None:
         return hit[0]
     path = scratch_dir(prefix)
+    t0 = time.perf_counter()
     build(path)
+    _STAGING_LEDGER[_ledger_key(key)] = round(time.perf_counter() - t0, 3)
     _SESSION_PATHS[full_key] = (path, spark)
     return path
 
