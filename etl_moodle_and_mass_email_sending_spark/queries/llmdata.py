@@ -3787,6 +3787,141 @@ register("llm_datacard", _llm_datacard, _sql_llm_datacard())
 
 
 # --------------------------------------------------------------------------
+# llm_release_diff (round 13) — the release-to-release datacard diff:
+# before a new corpus release ships, the question reviewers actually
+# ask is not "what is in it" (llm_datacard) but "what CHANGED since
+# the last run" — sources added or dropped, token growth per source,
+# and the total delta. The previous snapshot is simulated
+# deterministically (the prior ingest cut: doc_id % 10 <> 7, with the
+# alphabetically-last source not yet onboarded — so the 'new' status
+# demonstrably fires); production swaps that predicate for the
+# previous release's manifest.
+#
+# 100 TB shape: ONE corpus scan — the previous snapshot's rollup is a
+# conditional aggregate inside the same groupBy(source), not a second
+# scan — one shuffle on source, output O(|sources|). The total row is
+# an aggregate of the per-source frame, not another pass.
+# --------------------------------------------------------------------------
+
+
+def _llm_release_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..operators import text_analysis as ta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    toks = docs.select(
+        "doc_id", "source", F.expr(ta._N_TOKS_SPARK).alias("_nt")
+    )
+    ms = docs.agg(F.max("source").alias("_m"))
+    prev_pred = (F.col("doc_id") % 10 != 7) & (
+        F.col("source") != F.col("_m")
+    )
+    per = (
+        toks.crossJoin(F.broadcast(ms))
+        .groupBy("source")
+        .agg(
+            F.coalesce(F.sum(F.when(prev_pred, 1)), F.lit(0))
+            .cast("bigint")
+            .alias("docs_prev"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_curr"),
+            F.coalesce(F.sum(F.when(prev_pred, F.col("_nt"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_prev"),
+            F.sum("_nt").cast("bigint").alias("tokens_curr"),
+        )
+    )
+
+    def readout(df):
+        delta = F.col("tokens_curr") - F.col("tokens_prev")
+        return df.select(
+            "source",
+            "docs_prev",
+            "docs_curr",
+            "tokens_prev",
+            "tokens_curr",
+            delta.cast("bigint").alias("token_delta"),
+            F.when(
+                F.col("tokens_prev") > 0,
+                F.round(
+                    delta.cast("double") / F.col("tokens_prev"), 6
+                ),
+            ).alias("pct_change"),
+            F.when(F.col("tokens_prev") == 0, F.lit("new"))
+            .when(F.col("tokens_curr") == 0, F.lit("dropped"))
+            .when(delta > 0, F.lit("grown"))
+            .when(delta < 0, F.lit("shrunk"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+
+    total = per.agg(
+        F.lit("__total__").alias("source"),
+        F.sum("docs_prev").cast("bigint").alias("docs_prev"),
+        F.sum("docs_curr").cast("bigint").alias("docs_curr"),
+        F.sum("tokens_prev").cast("bigint").alias("tokens_prev"),
+        F.sum("tokens_curr").cast("bigint").alias("tokens_curr"),
+    ).select(
+        "source", "docs_prev", "docs_curr", "tokens_prev", "tokens_curr"
+    )
+    return readout(per).unionByName(readout(total))
+
+
+def _sql_llm_release_diff() -> str:
+    from ..operators import text_analysis as ta
+
+    readout = """
+      SELECT source, docs_prev, docs_curr, tokens_prev, tokens_curr,
+             tokens_curr - tokens_prev AS token_delta,
+             CASE WHEN tokens_prev > 0 THEN
+               round(CAST(tokens_curr - tokens_prev AS DOUBLE)
+                     / tokens_prev, 6) END AS pct_change,
+             CASE WHEN tokens_prev = 0 THEN 'new'
+                  WHEN tokens_curr = 0 THEN 'dropped'
+                  WHEN tokens_curr > tokens_prev THEN 'grown'
+                  WHEN tokens_curr < tokens_prev THEN 'shrunk'
+                  ELSE 'unchanged' END AS status
+    """
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {ta._N_TOKS_DUCK} AS nt FROM documents
+    ),
+    ms AS (SELECT max(source) AS m FROM documents),
+    per AS (
+      SELECT source,
+             CAST(coalesce(sum(CASE WHEN doc_id % 10 <> 7
+                                         AND source <> m
+                                    THEN 1 END), 0) AS BIGINT)
+               AS docs_prev,
+             CAST(count(*) AS BIGINT) AS docs_curr,
+             CAST(coalesce(sum(CASE WHEN doc_id % 10 <> 7
+                                         AND source <> m
+                                    THEN nt END), 0) AS BIGINT)
+               AS tokens_prev,
+             CAST(sum(nt) AS BIGINT) AS tokens_curr
+      FROM toks CROSS JOIN ms GROUP BY source
+    ),
+    tot AS (
+      SELECT '__total__' AS source,
+             CAST(sum(docs_prev) AS BIGINT) AS docs_prev,
+             CAST(sum(docs_curr) AS BIGINT) AS docs_curr,
+             CAST(sum(tokens_prev) AS BIGINT) AS tokens_prev,
+             CAST(sum(tokens_curr) AS BIGINT) AS tokens_curr
+      FROM per
+    )
+    SELECT * FROM ({readout} FROM per)
+    UNION ALL
+    SELECT * FROM ({readout} FROM tot)
+    """
+
+
+register("llm_release_diff", _llm_release_diff, _sql_llm_release_diff())
+
+
+# --------------------------------------------------------------------------
 # llm_ingest_health (round 12) — the ingest-side capstone composition,
 # the twin of llm_corpus_release (writer side) and
 # sim_index_maintenance (index side): the four ingest monitors'

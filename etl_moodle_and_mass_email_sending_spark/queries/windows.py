@@ -1580,3 +1580,103 @@ register(
                        (n_docs, n_langs, chars_total, chars_max))
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_scd2_asof (round 13) — the POINT-IN-TIME read over an SCD2
+# dimension, the consumer rel_scd2_history builds for: each user's
+# events are a mutation log of their "current value"; lead(ts) per
+# user turns the log into validity intervals [ts, next_ts) (the
+# scd2_history shape, keyed on value instead of event_type), and a
+# midnight probe spine reads the dimension as-of each day — the
+# backbone of every point-in-time-correct feature-store and
+# training-label join (no future leakage: a probe sees only the
+# interval that CONTAINS it).
+#
+# 100 TB shape: the interval build is one partition-local window per
+# user (hash-partitioned on user_id — never global); the as-of read
+# broadcasts the |days|-row probe spine against the interval stream
+# (BroadcastNestedLoopJoin on a bounded build side: each interval row
+# tests ≤|days| probes, linear in the log). Mean is computed as
+# exact-decimal sum / count, cast once — the documented parity recipe.
+# --------------------------------------------------------------------------
+
+
+def _scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = e.select(
+        "user_id",
+        "ts",
+        _dec(F.col("value")).alias("_v"),
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    spine = (
+        e.agg(
+            F.date_trunc("day", F.min("ts")).alias("mn"),
+            F.date_trunc("day", F.max("ts")).alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.expr("mn + INTERVAL 1 DAY"),
+                    F.col("mx"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day")
+        )
+    )
+    asof = intervals.join(
+        F.broadcast(spine),
+        (F.col("ts") <= F.col("day"))
+        & (F.col("nxt").isNull() | (F.col("nxt") > F.col("day"))),
+    )
+    return (
+        asof.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tracked"),
+            F.sum("_v").alias("_s"),
+        )
+        .select(
+            "day",
+            "n_tracked",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tracked"), 6
+            ).alias("mean_current_value"),
+        )
+    )
+
+
+register(
+    "rel_scd2_asof",
+    _scd2_asof,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    intervals AS (
+      SELECT user_id, ts, v,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM e
+    ),
+    spine AS (
+      SELECT unnest(generate_series(
+               mn + INTERVAL 1 DAY, mx, INTERVAL 1 DAY)) AS day
+      FROM (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS mn,
+                   CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS mx
+            FROM e)
+    )
+    SELECT s.day,
+           CAST(count(*) AS BIGINT) AS n_tracked,
+           round(CAST(sum(i.v) AS DOUBLE) / count(*), 6)
+             AS mean_current_value
+    FROM spine s JOIN intervals i
+      ON i.ts <= s.day AND (i.nxt IS NULL OR i.nxt > s.day)
+    GROUP BY 1
+    """,
+)

@@ -158,14 +158,12 @@ def _stamp_index_two_pass(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
-    woff = (
-        Window.orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
-    )
+    from ..operators.util import prefix_offsets
+
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_v"))
+    # broadcast triangular self-join over the |partitions|-row carry
+    # frame — no WindowExec node (round 13, VERDICT r12 item 6)
+    offsets = prefix_offsets(counts, "sum")
     wlocal = Window.partitionBy("_pid").orderBy(F.col(order_by))
     return (
         ranged.withColumn("_local", F.row_number().over(wlocal))

@@ -3398,6 +3398,146 @@ class TestBackfillHandoff:
         assert {r["event_type"]: r["n_total"] for r in rows} == per_type
 
 
+class TestStateTtl:
+    def test_invariants_and_sequential_oracle(self, spark):
+        """The 4-batch TTL recursion replayed sequentially in pandas
+        must equal the streaming result exactly — including the
+        evicted-key-returns-as-new rule."""
+        import pandas as pd
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+            STATE_TTL_CHUNKS,
+            STATE_TTL_HOURS,
+        )
+
+        rows = sorted(
+            registry.queries()["stream_state_ttl"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["chunk"],
+        )
+        assert [r["chunk"] for r in rows] == list(
+            range(1, STATE_TTL_CHUNKS + 1)
+        )
+        # sequential pandas oracle
+        ev = (
+            load_table(spark, SF_SMALL, "events")
+            .select("event_id", "user_id", "ts")
+            .toPandas()
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
+        chunks = []
+        n, total = STATE_TTL_CHUNKS, len(ev)
+        q, r = divmod(total, n)
+        pos = 0
+        for k in range(1, n + 1):
+            size = q + (1 if k <= r else 0)
+            chunks.append(ev.iloc[pos : pos + size])
+            pos += size
+        state: dict = {}
+        ttl = pd.Timedelta(hours=STATE_TTL_HOURS)
+        for k, ch in enumerate(chunks, start=1):
+            arriv = ch.groupby("user_id")["ts"].max()
+            n_new = sum(1 for u in arriv.index if u not in state)
+            for u, t in arriv.items():
+                state[u] = max(state.get(u, t), t)
+            bmax = ch["ts"].max()
+            evict = [u for u, t in state.items() if t < bmax - ttl]
+            for u in evict:
+                del state[u]
+            got = rows[k - 1]
+            assert got["n_arrived"] == len(arriv)
+            assert got["n_new"] == n_new
+            assert got["n_active"] == len(state)
+            assert got["n_evicted"] == len(evict)
+        # state hygiene demonstrably fires on the testbed
+        assert sum(r["n_evicted"] for r in rows) > 0
+        # a returning evicted key is counted as new again
+        assert sum(r["n_new"] for r in rows[1:]) > 0
+
+
+class TestScd2Asof:
+    def test_no_future_leakage_and_interval_consistency(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+
+        rows = sorted(
+            registry.queries()["rel_scd2_asof"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["day"],
+        )
+        assert len(rows) >= 7  # daily spine over the ~30-day testbed
+        ev = load_table(spark, SF_SMALL, "events").select(
+            "user_id", "ts", "value", "event_id"
+        )
+        # spot-check one probe day against a direct latest-before-probe
+        # computation (the no-future-leakage contract)
+        probe = rows[len(rows) // 2]["day"]
+        direct = (
+            ev.filter(F.col("ts") <= F.lit(probe))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"])
+                    .Window.partitionBy("user_id")
+                    .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,2)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m"),
+            )
+            .collect()[0]
+        )
+        got = next(r for r in rows if r["day"] == probe)
+        assert got["n_tracked"] == direct["n"]
+        assert got["mean_current_value"] == direct["m"]
+        # tracked-user count is monotonically nondecreasing (users only
+        # ever enter the dimension; intervals never expire)
+        tracked = [r["n_tracked"] for r in rows]
+        assert tracked == sorted(tracked)
+
+
+class TestReleaseDiff:
+    def test_total_row_reconciles_and_new_fires(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["llm_release_diff"](
+            spark, SF_SMALL
+        ).collect()
+        per = [r for r in rows if r["source"] != "__total__"]
+        (tot,) = [r for r in rows if r["source"] == "__total__"]
+        for col in ("docs_prev", "docs_curr", "tokens_prev", "tokens_curr"):
+            assert tot[col] == sum(r[col] for r in per)
+        assert tot["token_delta"] == tot["tokens_curr"] - tot["tokens_prev"]
+        # the not-yet-onboarded source demonstrably reads 'new'
+        assert any(r["status"] == "new" for r in per)
+        assert all(r["docs_curr"] >= r["docs_prev"] for r in per)
+        for r in per:
+            if r["tokens_prev"] > 0:
+                assert r["status"] in ("grown", "shrunk", "unchanged")
+                assert r["pct_change"] is not None
+            else:
+                assert r["status"] == "new" and r["pct_change"] is None
+
+
 class TestIngestFreshness:
     def test_adaptive_slo_discriminates(self, spark):
         from etl_moodle_and_mass_email_sending_spark import registry
