@@ -273,6 +273,12 @@ HEADLINE = [
     "stream_backfill_handoff",
     "rel_ingest_freshness",
     "dedup_lsh_recall",
+    # round-13 additions
+    "ref_first_user_render",
+    "stream_state_ttl",
+    "rel_scd2_asof",
+    "llm_release_diff",
+    "mm_keyframe_extract",
     # capstone compositions
     "llm_ingest_health",
     "llm_corpus_pipeline",

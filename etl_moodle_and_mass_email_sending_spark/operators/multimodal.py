@@ -1703,3 +1703,70 @@ def sql_modality_balance() -> str:
            round(CAST(c.n_items AS DOUBLE) / p.n, 6) AS item_share
     FROM cells c JOIN per_src p USING (source)
     """
+
+
+# --------------------------------------------------------------------------
+# Keyframe extraction (round 13) — the standard video-curation step
+# AFTER scene detection: keep frame 0 (every clip's mandatory
+# keyframe) plus each scene-change frame, and carry the frame payload
+# for the downstream embed/caption stage. Composes detect_scene_changes
+# (which already yields per-frame intensity + the change flag) with a
+# payload-slice projection joined back on doc_id — the frame bytes are
+# cut from the SAME media row, so the join is co-keyed (hash on
+# doc_id; in production both sides read one bucketed media table and
+# the join is co-located, no second decode pass).
+#
+# 100 TB shape: output is O(videos x scenes) — the curated subset,
+# typically 1-3 orders smaller than the frame stream; the only
+# shuffle is the doc_id hash join of two frames derived from one scan.
+# --------------------------------------------------------------------------
+
+
+def keyframe_extract(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    threshold: int = SCENE_DELTA_THRESHOLD,
+    engine: str = "fake",
+) -> DataFrame:
+    scenes = detect_scene_changes(
+        media, frame_bytes=frame_bytes, threshold=threshold, engine=engine
+    )
+    keys = scenes.filter(
+        (F.col("frame_idx") == 0) | (F.col("is_scene_change") == 1)
+    )
+    payloads = media.filter(F.col("media_type") == "video").select(
+        "doc_id", F.lower(F.hex("payload")).alias("_hex")
+    )
+    return keys.join(payloads, "doc_id").select(
+        "doc_id",
+        "frame_idx",
+        "intensity",
+        (F.col("frame_idx") == 0).alias("is_first"),
+        F.substring(
+            F.col("_hex"),
+            F.col("frame_idx") * (frame_bytes * 2) + 1,
+            frame_bytes * 2,
+        ).alias("frame_hex"),
+    )
+
+
+def sql_keyframe_extract(
+    frame_bytes: int = FRAME_BYTES, threshold: int = SCENE_DELTA_THRESHOLD
+) -> str:
+    scenes = sql_detect_scene_changes(
+        frame_bytes=frame_bytes, threshold=threshold
+    )
+    return f"""
+    WITH scenes AS ({scenes}),
+    payloads AS (
+      SELECT doc_id, payload_hex FROM ({SQL_MEDIA_TABLE})
+      WHERE media_type = 'video'
+    )
+    SELECT s.doc_id, s.frame_idx, s.intensity,
+           s.frame_idx = 0 AS is_first,
+           substr(p.payload_hex,
+                  s.frame_idx * {frame_bytes * 2} + 1,
+                  {frame_bytes * 2}) AS frame_hex
+    FROM scenes s JOIN payloads p USING (doc_id)
+    WHERE s.frame_idx = 0 OR s.is_scene_change = 1
+    """

@@ -1065,6 +1065,17 @@ register(
     multimodal.sql_detect_scene_changes(),
 )
 
+# mm_keyframe_extract (round 13) — frame 0 + scene-change frames with
+# their payload slices: the curated keyframe subset the embed/caption
+# stage consumes (operators/multimodal.py::keyframe_extract).
+register(
+    "mm_keyframe_extract",
+    lambda spark, sf_dir: multimodal.keyframe_extract(
+        multimodal.media_table(spark, sf_dir)
+    ),
+    multimodal.sql_keyframe_extract(),
+)
+
 
 # --------------------------------------------------------------------------
 # dedup_fuzzy_match — edit-distance-1 matching of typo'd tokens back to
@@ -3833,6 +3844,10 @@ def _llm_release_diff(spark, sf_dir):
             .alias("tokens_prev"),
             F.sum("_nt").cast("bigint").alias("tokens_curr"),
         )
+        # the O(|sources|)-row rollup feeds TWO consumers (per-source
+        # readout + the total row); materialize it so the corpus scan
+        # runs once, not per consumer (the r12 lineage-blowup lesson)
+        .localCheckpoint()
     )
 
     def readout(df):

@@ -57,7 +57,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # ROUND-13 TAIL ADDITIONS (standing policy — driver-sim green at
 # sf0.001 AND sf0.01 before registration; rotate into the r14 window
 # with the 5 r7 stragglers): stream_state_ttl, rel_scd2_asof,
-# llm_release_diff.
+# llm_release_diff, mm_keyframe_extract.
 # ROUND-12 ROTATION (kept for the ledger; superseded above;
 # VERDICT r11 item 1):
 #   (a) all 12 round-11 tail additions — never externally certified;

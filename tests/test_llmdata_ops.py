@@ -3398,6 +3398,41 @@ class TestBackfillHandoff:
         assert {r["event_type"]: r["n_total"] for r in rows} == per_type
 
 
+class TestKeyframeExtract:
+    def test_keyframes_are_frame0_plus_scene_changes(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            multimodal,
+        )
+
+        rows = registry.queries()["mm_keyframe_extract"](
+            spark, SF_SMALL
+        ).collect()
+        media = multimodal.media_table(spark, SF_SMALL)
+        scenes = {
+            (r["doc_id"], r["frame_idx"]): r
+            for r in multimodal.detect_scene_changes(media).collect()
+        }
+        expected = {
+            k
+            for k, r in scenes.items()
+            if k[1] == 0 or r["is_scene_change"] == 1
+        }
+        got = {(r["doc_id"], r["frame_idx"]) for r in rows}
+        assert got == expected
+        for r in rows:
+            assert r["is_first"] == (r["frame_idx"] == 0)
+            assert (
+                r["intensity"]
+                == scenes[(r["doc_id"], r["frame_idx"])]["intensity"]
+            )
+            # the payload slice is the frame's own bytes
+            assert len(r["frame_hex"]) == multimodal.FRAME_BYTES * 2
+        # every video contributes at least its mandatory frame-0 keyframe
+        n_videos = media.filter("media_type = 'video'").count()
+        assert len({r["doc_id"] for r in rows}) == n_videos
+
+
 class TestStateTtl:
     def test_invariants_and_sequential_oracle(self, spark):
         """The 4-batch TTL recursion replayed sequentially in pandas
