@@ -214,8 +214,10 @@ def prefix_offsets(per_part: DataFrame, kind: str) -> DataFrame:
     WARN (the exact text a reviewer greps for) can never fire for what
     is a ≤|partitions|-row frame (round 13, VERDICT r12 item 6). The
     localCheckpoint materializes the tiny frame once so the self-join's
-    two sides don't each rescan the data-sized input."""
-    small = per_part.localCheckpoint()
+    two sides don't each rescan the data-sized input; LAZY (eager=False)
+    so no extra blocking job runs before the consumer's own action —
+    the first action materializes it and the second side reads cached."""
+    small = per_part.localCheckpoint(eager=False)
     right = small.select(
         F.col("_pid").alias("_pid2"), F.col("_v").alias("_v2")
     )
