@@ -64,7 +64,17 @@ def _find_list(data: bytes, pos: int, end: int, list_type: bytes):
 
 
 def _headers(data: bytes):
-    """(width, height, fps_num, fps_den, movi_start, movi_end)."""
+    """(width, height, fps_num, fps_den, movi_start, movi_end,
+    stream_prefix) where ``stream_prefix`` is the two-ASCII-digit movi
+    chunk prefix of the MPNG video stream (``b"00"`` for stream 0).
+
+    Validates the codec up front: the strl cursor walks the stream
+    lists in stream order (movi chunk ids encode that index), requires
+    exactly one ``vids`` stream whose strf ``biCompression`` is the
+    MPNG FOURCC, and raises a descriptive 'unsupported codec' error
+    otherwise — so a multi-stream or foreign-codec AVI fails here with
+    a clear message instead of deep inside png_lite on container bytes
+    that were never a PNG (ADVICE r13)."""
     data = bytes(data)
     if not is_avi(data):
         raise ValueError("not an AVI (bad RIFF signature)")
@@ -73,14 +83,27 @@ def _headers(data: bytes):
     hdrl_start, hdrl_end = _find_list(data, 12, end, b"hdrl")
     width = height = None
     fps_num, fps_den = 25, 1
+    stream_idx = -1  # position of the current strl within hdrl
+    vids_stream = None
     for ckid, body, size in _chunks(data, hdrl_start, hdrl_end):
         if ckid == b"avih":
             # dwMicroSecPerFrame .. dwStreams .. dwWidth dwHeight
             fields = struct.unpack("<10I", data[body : body + 40])
             width, height = fields[8], fields[9]
         elif ckid == b"LIST" and data[body : body + 4] == b"strl":
+            stream_idx += 1
+            is_vids = False
             for c2, b2, s2 in _chunks(data, body + 4, body + size):
                 if c2 == b"strh" and data[b2 : b2 + 4] == b"vids":
+                    is_vids = True
+                    handler = data[b2 + 4 : b2 + 8]
+                    if handler != FOURCC:
+                        raise ValueError(
+                            "unsupported AVI codec: strh handler "
+                            f"{handler!r} (this decoder reads only "
+                            f"{FOURCC!r} Motion-PNG; install pyav for "
+                            "other codecs)"
+                        )
                     # fccType fccHandler dwFlags wPrio/wLang dwInitial
                     # dwScale dwRate ...
                     scale, rate = struct.unpack(
@@ -88,10 +111,27 @@ def _headers(data: bytes):
                     )
                     if scale and rate:
                         fps_num, fps_den = rate, scale
+                elif c2 == b"strf" and is_vids:
+                    # BITMAPINFOHEADER: biCompression at offset 16
+                    compression = data[b2 + 16 : b2 + 20]
+                    if compression != FOURCC:
+                        raise ValueError(
+                            "unsupported AVI codec: strf biCompression"
+                            f" {compression!r} != {FOURCC!r}"
+                        )
+            if is_vids:
+                if vids_stream is not None:
+                    raise ValueError(
+                        "unsupported AVI: multiple video streams"
+                    )
+                vids_stream = stream_idx
     if width is None or height is None:
         raise ValueError("AVI missing avih header")
+    if vids_stream is None:
+        raise ValueError("unsupported AVI: no MPNG video stream")
     movi_start, movi_end = _find_list(data, 12, end, b"movi")
-    return width, height, fps_num, fps_den, movi_start, movi_end
+    prefix = b"%02d" % vids_stream
+    return width, height, fps_num, fps_den, movi_start, movi_end, prefix
 
 
 def avi_info(data: bytes):
@@ -99,9 +139,11 @@ def avi_info(data: bytes):
     av_codec.video_info contract. Frame count walks the movi chunk
     list (size arithmetic only, no frame decode)."""
     data = bytes(data)
-    w, h, fn, fd, ms, me = _headers(data)
+    w, h, fn, fd, ms, me, prefix = _headers(data)
     n = sum(
-        1 for ckid, _, _ in _chunks(data, ms, me) if ckid[2:4] in (b"dc", b"db")
+        1
+        for ckid, _, _ in _chunks(data, ms, me)
+        if ckid[:2] == prefix and ckid[2:4] in (b"dc", b"db")
     )
     return w, h, fn, fd, n
 
@@ -115,13 +157,13 @@ def avi_frames(
     from . import png_lite
 
     data = bytes(data)
-    w, h, _, _, ms, me = _headers(data)
+    w, h, _, _, ms, me, prefix = _headers(data)
     fsize = w * h * 3 // 2
     emitted = 0
     i = -1
     for ckid, body, size in _chunks(data, ms, me):
-        if ckid[2:4] not in (b"dc", b"db"):
-            continue  # e.g. a 'rec ' LIST or audio chunk
+        if ckid[:2] != prefix or ckid[2:4] not in (b"dc", b"db"):
+            continue  # e.g. a 'rec ' LIST, audio, or other-stream chunk
         i += 1
         if i % every_n:
             continue

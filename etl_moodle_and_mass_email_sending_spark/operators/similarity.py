@@ -3531,12 +3531,32 @@ RECLUSTER_HOT_FACTOR = 1.1  # maintenance rebalances at 10% over uniform
 # steady-state rebalance criterion a nightly maintenance job applies)
 
 
-def _recluster_split(v: DataFrame, cent: DataFrame):
-    """Shared state of the hot-list 2-means split — returns
-    (assign, tot, flagged, members, centc). ivf_recluster reads the
-    routing receipt off it; recall_after_recluster builds the
-    post-split centroid table off ``flagged`` + ``centc``."""
-    assign = ivf_assign(v, cent, n_best=1)
+def staged_recluster_assign(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-staged corpus→seed-centroid assignment (vec_id, vec,
+    cid) — the ONE corpus-wide pass behind the whole recluster arm of
+    the maintenance lifecycle. Both the routing receipt
+    (ivf_recluster) and the post-split recall arm's centroid table
+    (recall_after_recluster) derive from this frame, so the lifecycle
+    pays the assignment scan once per session instead of once per
+    stage (VERDICT r13 item 2). At 100 TB this is the materialized
+    IVF assignment table an index build writes anyway."""
+    from .util import staged_frame
+
+    def build() -> DataFrame:
+        v = _vectors(spark, sf_dir).select("vec_id", "vec")
+        return ivf_assign(v, _centroids(v), n_best=1)
+
+    return staged_frame(spark, ("recluster_assign", sf_dir), build)
+
+
+def _split_from_assign(assign: DataFrame):
+    """Shared state of the hot-list 2-means split downstream of an
+    existing (vec_id, vec, cid) assignment — returns (tot, flagged,
+    members, centc). ivf_recluster reads the routing receipt off it;
+    recall_after_recluster builds the post-split centroid table off
+    ``flagged`` + ``centc``."""
     sizes = assign.groupBy("cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_before")
     )
@@ -3605,24 +3625,30 @@ def _recluster_split(v: DataFrame, cent: DataFrame):
             *[F.round(F.avg(F.col("vec")[i]), 6) for i in range(DIM)]
         ).alias("cvec")
     ).select(F.col("cid").alias("_cc"), "sub", "cvec")
-    return assign, tot, flagged, members, centc
+    return tot, flagged, members, centc
 
 
 def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cid, sub, split, n_before, share_before, n_after, share_after):
     post-split list balance after one bounded 2-means split of every
     hot list (sub = child index within a split; 0 for unsplit)."""
-    v = _vectors(spark, sf_dir).select("vec_id", "vec")
-    return ivf_recluster_frame(v)
+    return _recluster_receipt(
+        staged_recluster_assign(spark, sf_dir)
+    )
 
 
 def ivf_recluster_frame(v: DataFrame) -> DataFrame:
     """ivf_recluster over an arbitrary (vec_id, vec) frame — the
     frame-parameterized core, property-tested against a sequential
     Python oracle on random vector sets."""
-    assign, tot, flagged, members, centc = _recluster_split(
-        v, _centroids(v)
-    )
+    return _recluster_receipt(ivf_assign(v, _centroids(v), n_best=1))
+
+
+def _recluster_receipt(assign: DataFrame) -> DataFrame:
+    """The routing receipt downstream of an existing assignment (the
+    session-staged frame in the sf_dir path, a fresh pass in the
+    frame-parameterized property-test path)."""
+    tot, flagged, members, centc = _split_from_assign(assign)
     # final route: ≤2 child candidates per hot member, argmax as the
     # struct-max (cos DESC, sub ASC) — ivf_assign's n_best=1 idiom
     best = (
@@ -3783,7 +3809,12 @@ def recall_after_recluster(
     split."""
     v = _vectors(spark, sf_dir).select("vec_id", "vec")
     cent = _centroids(v)
-    _assign, _tot, flagged, _members, centc = _recluster_split(v, cent)
+    # split state off the SHARED session-staged assignment — the same
+    # frame ivf_recluster's receipt routes from (VERDICT r13 item 2:
+    # one staged corpus pass serves the whole lifecycle)
+    _tot, flagged, _members, centc = _split_from_assign(
+        staged_recluster_assign(spark, sf_dir)
+    )
     cold = cent.join(
         flagged.filter(~F.col("hot")).select(
             F.col("cid").alias("_fc")

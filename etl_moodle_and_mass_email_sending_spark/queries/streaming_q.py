@@ -2074,8 +2074,16 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.crossJoin(F.broadcast(bmax))
             .withColumn(
                 "_active",
-                F.col("last_ts")
-                >= F.expr(f"_bmax - INTERVAL {STATE_TTL_HOURS} HOURS"),
+                # Empty batch => _bmax is NULL: the high-water mark did
+                # not advance, so nothing can newly expire — carry the
+                # whole state forward instead of letting the NULL
+                # comparison drop every row (ADVICE r13). The oracle's
+                # coalesce mirrors this.
+                F.col("_bmax").isNull()
+                | (
+                    F.col("last_ts")
+                    >= F.expr(f"_bmax - INTERVAL {STATE_TTL_HOURS} HOURS")
+                ),
             )
             .localCheckpoint()  # one evaluation feeds state write + 2 counts
         )
@@ -2152,9 +2160,12 @@ def _stream_state_ttl_sql() -> str:
       ) GROUP BY 1
     ),
     s{k} AS (
-      SELECT c.user_id, c.last_ts FROM c{k} c, b
-      WHERE b.chunk = {k}
-        AND c.last_ts >= b.bmax - INTERVAL {ttl} HOUR
+      -- empty chunk => no b row => coalesce to last_ts: carry the
+      -- state forward (matches the Spark side's NULL-bmax guard)
+      SELECT c.user_id, c.last_ts FROM c{k} c
+      WHERE c.last_ts >= coalesce(
+        (SELECT bmax FROM b WHERE chunk = {k}) - INTERVAL {ttl} HOUR,
+        c.last_ts)
     )"""
         )
         rows.append(

@@ -28,7 +28,39 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-13 ROTATION (VERDICT r12 items 1+7):
+# entries in iteration order. ROUND-14 ROTATION (VERDICT r13 items 1+6):
+#   (a) all 4 round-13 tail additions (stream_state_ttl, rel_scd2_asof,
+#       llm_release_diff, mm_keyframe_extract) — never externally
+#       certified; each driver-sim green at sf0.001 and sf0.01 when it
+#       was registered (standing promotion policy), independently
+#       re-run green by the round-13 judge (4/4), and re-run green
+#       again this round before promotion. NOTE: stream_state_ttl and
+#       mm_keyframe_extract changed THIS round (empty-chunk guard per
+#       ADVICE r13 #2; real-engine frame-byte extraction per ADVICE
+#       r13 #1), so the window certifies the new code;
+#   (b) the 5 round-7 stragglers (text_quality_score,
+#       text_source_mixture, text_stratified_sample, text_token_stats,
+#       text_tokenizer_fertility) — the only names still sitting at an
+#       r7 certification, explicitly deferred from the r13 window;
+#   (c) ref_send_counter — externally certified r10, but its plan was
+#       rewritten in round 13 (window-free two-pass prefix offsets,
+#       sinks/smtp.py + operators/util.py); plan-changed names
+#       re-certify (standing policy, VERDICT r13 item 1);
+#   (d) 40 refresh slots for the oldest round-8 certifications
+#       (alphabetical head of the 50-name r8 cohort, computed from the
+#       union of CORRECTNESS_r01..r13: latest green == r8;
+#       dedup_containment … sim_pq_distortion). The remaining 10
+#       (sim_pq_topk, text_idf_drift, text_length_histogram,
+#       text_pmi_collocations, text_repetition, text_sequence_pack,
+#       text_top_terms, text_train_val_split, text_vocab_coverage,
+#       text_zipf_fit) rotate first in round 15, followed by the
+#       49-name r9 cohort (VERDICT r13 item 6: no certification older
+#       than ~6 rounds).
+# After CORRECTNESS_r14 goes green, every registered query has an
+# external certification and the staleness floor is r8 (10 names,
+# listed above, drain first in r15).
+# ROUND-13 ROTATION (kept for the ledger; superseded above;
+# VERDICT r12 items 1+7):
 #   (a) all 13 round-12 tail additions — never externally certified;
 #       every one driver-sim green at sf0.001 and sf0.01 when it was
 #       registered (standing promotion policy), independently re-run
@@ -153,63 +185,65 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-12 tail additions, registration order — all driver-sim
-    # green at sf0.001+sf0.01 before promotion (builder r12, judge r12
-    # 13/13, and re-run at the top of round 13)
-    "sim_index_maintenance",
-    "text_decontaminate_execute",
-    "sim_filtered_topk",
-    "llm_token_budget",
-    "text_fold_balance",
-    "text_shuffle_quality",
-    "sim_label_noise_audit",
-    "dedup_cascade_execute",
-    "stream_schema_drift",
-    "stream_backfill_handoff",
-    "rel_ingest_freshness",
-    "llm_ingest_health",
-    "dedup_lsh_recall",
-    # (b) round-13 addition: A4 oracle-gated (VERDICT r12 item 7)
-    "ref_first_user_render",
-    # (c) alphabetical head 36 of the 41 round-7-stale names (latest
-    # green == r7 in the union of CORRECTNESS_r01..r12); the last 5
-    # (text_quality_score … text_tokenizer_fertility) rotate in r14
-    "mm_phash_hamming_hist",
-    "mm_resize_images",
-    "mm_video_frame_dedup",
-    "rel_arrival_disorder",
-    "rel_correlation_matrix",
-    "rel_dow_hour_profile",
-    "rel_duplicate_orders",
-    "rel_gap_detection",
-    "rel_k_anonymity",
-    "rel_market_basket",
-    "rel_new_vs_returning",
-    "rel_order_reconciliation",
-    "rel_range_join",
-    "rel_revenue_gini",
-    "rel_ship_lag_by_nation",
-    "rel_skew_salted_agg",
-    "rel_time_rollup",
-    "sim_ann_recall",
-    "sim_cluster_purity",
-    "sim_ivf_list_balance",
-    "sim_ivf_nprobe_sweep",
-    "sim_ivf_topk",
-    "sim_kmeans_refine",
-    "sim_norm_outliers",
-    "sim_semantic_dedup",
-    "text_burstiness",
-    "text_chunking",
-    "text_decontaminate",
-    "text_heaps_law",
-    "text_js_divergence",
-    "text_lang_id",
-    "text_lexical_diversity",
-    "text_line_dedup",
-    "text_oov_rate",
-    "text_pii_scrub",
-    "text_ppl_buckets",
+    # (a) round-13 tail additions, registration order — all driver-sim
+    # green at sf0.001+sf0.01 before promotion (builder r13, judge r13
+    # 4/4, and re-run at the top of round 14 after this round's
+    # ADVICE fixes to stream_state_ttl and mm_keyframe_extract)
+    "stream_state_ttl",
+    "rel_scd2_asof",
+    "llm_release_diff",
+    "mm_keyframe_extract",
+    # (b) the 5 round-7 stragglers (deferred from the r13 window)
+    "text_quality_score",
+    "text_source_mixture",
+    "text_stratified_sample",
+    "text_token_stats",
+    "text_tokenizer_fertility",
+    # (c) plan-changed re-certification (r13 prefix-offsets rewrite)
+    "ref_send_counter",
+    # (d) alphabetical head 40 of the 50-name round-8-stale cohort
+    # (latest green == r8 in the union of CORRECTNESS_r01..r13); the
+    # last 10 (sim_pq_topk … text_zipf_fit) rotate first in r15
+    "dedup_containment",
+    "dedup_fuzzy_match",
+    "dedup_keep_best",
+    "dedup_lang_purity",
+    "graph_jaccard_neighbors",
+    "graph_pagerank",
+    "graph_two_hop",
+    "mm_audio_energy",
+    "mm_payload_byte_stats",
+    "mm_phash_dedup",
+    "mm_sample_frames",
+    "mm_scene_changes",
+    "mm_silence_runs",
+    "rel_ab_conversion_lift",
+    "rel_asof_forward",
+    "rel_asof_tolerance",
+    "rel_chi_square",
+    "rel_cohort_ltv",
+    "rel_cube_documents",
+    "rel_data_quality",
+    "rel_event_lateness",
+    "rel_event_pmi",
+    "rel_event_transitions",
+    "rel_events_hourly",
+    "rel_events_json",
+    "rel_funnel_stages",
+    "rel_mad_outliers",
+    "rel_percentiles",
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "rel_rfm_segments",
+    "rel_scalar_subquery",
+    "rel_seasonality_index",
+    "rel_semi_anti",
+    "rel_sessionize",
+    "rel_skyline",
+    "rel_top_orders_per_customer",
+    "sim_ivfpq_topk",
+    "sim_lsh_bucket_stats",
+    "sim_pq_distortion",
 ]
 
 

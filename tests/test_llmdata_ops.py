@@ -3235,6 +3235,57 @@ class TestAviCompressedVideoEngine:
             < rows[2]["intensity"]
         )
 
+    def test_rejects_foreign_codec_with_clear_error(self):
+        """A non-MPNG AVI must fail in the header parse with a
+        descriptive message, not deep inside png_lite (ADVICE r13)."""
+        import pytest
+
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            avi_lite,
+        )
+
+        clip, _ = self._avi(w=16, h=16, n=2)
+        foreign = clip.replace(b"MPNG", b"XVID")
+        with pytest.raises(ValueError, match="unsupported AVI codec"):
+            avi_lite.avi_info(foreign)
+        with pytest.raises(ValueError, match="unsupported AVI codec"):
+            list(avi_lite.avi_frames(foreign))
+
+    def test_keyframe_extract_real_engine_on_avi(self, spark):
+        """VERDICT r13 item 4 + ADVICE r13 #1: the real-engine keyframe
+        path runs e2e on the stdlib AVI clip, and frame_hex carries the
+        DECODED frame's own leading bytes (not payload-offset container
+        bytes)."""
+        from etl_moodle_and_mass_email_sending_spark.operators import (
+            avi_lite,
+            multimodal,
+        )
+
+        w = h = 16
+        fsize = w * h * 3 // 2
+        # fills 0,0,100,100,200: deltas 0 / 25600 / 0 / 25600 around the
+        # 512 threshold => keyframes are frame 0 (mandatory) + 2 + 4
+        fills = [0, 0, 100, 100, 200]
+        frames = [bytes([v] * fsize) for v in fills]
+        clip = avi_lite.encode_avi_mpng(frames, w, h)
+        media = spark.createDataFrame(
+            [(11, "video", bytearray(clip))],
+            schema="doc_id long, media_type string, payload binary",
+        )
+        rows = sorted(
+            multimodal.keyframe_extract(media, engine="real").collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+        assert [r["is_first"] for r in rows] == [True, False, False]
+        assert [r["intensity"] for r in rows] == [
+            fills[i] * w * h for i in (0, 2, 4)
+        ]
+        fb = multimodal.FRAME_BYTES
+        assert [r["frame_hex"] for r in rows] == [
+            frames[i][:fb].hex() for i in (0, 2, 4)
+        ]
+
 
 class TestDecontaminateExecute:
     """Round-12 scrub executor: the receipt must reconcile exactly with
@@ -3494,6 +3545,58 @@ class TestStateTtl:
         assert sum(r["n_evicted"] for r in rows) > 0
         # a returning evicted key is counted as new again
         assert sum(r["n_new"] for r in rows[1:]) > 0
+
+    def test_empty_chunk_carries_state_forward(self, spark, tmp_path):
+        """ADVICE r13 #2: fewer events than STATE_TTL_CHUNKS stages
+        empty chunk files => NULL batch high-water mark. The guard must
+        carry the state forward (nothing can newly expire), in both the
+        Spark plan and the DuckDB oracle."""
+        import datetime
+
+        import duckdb
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+            STATE_TTL_HOURS,
+        )
+
+        t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+        late = t0 + datetime.timedelta(hours=STATE_TTL_HOURS + 4)
+        ev = spark.createDataFrame(
+            [(1, 100, t0), (2, 200, late)],
+            schema="event_id long, user_id long, ts timestamp",
+        )
+        sf_dir = str(tmp_path / "tiny")
+        (tmp_path / "tiny").mkdir()
+        ev.coalesce(1).write.parquet(str(tmp_path / "tiny" / "events.parquet"))
+        rows = sorted(
+            registry.queries()["stream_state_ttl"](
+                spark, sf_dir
+            ).collect(),
+            key=lambda r: r["chunk"],
+        )
+        got = [
+            (r["chunk"], r["n_arrived"], r["n_new"], r["n_active"],
+             r["n_evicted"])
+            for r in rows
+        ]
+        # chunk 2 evicts user 100 (40h idle > 36h TTL); the two empty
+        # trailing chunks carry user 200 forward, evicting nothing
+        assert got == [
+            (1, 1, 1, 1, 0),
+            (2, 1, 1, 1, 1),
+            (3, 0, 0, 1, 0),
+            (4, 0, 0, 1, 0),
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+        )
+        oracle = con.execute(
+            registry.oracle_sql()["stream_state_ttl"]
+        ).fetchall()
+        assert sorted(oracle) == got
 
 
 class TestScd2Asof:
