@@ -385,21 +385,36 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     errs: dict[str, str] = {}
+    stream_spread: dict[str, list[float]] = {}
     total = 0.0
     for name in sorted(qs):
         fn = qs[name]
+        # stream_* queries carry checkpoint-orchestration jitter that a
+        # single run cannot distinguish from a regression (two rounds of
+        # false >1.5x tripwires: stream_outer_join 7.7s single vs 2.35s
+        # median, stream_near_dup_filter 6.3 vs 3.69 — VERDICT r13 item
+        # 3), so they alone run a 3-run median; everything else keeps
+        # the cheap single-run tripwire.
+        runs = 3 if name.startswith("stream_") else 1
         try:
             tc = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             c = round(time.perf_counter() - tc, 3)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.perf_counter() - t0, 3))
+            t = sorted(samples)[len(samples) // 2]
         except Exception as e:  # record, keep sweeping
             errs[name] = f"{type(e).__name__}: {e}"[:200]
             continue
         times[name] = t
         cold[name] = c
+        if runs > 1:
+            stream_spread[name] = [min(samples), max(samples)]
         total += t
         gc.collect()
     from etl_moodle_and_mass_email_sending_spark.operators.util import (
@@ -415,8 +430,14 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
         "n_errors": len(errs),
         "warmup_runs": 1,
         "timed_runs": 1,
+        "stream_timed_runs": 3,
         "aggregation": "single-run (regression tripwire, not a "
-        "cross-round comparison series)",
+        "cross-round comparison series); stream_* entries are 3-run "
+        "medians (checkpoint-orchestration jitter, VERDICT r13 item 3)",
+        # per-stream-query [min, max] of the 3 timed runs: the
+        # documented variance band a >1.5x flag must clear before it
+        # counts as a regression
+        "stream_spread": stream_spread,
         "sentinels": sentinels,
         "queries": times,
         # staging ledger (VERDICT r12 item 2): session-staged builds

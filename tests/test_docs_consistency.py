@@ -49,3 +49,37 @@ def test_scale_md_window_size_is_50():
 
     assert len(_WINDOW) == 50
     assert len(set(_WINDOW)) == 50
+
+
+def test_no_oracle_outputs_ns_timestamps():
+    """Round-14 systematization of the r12 ADVICE ns-timestamp hazard
+    (VERDICT r13 item 5): events.ts is TIMESTAMP(NANOS) in parquet, so
+    an oracle that outputs it raw yields a TIMESTAMP_NS column whose
+    pandas repr can diverge from Spark's µs truncation on the next
+    DuckDB upgrade. DESCRIBE every registered oracle against the
+    sf0.001 views (plans only — nothing executes) and fail, by name,
+    on any ns-typed output column."""
+    import duckdb
+
+    from etl_moodle_and_mass_email_sending_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in registry.oracle_sql().items():
+        for row in con.execute(f"DESCRIBE ({sql})").fetchall():
+            col, typ = row[0], row[1]
+            if "TIMESTAMP_NS" in typ.upper():
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, (
+        "oracle SQL outputs raw ns timestamps (wrap in CAST(... AS "
+        f"TIMESTAMP)): {bad}"
+    )
