@@ -4472,3 +4472,276 @@ def sql_label_noise_audit() -> str:
            c.mean_vote_share, cf.top_confused_with
     FROM cls c LEFT JOIN conf cf USING (own_label)
     """
+
+
+# --------------------------------------------------------------------------
+# Index tombstone / delete compaction (round 14) — the missing verb of
+# the IVF lifecycle CRUD: append (ivf_append) grows lists, recluster
+# (ivf_recluster) splits hot ones, pq_refresh retrains codebooks —
+# nothing yet DELETED. A corpus that honors takedowns / opt-outs
+# tombstones vectors and must then answer: which inverted lists
+# shrank, by how much, and did any fall so far below uniform that it
+# should merge (the underflow twin of the recluster's hot flag)?
+#
+# 100 TB shape: the delete mask is a pure predicate on the SHARED
+# session-staged assignment (staged_recluster_assign — one corpus
+# pass serves routing, recall AND deletion accounting); the receipt is
+# one hash-agg to |lists| rows. No re-assignment pass: tombstoning
+# never moves a surviving vector.
+# --------------------------------------------------------------------------
+
+TOMBSTONE_MOD = 7  # vec_id % 7 == 3 is the deterministic delete slice
+UNDERFLOW_FACTOR = 0.5  # a list below half of uniform should merge
+
+
+def ivf_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cid, n_before, n_deleted, n_after, share_before, share_after,
+    underflow): per-list compaction receipt after tombstoning the
+    delete slice."""
+    assign = staged_recluster_assign(spark, sf_dir)
+    per = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(
+            F.when(F.col("vec_id") % TOMBSTONE_MOD == 3, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_deleted"),
+    )
+    tot = per.agg(
+        F.sum("n_before").cast("double").alias("_tb"),
+        F.sum(F.col("n_before") - F.col("n_deleted"))
+        .cast("double")
+        .alias("_ta"),
+        F.count(F.lit(1)).alias("_lists"),
+    )
+    n_after = F.col("n_before") - F.col("n_deleted")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_before",
+        "n_deleted",
+        n_after.alias("n_after"),
+        F.round(F.col("n_before") / F.col("_tb"), 6).alias(
+            "share_before"
+        ),
+        F.round(n_after / F.col("_ta"), 6).alias("share_after"),
+        (
+            n_after
+            < F.col("_ta") / F.col("_lists") * F.lit(UNDERFLOW_FACTOR)
+        ).alias("underflow"),
+    )
+
+
+def sql_ivf_tombstone() -> str:
+    return f"""
+    WITH base AS ({_DUCK_VECTORS}),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM base
+             WHERE vec_id < {N_CENTROIDS}),
+    corpus AS ({_duck_ivf_assign("SELECT vec_id, vec FROM base", 1)}),
+    per AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_before,
+             CAST(coalesce(sum(CASE WHEN vec_id % {TOMBSTONE_MOD} = 3
+                                    THEN 1 END), 0) AS BIGINT)
+               AS n_deleted
+      FROM corpus GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_before) AS DOUBLE) AS tb,
+             CAST(sum(n_before - n_deleted) AS DOUBLE) AS ta,
+             count(*) AS n_lists
+      FROM per
+    )
+    SELECT cid, n_before, n_deleted,
+           n_before - n_deleted AS n_after,
+           round(n_before / tb, 6) AS share_before,
+           round((n_before - n_deleted) / ta, 6) AS share_after,
+           (n_before - n_deleted) < ta / n_lists * {UNDERFLOW_FACTOR!r}
+             AS underflow
+    FROM per, tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Spectral health (round 14) — embedding-space anisotropy probe: a
+# healthy embedding corpus spreads variance across directions; a
+# collapsed or degenerate one concentrates it in a dominant direction
+# (the classic symptom of contrastive-training failure or a constant
+# feature). The receipt is the power-iteration estimate of the top
+# eigenvalue of the centered covariance and its share of total
+# variance, one row per iteration so convergence itself is visible
+# (align -> 1 means the iterate stopped rotating).
+#
+# Distributed linear algebra WITHOUT any driver-side math: the mean
+# vector, the w = (x-m)·u projections, and the z = Cov·u action are
+# all computed as DataFrame aggregations (posexplode -> per-dimension
+# hash-agg -> array_sort(collect_list) reassembly of a DIM-row frame),
+# and the iterate u is carried in a broadcast 1-row frame between
+# passes. 100 TB shape: each iteration is ONE corpus pass whose
+# exchange moves |DIM| aggregate rows; the iteration count is a
+# constant (3), so the whole probe is 1 + SPECTRAL_ITERS bounded-
+# output scans. Using the identities z_j = avg(w·x_j) - m_j·avg(w)
+# and total_var = avg(|x|^2) - |m|^2 avoids materializing centered
+# vectors.
+# --------------------------------------------------------------------------
+
+SPECTRAL_ITERS = 3
+
+
+def _assemble(col_struct: str, field: str):
+    """Per-dimension frame (pos, field) -> ordered DIM-array column."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.col(col_struct))),
+        lambda s: s[field],
+    )
+
+
+def spectral_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(iter, lambda_est, dominant_share, align) for iter 1..3 — the
+    power-iteration trace over the centered covariance."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    dot = _DOT.format(a="vec", b="vec")
+    # pass 0: mean vector + mean squared norm (one corpus scan)
+    ex = v.select(F.posexplode("vec").alias("pos", "val"))
+    mean_vec = ex.groupBy("pos").agg(F.avg("val").alias("m"))
+    stats = (
+        mean_vec.select(F.struct("pos", "m").alias("s"))
+        .agg(_assemble("s", "m").alias("m"))
+        .crossJoin(
+            F.broadcast(v.agg(F.avg(F.expr(dot)).alias("avg_sq")))
+        )
+        .withColumn(
+            "u", F.array(*[F.lit(1.0 / DIM**0.5)] * DIM)
+        )
+        .localCheckpoint(eager=False)
+    )
+    m_dot_m = _DOT.format(a="m", b="m")
+    out = None
+    state = stats
+    for it in range(1, SPECTRAL_ITERS + 1):
+        w = F.expr(_DOT.format(a="vec", b="u")) - F.expr(
+            _DOT.format(a="m", b="u")
+        )
+        rows = v.crossJoin(F.broadcast(state)).select(
+            w.alias("w"), F.posexplode("vec").alias("pos", "val")
+        )
+        perdim = rows.groupBy("pos").agg(
+            F.avg(F.col("w") * F.col("val")).alias("awv"),
+            F.avg("w").alias("aw"),
+        )
+        agg = (
+            perdim.select(
+                F.struct("pos", "awv").alias("s"), "aw"
+            )
+            .agg(
+                _assemble("s", "awv").alias("awv"),
+                F.first("aw").alias("aw"),
+            )
+            .crossJoin(F.broadcast(state))
+            .select(
+                "m",
+                "avg_sq",
+                "u",
+                F.zip_with(
+                    "awv",
+                    "m",
+                    lambda a, mm: a - mm * F.col("aw"),
+                ).alias("z"),
+            )
+        )
+        lam = F.sqrt(F.expr(_DOT.format(a="z", b="z")))
+        nxt = (
+            agg.withColumn("_lam", lam)
+            .withColumn(
+                "u_next",
+                F.transform("z", lambda x: x / F.col("_lam")),
+            )
+            .localCheckpoint(eager=False)  # one eval feeds output + next pass
+        )
+        row = nxt.select(
+            F.lit(it).cast("int").alias("iter"),
+            F.round("_lam", 6).alias("lambda_est"),
+            F.round(
+                F.col("_lam")
+                / (F.col("avg_sq") - F.expr(m_dot_m)),
+                6,
+            ).alias("dominant_share"),
+            F.round(F.expr(_DOT.format(a="u", b="u_next")), 6).alias(
+                "align"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+        state = nxt.select(
+            "m", "avg_sq", F.col("u_next").alias("u")
+        )
+    return out
+
+
+def sql_spectral_health() -> str:
+    dims = ", ".join(str(i) for i in range(1, DIM + 1))
+    u0 = 1.0 / DIM**0.5
+    ctes = [
+        f"base AS ({_DUCK_VECTORS})",
+        f"""ex AS (
+      SELECT vec_id, i AS pos, vec[i] AS val
+      FROM base, unnest([{dims}]) AS t(i)
+    )""",
+        """mv AS (
+      SELECT list(m ORDER BY pos) AS m FROM (
+        SELECT pos, avg(val) AS m FROM ex GROUP BY 1
+      )
+    )""",
+        """sq AS (
+      SELECT avg(list_dot_product(vec, vec)) AS avg_sq FROM base
+    )""",
+        f"""u0 AS (
+      SELECT [{", ".join([repr(u0)] * DIM)}]::DOUBLE[] AS u
+    )""",
+    ]
+    prev = "u0"
+    selects = []
+    for it in range(1, SPECTRAL_ITERS + 1):
+        ctes.append(
+            f"""w{it} AS (
+      SELECT b.vec_id,
+             list_dot_product(b.vec, p.u)
+               - list_dot_product(mv.m, p.u) AS w,
+             b.vec
+      FROM base b, {prev} p, mv
+    )"""
+        )
+        ctes.append(
+            f"""pd{it} AS (
+      SELECT i AS pos, avg(w * vec[i]) AS awv, avg(w) AS aw
+      FROM w{it}, unnest([{dims}]) AS t(i)
+      GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""z{it} AS (
+      SELECT list(awv - mv.m[pos] * aw ORDER BY pos) AS z
+      FROM pd{it}, mv
+    )"""
+        )
+        ctes.append(
+            f"""it{it} AS (
+      SELECT sqrt(list_dot_product(z.z, z.z)) AS lam,
+             [x / sqrt(list_dot_product(z.z, z.z))
+              FOR x IN z.z]::DOUBLE[] AS u,
+             p.u AS u_prev
+      FROM z{it} z, {prev} p
+    )"""
+        )
+        selects.append(
+            f"""SELECT CAST({it} AS INTEGER) AS iter,
+           round(lam, 6) AS lambda_est,
+           round(lam / (sq.avg_sq
+                 - list_dot_product(mv.m, mv.m)), 6)
+             AS dominant_share,
+           round(list_dot_product(u_prev, u), 6) AS align
+    FROM it{it}, sq, mv"""
+        )
+        prev = f"it{it}"
+    body = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH {", ".join(ctes)}
+    {body}
+    """

@@ -4132,3 +4132,24 @@ def _sql_ingest_health() -> str:
 
 
 register("llm_ingest_health", _ingest_health, _sql_ingest_health())
+
+
+# sim_index_tombstone (round 14) — the delete verb of the IVF
+# lifecycle CRUD: per-list compaction receipt after tombstoning the
+# deterministic delete slice, off the SHARED session-staged
+# assignment (operators/similarity.py::ivf_tombstone).
+register(
+    "sim_index_tombstone",
+    lambda spark, sf_dir: similarity.ivf_tombstone(spark, sf_dir),
+    similarity.sql_ivf_tombstone(),
+)
+
+# sim_spectral_health (round 14) — embedding anisotropy probe: the
+# power-iteration trace of the centered covariance's top eigenvalue
+# and its share of total variance, all as DataFrame aggregations
+# (operators/similarity.py::spectral_health).
+register(
+    "sim_spectral_health",
+    lambda spark, sf_dir: similarity.spectral_health(spark, sf_dir),
+    similarity.sql_spectral_health(),
+)

@@ -2191,3 +2191,169 @@ def _stream_state_ttl_sql() -> str:
 
 
 register("stream_state_ttl", stream_state_ttl, _stream_state_ttl_sql())
+
+
+# --------------------------------------------------------------------------
+# stream_rate_limit (round 14) — token-bucket admission audit, the
+# distributed generalization of the reference's send throttle
+# (app.py:972-976 sleeps 1s per message, SURVEY §2 K4): a downstream
+# sink that accepts at most `tokens` rows per micro-batch forces the
+# stream to admit FIFO and carry the overflow as a backlog. Each batch:
+# the bucket refills (capped), the batch's arrivals join the carried
+# backlog, the first `admitted` rows in (ts, event_id) order pass, the
+# rest persist as the new backlog. The audit row per batch is what a
+# rate-limited pipeline actually alarms on: arrivals, admissions,
+# deferred backlog depth, and the admitted value mass.
+#
+# 100 TB shape: the backlog is bounded by (arrival rate − admit rate) ×
+# replay horizon — the audit EXISTS to show when that bound is
+# violated; per batch the work is one union + a two-pass global rank
+# (range shuffle + partition-local sort, no single-task window) and a
+# 1-row aggregate. Chunks arrive as ts-ordered ranges, so FIFO across
+# the backlog equals the global (ts, event_id) order — which is what
+# makes the exact 4-chunk oracle below expressible as a rank-slice per
+# chunk. The per-batch `.count()` is a bounded scalar the bucket
+# arithmetic needs on the driver (same class as state_ttl's
+# sequential-orchestration scalars).
+# --------------------------------------------------------------------------
+
+RATE_CAP = 300  # bucket capacity (max admissions in one batch)
+RATE_REFILL = 200  # tokens added per batch (binds at every testbed sf)
+RATE_CHUNKS = 4
+
+
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.util import two_pass_rank
+
+    base = scratch_dir("rate_limit_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    stage = _stage_ordered_chunks(
+        ev,
+        F.struct("ts", "event_id"),
+        n_chunks=RATE_CHUNKS,
+        cache_key=("stage_rate_limit", sf_dir),
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = os.path.join(base, "audit")
+    # driver-side bucket state; batches run sequentially (availableNow)
+    state = {"left": 0, "backlog_path": None}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if state["backlog_path"] is None:
+            backlog = spark.createDataFrame([], schema=ev.schema)
+        else:
+            backlog = spark.read.parquet(state["backlog_path"])
+        n_arrived = batch_df.count()
+        n_backlog = backlog.count()
+        tokens = min(RATE_CAP, state["left"] + RATE_REFILL)
+        admitted = min(n_backlog + n_arrived, tokens)
+        state["left"] = tokens - admitted
+        pool = backlog.unionByName(batch_df)
+        ranked = two_pass_rank(
+            pool, [F.col("ts"), F.col("event_id")], out_col="_rk"
+        ).localCheckpoint()  # one evaluation feeds admit agg + backlog
+        adm = ranked.filter(F.col("_rk") <= admitted)
+        new_backlog = ranked.filter(F.col("_rk") > admitted).drop("_rk")
+        backlog_path = os.path.join(base, f"backlog_v{batch_id}")
+        new_backlog.write.mode("overwrite").parquet(backlog_path)
+        state["backlog_path"] = backlog_path
+        audit = adm.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+            F.coalesce(F.sum("v"), F.lit(0))
+            .cast("double")
+            .alias("admitted_value"),
+        ).select(
+            F.lit(batch_id + 1).cast("int").alias("chunk"),
+            F.lit(n_arrived).cast("bigint").alias("n_arrived"),
+            "n_admitted",
+            F.lit(n_backlog + n_arrived - admitted)
+            .cast("bigint")
+            .alias("n_deferred"),
+            "admitted_value",
+        )
+        (
+            audit.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "chunk", "n_arrived", "n_admitted", "n_deferred", "admitted_value"
+    )
+
+
+def _stream_rate_limit_sql() -> str:
+    """Exact 4-chunk unroll of the token-bucket recursion; admitted
+    rows per chunk are a global-rank slice because chunks are
+    ts-ordered ranges (backlog rows always precede arrivals)."""
+    n, cap, refill = RATE_CHUNKS, RATE_CAP, RATE_REFILL
+    ctes = [
+        f"""e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             ntile({n}) OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS chunk,
+             row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS rk
+      FROM events
+    ),
+    cn AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_k
+           FROM e GROUP BY 1)""",
+        "t0 AS (SELECT 0 AS left_over, 0 AS backlog, 0 AS cum_adm)",
+    ]
+    rows = []
+    for k in range(1, n + 1):
+        ctes.append(
+            f"""t{k} AS (
+      SELECT nk.n_k,
+             tk.tokens - least(p.backlog + nk.n_k, tk.tokens)
+               AS left_over,
+             p.backlog + nk.n_k
+               - least(p.backlog + nk.n_k, tk.tokens) AS backlog,
+             p.cum_adm + least(p.backlog + nk.n_k, tk.tokens)
+               AS cum_adm,
+             p.cum_adm AS prev_cum
+      FROM t{k - 1} p,
+           (SELECT coalesce((SELECT n_k FROM cn WHERE chunk = {k}), 0)
+              AS n_k) nk,
+           LATERAL (SELECT least({cap}, p.left_over + {refill})
+                      AS tokens) tk
+    )"""
+        )
+        rows.append(
+            f"""SELECT CAST({k} AS INTEGER) AS chunk,
+           CAST(t.n_k AS BIGINT) AS n_arrived,
+           CAST(t.cum_adm - t.prev_cum AS BIGINT) AS n_admitted,
+           CAST(t.backlog AS BIGINT) AS n_deferred,
+           CAST(coalesce((SELECT sum(v) FROM e
+                  WHERE rk > t.prev_cum AND rk <= t.cum_adm), 0)
+                AS DOUBLE) AS admitted_value
+    FROM t{k} t"""
+        )
+    body = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH {", ".join(ctes)}
+    {body}
+    """
+
+
+register("stream_rate_limit", stream_rate_limit, _stream_rate_limit_sql())

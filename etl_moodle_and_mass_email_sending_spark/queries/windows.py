@@ -1680,3 +1680,161 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_cdc_merge (round 14) — changelog MERGE-apply receipt: the batch
+# half of every CDC ingestion path (Debezium/branch-merge style). A
+# base snapshot meets an ordered changelog of UPSERT/DELETE ops;
+# last-op-per-key wins (seq order), and the receipt classifies every
+# touched key the way a MERGE INTO summary does: insert (new key
+# upserted), update (existing key upserted), delete (existing key
+# deleted), noop_delete (delete of a key the snapshot never had — the
+# MERGE no-op branch), unchanged (snapshot key the changelog never
+# touched), plus a `final` reconciliation row (rows + value of the
+# post-merge table).
+#
+# 100 TB shape: one hash-agg on the key dedups the changelog to its
+# final op (struct-max on seq — no window, map-side partial), one
+# co-keyed full outer join classifies against the snapshot, and the
+# receipt is a ≤6-row rollup. The changelog synthesis (explode of ≤2
+# ops per key) is map-side. Value sums run in exact DECIMAL and cast
+# to double only in the output projection (tpch.py policy).
+# --------------------------------------------------------------------------
+
+CDC_BASE_MOD = 4  # snapshot = keys % 4 != 3
+CDC_CHG_MOD = 5  # changelog touches keys % 5 != 4
+CDC_DEL_MOD = 11  # keys % 11 == 0 get a trailing DELETE op
+
+
+def _cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _dec(F.col("o_totalprice")).alias("v")
+    )
+    base = o.filter(F.col("o_orderkey") % CDC_BASE_MOD != 3)
+    chg_src = o.filter(F.col("o_orderkey") % CDC_CHG_MOD != 4)
+    ops = (
+        chg_src.select(
+            "o_orderkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("seq"),
+                        F.lit("UPSERT").alias("op"),
+                        (F.col("v") + F.lit(10)).alias("val"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("seq"),
+                        F.when(
+                            F.col("o_orderkey") % CDC_DEL_MOD == 0,
+                            F.lit("DELETE"),
+                        ).alias("op"),
+                        F.lit(None).cast("decimal(19,2)").alias("val"),
+                    ),
+                )
+            ).alias("_op"),
+        )
+        .filter(F.col("_op.op").isNotNull())
+        .select("o_orderkey", "_op.seq", "_op.op", "_op.val")
+    )
+    # last op per key wins: struct-max on seq (seqs are distinct per
+    # key), one hash-agg — no window, no sort
+    fin = ops.groupBy("o_orderkey").agg(
+        F.max(F.struct("seq", "op", "val")).alias("_f")
+    ).select(
+        F.col("o_orderkey").alias("_fk"),
+        F.col("_f.op").alias("op"),
+        F.col("_f.val").alias("val"),
+    )
+    cls = base.join(
+        fin, F.col("o_orderkey") == F.col("_fk"), "full_outer"
+    ).select(
+        F.when(F.col("_fk").isNull(), F.lit("unchanged"))
+        .when(
+            F.col("o_orderkey").isNull() & (F.col("op") == "UPSERT"),
+            F.lit("insert"),
+        )
+        .when(F.col("o_orderkey").isNull(), F.lit("noop_delete"))
+        .when(F.col("op") == "DELETE", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        F.col("v").alias("base_v"),
+        "val",
+    )
+    contrib = (
+        F.when(
+            F.col("action").isin("insert", "update"), F.col("val")
+        ).when(
+            F.col("action").isin("delete", "unchanged"),
+            F.col("base_v"),
+        )
+    )
+    # the ≤5-row rollup is checkpointed once (lazily): the `final`
+    # reconciliation row derives from it — post-merge rows/value =
+    # the unchanged + update + insert classes, whose contrib is
+    # already coalesce(val, base_v) — so the data-sized cls join is
+    # evaluated exactly once (the r12 lineage-blowup lesson)
+    per_dec = (
+        cls.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(contrib), F.lit(0).cast("decimal(19,2)")
+            ).alias("_sv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    per = per_dec.select(
+        "action", "n_rows", F.col("_sv").cast("double").alias("sum_value")
+    )
+    final = per_dec.filter(
+        F.col("action").isin("unchanged", "update", "insert")
+    ).agg(
+        F.lit("final").alias("action"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("_sv").cast("double").alias("sum_value"),
+    )
+    return per.unionByName(final)
+
+
+register(
+    "rel_cdc_merge",
+    _cdc_merge,
+    f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    ),
+    base AS (SELECT k, v FROM o WHERE k % {CDC_BASE_MOD} <> 3),
+    chg AS (
+      SELECT k, 1 AS seq, 'UPSERT' AS op,
+             v + 10 AS val
+      FROM o WHERE k % {CDC_CHG_MOD} <> 4
+      UNION ALL
+      SELECT k, 2, 'DELETE', NULL
+      FROM o WHERE k % {CDC_CHG_MOD} <> 4 AND k % {CDC_DEL_MOD} = 0
+    ),
+    mx AS (SELECT k, max(seq) AS seq FROM chg GROUP BY 1),
+    fin AS (SELECT c.k, c.op, c.val FROM chg c JOIN mx USING (k, seq)),
+    cls AS (
+      SELECT CASE WHEN f.k IS NULL THEN 'unchanged'
+                  WHEN b.k IS NULL AND f.op = 'UPSERT' THEN 'insert'
+                  WHEN b.k IS NULL THEN 'noop_delete'
+                  WHEN f.op = 'DELETE' THEN 'delete'
+                  ELSE 'update' END AS action,
+             b.v AS base_v, f.val
+      FROM base b FULL JOIN fin f ON b.k = f.k
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE
+                 WHEN action IN ('insert', 'update') THEN val
+                 WHEN action IN ('delete', 'unchanged') THEN base_v
+               END), 0) AS DOUBLE) AS sum_value
+    FROM cls GROUP BY 1
+    UNION ALL
+    SELECT 'final', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(coalesce(val, base_v)), 0) AS DOUBLE)
+    FROM cls WHERE action IN ('unchanged', 'update', 'insert')
+    """,
+)

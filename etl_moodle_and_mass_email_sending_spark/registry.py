@@ -59,6 +59,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # After CORRECTNESS_r14 goes green, every registered query has an
 # external certification and the staleness floor is r8 (10 names,
 # listed above, drain first in r15).
+# ROUND-14 TAIL ADDITIONS (standing policy — driver-sim green at
+# sf0.001 AND sf0.01 before registration; rotate into the r15 window
+# with the 10 remaining r8-stale names): rel_cdc_merge,
+# sim_index_tombstone, sim_spectral_health, stream_rate_limit.
 # ROUND-13 ROTATION (kept for the ledger; superseded above;
 # VERDICT r12 items 1+7):
 #   (a) all 13 round-12 tail additions — never externally certified;

@@ -3784,3 +3784,191 @@ class TestIngestHealth:
         a = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
         b = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
         assert a == b
+
+
+class TestCdcMerge:
+    def test_receipt_reconciles_and_every_action_fires(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.windows import (
+            CDC_BASE_MOD,
+            CDC_CHG_MOD,
+            CDC_DEL_MOD,
+        )
+
+        rows = {
+            r["action"]: r
+            for r in registry.queries()["rel_cdc_merge"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert set(rows) == {
+            "insert", "update", "delete", "noop_delete", "unchanged",
+            "final",
+        }
+        o = load_table(spark, SF_SMALL, "orders")
+        k = F.col("o_orderkey")
+        in_base = k % CDC_BASE_MOD != 3
+        in_chg = k % CDC_CHG_MOD != 4
+        deleted = k % CDC_DEL_MOD == 0
+        direct = o.agg(
+            F.sum((in_base & ~in_chg).cast("long")).alias("unchanged"),
+            F.sum((in_base & in_chg & deleted).cast("long")).alias(
+                "delete"
+            ),
+            F.sum((in_base & in_chg & ~deleted).cast("long")).alias(
+                "update"
+            ),
+            F.sum((~in_base & in_chg & ~deleted).cast("long")).alias(
+                "insert"
+            ),
+            F.sum((~in_base & in_chg & deleted).cast("long")).alias(
+                "noop_delete"
+            ),
+        ).collect()[0]
+        for action in (
+            "unchanged", "delete", "update", "insert", "noop_delete"
+        ):
+            assert rows[action]["n_rows"] == direct[action], action
+        # the final row reconciles: post-merge table = unchanged +
+        # update + insert, in both count and value mass
+        assert rows["final"]["n_rows"] == (
+            rows["unchanged"]["n_rows"]
+            + rows["update"]["n_rows"]
+            + rows["insert"]["n_rows"]
+        )
+        assert abs(
+            rows["final"]["sum_value"]
+            - (
+                rows["unchanged"]["sum_value"]
+                + rows["update"]["sum_value"]
+                + rows["insert"]["sum_value"]
+            )
+        ) < 1e-6
+        # upserts added exactly +10 per touched row
+        n_upserts = rows["update"]["n_rows"] + rows["insert"]["n_rows"]
+        assert n_upserts > 0 and rows["delete"]["n_rows"] > 0
+
+
+class TestIvfTombstone:
+    def test_counts_and_shares(self, spark):
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            N_CENTROIDS,
+            TOMBSTONE_MOD,
+            _vectors,
+        )
+
+        rows = registry.queries()["sim_index_tombstone"](
+            spark, SF_SMALL
+        ).collect()
+        assert len(rows) == N_CENTROIDS
+        v = _vectors(spark, SF_SMALL)
+        total = v.count()
+        n_del = v.filter(f"vec_id % {TOMBSTONE_MOD} = 3").count()
+        assert sum(r["n_before"] for r in rows) == total
+        assert sum(r["n_deleted"] for r in rows) == n_del
+        for r in rows:
+            assert r["n_after"] == r["n_before"] - r["n_deleted"]
+        assert abs(sum(r["share_after"] for r in rows) - 1.0) < 1e-3
+
+
+class TestSpectralHealth:
+    def test_power_iteration_trace_matches_numpy(self, spark):
+        import numpy as np
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            DIM,
+            SPECTRAL_ITERS,
+            _vectors,
+        )
+
+        rows = sorted(
+            registry.queries()["sim_spectral_health"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["iter"],
+        )
+        assert [r["iter"] for r in rows] == list(
+            range(1, SPECTRAL_ITERS + 1)
+        )
+        X = np.array(
+            [
+                r["vec"]
+                for r in _vectors(spark, SF_SMALL)
+                .select("vec")
+                .collect()
+            ]
+        )
+        m = X.mean(axis=0)
+        Xc = X - m
+        total_var = (Xc * Xc).sum(axis=1).mean()
+        u = np.full(DIM, 1.0 / DIM**0.5)
+        for r in rows:
+            w = Xc @ u
+            z = (Xc * w[:, None]).mean(axis=0)
+            lam = float(np.linalg.norm(z))
+            u_next = z / lam
+            assert abs(r["lambda_est"] - lam) < 1e-5
+            assert abs(r["dominant_share"] - lam / total_var) < 1e-5
+            assert abs(r["align"] - float(u @ u_next)) < 1e-5
+            u = u_next
+        # the iterate converges toward the dominant direction
+        assert rows[-1]["align"] >= rows[0]["align"]
+
+
+class TestRateLimit:
+    def test_token_bucket_recursion_and_fifo_value(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+            RATE_CAP,
+            RATE_CHUNKS,
+            RATE_REFILL,
+        )
+
+        rows = sorted(
+            registry.queries()["stream_rate_limit"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["chunk"],
+        )
+        assert [r["chunk"] for r in rows] == list(
+            range(1, RATE_CHUNKS + 1)
+        )
+        total = load_table(spark, SF_SMALL, "events").count()
+        assert sum(r["n_arrived"] for r in rows) == total
+        left = backlog = 0
+        for r in rows:
+            tokens = min(RATE_CAP, left + RATE_REFILL)
+            adm = min(backlog + r["n_arrived"], tokens)
+            assert r["n_admitted"] == adm
+            backlog = backlog + r["n_arrived"] - adm
+            assert r["n_deferred"] == backlog
+            left = tokens - adm
+            assert r["n_admitted"] <= RATE_CAP
+        # the bucket binds on the testbed (backlog actually accrues)
+        assert any(r["n_deferred"] > 0 for r in rows)
+        # admitted value mass is the FIFO prefix: first chunk's
+        # admitted value equals the sum over the globally-earliest
+        # n_admitted events
+        ev = load_table(spark, SF_SMALL, "events").select(
+            "event_id", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+        )
+        k = rows[0]["n_admitted"]
+        expect = (
+            ev.orderBy("ts", "event_id")
+            .limit(k)
+            .agg(F.sum("v").cast("double"))
+            .collect()[0][0]
+        )
+        assert abs(rows[0]["admitted_value"] - expect) < 1e-6
