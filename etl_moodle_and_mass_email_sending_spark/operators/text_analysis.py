@@ -6228,3 +6228,210 @@ def sql_shuffle_quality(
                  / (b.n_docs / n.n), 6) AS lift
     FROM base b LEFT JOIN per_src p USING (source) CROSS JOIN n
     """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter (round 14) — the map-side
+# form of the benchmark-overlap check: at 100 TB you do NOT join every
+# corpus gram against the eval gram set first; you broadcast a Bloom
+# bitmask of the eval grams (kilobytes, not the gram strings) and test
+# each corpus gram with K O(1) bit probes inside the scan, then run
+# the exact (expensive, broadcast-join) confirmation ONLY on the
+# candidate docs. This operator is the METROLOGY for that design: it
+# runs both arms over the whole train slice and reports, per source,
+# how many docs the bloom would have surfaced vs the exact truth —
+# the false-positive cost of the cheap pass (bloom FPs waste exact-arm
+# work; false negatives are impossible by construction, which the
+# pytest asserts).
+#
+# The bloom is built with EXPLICIT double hashing (h1 + i*h2 over the
+# md5 hex of the gram, 32-bit words so no engine overflows a shift) so
+# the DuckDB oracle reproduces the exact same bitmask — a native
+# engine bloom would not be cross-engine testable.
+# --------------------------------------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # probes per gram
+_BLOOM_WORD = 32  # word width: shifts stay <= 31 (DuckDB 1<<63 throws)
+
+
+def _bloom_pos_spark(i: int) -> str:
+    """SQL expr: probe i's bit position for column ``gram``."""
+    h1 = "cast(conv(substring(md5(gram), 1, 8), 16, 10) as bigint)"
+    h2 = (
+        "(cast(conv(substring(md5(gram), 9, 8), 16, 10) as bigint)"
+        " * 2 + 1)"
+    )
+    return f"pmod({h1} + {i} * {h2}, {BLOOM_M})"
+
+
+def _bloom_pos_duck(i: int) -> str:
+    h1 = "(('0x' || substr(md5(gram), 1, 8))::BIGINT)"
+    h2 = "((('0x' || substr(md5(gram), 9, 8))::BIGINT) * 2 + 1)"
+    return f"(({h1} + {i} * {h2}) % {BLOOM_M})"
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """(source, n_train_docs, n_candidate_docs, n_exact_docs,
+    n_fp_docs, fp_rate) — bloom-candidate vs exact benchmark-overlap
+    docs per source. ``corpus`` carries (doc_id, text, source)."""
+    nwords = BLOOM_M // _BLOOM_WORD
+    src = corpus.select("doc_id", "source")
+    grams = gram_stream(
+        spread_for_compute(corpus.select("doc_id", "text")), n
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % bench_mod == 0)
+        .select("gram")
+        .distinct()
+        # bounded (the 1% slice's distinct grams) and consumed twice —
+        # the bloom build AND the exact arm's broadcast join; the lazy
+        # checkpoint evaluates the slice fan-out once
+        .localCheckpoint(eager=False)
+    )
+    # bitmask: nwords 32-bit words as an ordered array in a 1-row
+    # frame (the broadcastable form of the production bitset)
+    bits = bench.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_pos_spark(i)) for i in range(BLOOM_K)]
+            )
+        ).alias("p")
+    )
+    words = bits.groupBy(
+        F.expr(f"p DIV {_BLOOM_WORD}").alias("idx")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(1L, cast(p % {_BLOOM_WORD} as int)))"
+        ).alias("w")
+    )
+    spine = corpus.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(nwords - 1))).alias("idx")
+    )
+    mask = (
+        spine.join(F.broadcast(words), "idx", "left")
+        .select(F.struct("idx", F.coalesce("w", F.lit(0)).alias("w")).alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda s: s["w"]
+            ).alias("mask")
+        )
+    )
+    probe = " AND ".join(
+        f"(shiftright(element_at(mask, cast(({_bloom_pos_spark(i)})"
+        f" DIV {_BLOOM_WORD} as int) + 1),"
+        f" cast(({_bloom_pos_spark(i)}) % {_BLOOM_WORD} as int))"
+        f" & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    flagged = (
+        train.crossJoin(F.broadcast(mask))
+        .withColumn("cand", F.expr(probe))
+        .join(
+            F.broadcast(bench.withColumn("_hit", F.lit(True))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("cand").alias("cand"),
+            F.max(F.coalesce("_hit", F.lit(False))).alias("exact"),
+        )
+    )
+    per = flagged.join(src, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+        F.sum(F.col("cand").cast("long"))
+        .cast("bigint")
+        .alias("n_candidate_docs"),
+        F.sum(F.col("exact").cast("long"))
+        .cast("bigint")
+        .alias("n_exact_docs"),
+        F.sum((F.col("cand") & ~F.col("exact")).cast("long"))
+        .cast("bigint")
+        .alias("n_fp_docs"),
+    )
+    return per.select(
+        "source",
+        "n_train_docs",
+        "n_candidate_docs",
+        "n_exact_docs",
+        "n_fp_docs",
+        F.round(
+            F.try_divide(
+                F.col("n_fp_docs").cast("double"),
+                (F.col("n_train_docs") - F.col("n_exact_docs")).cast(
+                    "double"
+                ),
+            ),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def sql_bloom_decontaminate(
+    corpus_sql: str,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> str:
+    nwords = BLOOM_M // _BLOOM_WORD
+    gram_i = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n} + 1), "
+        f"i -> {gram_i}) ELSE [] END"
+    )
+    pos = [_bloom_pos_duck(i) for i in range(BLOOM_K)]
+    probe = " AND ".join(
+        f"((m.mask[CAST({p} // {_BLOOM_WORD} AS INT) + 1]"
+        f" >> CAST({p} % {_BLOOM_WORD} AS INT)) & 1) = 1"
+        for p in pos
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM ({corpus_sql})),
+    e AS (SELECT doc_id, unnest({grams}) AS gram FROM tok),
+    bench AS (SELECT DISTINCT gram FROM e
+              WHERE doc_id % {bench_mod} = 0),
+    bpos AS (
+      SELECT DISTINCT unnest([{", ".join(pos)}]) AS p FROM bench
+    ),
+    words AS (
+      SELECT p // {_BLOOM_WORD} AS idx,
+             bit_or(1::BIGINT << CAST(p % {_BLOOM_WORD} AS INT)) AS wd
+      FROM bpos GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(0, {nwords - 1})) AS idx),
+    mask AS (
+      SELECT list(coalesce(wd, 0) ORDER BY s.idx) AS mask
+      FROM spine s LEFT JOIN words w ON w.idx = s.idx
+    ),
+    train AS (SELECT doc_id, gram FROM e
+              WHERE doc_id % {bench_mod} <> 0),
+    perdoc AS (
+      SELECT t.doc_id,
+             bool_or({probe}) AS cand,
+             bool_or(b.gram IS NOT NULL) AS ex
+      FROM train t CROSS JOIN mask m
+      LEFT JOIN bench b USING (gram)
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(sum(CASE WHEN cand THEN 1 END), 0) AS BIGINT)
+             AS n_candidate_docs,
+           CAST(coalesce(sum(CASE WHEN ex THEN 1 END), 0) AS BIGINT)
+             AS n_exact_docs,
+           CAST(coalesce(sum(CASE WHEN cand AND NOT ex THEN 1 END), 0)
+                AS BIGINT) AS n_fp_docs,
+           round(CAST(coalesce(sum(CASE WHEN cand AND NOT ex THEN 1
+                                    END), 0) AS DOUBLE)
+                 / nullif(count(*) - coalesce(
+                     sum(CASE WHEN ex THEN 1 END), 0), 0), 6)
+             AS fp_rate
+    FROM perdoc p JOIN ({corpus_sql}) d USING (doc_id)
+    GROUP BY 1
+    """

@@ -4153,3 +4153,18 @@ register(
     lambda spark, sf_dir: similarity.spectral_health(spark, sf_dir),
     similarity.sql_spectral_health(),
 )
+
+
+# text_bloom_decontaminate (round 14) — the map-side bloom pre-filter
+# metrology: bloom-candidate vs exact benchmark-overlap docs per
+# source, with the false-positive cost of the cheap broadcast-bitmask
+# pass (operators/text_analysis.py::bloom_decontaminate).
+register(
+    "text_bloom_decontaminate",
+    lambda spark, sf_dir: text_analysis.bloom_decontaminate(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_bloom_decontaminate(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)

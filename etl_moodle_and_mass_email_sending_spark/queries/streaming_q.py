@@ -2357,3 +2357,277 @@ def _stream_rate_limit_sql() -> str:
 
 
 register("stream_rate_limit", stream_rate_limit, _stream_rate_limit_sql())
+
+
+# --------------------------------------------------------------------------
+# stream_cdc_apply (round 14) — the streaming twin of rel_cdc_merge
+# (the pattern every batch/stream pair in the registry follows:
+# dedup/stream_dedup, ivf_append/stream_ivf_append): the changelog
+# arrives in (key, seq)-ordered chunks, the snapshot is carried as
+# keyed state across micro-batches, and each batch applies a MERGE —
+# batch-final-op-per-key wins (struct-max on seq, same contract as the
+# batch twin), classification is against the state AS OF the batch
+# start (an UPSERT landing in batch k makes a later DELETE in batch
+# k+1 a real delete; a same-batch U,D pair compresses to a noop on an
+# absent key). The audit row per batch is the CDC lag dashboard's
+# input: op volume, per-action counts, and the post-batch table
+# size/value mass.
+#
+# 100 TB shape: per batch one hash-agg on the key + one keyed join
+# against the state table (co-located in production; the full-state
+# parquet swap here is the bounded-chunk replay stand-in, as in
+# stream_state_ttl); the audit is a 1-row aggregate. The oracle needs
+# no recursion: present/current-value after chunk k is a closed-form
+# predicate over (in_base, u_chunk, d_chunk) because a key sees at
+# most one UPSERT then at most one DELETE.
+# --------------------------------------------------------------------------
+
+CDC_STREAM_CHUNKS = 4
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .windows import CDC_BASE_MOD, CDC_CHG_MOD, CDC_DEL_MOD
+
+    base_dir = scratch_dir("cdc_apply_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    chg_src = o.filter(F.col("o_orderkey") % CDC_CHG_MOD != 4)
+    ops = (
+        chg_src.select(
+            "o_orderkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("seq"),
+                        F.lit("UPSERT").alias("op"),
+                        (F.col("v") + F.lit(10)).alias("val"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("seq"),
+                        F.when(
+                            F.col("o_orderkey") % CDC_DEL_MOD == 0,
+                            F.lit("DELETE"),
+                        ).alias("op"),
+                        F.lit(None).cast("decimal(19,2)").alias("val"),
+                    ),
+                )
+            ).alias("_op"),
+        )
+        .filter(F.col("_op.op").isNotNull())
+        .select("o_orderkey", "_op.seq", "_op.op", "_op.val")
+    )
+    stage = _stage_ordered_chunks(
+        ops,
+        F.struct("o_orderkey", "seq"),
+        n_chunks=CDC_STREAM_CHUNKS,
+        cache_key=("stage_cdc_apply", sf_dir),
+    )
+    stream = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = os.path.join(base_dir, "audit")
+    # seed state: the base snapshot, staged once per session
+    from ..operators.util import staged_path
+
+    def _seed(d: str) -> None:
+        o.filter(F.col("o_orderkey") % CDC_BASE_MOD != 3).select(
+            "o_orderkey", F.col("v").cast("decimal(19,2)").alias("val")
+        ).write.parquet(os.path.join(d, "state"))
+
+    seed_dir = staged_path(
+        spark, ("cdc_seed_state", sf_dir), _seed, prefix="cdcseed_"
+    )
+    state = {"path": os.path.join(seed_dir, "state")}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        prev = spark.read.parquet(state["path"])
+        n_ops = batch_df.count()
+        fin = batch_df.groupBy("o_orderkey").agg(
+            F.max(F.struct("seq", "op", "val")).alias("_f")
+        ).select(
+            "o_orderkey",
+            F.col("_f.op").alias("op"),
+            F.col("_f.val").alias("nval"),
+        )
+        joined = prev.join(fin, "o_orderkey", "full_outer").select(
+            "o_orderkey",
+            "val",
+            "op",
+            "nval",
+            F.when(F.col("op").isNull(), F.lit("keep"))
+            .when(
+                F.col("val").isNotNull() & (F.col("op") == "DELETE"),
+                F.lit("delete"),
+            )
+            .when(F.col("val").isNotNull(), F.lit("update"))
+            .when(F.col("op") == "DELETE", F.lit("noop_delete"))
+            .otherwise(F.lit("insert"))
+            .alias("action"),
+        ).localCheckpoint()  # one evaluation feeds counts + state write
+        new_state = joined.filter(
+            F.col("action").isin("keep", "update", "insert")
+        ).select(
+            "o_orderkey",
+            F.when(
+                F.col("action") == "keep", F.col("val")
+            ).otherwise(F.col("nval")).alias("val"),
+        )
+        state_path = os.path.join(base_dir, f"state_v{batch_id}")
+        new_state.write.mode("overwrite").parquet(state_path)
+        state["path"] = state_path
+        counts = joined.filter(F.col("action") != "keep").groupBy().agg(
+            *[
+                F.coalesce(
+                    F.sum((F.col("action") == a).cast("long")), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"n_{a}")
+                for a in ("insert", "update", "delete", "noop_delete")
+            ]
+        )
+        after = spark.read.parquet(state_path).agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_after"),
+            F.coalesce(F.sum("val"), F.lit(0))
+            .cast("double")
+            .alias("value_after"),
+        )
+        audit = (
+            counts.crossJoin(after)
+            .select(
+                F.lit(batch_id + 1).cast("int").alias("chunk"),
+                F.lit(n_ops).cast("bigint").alias("n_ops"),
+                "n_insert",
+                "n_update",
+                "n_delete",
+                F.col("n_noop_delete").alias("n_noop"),
+                "rows_after",
+                "value_after",
+            )
+        )
+        (
+            audit.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "chunk",
+        "n_ops",
+        "n_insert",
+        "n_update",
+        "n_delete",
+        "n_noop",
+        "rows_after",
+        "value_after",
+    )
+
+
+def _stream_cdc_apply_sql() -> str:
+    from .windows import CDC_BASE_MOD, CDC_CHG_MOD, CDC_DEL_MOD
+
+    n = CDC_STREAM_CHUNKS
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    ),
+    base AS (SELECT k, v FROM o WHERE k % {CDC_BASE_MOD} <> 3),
+    chg AS (
+      SELECT k, 1 AS seq, 'UPSERT' AS op, v + 10 AS val
+      FROM o WHERE k % {CDC_CHG_MOD} <> 4
+      UNION ALL
+      SELECT k, 2, 'DELETE', NULL
+      FROM o WHERE k % {CDC_CHG_MOD} <> 4 AND k % {CDC_DEL_MOD} = 0
+    ),
+    co AS (SELECT *, ntile({n}) OVER (ORDER BY k, seq) AS chunk
+           FROM chg),
+    keyops AS (
+      SELECT k,
+             min(CASE WHEN op = 'UPSERT' THEN chunk END) AS u_chunk,
+             min(CASE WHEN op = 'DELETE' THEN chunk END) AS d_chunk,
+             max(CASE WHEN op = 'UPSERT' THEN val END) AS uval
+      FROM co GROUP BY 1
+    ),
+    kb AS (
+      SELECT ko.k, ko.u_chunk, ko.d_chunk, ko.uval,
+             b.k IS NOT NULL AS in_base
+      FROM keyops ko LEFT JOIN base b USING (k)
+    ),
+    cls AS (
+      SELECT c.chunk, kb.k,
+             CASE WHEN kb.d_chunk = c.chunk THEN 'D' ELSE 'U' END
+               AS fin,
+             (kb.in_base OR coalesce(kb.u_chunk < c.chunk, FALSE))
+               AND NOT coalesce(kb.d_chunk < c.chunk, FALSE)
+               AS present
+      FROM (SELECT DISTINCT chunk, k FROM co) c JOIN kb USING (k)
+    ),
+    percls AS (
+      SELECT chunk,
+        CAST(coalesce(sum(CASE WHEN fin = 'U' AND NOT present
+                           THEN 1 END), 0) AS BIGINT) AS n_insert,
+        CAST(coalesce(sum(CASE WHEN fin = 'U' AND present
+                           THEN 1 END), 0) AS BIGINT) AS n_update,
+        CAST(coalesce(sum(CASE WHEN fin = 'D' AND present
+                           THEN 1 END), 0) AS BIGINT) AS n_delete,
+        CAST(coalesce(sum(CASE WHEN fin = 'D' AND NOT present
+                           THEN 1 END), 0) AS BIGINT) AS n_noop
+      FROM cls GROUP BY 1
+    ),
+    allkeys AS (
+      SELECT b.k, TRUE AS in_base, b.v AS bv,
+             ko.u_chunk, ko.d_chunk, ko.uval
+      FROM base b LEFT JOIN keyops ko USING (k)
+      UNION ALL
+      SELECT ko.k, FALSE, NULL, ko.u_chunk, ko.d_chunk, ko.uval
+      FROM keyops ko LEFT JOIN base b USING (k) WHERE b.k IS NULL
+    ),
+    spine AS (SELECT unnest(generate_series(1, {n})) AS chunk),
+    after AS (
+      SELECT g.chunk,
+             CAST(count(*) FILTER (WHERE
+               (x.in_base OR coalesce(x.u_chunk <= g.chunk, FALSE))
+               AND NOT coalesce(x.d_chunk <= g.chunk, FALSE))
+               AS BIGINT) AS rows_after,
+             CAST(coalesce(sum(CASE
+               WHEN (x.in_base
+                     OR coalesce(x.u_chunk <= g.chunk, FALSE))
+                    AND NOT coalesce(x.d_chunk <= g.chunk, FALSE)
+               THEN CASE WHEN coalesce(x.u_chunk <= g.chunk, FALSE)
+                         THEN x.uval ELSE x.bv END
+               END), 0) AS DOUBLE) AS value_after
+      FROM spine g, allkeys x GROUP BY 1
+    ),
+    nops AS (SELECT chunk, CAST(count(*) AS BIGINT) AS n_ops
+             FROM co GROUP BY 1)
+    SELECT CAST(s.chunk AS INTEGER) AS chunk,
+           coalesce(n.n_ops, 0) AS n_ops,
+           coalesce(p.n_insert, 0) AS n_insert,
+           coalesce(p.n_update, 0) AS n_update,
+           coalesce(p.n_delete, 0) AS n_delete,
+           coalesce(p.n_noop, 0) AS n_noop,
+           a.rows_after, a.value_after
+    FROM spine s
+    LEFT JOIN nops n USING (chunk)
+    LEFT JOIN percls p USING (chunk)
+    JOIN after a USING (chunk)
+    """
+
+
+register("stream_cdc_apply", stream_cdc_apply, _stream_cdc_apply_sql())

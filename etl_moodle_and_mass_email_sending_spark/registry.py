@@ -62,7 +62,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # ROUND-14 TAIL ADDITIONS (standing policy — driver-sim green at
 # sf0.001 AND sf0.01 before registration; rotate into the r15 window
 # with the 10 remaining r8-stale names): rel_cdc_merge,
-# sim_index_tombstone, sim_spectral_health, stream_rate_limit.
+# sim_index_tombstone, sim_spectral_health, stream_rate_limit,
+# text_bloom_decontaminate, stream_cdc_apply.
 # ROUND-13 ROTATION (kept for the ledger; superseded above;
 # VERDICT r12 items 1+7):
 #   (a) all 13 round-12 tail additions — never externally certified;

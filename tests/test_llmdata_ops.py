@@ -3972,3 +3972,93 @@ class TestRateLimit:
             .collect()[0][0]
         )
         assert abs(rows[0]["admitted_value"] - expect) < 1e-6
+
+
+class TestBloomDecontaminate:
+    def test_no_false_negatives_and_exact_arm_matches_detection(
+        self, spark
+    ):
+        from etl_moodle_and_mass_email_sending_spark import registry
+
+        rows = registry.queries()["text_bloom_decontaminate"](
+            spark, SF_SMALL
+        ).collect()
+        assert rows
+        for r in rows:
+            # bloom guarantees no false negatives: every exact doc is
+            # a candidate, and fp is exactly the surplus
+            assert r["n_exact_docs"] <= r["n_candidate_docs"]
+            assert (
+                r["n_fp_docs"]
+                == r["n_candidate_docs"] - r["n_exact_docs"]
+            )
+            assert r["n_candidate_docs"] <= r["n_train_docs"]
+            if r["fp_rate"] is not None:
+                assert 0.0 <= r["fp_rate"] <= 1.0
+        # the exact arm IS text_decontaminate's detection set
+        n_exact = sum(r["n_exact_docs"] for r in rows)
+        detected = (
+            registry.queries()["text_decontaminate"](spark, SF_SMALL)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        assert n_exact == detected
+
+
+class TestStreamCdcApply:
+    def test_state_reconciles_with_batch_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.catalog import (
+            load_table,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.streaming_q import (
+            CDC_STREAM_CHUNKS,
+        )
+        from etl_moodle_and_mass_email_sending_spark.queries.windows import (
+            CDC_BASE_MOD,
+        )
+
+        rows = sorted(
+            registry.queries()["stream_cdc_apply"](
+                spark, SF_SMALL
+            ).collect(),
+            key=lambda r: r["chunk"],
+        )
+        assert [r["chunk"] for r in rows] == list(
+            range(1, CDC_STREAM_CHUNKS + 1)
+        )
+        base_n = (
+            load_table(spark, SF_SMALL, "orders")
+            .filter(F.col("o_orderkey") % CDC_BASE_MOD != 3)
+            .count()
+        )
+        prev = base_n
+        for r in rows:
+            assert (
+                r["rows_after"]
+                == prev + r["n_insert"] - r["n_delete"]
+            )
+            prev = r["rows_after"]
+        # the stream's final state IS the batch twin's final row
+        batch = {
+            b["action"]: b
+            for b in registry.queries()["rel_cdc_merge"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert rows[-1]["rows_after"] == batch["final"]["n_rows"]
+        assert (
+            abs(rows[-1]["value_after"] - batch["final"]["sum_value"])
+            < 1e-6
+        )
+        # per-action totals across batches match the batch twin
+        for a, col in (
+            ("insert", "n_insert"),
+            ("update", "n_update"),
+            ("delete", "n_delete"),
+            ("noop_delete", "n_noop"),
+        ):
+            assert sum(r[col] for r in rows) == batch[a]["n_rows"], a
