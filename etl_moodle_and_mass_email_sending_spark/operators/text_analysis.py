@@ -2750,22 +2750,29 @@ def heaps_law(corpus: DataFrame) -> DataFrame:
     spine = spark.range(HEAPS_DECILES).select(
         F.col("id").cast("int").alias("decile")
     )
-    w = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    curve = (
+    # prefix sums over the 10-row spine as a broadcast triangular
+    # self-join (the prefix_offsets pattern, round 14): no
+    # unpartitioned WindowExec anywhere in the engine, even over
+    # fixture-sized frames — the uniform invariant plan audits rely on
+    per_point = (
         spine.join(per_dec, spine.decile == per_dec.dec, "left")
         .drop("dec")
         .join(first_seen, spine.decile == first_seen.dec, "left")
         .drop("dec")
         .select(
-            "decile",
-            F.sum(F.coalesce("_n_toks", F.lit(0))).over(w).alias(
-                "cum_tokens"
-            ),
-            F.sum(F.coalesce("_n_new", F.lit(0))).over(w).alias(
-                "cum_vocab"
-            ),
+            F.col("decile").alias("_d2"),
+            F.coalesce("_n_toks", F.lit(0)).alias("_t2"),
+            F.coalesce("_n_new", F.lit(0)).alias("_v2"),
+        )
+    )
+    curve = (
+        spine.join(
+            F.broadcast(per_point), F.col("_d2") <= F.col("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("_t2").alias("cum_tokens"),
+            F.sum("_v2").alias("cum_vocab"),
         )
     )
     x = F.round(F.log(F.col("cum_tokens").cast("double")), 9).cast(
@@ -2874,19 +2881,14 @@ def token_burstiness(corpus: DataFrame) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    # salted two-stage top-N (the KMV pattern): no single task ever
-    # sorts the whole vocabulary's stats
-    salt = F.pmod(F.xxhash64("token"), F.lit(16))
-    w1 = Window.partitionBy(salt).orderBy(
-        F.col("n_occurrences").desc(), F.col("token")
-    )
-    stage1 = stats.withColumn("_rn", F.row_number().over(w1)).filter(
-        F.col("_rn") <= BURSTY_TOP
-    )
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    # global top-N via orderBy+limit: TakeOrderedAndProject keeps
+    # per-partition top-N partials and merges N rows per partition at
+    # the driver — no task ever sorts the whole vocabulary and no
+    # WindowExec node exists (round 14: replaces the salted two-stage
+    # rank, one stage less, same rows)
     return (
-        stage1.withColumn("_gr", F.row_number().over(w))
-        .filter(F.col("_gr") <= BURSTY_TOP)
+        stats.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(BURSTY_TOP)
         .select(
             "token",
             "n_occurrences",
@@ -2943,16 +2945,11 @@ def js_divergence_sources(corpus: DataFrame) -> DataFrame:
         "source", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
     )
     totals_tok = occ.groupBy("token").agg(F.count("*").alias("_n"))
-    salt = F.pmod(F.xxhash64("token"), F.lit(16))
-    w1 = Window.partitionBy(salt).orderBy(
-        F.col("_n").desc(), F.col("token")
-    )
-    w2 = Window.orderBy(F.col("_n").desc(), F.col("token"))
+    # top-vocab via orderBy+limit (TakeOrderedAndProject): no
+    # vocabulary-wide sort, no WindowExec (round 14)
     top = (
-        totals_tok.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= JSD_VOCAB)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= JSD_VOCAB)
+        totals_tok.orderBy(F.col("_n").desc(), F.col("token"))
+        .limit(JSD_VOCAB)
         .select("token")
     )
     mapped = occ.join(F.broadcast(top.withColumn("_in", F.lit(1))),
@@ -3085,16 +3082,11 @@ def oov_rate_by_source(corpus: DataFrame) -> DataFrame:
         "source", F.explode(F.expr(_SPARK_FTOKS)).alias("token")
     )
     totals = occ.groupBy("token").agg(F.count("*").alias("_n"))
-    salt = F.pmod(F.xxhash64("token"), F.lit(16))
-    w1 = Window.partitionBy(salt).orderBy(
-        F.col("_n").desc(), F.col("token")
-    )
-    w2 = Window.orderBy(F.col("_n").desc(), F.col("token"))
+    # top-vocab via orderBy+limit (TakeOrderedAndProject): no
+    # vocabulary-wide sort, no WindowExec (round 14)
     top = (
-        totals.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= OOV_VOCAB)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= OOV_VOCAB)
+        totals.orderBy(F.col("_n").desc(), F.col("token"))
+        .limit(OOV_VOCAB)
         .select("token", F.lit(1).alias("_in"))
     )
     return (
@@ -3474,16 +3466,11 @@ def pmi_collocations(corpus: DataFrame) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    salt = F.pmod(F.xxhash64("bigram"), F.lit(16))
-    w1 = Window.partitionBy(salt).orderBy(
-        F.col("pmi").desc(), F.col("bigram")
-    )
-    w2 = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    # top-K via orderBy+limit (TakeOrderedAndProject): no bigram-wide
+    # sort, no WindowExec (round 14)
     return (
-        scored.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= PMI_TOP_K)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= PMI_TOP_K)
+        scored.orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(PMI_TOP_K)
         .select("bigram", "n_pair", "pmi")
     )
 
@@ -3593,16 +3580,11 @@ def idf_drift(corpus: DataFrame) -> DataFrame:
             6,
         ).alias("idf_drift"),
     )
-    salt = F.pmod(F.xxhash64("token"), F.lit(16))
-    w1 = Window.partitionBy(salt).orderBy(
-        F.col("idf_drift").desc(), F.col("token")
-    )
-    w2 = Window.orderBy(F.col("idf_drift").desc(), F.col("token"))
+    # top-K via orderBy+limit (TakeOrderedAndProject): no
+    # vocabulary-wide sort, no WindowExec (round 14)
     return (
-        scored.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= IDF_TOP_K)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= IDF_TOP_K)
+        scored.orderBy(F.col("idf_drift").desc(), F.col("token"))
+        .limit(IDF_TOP_K)
         .select("token", "df_a", "df_b", "idf_drift")
     )
 
@@ -5606,7 +5588,6 @@ def sql_corpus_release(
 # --------------------------------------------------------------------------
 
 DSIR_SAMPLE_N = 100
-DSIR_SALTS = 16
 
 
 def dsir_execute(
@@ -5616,8 +5597,6 @@ def dsir_execute(
     mean_weight_sampled) after drawing the global Gumbel-top-n
     importance sample; ``corpus`` must carry (doc_id, text, lang).
     n_docs counts the eligible pool (docs with ≥1 bigram)."""
-    from pyspark.sql.window import Window
-
     w = dsir_weights(corpus)
     u = (
         F.conv(
@@ -5645,20 +5624,11 @@ def dsir_execute(
         "doc_id",
         F.round(doc_w * 1_000_000).cast("bigint").alias("_wm"),
         F.round(doc_w - F.log(-F.log(u)), 12).alias("_score"),
-        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(DSIR_SALTS)).alias(
-            "_salt"
-        ),
     )
-    w1 = Window.partitionBy("_salt").orderBy(
-        F.col("_score").desc(), "doc_id"
-    )
-    stage1 = scored.withColumn(
-        "_rn", F.row_number().over(w1)
-    ).filter(F.col("_rn") <= n)
-    w2 = Window.orderBy(F.col("_score").desc(), "doc_id")
-    sampled = stage1.withColumn(
-        "_rank", F.row_number().over(w2)
-    ).filter(F.col("_rank") <= n)
+    # Gumbel-top-n via orderBy+limit: TakeOrderedAndProject keeps
+    # per-partition top-n partials — no corpus-wide sort, no WindowExec
+    # (round 14: replaces the salted two-stage rank, same rows)
+    sampled = scored.orderBy(F.col("_score").desc(), "doc_id").limit(n)
     alla = scored.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("_wm").alias("_wa"),

@@ -233,17 +233,15 @@ def _market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_pair"))
     )
-    salt = F.pmod(F.xxhash64("pa", "pb"), F.lit(16))
-    w1 = Window.partitionBy(salt).orderBy(
+    # global top-20 via orderBy+limit: Spark compiles this to
+    # TakeOrderedAndProject — per-partition top-k partials merged at
+    # the driver, k rows over the wire per partition. Strictly better
+    # than the former salted two-stage rank windows (round 14: no
+    # WindowExec node, one stage less, no 320-row single-partition
+    # barrier), and distributed-safe at any SF by construction.
+    top = pairs.orderBy(
         F.col("n_pair").desc(), F.col("pa"), F.col("pb")
-    )
-    w2 = Window.orderBy(F.col("n_pair").desc(), F.col("pa"), F.col("pb"))
-    top = (
-        pairs.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= 20)
-        .withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= 20)
-    )
+    ).limit(20)
     pa_cnt = part_orders.select(
         F.col("l_partkey").alias("pa"), F.col("_po").alias("_na")
     )
@@ -767,11 +765,19 @@ def _skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy("o_orderdate").agg(
         F.max("o_totalprice").alias("_mp")
     )
-    wdesc = Window.orderBy(F.col("o_orderdate").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    # suffix max over the calendar-bounded (~2.4k-row) date rollup as
+    # a broadcast triangular self-join (the prefix_offsets pattern,
+    # round 14): _fence(d) = max daily price over STRICTLY LATER
+    # dates; NULL for the last date — identical to the former
+    # unboundedPreceding..-1 desc window, with no WindowExec node
+    later = daily.select(
+        F.col("o_orderdate").alias("_d2"), F.col("_mp").alias("_mp2")
     )
-    fence = daily.select(
-        "o_orderdate", F.max("_mp").over(wdesc).alias("_fence")
+    fence = (
+        daily.select("o_orderdate")
+        .join(F.broadcast(later), F.col("_d2") > F.col("o_orderdate"), "left")
+        .groupBy("o_orderdate")
+        .agg(F.max("_mp2").alias("_fence"))
     )
     return (
         o.join(F.broadcast(fence), "o_orderdate")
@@ -1077,13 +1083,28 @@ def _seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.date_trunc("month", F.col("o_orderdate")).alias("_mo")
     ).agg(F.sum(_dec(F.col("o_totalprice"))).alias("_rev"))
-    w = Window.orderBy("_mo").rowsBetween(-5, 6)
+    # centered 12-row moving window over the calendar-bounded (~80-row)
+    # month rollup, window-free (round 14): a two-pass global row index
+    # (exact ROWS semantics even across month gaps) + a broadcast band
+    # self-join on index distance — no WindowExec node
+    from ..operators.util import two_pass_rank
+
+    idx = two_pass_rank(monthly, [F.col("_mo")], out_col="_i")
+    band = idx.select(
+        F.col("_i").alias("_i2"), F.col("_rev").alias("_rev2")
+    )
     ma = (
-        monthly.withColumn("_n", F.count("*").over(w))
-        .withColumn(
-            "_ma",
-            F.sum("_rev").over(w).cast("double") / F.col("_n"),
+        idx.join(
+            F.broadcast(band),
+            (F.col("_i2") >= F.col("_i") - 5)
+            & (F.col("_i2") <= F.col("_i") + 6),
         )
+        .groupBy("_mo", "_rev")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_rev2").alias("_s"),
+        )
+        .withColumn("_ma", F.col("_s").cast("double") / F.col("_n"))
         .filter(F.col("_n") == 12)  # full centered window only
         .select(
             F.month("_mo").alias("month_num"),
@@ -1426,18 +1447,22 @@ def _changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("rev").alias("total"),
     )
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # running sum + row index over the calendar-bounded (~2.4k-row)
+    # daily rollup, window-free (round 14): the two-pass helpers
+    # (range shuffle + partition-local carry, the prefix_offsets
+    # pattern) — no WindowExec node, exact decimal partial sums
+    from ..operators.util import two_pass_rank, two_pass_running_sum
+
     cum = (
-        daily.crossJoin(F.broadcast(stats))
-        .select(
-            "day",
-            "n_days",
-            "total",
-            F.sum("rev").over(w).alias("cumrev"),
-            F.row_number().over(Window.orderBy("day")).alias("idx"),
+        two_pass_rank(
+            two_pass_running_sum(
+                daily, [F.col("day")], "rev", out_col="cumrev"
+            ),
+            [F.col("day")],
+            out_col="idx",
         )
+        .crossJoin(F.broadcast(stats))
+        .select("day", "n_days", "total", "cumrev", "idx")
         # idx = n_days has CUSUM exactly 0 by construction and an empty
         # "after" side — not a candidate
         .filter(F.col("idx") < F.col("n_days"))

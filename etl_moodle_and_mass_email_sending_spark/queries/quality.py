@@ -1282,15 +1282,18 @@ def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("file_mo")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
-    w = Window.orderBy("file_mo").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # exclusive prefix sum over the calendar-bounded (~80-row) month
+    # rollup, window-free (round 14): two-pass running sum minus the
+    # row's own value — no WindowExec node
+    from ..operators.util import two_pass_running_sum
+
     tot = files.agg(F.sum("n_rows").alias("_t"))
     target = F.ceil(F.col("_t") / F.lit(COMPACT_BINS)).cast("bigint")
     binned = (
-        files.withColumn(
-            "_cex", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+        two_pass_running_sum(
+            files, [F.col("file_mo")], "n_rows", out_col="_cinc"
         )
+        .withColumn("_cex", F.col("_cinc") - F.col("n_rows"))
         .crossJoin(F.broadcast(tot))
         .withColumn("_target", target)
         .withColumn(
@@ -1375,15 +1378,15 @@ def _compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("file_mo")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         )
-        w = Window.orderBy("file_mo").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
+        from ..operators.util import two_pass_running_sum
+
         tot = files.agg(F.sum("n_rows").alias("_t"))
         target = F.ceil(F.col("_t") / F.lit(COMPACT_BINS)).cast("bigint")
         mapping = (
-            files.withColumn(
-                "_cex", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            two_pass_running_sum(
+                files, [F.col("file_mo")], "n_rows", out_col="_cinc"
             )
+            .withColumn("_cex", F.col("_cinc") - F.col("n_rows"))
             .crossJoin(F.broadcast(tot))
             .select(
                 "file_mo",

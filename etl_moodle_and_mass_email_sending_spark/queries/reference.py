@@ -311,16 +311,22 @@ register(
 
 
 def _header_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..operators.util import two_pass_rank
     from ..sources.excel import promote_header
 
     c = load_table(spark, sf_dir, "customer")
-    data = c.select(
+    # row positions via the two-pass global rank (round 14): the
+    # sheet-synthesis stamp was the last global Window.orderBy in the
+    # engine — now no plan anywhere carries an unpartitioned WindowExec
+    data = two_pass_rank(
+        c.select("c_custkey", "c_name", "c_mktsegment"),
+        [F.col("c_custkey")],
+        out_col="_rk",
+    ).select(
         F.col("c_custkey").cast("string").alias("v0"),
         F.col("c_name").alias("v1"),
         F.col("c_mktsegment").alias("v2"),
-        (F.row_number().over(Window.orderBy("c_custkey")) + 3).alias("_pos"),
+        (F.col("_rk") + 3).cast("int").alias("_pos"),
     )
     head = spark.createDataFrame(
         [

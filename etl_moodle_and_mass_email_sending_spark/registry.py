@@ -64,6 +64,19 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # with the 10 remaining r8-stale names): rel_cdc_merge,
 # sim_index_tombstone, sim_spectral_health, stream_rate_limit,
 # text_bloom_decontaminate, stream_cdc_apply.
+# ROUND-14 PLAN CHANGES needing r15 re-certification (standing
+# policy: plan-changed names re-certify; every one driver-sim green
+# at sf0.001 AND sf0.01 on the new plan this round). The round-14
+# window-free sweep (no unpartitioned WindowExec in any registered
+# plan — salted two-stage top-Ks → orderBy+limit, bounded global
+# running sums/maxes → two-pass helpers / broadcast triangular
+# joins) changed: rel_market_basket (r13), rel_changepoint (r10),
+# rel_compaction_plan (r11), rel_compaction_execute (r11),
+# text_burstiness (r13), text_js_divergence (r13), text_oov_rate
+# (r13), text_heaps_law (r13), text_dsir_execute (r12),
+# ref_header_promotion (r9). (rel_skyline, rel_seasonality_index,
+# text_pmi_collocations, text_idf_drift also changed but certify in
+# THIS round's window / the already-scheduled r15 slots.)
 # ROUND-13 ROTATION (kept for the ledger; superseded above;
 # VERDICT r12 items 1+7):
 #   (a) all 13 round-12 tail additions — never externally certified;

@@ -611,25 +611,16 @@ def test_market_basket_broadcasts_top_not_part_counts(
 # Queries whose ordered unpartitioned window is fed by an aggregate over
 # a BOUNDED key domain — invisible to the textual boundedness markers
 # below, so whitelisted with the bound stated.
-_BOUNDED_GLOBAL_WINDOWS = {
-    # running sum over the 10-row decile spine (Range(0,10) left-joined
-    # with the per-decile rollups — input is exactly 10 rows)
-    "text_heaps_law": "Range (0, 10",
-    # prefix max over the DATE-LEVEL rollup: one row per distinct order
-    # date — calendar-bounded (~2.5k rows for 7 years) at any SF
-    "rel_skyline": "HashAggregate(keys=[o_orderdate",
-    # centered moving average over the MONTH-LEVEL rollup: one row per
-    # distinct order month — calendar-bounded (~80 rows) at any SF
-    "rel_seasonality_index": "date_trunc(month",
-    # CUSUM running sum over the DATE-LEVEL rollup: one row per distinct
-    # order date — calendar-bounded (~2.4k rows) at any SF
-    "rel_changepoint": "HashAggregate(keys=[o_orderdate",
-    # cumulative-row bin cut over the MONTH-LEVEL manifest rollup: one
-    # row per order month — calendar-bounded (~80 rows) at any SF
-    # (the rollup keys render as _groupingexpression in the plan, so
-    # the marker is the month-truncation expression itself)
-    "rel_compaction_plan": "month(cast(o_orderdate",
-}
+# Round 14: EMPTY by design. The five former entries (text_heaps_law,
+# rel_skyline, rel_seasonality_index, rel_changepoint,
+# rel_compaction_plan) were converted to window-free forms (two-pass
+# running sums / broadcast triangular and band self-joins), and every
+# salted two-stage top-K collapsed to orderBy+limit
+# (TakeOrderedAndProject). The invariant is now uniform: NO registered
+# plan carries an unpartitioned WindowExec, bounded or not — a new
+# entry here needs a written bound AND a reason the window-free
+# helpers (operators/util.py) don't fit.
+_BOUNDED_GLOBAL_WINDOWS: dict[str, str] = {}
 
 _BOUNDED_MARKERS = __import__("re").compile(
     r"TakeOrderedAndProject|GlobalLimit|LocalLimit|"
