@@ -1084,12 +1084,17 @@ def _seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).alias("_mo")
     ).agg(F.sum(_dec(F.col("o_totalprice"))).alias("_rev"))
     # centered 12-row moving window over the calendar-bounded (~80-row)
-    # month rollup, window-free (round 14): a two-pass global row index
-    # (exact ROWS semantics even across month gaps) + a broadcast band
-    # self-join on index distance — no WindowExec node
-    from ..operators.util import two_pass_rank
-
-    idx = two_pass_rank(monthly, [F.col("_mo")], out_col="_i")
+    # month rollup, window-free (round 14): the row index comes from a
+    # broadcast triangular self-join (count of months ≤ m — exact ROWS
+    # semantics even across month gaps), then a broadcast band
+    # self-join on index distance — no WindowExec node, no range
+    # shuffle on a frame this small
+    tri = monthly.select(F.col("_mo").alias("_m2"))
+    idx = (
+        monthly.join(F.broadcast(tri), F.col("_m2") <= F.col("_mo"))
+        .groupBy("_mo", "_rev")
+        .agg(F.count("*").cast("int").alias("_i"))
+    )
     band = idx.select(
         F.col("_i").alias("_i2"), F.col("_rev").alias("_rev2")
     )
@@ -1448,18 +1453,21 @@ def _changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("total"),
     )
     # running sum + row index over the calendar-bounded (~2.4k-row)
-    # daily rollup, window-free (round 14): the two-pass helpers
-    # (range shuffle + partition-local carry, the prefix_offsets
-    # pattern) — no WindowExec node, exact decimal partial sums
-    from ..operators.util import two_pass_rank, two_pass_running_sum
-
+    # daily rollup, window-free (round 14): ONE broadcast triangular
+    # self-join yields both the prefix sum and the row index (exact
+    # decimal sums; the ≤|days|² pair fan-out is calendar-bounded at
+    # any SF) — lighter than the two-pass range-shuffle machinery on
+    # a frame this small, no WindowExec node either way
+    earlier = daily.select(
+        F.col("day").alias("_d2"), F.col("rev").alias("_rev2")
+    )
     cum = (
-        two_pass_rank(
-            two_pass_running_sum(
-                daily, [F.col("day")], "rev", out_col="cumrev"
-            ),
-            [F.col("day")],
-            out_col="idx",
+        daily.select("day")
+        .join(F.broadcast(earlier), F.col("_d2") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum("_rev2").alias("cumrev"),
+            F.count("*").cast("int").alias("idx"),
         )
         .crossJoin(F.broadcast(stats))
         .select("day", "n_days", "total", "cumrev", "idx")

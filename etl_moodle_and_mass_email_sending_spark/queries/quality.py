@@ -1283,17 +1283,19 @@ def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("file_mo")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     # exclusive prefix sum over the calendar-bounded (~80-row) month
-    # rollup, window-free (round 14): two-pass running sum minus the
-    # row's own value — no WindowExec node
-    from ..operators.util import two_pass_running_sum
-
+    # rollup, window-free (round 14): broadcast triangular self-join
+    # on STRICTLY earlier months (left join: the first month has no
+    # earlier rows) — no WindowExec node, no range shuffle on a frame
+    # this small
     tot = files.agg(F.sum("n_rows").alias("_t"))
     target = F.ceil(F.col("_t") / F.lit(COMPACT_BINS)).cast("bigint")
+    tri = files.select(
+        F.col("file_mo").alias("_m2"), F.col("n_rows").alias("_n2")
+    )
     binned = (
-        two_pass_running_sum(
-            files, [F.col("file_mo")], "n_rows", out_col="_cinc"
-        )
-        .withColumn("_cex", F.col("_cinc") - F.col("n_rows"))
+        files.join(F.broadcast(tri), F.col("_m2") < F.col("file_mo"), "left")
+        .groupBy("file_mo", "n_rows")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_cex"))
         .crossJoin(F.broadcast(tot))
         .withColumn("_target", target)
         .withColumn(
@@ -1378,15 +1380,17 @@ def _compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("file_mo")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         )
-        from ..operators.util import two_pass_running_sum
-
         tot = files.agg(F.sum("n_rows").alias("_t"))
         target = F.ceil(F.col("_t") / F.lit(COMPACT_BINS)).cast("bigint")
+        tri = files.select(
+            F.col("file_mo").alias("_m2"), F.col("n_rows").alias("_n2")
+        )
         mapping = (
-            two_pass_running_sum(
-                files, [F.col("file_mo")], "n_rows", out_col="_cinc"
+            files.join(
+                F.broadcast(tri), F.col("_m2") < F.col("file_mo"), "left"
             )
-            .withColumn("_cex", F.col("_cinc") - F.col("n_rows"))
+            .groupBy("file_mo", "n_rows")
+            .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_cex"))
             .crossJoin(F.broadcast(tot))
             .select(
                 "file_mo",
