@@ -2752,21 +2752,25 @@ def dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("_s").cast("double") / F.col("_n")
     var = F.col("_q").cast("double") / F.col("_n") - mean * mean
+    # the |dims|-row frame is lazily checkpointed so the total-variance
+    # aggregate reads it cached instead of re-running the explode
+    # branch — no unpartitioned WindowExec, one evaluation (round 14;
+    # replaces the former empty-partition window, which carried the
+    # engine's only remaining WindowExec warnings with rel_event_paths
+    # and kmv_setops)
     enriched = stats.select(
         F.col("dim").cast("int").alias("dim"),
         F.round(mean, 6).alias("mean_val"),
         var.alias("_var"),
-    )
-    # total variance via an unpartitioned window over the |dims|-row
-    # frame: a crossJoin against a separate agg would recompute the
-    # whole explode branch (measured: 6 exchanges → 3) — the window
-    # single-partition exchange moves 64 rows, not the corpus
-    tv = F.sum("_var").over(Window.partitionBy())
-    return enriched.select(
+    ).localCheckpoint(eager=False)
+    tv = enriched.agg(F.sum("_var").alias("_tv"))
+    return enriched.crossJoin(F.broadcast(tv)).select(
         "dim",
         "mean_val",
         F.round("_var", 6).alias("var_val"),
-        F.round(F.try_divide(F.col("_var"), tv), 6).alias("var_share"),
+        F.round(F.try_divide(F.col("_var"), F.col("_tv")), 6).alias(
+            "var_share"
+        ),
         (F.col("_var") < DEAD_VAR_EPS).alias("is_dead"),
     )
 

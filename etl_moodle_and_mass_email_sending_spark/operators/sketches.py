@@ -479,10 +479,12 @@ def kmv_setops(
         F.max(F.when(F.col(part_col) == a, 1).otherwise(0)).alias("_in_a"),
         F.max(F.when(F.col(part_col) == b, 1).otherwise(0)).alias("_in_b"),
     )
-    wm = Window.partitionBy(F.lit(1)).orderBy("_frac")
-    merged = flags.withColumn("_rn", F.row_number().over(wm)).filter(
-        F.col("_rn") <= k
-    )
+    # merged top-k of the ≤2k-row union sketch via orderBy+limit
+    # (TakeOrderedAndProject) — round 14: the former
+    # partitionBy(lit(1)) window folds to an empty partition spec
+    # after constant pruning and was the engine's last WindowExec
+    # warning source
+    merged = flags.orderBy("_frac").limit(k)
     sketch = merged.agg(
         F.max("_frac").alias("_hk"),
         F.count("*").alias("_n_merged"),

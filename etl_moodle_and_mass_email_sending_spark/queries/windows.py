@@ -1413,18 +1413,26 @@ def _event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("step2"),
         F.lead("event_type", 2).over(w).alias("step3"),
     ).filter(F.col("step3").isNotNull())
-    counted = seq.groupBy("step1", "step2", "step3").agg(
-        F.count("*").cast("bigint").alias("n_paths"),
-        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    # bounded rollup (≤ |event_type|³ rows), lazily checkpointed so
+    # the share's total comes from a broadcast 1-row aggregate without
+    # re-running the path fan-out — no unpartitioned WindowExec
+    # (round 14)
+    counted = (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paths"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = F.sum("n_paths").over(Window.partitionBy())
-    return counted.select(
+    tot = counted.agg(F.sum("n_paths").alias("_tot"))
+    return counted.crossJoin(F.broadcast(tot)).select(
         "step1",
         "step2",
         "step3",
         "n_paths",
         "n_users",
-        F.round(F.col("n_paths") / tot, 6).alias("path_share"),
+        F.round(F.col("n_paths") / F.col("_tot"), 6).alias("path_share"),
     )
 
 

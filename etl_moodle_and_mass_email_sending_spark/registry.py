@@ -74,9 +74,14 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # rel_compaction_plan (r11), rel_compaction_execute (r11),
 # text_burstiness (r13), text_js_divergence (r13), text_oov_rate
 # (r13), text_heaps_law (r13), text_dsir_execute (r12),
-# ref_header_promotion (r9). (rel_skyline, rel_seasonality_index,
-# text_pmi_collocations, text_idf_drift also changed but certify in
-# THIS round's window / the already-scheduled r15 slots.)
+# ref_header_promotion (r9), rel_kmv_setops (r12), rel_event_paths
+# (r10), sim_dim_health (r10) — the last three are the
+# empty-partition-spec window fixes (kmv merged top-k → orderBy+limit;
+# event_paths/dim_health share totals via lazily-checkpointed bounded
+# frames + broadcast 1-row aggregates). (rel_skyline,
+# rel_seasonality_index, text_pmi_collocations, text_idf_drift also
+# changed but certify in THIS round's window / the already-scheduled
+# r15 slots.)
 # ROUND-13 ROTATION (kept for the ledger; superseded above;
 # VERDICT r12 items 1+7):
 #   (a) all 13 round-12 tail additions — never externally certified;
