@@ -878,7 +878,13 @@ def test_round9_second_wave_plan_shapes(spark, registry_queries):
     assert "RoundRobinPartitioning" in prof
 
     dim = _plan(registry_queries["sim_dim_health"](spark, SF_SMALL))
-    assert "Join" not in dim  # no recompute-the-corpus crossJoin
+    # round 14: the total-variance share joins a BROADCAST 1-row
+    # aggregate of the lazily-checkpointed |dims|-row frame — the
+    # former empty-partition window (a WindowExec warning source) is
+    # gone, and the checkpoint (not the join shape) is what prevents
+    # recomputing the explode branch
+    assert "Window" not in dim
+    assert "BroadcastNestedLoopJoin" in dim
     assert dim.count("Exchange") <= 3
 
     sniff = _plan(registry_queries["mm_codec_sniff"](spark, SF_SMALL))
