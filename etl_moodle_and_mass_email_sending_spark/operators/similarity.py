@@ -1184,9 +1184,10 @@ def sql_mrl_topk() -> str:
 KNN_K = 3  # directed out-degree before mutual pruning
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst, cosine): mutual k-NN edges (src < dst) within LSH
-    buckets."""
+def _knn_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cosine): each vector's KNN_K best neighbors within its
+    LSH bucket — the directed neighbor lists. knn_graph() mutualizes
+    these; graph_ann_topk() walks them as the search graph."""
     v = _vectors(spark, sf_dir).select("vec_id", "vec")
     bucketed = v.withColumn("bucket", F.expr(_spark_bucket("vec")))
     a = bucketed.select(
@@ -1197,17 +1198,38 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.expr(_spark_cosine("va", "vb")).alias("cosine")
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    directed = (
+    return (
         a.join(b, "bucket")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", cos)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= KNN_K)
         .select("src", "dst", "cosine")
-        # consumed twice by the mutuality self-join; the barrier stops
-        # Spark re-running the bucket self-join per side
-        .localCheckpoint()
     )
+
+
+def _sql_knn_directed() -> str:
+    cos = _duck_cosine("a.vec", "b.vec")
+    return f"""
+      SELECT src, dst, cosine FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY {cos} DESC, b.vec_id) AS rn
+        FROM (SELECT vec_id, vec, {_duck_bucket('vec')} AS bucket
+              FROM ({_DUCK_VECTORS})) a
+        JOIN (SELECT vec_id, vec, {_duck_bucket('vec')} AS bucket
+              FROM ({_DUCK_VECTORS})) b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      ) WHERE rn <= {KNN_K}
+    """
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, cosine): mutual k-NN edges (src < dst) within LSH
+    buckets."""
+    # consumed twice by the mutuality self-join; the barrier stops
+    # Spark re-running the bucket self-join per side
+    directed = _knn_directed(spark, sf_dir).localCheckpoint()
     rev = directed.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
@@ -1235,6 +1257,155 @@ def sql_knn_graph() -> str:
     FROM directed d
     JOIN directed r ON d.src = r.dst AND d.dst = r.src
     WHERE d.src < d.dst
+    """
+
+
+# --------------------------------------------------------------------------
+# Graph-based ANN (round 14) — the missing member of the ANN family
+# next to LSH/IVF/PQ/SQ/BQ/MRL: navigable-graph search (Malkov &
+# Yashunin's HNSW layer-0 / NSW). Serving stacks walk the neighbor
+# graph greedily per query; the batch analog is bounded BEAM search —
+# start every query at fixed entry points, keep the GA_BEAM best
+# candidates seen, expand their out-edges, rescore, repeat GA_HOPS
+# times, then exact-rank the visited set. Deterministic (fixed entries,
+# fixed hop count, rounded-cosine + vec_id tie-breaks), so the oracle
+# unrolls the same walk as a CTE chain.
+#
+# Scale shape: the expensive piece (the kNN neighbor lists) is the
+# already-registered graph build; each hop joins a tiny per-query beam
+# (Q x GA_BEAM rows, broadcast) against the edge list and fetches
+# candidate vectors by id (broadcast hash join against the corpus scan
+# — the corpus is never shuffled). Visited-set bookkeeping is a
+# left-anti join on (query_id, cand_id), also broadcast-sized. Work
+# per query is O(GA_HOPS * GA_BEAM * KNN_K) distance evaluations —
+# independent of corpus size, the whole point of graph ANN.
+# --------------------------------------------------------------------------
+
+GA_ENTRY_IDS = (10, 11, 12, 13)  # fixed entry points (disjoint from queries)
+GA_BEAM = 8  # beam width
+GA_HOPS = 2  # expansion rounds
+
+
+def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the directed kNN neighbor lists: top-K per
+    query (vec_id < N_QUERIES) from the visited candidate set."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    edges = (
+        _knn_directed(spark, sf_dir)
+        .select("src", "dst")
+        # walked once per hop; the barrier stops Spark re-running the
+        # bucketed self-join per expansion round
+        .localCheckpoint(eager=False)
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        # fetch-by-id: broadcast the candidate ids against the corpus
+        # scan, then attach the (broadcast) query vectors
+        return (
+            v.join(F.broadcast(cand), v["vec_id"] == cand["cand_id"])
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "cand_id",
+                F.expr(_spark_cosine("qvec", "vec")).alias("cosine"),
+            )
+        )
+
+    entries = q.select("query_id").crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.array(*[F.lit(i).cast("bigint") for i in GA_ENTRY_IDS])
+            ).alias("cand_id")
+        )
+    )
+    scored = score(entries).localCheckpoint(eager=False)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    for _ in range(GA_HOPS):
+        beam = (
+            scored.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= GA_BEAM)
+            .select("query_id", "cand_id")
+        )
+        fresh = (
+            beam.join(edges, beam["cand_id"] == edges["src"])
+            .select("query_id", F.col("dst").alias("cand_id"))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .distinct()
+            .join(
+                scored.select("query_id", "cand_id"),
+                ["query_id", "cand_id"],
+                "left_anti",
+            )
+        )
+        scored = scored.unionByName(score(fresh)).localCheckpoint(
+            eager=False
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "cosine", "rank")
+    )
+
+
+def sql_graph_ann_topk() -> str:
+    cos = _duck_cosine("q.qvec", "v.vec")
+    entries = ", ".join(f"({i})" for i in GA_ENTRY_IDS)
+
+    def score(cand: str) -> str:
+        return f"""
+      SELECT c.query_id, c.cand_id, {cos} AS cosine
+      FROM {cand} c
+      JOIN v ON v.vec_id = c.cand_id
+      JOIN q ON q.query_id = c.query_id"""
+
+    def hop(prev: str, beam: str, fresh: str, nxt: str) -> str:
+        return f"""
+    {beam} AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, cand_id) AS rn
+        FROM {prev}
+      ) WHERE rn <= {GA_BEAM}
+    ),
+    {fresh} AS (
+      SELECT DISTINCT b.query_id, e.dst AS cand_id
+      FROM {beam} b JOIN edges e ON e.src = b.cand_id
+      WHERE e.dst <> b.query_id
+        AND NOT EXISTS (SELECT 1 FROM {prev} s
+                        WHERE s.query_id = b.query_id
+                          AND s.cand_id = e.dst)
+    ),
+    {nxt} AS (
+      SELECT query_id, cand_id, cosine FROM {prev}
+      UNION ALL {score(fresh)}
+    )"""
+
+    hops = ",".join(
+        hop(f"s{h}", f"b{h + 1}", f"f{h + 1}", f"s{h + 1}")
+        for h in range(GA_HOPS)
+    )
+    return f"""
+    WITH v AS ({_DUCK_VECTORS}),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+          WHERE vec_id < {N_QUERIES}),
+    edges AS (SELECT src, dst FROM ({_sql_knn_directed()})),
+    e0(cand_id) AS (VALUES {entries}),
+    c0 AS (SELECT query_id, CAST(cand_id AS BIGINT) AS cand_id
+           FROM q CROSS JOIN e0),
+    s0 AS ({score('c0')}
+    ),{hops}
+    SELECT query_id, cand_id AS vec_id, cosine, rank FROM (
+      SELECT query_id, cand_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+      FROM s{GA_HOPS}
+    ) WHERE rank <= {TOP_K}
     """
 
 

@@ -1330,6 +1330,12 @@ register(
 )
 
 register(
+    "sim_graph_ann_topk",
+    similarity.graph_ann_topk,
+    similarity.sql_graph_ann_topk(),
+)
+
+register(
     "text_substring_dedup",
     lambda spark, sf_dir: text_analysis.substring_dedup(_docs(spark, sf_dir)),
     text_analysis.sql_substring_dedup(_DOCS_SQL),

@@ -1846,3 +1846,201 @@ register(
     FROM cls WHERE action IN ('unchanged', 'update', 'insert')
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# rel_bitemporal_asof (round 14) — bitemporal point-in-time reads
+# (Snodgrass, "Developing Time-Oriented Database Applications in SQL";
+# the SQL:2011 system-time + application-time table pair). Every
+# warehouse with corrections needs BOTH axes: valid time (when the fact
+# was true in the world) and transaction time (when the warehouse knew
+# it). A report "AS OF system time T, valid at V" must see retroactive
+# corrections only once their transaction lands, and must reconstruct
+# yesterday's (wrong) report exactly — the audit-reproducibility
+# contract rel_scd2_asof (valid-time-only) cannot express.
+#
+# The version store derives deterministically from orders: every order
+# lands in the warehouse 2 days after its order date (v1); a correction
+# cohort (key % 7 == 0) gets a retroactive value fix landing at d+10
+# (closes v1's transaction interval, opens v2 over the SAME validity);
+# a revision cohort (key % 5 == 0) opens a NEW validity period at d+90
+# landing at d+91 (v3). Each snapshot row counts the versions current
+# in both dimensions and how many are corrections.
+#
+# 100 TB shape: the version store is built map-side (explode of <= 3
+# interval rows per key, no shuffle); the 4-row snapshot spec joins as
+# a broadcast nested loop whose range predicates evaluate inside the
+# scan stage, so the store is never shuffled; the rollup is a 4-group
+# partial aggregate. Interval predicates are half-open ([from, to)),
+# the standard bitemporal convention.
+# --------------------------------------------------------------------------
+
+BT_CORR_MOD = 7  # key % 7 == 0 -> retroactive correction at d+10
+BT_NEWV_MOD = 5  # key % 5 == 0 -> new validity period opening at d+90
+# (snap, tx_asof, valid_asof): system-time / valid-time probe pairs
+BT_SNAPSHOTS = (
+    ("s1_early", "1995-06-01", "1995-06-01"),
+    ("s2_tx_behind", "1997-01-01", "1996-01-01"),
+    ("s3_mid", "1999-06-01", "1999-06-01"),
+    ("s4_late_retro", "2001-12-01", "1997-06-01"),
+)
+
+
+def _bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        _dec(F.col("o_totalprice")).alias("v"),
+    )
+    is_corr = F.col("k") % BT_CORR_MOD == 0
+    is_newv = F.col("k") % BT_NEWV_MOD == 0
+    vt_to_1 = F.when(is_newv, F.date_add("d", 90)).cast("date")
+    none_date = F.lit(None).cast("date")
+    none_dec = F.lit(None).cast("decimal(19,2)")
+
+    def ver(val: Column, vf: Column, vt: Column, tf: Column, tt: Column,
+            corr: Column, keep: Column) -> Column:
+        return F.struct(
+            F.when(keep, val).otherwise(none_dec).alias("val"),
+            vf.alias("vt_from"),
+            vt.alias("vt_to"),
+            tf.alias("tt_from"),
+            tt.alias("tt_to"),
+            corr.alias("is_corr"),
+            keep.alias("_keep"),
+        )
+
+    store = (
+        o.select(
+            "k",
+            F.explode(
+                F.array(
+                    ver(
+                        F.col("v").cast("decimal(19,2)"),
+                        F.col("d"),
+                        vt_to_1,
+                        F.date_add("d", 2),
+                        F.when(is_corr, F.date_add("d", 10)).cast("date"),
+                        F.lit(False),
+                        F.lit(True),
+                    ),
+                    ver(
+                        (F.col("v") + F.lit(5)).cast("decimal(19,2)"),
+                        F.col("d"),
+                        vt_to_1,
+                        F.date_add("d", 10),
+                        none_date,
+                        F.lit(True),
+                        is_corr,
+                    ),
+                    ver(
+                        (F.col("v") + F.lit(9)).cast("decimal(19,2)"),
+                        F.date_add("d", 90),
+                        none_date,
+                        F.date_add("d", 91),
+                        none_date,
+                        F.lit(False),
+                        is_newv,
+                    ),
+                )
+            ).alias("_v"),
+        )
+        .filter(F.col("_v._keep"))
+        .select("k", "_v.*")
+        .drop("_keep")
+    )
+    snaps = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("snap"),
+                        F.lit(t).cast("date").alias("tx_asof"),
+                        F.lit(va).cast("date").alias("valid_asof"),
+                    )
+                    for s, t, va in BT_SNAPSHOTS
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.*")
+    current = store.join(
+        F.broadcast(snaps),
+        (F.col("tt_from") <= F.col("tx_asof"))
+        & (F.col("tt_to").isNull() | (F.col("tt_to") > F.col("tx_asof")))
+        & (F.col("vt_from") <= F.col("valid_asof"))
+        & (F.col("vt_to").isNull() | (F.col("vt_to") > F.col("valid_asof"))),
+    )
+    return (
+        current.groupBy("snap", "tx_asof", "valid_asof")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("is_corr").cast("int")), F.lit(0)
+            ).cast("bigint").alias("n_corrected"),
+            F.coalesce(F.sum("val"), F.lit(0).cast("decimal(19,2)"))
+            .cast("double")
+            .alias("sum_val"),
+        )
+        # dates leave as strings: DuckDB's DATE fetches as datetime64
+        # while Spark's DateType fetches as object — string output is
+        # the repo-wide date-column parity convention
+        .select(
+            "snap",
+            F.date_format("tx_asof", "yyyy-MM-dd").alias("tx_asof"),
+            F.date_format("valid_asof", "yyyy-MM-dd").alias("valid_asof"),
+            "n_rows",
+            "n_corrected",
+            "sum_val",
+        )
+    )
+
+
+def _sql_bitemporal_asof() -> str:
+    snaps = ",\n      ".join(
+        f"('{s}', DATE '{t}', DATE '{va}')" for s, t, va in BT_SNAPSHOTS
+    )
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders
+    ),
+    store AS (
+      SELECT k, CAST(v AS DECIMAL(19,2)) AS val,
+             d AS vt_from,
+             CASE WHEN k % {BT_NEWV_MOD} = 0 THEN d + 90 END AS vt_to,
+             d + 2 AS tt_from,
+             CASE WHEN k % {BT_CORR_MOD} = 0 THEN d + 10 END AS tt_to,
+             FALSE AS is_corr
+      FROM o
+      UNION ALL
+      SELECT k, CAST(v + 5 AS DECIMAL(19,2)),
+             d,
+             CASE WHEN k % {BT_NEWV_MOD} = 0 THEN d + 90 END,
+             d + 10, CAST(NULL AS DATE), TRUE
+      FROM o WHERE k % {BT_CORR_MOD} = 0
+      UNION ALL
+      SELECT k, CAST(v + 9 AS DECIMAL(19,2)),
+             d + 90, CAST(NULL AS DATE),
+             d + 91, CAST(NULL AS DATE), FALSE
+      FROM o WHERE k % {BT_NEWV_MOD} = 0
+    ),
+    snaps(snap, tx_asof, valid_asof) AS (VALUES
+      {snaps}
+    )
+    SELECT snap, strftime(tx_asof, '%Y-%m-%d') AS tx_asof,
+           strftime(valid_asof, '%Y-%m-%d') AS valid_asof,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN is_corr THEN 1 END), 0) AS BIGINT)
+             AS n_corrected,
+           CAST(coalesce(sum(val), 0) AS DOUBLE) AS sum_val
+    FROM store JOIN snaps
+      ON tt_from <= tx_asof
+     AND (tt_to IS NULL OR tt_to > tx_asof)
+     AND vt_from <= valid_asof
+     AND (vt_to IS NULL OR vt_to > valid_asof)
+    GROUP BY 1, 2, 3
+    """
+
+
+register("rel_bitemporal_asof", _bitemporal_asof, _sql_bitemporal_asof())

