@@ -279,6 +279,16 @@ HEADLINE = [
     "rel_scd2_asof",
     "llm_release_diff",
     "mm_keyframe_extract",
+    # round-14 additions
+    "rel_cdc_merge",
+    "sim_index_tombstone",
+    "sim_spectral_health",
+    "stream_rate_limit",
+    "text_bloom_decontaminate",
+    "stream_cdc_apply",
+    "rel_poisson_bootstrap",
+    "rel_bitemporal_asof",
+    "sim_graph_ann_topk",
     # capstone compositions
     "llm_ingest_health",
     "llm_corpus_pipeline",

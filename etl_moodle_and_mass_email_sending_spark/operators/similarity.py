@@ -1286,20 +1286,18 @@ GA_BEAM = 8  # beam width
 GA_HOPS = 2  # expansion rounds
 
 
-def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam search over the directed kNN neighbor lists: top-K per
-    query (vec_id < N_QUERIES) from the visited candidate set."""
-    v = _vectors(spark, sf_dir).select("vec_id", "vec")
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
-    )
-    edges = (
-        _knn_directed(spark, sf_dir)
-        .select("src", "dst")
-        # walked once per hop; the barrier stops Spark re-running the
-        # bucketed self-join per expansion round
-        .localCheckpoint(eager=False)
-    )
+def beam_search_topk(
+    v: DataFrame,
+    q: DataFrame,
+    edges: DataFrame,
+    entry_ids: tuple[int, ...] = GA_ENTRY_IDS,
+    beam_width: int = GA_BEAM,
+    hops: int = GA_HOPS,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Deterministic beam search over a directed neighbor graph:
+    v = (vec_id, vec), q = (query_id, qvec), edges = (src, dst)."""
+    spark = v.sparkSession
 
     def score(cand: DataFrame) -> DataFrame:
         # fetch-by-id: broadcast the candidate ids against the corpus
@@ -1317,7 +1315,7 @@ def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = q.select("query_id").crossJoin(
         spark.range(1).select(
             F.explode(
-                F.array(*[F.lit(i).cast("bigint") for i in GA_ENTRY_IDS])
+                F.array(*[F.lit(i).cast("bigint") for i in entry_ids])
             ).alias("cand_id")
         )
     )
@@ -1325,10 +1323,10 @@ def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id")
     )
-    for _ in range(GA_HOPS):
+    for _ in range(hops):
         beam = (
             scored.withColumn("_rn", F.row_number().over(wb))
-            .filter(F.col("_rn") <= GA_BEAM)
+            .filter(F.col("_rn") <= beam_width)
             .select("query_id", "cand_id")
         )
         fresh = (
@@ -1347,9 +1345,26 @@ def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         scored.withColumn("rank", F.row_number().over(wb))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", F.col("cand_id").alias("vec_id"), "cosine", "rank")
     )
+
+
+def graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the directed kNN neighbor lists: top-K per
+    query (vec_id < N_QUERIES) from the visited candidate set."""
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    edges = (
+        _knn_directed(spark, sf_dir)
+        .select("src", "dst")
+        # walked once per hop; the barrier stops Spark re-running the
+        # bucketed self-join per expansion round
+        .localCheckpoint(eager=False)
+    )
+    return beam_search_topk(v, q, edges)
 
 
 def sql_graph_ann_topk() -> str:

@@ -1797,8 +1797,15 @@ _POIS_CDF = (
 _U_SCALE = 4294967296.0  # 2^32: hash32 -> uniform [0, 1)
 
 
-def _poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import hash32
+def poisson_bootstrap_ci(
+    prepared: DataFrame, group_col: str = "priority"
+) -> DataFrame:
+    """Per-group Poisson-bootstrap mean CI over a prepared frame with
+    columns (group_col, v DECIMAL, _ha, _hb) — the caller computes the
+    two portable hash32 draws (and any projection barrier). A group
+    where some replica draws zero total multiplicity (possible only for
+    tiny groups) reports NULL boot/CI columns on both engines
+    (try_divide + an explicit NULL guard around the fold)."""
 
     def mult(r: int) -> Column:
         u = (
@@ -1808,6 +1815,64 @@ def _poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(len(_POIS_CDF) - 1, -1, -1):
             w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
         return w
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("v").alias("_sv"),
+    ]
+    for r in range(BOOT_R):
+        w = mult(r)
+        aggs.append(F.sum(w.cast("decimal(19,2)") * F.col("v")).alias(f"_sw{r}"))
+        aggs.append(F.sum(w).cast("bigint").alias(f"_cw{r}"))
+    wide = prepared.groupBy(group_col).agg(*aggs)
+    ests = wide.select(
+        group_col,
+        "n_rows",
+        (F.col("_sv").cast("double") / F.col("n_rows")).alias("_pe"),
+        *[
+            F.try_divide(
+                F.col(f"_sw{r}").cast("double"), F.col(f"_cw{r}")
+            ).alias(f"_e{r}")
+            for r in range(BOOT_R)
+        ],
+    )
+    s1 = ests["_e0"]
+    s2 = ests["_e0"] * ests["_e0"]
+    for r in range(1, BOOT_R):
+        s1 = s1 + ests[f"_e{r}"]
+        s2 = s2 + ests[f"_e{r}"] * ests[f"_e{r}"]
+    folded = ests.select(
+        group_col,
+        "n_rows",
+        "_pe",
+        (s1 / F.lit(float(BOOT_R))).alias("_bm"),
+        # explicit NULL guard: Spark's and DuckDB's greatest() both
+        # SKIP nulls, which would turn a NULL variance into sd = 0.0
+        F.when(s1.isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.sqrt(
+                F.greatest(
+                    (s2 - s1 * s1 / F.lit(float(BOOT_R)))
+                    / F.lit(float(BOOT_R - 1)),
+                    F.lit(0.0),
+                )
+            )
+        )
+        .alias("_bs"),
+    )
+    return folded.select(
+        group_col,
+        "n_rows",
+        F.round("_pe", 6).alias("point_est"),
+        F.round("_bm", 6).alias("boot_mean"),
+        F.round("_bs", 6).alias("boot_sd"),
+        F.round(F.col("_bm") - F.lit(BOOT_Z95) * F.col("_bs"), 6).alias("ci_lo"),
+        F.round(F.col("_bm") + F.lit(BOOT_Z95) * F.col("_bs"), 6).alias("ci_hi"),
+    )
+
+
+def _poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash32
 
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1825,51 +1890,7 @@ def _poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead measures slower (7.4 s: checkpoint width dominates).
         .localCheckpoint(eager=False)
     )
-    aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("v").alias("_sv"),
-    ]
-    for r in range(BOOT_R):
-        w = mult(r)
-        aggs.append(F.sum(w.cast("decimal(19,2)") * F.col("v")).alias(f"_sw{r}"))
-        aggs.append(F.sum(w).cast("bigint").alias(f"_cw{r}"))
-    wide = o.groupBy("priority").agg(*aggs)
-    ests = wide.select(
-        "priority",
-        "n_rows",
-        (F.col("_sv").cast("double") / F.col("n_rows")).alias("_pe"),
-        *[
-            (F.col(f"_sw{r}").cast("double") / F.col(f"_cw{r}")).alias(f"_e{r}")
-            for r in range(BOOT_R)
-        ],
-    )
-    s1 = ests["_e0"]
-    s2 = ests["_e0"] * ests["_e0"]
-    for r in range(1, BOOT_R):
-        s1 = s1 + ests[f"_e{r}"]
-        s2 = s2 + ests[f"_e{r}"] * ests[f"_e{r}"]
-    folded = ests.select(
-        "priority",
-        "n_rows",
-        "_pe",
-        (s1 / F.lit(float(BOOT_R))).alias("_bm"),
-        F.sqrt(
-            F.greatest(
-                (s2 - s1 * s1 / F.lit(float(BOOT_R)))
-                / F.lit(float(BOOT_R - 1)),
-                F.lit(0.0),
-            )
-        ).alias("_bs"),
-    )
-    return folded.select(
-        "priority",
-        "n_rows",
-        F.round("_pe", 6).alias("point_est"),
-        F.round("_bm", 6).alias("boot_mean"),
-        F.round("_bs", 6).alias("boot_sd"),
-        F.round(F.col("_bm") - F.lit(BOOT_Z95) * F.col("_bs"), 6).alias("ci_lo"),
-        F.round(F.col("_bm") + F.lit(BOOT_Z95) * F.col("_bs"), 6).alias("ci_hi"),
-    )
+    return poisson_bootstrap_ci(o)
 
 
 def _sql_poisson_bootstrap() -> str:
@@ -1891,7 +1912,9 @@ def _sql_poisson_bootstrap() -> str:
         for r in range(BOOT_R)
     )
     es = ",\n        ".join(
-        f"CAST(sw{r} AS DOUBLE) / cw{r} AS e{r}" for r in range(BOOT_R)
+        f"CASE WHEN cw{r} = 0 THEN NULL"
+        f" ELSE CAST(sw{r} AS DOUBLE) / cw{r} END AS e{r}"
+        for r in range(BOOT_R)
     )
     s1 = " + ".join(f"e{r}" for r in range(BOOT_R))
     s2 = " + ".join(f"e{r} * e{r}" for r in range(BOOT_R))
@@ -1916,8 +1939,9 @@ def _sql_poisson_bootstrap() -> str:
     folded AS (
       SELECT priority, n_rows, pe,
              ({s1}) / {float(BOOT_R)!r} AS bm,
-             sqrt(greatest((({s2}) - ({s1}) * ({s1}) / {float(BOOT_R)!r})
-                           / {float(BOOT_R - 1)!r}, 0.0)) AS bs
+             CASE WHEN ({s1}) IS NULL THEN NULL ELSE
+               sqrt(greatest((({s2}) - ({s1}) * ({s1}) / {float(BOOT_R)!r})
+                             / {float(BOOT_R - 1)!r}, 0.0)) END AS bs
       FROM ests
     )
     SELECT priority, n_rows,

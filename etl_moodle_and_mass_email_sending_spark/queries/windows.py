@@ -1886,6 +1886,44 @@ BT_SNAPSHOTS = (
 )
 
 
+def bitemporal_snapshot(store: DataFrame, snaps: DataFrame) -> DataFrame:
+    """Rollup of the versions current in BOTH time dimensions per
+    snapshot probe. store: (val DECIMAL, vt_from, vt_to, tt_from,
+    tt_to DATE — NULL to = open interval, half-open [from, to) —
+    is_corr BOOLEAN); snaps: (snap, tx_asof, valid_asof) — broadcast
+    against the store scan, which never shuffles."""
+    current = store.join(
+        F.broadcast(snaps),
+        (F.col("tt_from") <= F.col("tx_asof"))
+        & (F.col("tt_to").isNull() | (F.col("tt_to") > F.col("tx_asof")))
+        & (F.col("vt_from") <= F.col("valid_asof"))
+        & (F.col("vt_to").isNull() | (F.col("vt_to") > F.col("valid_asof"))),
+    )
+    return (
+        current.groupBy("snap", "tx_asof", "valid_asof")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("is_corr").cast("int")), F.lit(0)
+            ).cast("bigint").alias("n_corrected"),
+            F.coalesce(F.sum("val"), F.lit(0).cast("decimal(19,2)"))
+            .cast("double")
+            .alias("sum_val"),
+        )
+        # dates leave as strings: DuckDB's DATE fetches as datetime64
+        # while Spark's DateType fetches as object — string output is
+        # the repo-wide date-column parity convention
+        .select(
+            "snap",
+            F.date_format("tx_asof", "yyyy-MM-dd").alias("tx_asof"),
+            F.date_format("valid_asof", "yyyy-MM-dd").alias("valid_asof"),
+            "n_rows",
+            "n_corrected",
+            "sum_val",
+        )
+    )
+
+
 def _bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
@@ -1963,36 +2001,7 @@ def _bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_s")
     ).select("_s.*")
-    current = store.join(
-        F.broadcast(snaps),
-        (F.col("tt_from") <= F.col("tx_asof"))
-        & (F.col("tt_to").isNull() | (F.col("tt_to") > F.col("tx_asof")))
-        & (F.col("vt_from") <= F.col("valid_asof"))
-        & (F.col("vt_to").isNull() | (F.col("vt_to") > F.col("valid_asof"))),
-    )
-    return (
-        current.groupBy("snap", "tx_asof", "valid_asof")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.col("is_corr").cast("int")), F.lit(0)
-            ).cast("bigint").alias("n_corrected"),
-            F.coalesce(F.sum("val"), F.lit(0).cast("decimal(19,2)"))
-            .cast("double")
-            .alias("sum_val"),
-        )
-        # dates leave as strings: DuckDB's DATE fetches as datetime64
-        # while Spark's DateType fetches as object — string output is
-        # the repo-wide date-column parity convention
-        .select(
-            "snap",
-            F.date_format("tx_asof", "yyyy-MM-dd").alias("tx_asof"),
-            F.date_format("valid_asof", "yyyy-MM-dd").alias("valid_asof"),
-            "n_rows",
-            "n_corrected",
-            "sum_val",
-        )
-    )
+    return bitemporal_snapshot(store, snaps)
 
 
 def _sql_bitemporal_asof() -> str:

@@ -1806,3 +1806,300 @@ def test_label_noise_audit_matches_bruteforce(spark_mod, vecs):
         )[:K]
         want = [(rk + 1, j, l2) for rk, (_, j, l2) in enumerate(sims)]
         assert sorted(got_knn[i]) == want, i
+
+
+# ---------------------------------------------------------------------------
+# Round-14 fifth-wave additions: Poisson bootstrap, bitemporal snapshot,
+# graph-ANN beam search — each against a brute-force Python oracle on
+# random inputs.
+# ---------------------------------------------------------------------------
+
+boot_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),  # key
+        st.integers(min_value=0, max_value=1),  # group
+        st.integers(min_value=0, max_value=10_000),  # value cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=boot_rows_strategy)
+def test_poisson_bootstrap_matches_python_oracle(spark_mod, rows):
+    import hashlib
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_moodle_and_mass_email_sending_spark.functions.hashing import (
+        hash32,
+    )
+    from etl_moodle_and_mass_email_sending_spark.queries.finance import (
+        BOOT_R,
+        BOOT_SEED0,
+        _POIS_CDF,
+        _U_SCALE,
+        poisson_bootstrap_ci,
+    )
+
+    spark = spark_mod
+    # duplicate keys are legal — they share multiplicity draws, and the
+    # Python oracle sums over rows exactly like the engine does
+    df = spark.createDataFrame(
+        [(k, f"g{g}", Decimal(c) / 100) for k, g, c in rows],
+        schema=T.StructType(
+            [
+                T.StructField("key", T.LongType()),
+                T.StructField("grp", T.StringType()),
+                T.StructField("v", T.DecimalType(18, 2)),
+            ]
+        ),
+    )
+    prepared = df.select(
+        "grp",
+        "v",
+        hash32(F.col("key"), seed=BOOT_SEED0).alias("_ha"),
+        hash32(F.col("key"), seed=BOOT_SEED0 + 1).alias("_hb"),
+    )
+    got = {
+        r["grp"]: r
+        for r in poisson_bootstrap_ci(prepared, group_col="grp").collect()
+    }
+
+    def h32(seed: int, key: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}§{key}".encode()).hexdigest()[:8], 16
+        )
+
+    def mult(key: int, r: int) -> int:
+        u = (
+            (h32(BOOT_SEED0, key) + r * h32(BOOT_SEED0 + 1, key)) % 2**32
+        ) / _U_SCALE
+        for k, t in enumerate(_POIS_CDF):
+            if u < t:
+                return k
+        return 5
+
+    groups = {}
+    for k, g, c in rows:
+        groups.setdefault(f"g{g}", []).append((k, Decimal(c) / 100))
+    assert set(got) == set(groups)
+    for g, members in groups.items():
+        row = got[g]
+        assert row["n_rows"] == len(members)
+        ests = []
+        for r in range(BOOT_R):
+            sw = sum(mult(k, r) * v for k, v in members)
+            cw = sum(mult(k, r) for k, _ in members)
+            ests.append(None if cw == 0 else float(sw) / cw)
+        if any(e is None for e in ests):
+            assert row["boot_mean"] is None, g
+            assert row["boot_sd"] is None, g
+            assert row["ci_lo"] is None and row["ci_hi"] is None, g
+            continue
+        s1 = s2 = 0.0
+        for e in ests:
+            s1 += e
+            s2 += e * e
+        bm = s1 / BOOT_R
+        bs = max((s2 - s1 * s1 / BOOT_R) / (BOOT_R - 1), 0.0) ** 0.5
+        assert abs(row["boot_mean"] - round(bm, 6)) < 1e-6, g
+        assert abs(row["boot_sd"] - round(bs, 6)) < 1e-6, g
+
+
+interval_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # vt_from day
+        st.one_of(st.none(), st.integers(min_value=1, max_value=20)),  # +vt len
+        st.integers(min_value=0, max_value=40),  # tt_from day
+        st.one_of(st.none(), st.integers(min_value=1, max_value=20)),  # +tt len
+        st.integers(min_value=0, max_value=100),  # value cents
+        st.booleans(),  # is_corr
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    intervals=interval_strategy,
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # tx day
+            st.integers(min_value=0, max_value=60),  # valid day
+        ),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_bitemporal_snapshot_matches_bruteforce(spark_mod, intervals, probes):
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from etl_moodle_and_mass_email_sending_spark.queries.windows import (
+        bitemporal_snapshot,
+    )
+
+    spark = spark_mod
+    d0 = dt.date(2000, 1, 1)
+
+    def day(n):
+        return d0 + dt.timedelta(days=n)
+
+    store_rows = [
+        (
+            Decimal(c) / 100,
+            day(vf),
+            None if vl is None else day(vf + vl),
+            day(tf),
+            None if tl is None else day(tf + tl),
+            corr,
+        )
+        for vf, vl, tf, tl, c, corr in intervals
+    ]
+    store = spark.createDataFrame(
+        store_rows,
+        schema=T.StructType(
+            [
+                T.StructField("val", T.DecimalType(19, 2)),
+                T.StructField("vt_from", T.DateType()),
+                T.StructField("vt_to", T.DateType()),
+                T.StructField("tt_from", T.DateType()),
+                T.StructField("tt_to", T.DateType()),
+                T.StructField("is_corr", T.BooleanType()),
+            ]
+        ),
+    )
+    snaps = spark.createDataFrame(
+        [(f"p{i}", day(t), day(v)) for i, (t, v) in enumerate(probes)],
+        schema=T.StructType(
+            [
+                T.StructField("snap", T.StringType()),
+                T.StructField("tx_asof", T.DateType()),
+                T.StructField("valid_asof", T.DateType()),
+            ]
+        ),
+    )
+    got = {
+        r["snap"]: r for r in bitemporal_snapshot(store, snaps).collect()
+    }
+    for i, (t, v) in enumerate(probes):
+        tx, va = day(t), day(v)
+        cur = [
+            (val, corr)
+            for val, vf, vt, tf, tt, corr in store_rows
+            if tf <= tx
+            and (tt is None or tt > tx)
+            and vf <= va
+            and (vt is None or vt > va)
+        ]
+        name = f"p{i}"
+        if not cur:
+            assert name not in got  # inner join drops empty snapshots
+            continue
+        row = got[name]
+        assert row["n_rows"] == len(cur)
+        assert row["n_corrected"] == sum(c for _, c in cur)
+        assert abs(row["sum_val"] - float(sum(v0 for v0, _ in cur))) < 1e-6
+        assert row["tx_asof"] == tx.isoformat()
+        assert row["valid_asof"] == va.isoformat()
+
+
+vec_graph_strategy = st.integers(min_value=6, max_value=14)
+
+
+@settings(max_examples=6, deadline=None)
+@given(n=vec_graph_strategy, seed=st.integers(min_value=0, max_value=999))
+def test_beam_search_matches_python_walk(spark_mod, n, seed):
+    import math
+    import random
+
+    from pyspark.sql import types as T
+
+    from etl_moodle_and_mass_email_sending_spark.operators.similarity import (
+        beam_search_topk,
+    )
+
+    spark = spark_mod
+    rng = random.Random(seed)
+    dim = 4
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+    # random sparse directed graph: each node gets 2 distinct out-edges
+    edges = []
+    for s in range(n):
+        dsts = rng.sample([d for d in range(n) if d != s], 2)
+        edges += [(s, d) for d in dsts]
+    q_ids = [0, 1]
+    entry_ids = (2, 3)
+    beam_w, hops, k = 3, 2, 4
+
+    v = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(n)],
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("vec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    q = spark.createDataFrame(
+        [(i, vecs[i]) for i in q_ids],
+        schema=T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    e = spark.createDataFrame(
+        edges,
+        schema=T.StructType(
+            [
+                T.StructField("src", T.LongType()),
+                T.StructField("dst", T.LongType()),
+            ]
+        ),
+    )
+    got = beam_search_topk(
+        v, q, e, entry_ids=entry_ids, beam_width=beam_w, hops=hops, k=k
+    ).collect()
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    for qid in q_ids:
+        scored = {c: cos(vecs[qid], vecs[c]) for c in entry_ids}
+        for _ in range(hops):
+            beam = sorted(scored, key=lambda c: (-scored[c], c))[:beam_w]
+            fresh = {
+                d
+                for b in beam
+                for d in adj.get(b, [])
+                if d != qid and d not in scored
+            }
+            scored.update({c: cos(vecs[qid], vecs[c]) for c in fresh})
+        want = sorted(scored.items(), key=lambda cv: (-cv[1], cv[0]))[:k]
+        mine = sorted(
+            [
+                (r["vec_id"], r["cosine"], r["rank"])
+                for r in got
+                if r["query_id"] == qid
+            ],
+            key=lambda t: t[2],
+        )
+        assert [(c, v_) for c, v_, _ in mine] == [
+            (c, pytest.approx(v_, abs=2e-6)) for c, v_ in want
+        ]
