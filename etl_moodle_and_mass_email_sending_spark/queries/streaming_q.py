@@ -2447,19 +2447,24 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         prev = spark.read.parquet(state["path"])
-        n_ops = batch_df.count()
+        # per-key op count rides the MERGE dedup agg and survives the
+        # state join, so the audit's n_ops needs no separate count()
+        # job per batch
         fin = batch_df.groupBy("o_orderkey").agg(
-            F.max(F.struct("seq", "op", "val")).alias("_f")
+            F.max(F.struct("seq", "op", "val")).alias("_f"),
+            F.count(F.lit(1)).alias("_n"),
         ).select(
             "o_orderkey",
             F.col("_f.op").alias("op"),
             F.col("_f.val").alias("nval"),
+            "_n",
         )
         joined = prev.join(fin, "o_orderkey", "full_outer").select(
             "o_orderkey",
             "val",
             "op",
             "nval",
+            F.coalesce("_n", F.lit(0)).alias("_n"),
             F.when(F.col("op").isNull(), F.lit("keep"))
             .when(
                 F.col("val").isNotNull() & (F.col("op") == "DELETE"),
@@ -2482,6 +2487,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_state.write.mode("overwrite").parquet(state_path)
         state["path"] = state_path
         counts = joined.filter(F.col("action") != "keep").groupBy().agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("_n_ops"),
             *[
                 F.coalesce(
                     F.sum((F.col("action") == a).cast("long")), F.lit(0)
@@ -2501,7 +2507,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             counts.crossJoin(after)
             .select(
                 F.lit(batch_id + 1).cast("int").alias("chunk"),
-                F.lit(n_ops).cast("bigint").alias("n_ops"),
+                F.col("_n_ops").alias("n_ops"),
                 "n_insert",
                 "n_update",
                 "n_delete",
