@@ -289,6 +289,7 @@ HEADLINE = [
     "rel_poisson_bootstrap",
     "rel_bitemporal_asof",
     "sim_graph_ann_topk",
+    "text_watermark_detect",
     # capstone compositions
     "llm_ingest_health",
     "llm_corpus_pipeline",

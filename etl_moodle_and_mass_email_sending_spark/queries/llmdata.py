@@ -1335,6 +1335,19 @@ register(
     similarity.sql_graph_ann_topk(),
 )
 
+# text_watermark_detect (round 14) — green-list z-score detection of
+# LLM-watermarked text per source (Kirchenbauer et al. ICML 2023), the
+# synthetic-text tripwire (operators/text_analysis.py::watermark_detect).
+register(
+    "text_watermark_detect",
+    lambda spark, sf_dir: text_analysis.watermark_detect(
+        _docs_sourced(spark, sf_dir)
+    ),
+    text_analysis.sql_watermark_detect(
+        "SELECT doc_id, text, source FROM documents"
+    ),
+)
+
 register(
     "text_substring_dedup",
     lambda spark, sf_dir: text_analysis.substring_dedup(_docs(spark, sf_dir)),

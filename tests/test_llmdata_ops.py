@@ -4290,3 +4290,56 @@ class TestGraphAnnTopk:
                 nbb += y * y
             want = round(dot / (math.sqrt(naa) * math.sqrt(nbb)), 6)
             assert abs(r["cosine"] - want) < 2e-6, (r, want)
+
+
+class TestWatermarkDetect:
+    def test_planted_watermark_flags_plain_text_does_not(self, spark):
+        import hashlib
+
+        from pyspark.sql import types as T
+
+        from etl_moodle_and_mass_email_sending_spark.operators.text_analysis import (
+            GREEN_MOD,
+            WM_SEED,
+            watermark_detect,
+        )
+
+        def green(prev: str, cur: str) -> bool:
+            h = int(
+                hashlib.md5(
+                    f"{WM_SEED}§{prev}§{cur}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            return h % GREEN_MOD == 0
+
+        # greedy watermark sampler: always emit a green next token —
+        # exactly what the Kirchenbauer detector is built to catch
+        vocab = [f"w{i}" for i in range(64)]
+        toks = ["w0"]
+        while len(toks) < 60:
+            toks.append(next(c for c in vocab if green(toks[-1], c)))
+        wm_text = " ".join(toks)
+        plain_text = " ".join(f"tok{i}" for i in range(60))
+        corpus = spark.createDataFrame(
+            [
+                (0, wm_text, "wm"),
+                (1, plain_text, "plain"),
+                (2, "solo", "plain"),  # 1 token: counted, not scored
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        )
+        rows = {r["source"]: r for r in watermark_detect(corpus).collect()}
+        wm, plain = rows["wm"], rows["plain"]
+        assert wm["n_scored"] == 1 and wm["n_flagged_z3"] == 1
+        assert wm["avg_green_frac"] == 1.0
+        assert wm["avg_z"] > 4  # 59 all-green pairs >> gamma
+        assert plain["n_docs"] == 2 and plain["n_scored"] == 1
+        assert plain["n_flagged_z3"] == 0
+        assert abs(plain["avg_z"]) < 3  # unwatermarked stays near gamma
