@@ -290,6 +290,8 @@ HEADLINE = [
     "rel_bitemporal_asof",
     "sim_graph_ann_topk",
     "text_watermark_detect",
+    "src_orc_documents",
+    "src_schema_evolution",
     # capstone compositions
     "llm_ingest_health",
     "llm_corpus_pipeline",

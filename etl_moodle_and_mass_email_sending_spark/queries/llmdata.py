@@ -2609,6 +2609,144 @@ register(
 )
 
 
+# --------------------------------------------------------------------------
+# src_orc_documents (round 14) — ORC as a first-class interchange
+# format next to parquet/CSV/JSONL: the documents table roundtrips
+# through a session-staged ORC write, and the health report reads it
+# back per source with a pushed n_chars predicate (ORC carries
+# column statistics exactly like parquet — the filter lands in the
+# scan, shown as PushedFilters). Oracle = the same rollup off the
+# canonical table, so any roundtrip infidelity (type coercion,
+# encoding, dropped rows) hash-fails.
+# --------------------------------------------------------------------------
+
+ORC_LONG_MIN_CHARS = 200
+
+
+def _staged_orc_drop(spark, sf_dir) -> str:
+    import os
+
+    from ..catalog import load_table
+    from ..operators.util import staged_path
+
+    def _build(base: str) -> None:
+        load_table(spark, sf_dir, "documents").write.orc(
+            os.path.join(base, "docs")
+        )
+
+    base = staged_path(spark, ("orc_drop", sf_dir), _build, prefix="orc_")
+    return os.path.join(base, "docs")
+
+
+def _src_orc_documents(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    drop = _staged_orc_drop(spark, sf_dir)
+    docs = spark.read.orc(drop)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+        F.coalesce(
+            F.sum(
+                (F.col("n_chars") >= ORC_LONG_MIN_CHARS).cast("long")
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n_long"),
+    )
+
+
+register(
+    "src_orc_documents",
+    _src_orc_documents,
+    f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(coalesce(sum(CASE WHEN n_chars >= {ORC_LONG_MIN_CHARS}
+                                  THEN 1 END), 0) AS BIGINT) AS n_long
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# src_schema_evolution (round 14) — additive schema evolution on read,
+# the contract every long-lived lakehouse feed needs: epoch-1 files
+# carry the original document schema, epoch-2 files add a `quality`
+# column (an integer score here; parity-trivial sums), and ONE
+# mergeSchema read serves both — old files surface quality as NULL,
+# no rewrite of history. The report proves the merge: per epoch, row
+# count, how many rows carry the new column, and its sum. At 100 TB
+# this is a metadata-only capability (parquet footer union); the data
+# is never rewritten, which is the entire point.
+# --------------------------------------------------------------------------
+
+SCHEMA_EVO_MOD = 5  # epoch-2 re-export covers doc_id % 5 == 0
+SCHEMA_EVO_OFFSET = 10_000_000  # epoch-2 doc_ids shift by this
+
+
+def _staged_evolution_drop(spark, sf_dir) -> str:
+    import os
+
+    from ..catalog import load_table
+    from ..operators.util import staged_path
+
+    def _build(base: str) -> None:
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_dir, "documents")
+        docs.write.parquet(os.path.join(base, "docs", "epoch=1"))
+        (
+            docs.filter(F.col("doc_id") % SCHEMA_EVO_MOD == 0)
+            .select(
+                (F.col("doc_id") + SCHEMA_EVO_OFFSET).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+                (F.col("n_chars") % 100).cast("int").alias("quality"),
+            )
+            .write.parquet(os.path.join(base, "docs", "epoch=2"))
+        )
+
+    base = staged_path(
+        spark, ("schema_evo_drop", sf_dir), _build, prefix="evo_"
+    )
+    return os.path.join(base, "docs")
+
+
+def _src_schema_evolution(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    drop = _staged_evolution_drop(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(drop)
+    return merged.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.col("quality").isNotNull().cast("long")), F.lit(0)
+        ).cast("bigint").alias("n_with_quality"),
+        F.coalesce(F.sum("quality"), F.lit(0)).cast("bigint").alias(
+            "quality_total"
+        ),
+    )
+
+
+register(
+    "src_schema_evolution",
+    _src_schema_evolution,
+    f"""
+    SELECT 1 AS epoch, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_with_quality,
+           CAST(0 AS BIGINT) AS quality_total
+    FROM documents
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_chars % 100), 0) AS BIGINT)
+    FROM documents WHERE doc_id % {SCHEMA_EVO_MOD} = 0
+    """,
+)
+
+
 # text_code_detection — structural-symbol code-vs-prose routing screen
 # (operators/text_analysis.py::code_detection has the rationale).
 register(

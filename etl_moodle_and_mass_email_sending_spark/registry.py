@@ -65,7 +65,8 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # sim_index_tombstone, sim_spectral_health, stream_rate_limit,
 # text_bloom_decontaminate, stream_cdc_apply, and (post-close-battery
 # continuation) rel_poisson_bootstrap, rel_bitemporal_asof,
-# sim_graph_ann_topk, text_watermark_detect.
+# sim_graph_ann_topk, text_watermark_detect, src_orc_documents,
+# src_schema_evolution.
 # ROUND-14 PLAN CHANGES needing r15 re-certification (standing
 # policy: plan-changed names re-certify; every one driver-sim green
 # at sf0.001 AND sf0.01 on the new plan this round). The round-14

@@ -717,3 +717,51 @@ def test_csv_corrupt_detection_is_pruning_scoped(spark, tmp_path):
     }
     assert rows[csv_docs.CORRUPT_SOURCE_LABEL] == (1, None)
     assert rows["web"] == (2, 9)  # doc_id-corrupt row passes as clean
+
+
+def test_orc_roundtrip_pushes_predicate_into_scan(spark):
+    """ORC is a first-class source: the staged roundtrip preserves rows
+    and a comparison predicate reaches the ORC scan as a pushed
+    filter."""
+    from pyspark.sql import functions as F
+
+    from etl_moodle_and_mass_email_sending_spark.catalog import load_table
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        ORC_LONG_MIN_CHARS,
+        _staged_orc_drop,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    drop = _staged_orc_drop(spark, SF)
+    docs = spark.read.orc(drop)
+    assert docs.count() == load_table(spark, SF, "documents").count()
+    plan = (
+        docs.filter(F.col("n_chars") >= ORC_LONG_MIN_CHARS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "n_chars" in plan
+
+
+def test_schema_evolution_merge_read_null_semantics(spark):
+    """mergeSchema serves both epochs from one read: old files surface
+    the added column as NULL, new files carry it, history unrewritten."""
+    from etl_moodle_and_mass_email_sending_spark.queries.llmdata import (
+        SCHEMA_EVO_OFFSET,
+        _staged_evolution_drop,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    drop = _staged_evolution_drop(spark, SF)
+    merged = spark.read.option("mergeSchema", "true").parquet(drop)
+    assert "quality" in merged.columns
+    rows = merged.collect()
+    for r in rows:
+        if r["epoch"] == 1:
+            assert r["quality"] is None
+            assert r["doc_id"] < SCHEMA_EVO_OFFSET
+        else:
+            assert r["quality"] == r["n_chars"] % 100
+            assert r["doc_id"] >= SCHEMA_EVO_OFFSET
+    assert {r["epoch"] for r in rows} == {1, 2}
