@@ -2063,10 +2063,52 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = topk_bruteforce(spark, sf_dir).select(
         "query_id", "vec_id"
     ).localCheckpoint(eager=False)
+    # ONE candidate pass serves every swept nprobe (round 14, guide
+    # §1.2): the corpus is assigned once (n_best=1, so every vector
+    # lives in exactly ONE inverted list and a (query, vec) pair meets
+    # through exactly one probe row — no dedup needed), the query side
+    # probes once at max(IVF_SWEEP) CARRYING the probe rank, and arm
+    # nprobe=p is the filter `probe_rank <= p` over the one cached
+    # candidate frame — the per-arm form re-ran the full assign + probe
+    # + join per swept setting (3x the corpus work for identical
+    # numbers).
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    cent = _centroids(v)
+    corpus = ivf_assign(v, cent, n_best=1)
+    ccos = F.expr(_spark_cosine("vec", "cvec")).alias("_ccos")
+    wprobe = Window.partitionBy("vec_id").orderBy(
+        F.col("_ccos").desc(), F.col("cid")
+    )
+    probes = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "vec", "cid", ccos)
+        .withColumn("_pr", F.row_number().over(wprobe))
+        .filter(F.col("_pr") <= max(IVF_SWEEP))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("qvec"),
+            "cid",
+            "_pr",
+        )
+    )
+    sim = F.expr(_spark_cosine("qvec", "vec")).alias("cosine")
+    cand = (
+        corpus.join(probes, on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim, "_pr")
+        .localCheckpoint()  # one evaluation feeds all three arm ranks
+    )
     out = None
     for np_ in IVF_SWEEP:
-        approx = ivf_topk(spark, sf_dir, nprobe=np_).select(
-            "query_id", "vec_id", F.lit(1).alias("_hit")
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        approx = (
+            cand.filter(F.col("_pr") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id", F.lit(1).alias("_hit"))
         )
         scored = (
             truth.join(approx, ["query_id", "vec_id"], "left")
@@ -3635,25 +3677,45 @@ def recall_at_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, fn in (("ivf", ivf_topk), ("lsh", ann_lsh_topk)):
         approx = fn(spark, sf_dir).select(
             "query_id", "vec_id", F.col("rank").alias("_ar")
-        ).localCheckpoint()
-        for k in RECALL_KS:
-            hits = (
-                truth.filter(F.col("_tr") <= k)
-                .join(
-                    approx.filter(F.col("_ar") <= k),
-                    ["query_id", "vec_id"],
+        )
+        # ONE (query_id, vec_id) join carrying BOTH ranks serves every
+        # swept k as a conditional count — the per-k form ran
+        # |RECALL_KS| separate join+agg branches, each re-reading the
+        # truth frame and (checkpointed) arm (round 14, guide §1.2 /
+        # §2.4: one pass where one pass suffices). hit@k ≡ the pair is
+        # in both top-k lists ≡ (_tr ≤ k AND _ar ≤ k) on the joined
+        # row, because each (query, vec) occurs at most once per side.
+        j = truth.join(approx, ["query_id", "vec_id"])
+        wide = j.agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("_tr") <= k) & (F.col("_ar") <= k)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
                 )
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
-            )
-            row = hits.select(
+                .cast("bigint")
+                .alias(f"_h{k}")
+                for k in RECALL_KS
+            ]
+        )
+        rows = [
+            F.struct(
                 F.lit(name).alias("method"),
                 F.lit(k).cast("int").alias("k"),
-                "n_hits",
-                F.round(F.col("n_hits") / F.lit(float(k * nq)), 6).alias(
-                    "mean_recall"
-                ),
+                F.col(f"_h{k}").alias("n_hits"),
+                F.round(
+                    F.col(f"_h{k}") / F.lit(float(k * nq)), 6
+                ).alias("mean_recall"),
             )
-            out = row if out is None else out.unionByName(row)
+            for k in RECALL_KS
+        ]
+        arm = wide.select(F.explode(F.array(*rows)).alias("u")).select(
+            "u.*"
+        )
+        out = arm if out is None else out.unionByName(arm)
     return out
 
 
@@ -4034,26 +4096,40 @@ def recall_after_recluster(
                 "query_id", "vec_id", F.col("rank").alias("_ar")
             ),
         )
-        for k in RECALL_KS:
-            hits = (
-                truth.filter(F.col("_tr") <= k)
-                .join(
-                    approx.filter(F.col("_ar") <= k),
-                    ["query_id", "vec_id"],
+        # one (query_id, vec_id) join carrying both ranks serves every
+        # swept k as a conditional count (the recall_at_k_sweep
+        # single-pass form; round 14) — hit@k ≡ _tr ≤ k AND _ar ≤ k.
+        j = truth.join(approx, ["query_id", "vec_id"])
+        wide = j.agg(
+            *[
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("_tr") <= k) & (F.col("_ar") <= k)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
                 )
-                .agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_hits")
-                )
-            )
-            row = hits.select(
+                .cast("bigint")
+                .alias(f"_h{k}")
+                for k in RECALL_KS
+            ]
+        )
+        rows = [
+            F.struct(
                 F.lit(arm).alias("arm"),
                 F.lit(k).cast("int").alias("k"),
-                "n_hits",
+                F.col(f"_h{k}").alias("n_hits"),
                 F.round(
-                    F.col("n_hits") / F.lit(float(k * N_QUERIES)), 6
+                    F.col(f"_h{k}") / F.lit(float(k * N_QUERIES)), 6
                 ).alias("mean_recall"),
             )
-            out = row if out is None else out.unionByName(row)
+            for k in RECALL_KS
+        ]
+        armed = wide.select(
+            F.explode(F.array(*rows)).alias("u")
+        ).select("u.*")
+        out = armed if out is None else out.unionByName(armed)
     return out
 
 

@@ -1575,7 +1575,7 @@ ZX_N_PROBES = 16  # probes per dimension, evenly spaced in the domain
 
 def _zorder_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import zorder_value
-    from ..operators.util import ntile_from_rank, two_pass_rank
+    from ..operators.util import ntile_from_rank, two_pass_rank_in_groups
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -1586,26 +1586,44 @@ def _zorder_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = e.withColumn("zvalue", zorder_value("user_id", "epoch_hour"))
 
-    def bucketed(df, order_col: str, layout: str):
-        ranked = two_pass_rank(
-            df, [F.col(order_col), F.col("event_id")], out_col="_rank"
+    # BOTH layouts rank through ONE grouped two-pass rank over the
+    # tagged union (round 14, guide §2.4: share the exchange): the
+    # per-layout order key is unified into `_ord` (zvalue for the
+    # z-order layout, event_id for arrival order — the original
+    # per-layout order_by verbatim), so one range shuffle + one
+    # localCheckpoint replaces two of each, and the per-layout totals
+    # come from one 2-row broadcast instead of a crossJoin per layout.
+    # The arrival branch projects zvalue away, so its Morton expression
+    # is pruned from that side of the union.
+    both_in = z.select(
+        F.lit("zorder").alias("layout"),
+        "user_id",
+        "epoch_hour",
+        F.col("zvalue").alias("_ord"),
+        "event_id",
+    ).unionByName(
+        z.select(
+            F.lit("arrival").alias("layout"),
+            "user_id",
+            "epoch_hour",
+            F.col("event_id").alias("_ord"),
+            "event_id",
         )
-        total = ranked.agg(F.max("_rank").alias("_n"))
-        return (
-            ranked.crossJoin(F.broadcast(total))
-            .select(
-                F.lit(layout).alias("layout"),
-                "user_id",
-                "epoch_hour",
-                ntile_from_rank(
-                    F.col("_rank"), F.col("_n"), ZX_BUCKETS
-                ).alias("_bucket"),
-            )
-        )
-
-    both = bucketed(z, "zvalue", "zorder").unionByName(
-        bucketed(z.select("event_id", "user_id", "epoch_hour"),
-                 "event_id", "arrival")
+    )
+    ranked = two_pass_rank_in_groups(
+        both_in,
+        "layout",
+        [F.col("_ord"), F.col("event_id")],
+        out_col="_rank",
+    )
+    tot = ranked.groupBy("layout").agg(F.max("_rank").alias("_n"))
+    both = ranked.join(F.broadcast(tot), "layout").select(
+        "layout",
+        "user_id",
+        "epoch_hour",
+        ntile_from_rank(F.col("_rank"), F.col("_n"), ZX_BUCKETS).alias(
+            "_bucket"
+        ),
     )
     env = both.groupBy("layout", "_bucket").agg(
         F.min("user_id").alias("_minu"),
@@ -1762,8 +1780,10 @@ register("rel_zorder_execute", _zorder_execute, _sql_zorder_execute())
 # mean/sd of the R replica estimates, and the normal-approximation 95% CI.
 #
 # Determinism/parity: multiplicities come from the portable hash32
-# (identical in both engines); weighted sums run in exact DECIMAL and
-# counts in BIGINT (order-independent), so every replica estimate is the
+# (identical in both engines); weighted sums run as exact INTEGER CENTS
+# (v is DECIMAL(_,2) so v·100 is a lossless bigint; round 14 — the
+# boxed-BigDecimal sums were the aggregate's dominant cost) and counts
+# in BIGINT (order-independent), so every replica estimate is the
 # same IEEE double on both engines; the across-replica mean/variance are
 # explicit left-associative addition chains over the R=32 estimate
 # columns (identical fold order), not engine-order row aggregates.
@@ -1816,13 +1836,24 @@ def poisson_bootstrap_ci(
             w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
         return w
 
+    # Replica sums run over INTEGER CENTS (v is DECIMAL(_,2), so
+    # v·100 is an exact bigint): integer addition is associative, so
+    # the estimates stay order-independent like the DECIMAL form, but
+    # the 32 weighted sums run as codegen'd long arithmetic instead of
+    # boxed BigDecimal — measured 2.2 s → 0.8 s for the aggregate at
+    # sf0.1 (round 14, guide §1.2 per-task work). The replica estimate
+    # divides the exact cents by 100.0 first: double(cents) is exact
+    # below 2^53 and the /100.0 rounds once, so the estimate is the
+    # same correctly-rounded double the DECIMAL→double cast produced
+    # (driver-sim hash-verified at sf0.001/sf0.01).
+    cents = (F.col("v") * 100).cast("bigint")
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("v").alias("_sv"),
     ]
     for r in range(BOOT_R):
         w = mult(r)
-        aggs.append(F.sum(w.cast("decimal(19,2)") * F.col("v")).alias(f"_sw{r}"))
+        aggs.append(F.sum(w * cents).alias(f"_sw{r}"))
         aggs.append(F.sum(w).cast("bigint").alias(f"_cw{r}"))
     wide = prepared.groupBy(group_col).agg(*aggs)
     ests = wide.select(
@@ -1831,7 +1862,8 @@ def poisson_bootstrap_ci(
         (F.col("_sv").cast("double") / F.col("n_rows")).alias("_pe"),
         *[
             F.try_divide(
-                F.col(f"_sw{r}").cast("double"), F.col(f"_cw{r}")
+                F.col(f"_sw{r}").cast("double") / F.lit(100.0),
+                F.col(f"_cw{r}"),
             ).alias(f"_e{r}")
             for r in range(BOOT_R)
         ],

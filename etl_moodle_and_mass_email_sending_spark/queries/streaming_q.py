@@ -2055,8 +2055,17 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_state: list[str | None] = [None]  # driver-side: batches run sequentially
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # one full-outer join carries per-row provenance (_p = was in
+        # the prior state, _a = arrived this batch), so the state write
+        # AND every audit count read the one checkpointed frame — the
+        # union+groupBy form re-scanned the batch twice more for
+        # n_arrived / n_new (round 14, guide §1.2: don't recompute what
+        # one pass already knows). max(prev, arriv) == greatest(): the
+        # full-outer join leaves at most one side NULL and both engines'
+        # greatest() skips NULLs.
         arriv = batch_df.groupBy("user_id").agg(
-            F.max("ts").alias("last_ts")
+            F.max("ts").alias("_a_ts"),
+            F.max(F.lit(True)).alias("_am"),
         )
         if prev_state[0] is None:
             prev = spark.createDataFrame(
@@ -2064,14 +2073,17 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             prev = spark.read.parquet(prev_state[0])
-        cand = (
-            prev.unionByName(arriv)
-            .groupBy("user_id")
-            .agg(F.max("last_ts").alias("last_ts"))
-        )
         bmax = batch_df.agg(F.max("ts").alias("_bmax"))
         flagged = (
-            cand.crossJoin(F.broadcast(bmax))
+            prev.withColumn("_pm", F.lit(True))
+            .join(arriv, "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.greatest("last_ts", "_a_ts").alias("_lt"),
+                F.coalesce("_pm", F.lit(False)).alias("_p"),
+                F.coalesce("_am", F.lit(False)).alias("_a"),
+            )
+            .crossJoin(F.broadcast(bmax))
             .withColumn(
                 "_active",
                 # Empty batch => _bmax is NULL: the high-water mark did
@@ -2081,35 +2093,32 @@ def stream_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # coalesce mirrors this.
                 F.col("_bmax").isNull()
                 | (
-                    F.col("last_ts")
+                    F.col("_lt")
                     >= F.expr(f"_bmax - INTERVAL {STATE_TTL_HOURS} HOURS")
                 ),
             )
-            .localCheckpoint()  # one evaluation feeds state write + 2 counts
+            .localCheckpoint()  # one evaluation feeds state write + audit
         )
         state_path = os.path.join(base, f"state_v{batch_id}")
         flagged.filter(F.col("_active")).select(
-            "user_id", "last_ts"
+            "user_id", F.col("_lt").alias("last_ts")
         ).write.mode("overwrite").parquet(state_path)
-        audit = (
-            arriv.agg(F.count(F.lit(1)).cast("bigint").alias("n_arrived"))
-            .crossJoin(
-                arriv.join(prev, "user_id", "left_anti").agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_new")
-                )
+        audit = flagged.agg(
+            F.coalesce(F.sum(F.col("_a").cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("n_arrived"),
+            F.coalesce(
+                F.sum((F.col("_a") & ~F.col("_p")).cast("long")), F.lit(0)
             )
-            .crossJoin(
-                flagged.filter(F.col("_active")).agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_active")
-                )
-            )
-            .crossJoin(
-                flagged.filter(~F.col("_active")).agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_evicted")
-                )
-            )
-            .withColumn("chunk", F.lit(batch_id + 1).cast("int"))
-        )
+            .cast("bigint")
+            .alias("n_new"),
+            F.coalesce(F.sum(F.col("_active").cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("n_active"),
+            F.coalesce(F.sum((~F.col("_active")).cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("n_evicted"),
+        ).withColumn("chunk", F.lit(batch_id + 1).cast("int"))
         (
             audit.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -2207,14 +2216,16 @@ register("stream_state_ttl", stream_state_ttl, _stream_state_ttl_sql())
 #
 # 100 TB shape: the backlog is bounded by (arrival rate − admit rate) ×
 # replay horizon — the audit EXISTS to show when that bound is
-# violated; per batch the work is one union + a two-pass global rank
-# (range shuffle + partition-local sort, no single-task window) and a
-# 1-row aggregate. Chunks arrive as ts-ordered ranges, so FIFO across
-# the backlog equals the global (ts, event_id) order — which is what
-# makes the exact 4-chunk oracle below expressible as a rank-slice per
-# chunk. The per-batch `.count()` is a bounded scalar the bucket
-# arithmetic needs on the driver (same class as state_ttl's
-# sequential-orchestration scalars).
+# violated; per batch the work is one union + a top-`admitted`
+# sort-limit (admitted ≤ RATE_CAP, a small constant, so
+# TakeOrderedAndProject runs per-partition top-K + a driver merge of
+# |partitions|·cap rows — NO exchange, no data-sized sort) and one
+# boundary-filtered pass that writes the carry-over backlog. Chunks
+# arrive as ts-ordered ranges, so FIFO across the backlog equals the
+# global (ts, event_id) order — which is what makes the exact 4-chunk
+# oracle below expressible as a rank-slice per chunk. The per-batch
+# `.count()` is a bounded scalar the bucket arithmetic needs on the
+# driver (same class as state_ttl's sequential-orchestration scalars).
 # --------------------------------------------------------------------------
 
 RATE_CAP = 300  # bucket capacity (max admissions in one batch)
@@ -2224,8 +2235,6 @@ RATE_CHUNKS = 4
 
 def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-
-    from ..operators.util import two_pass_rank
 
     base = scratch_dir("rate_limit_")
     ev = load_table(spark, sf_dir, "events").select(
@@ -2245,8 +2254,11 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     out = os.path.join(base, "audit")
-    # driver-side bucket state; batches run sequentially (availableNow)
-    state = {"left": 0, "backlog_path": None}
+    # driver-side bucket state; batches run sequentially (availableNow).
+    # The backlog row count is carried in driver state (it equals the
+    # previous batch's n_deferred by construction), so no per-batch
+    # count() job over the backlog parquet.
+    state = {"left": 0, "backlog_path": None, "backlog_n": 0}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if state["backlog_path"] is None:
@@ -2254,32 +2266,64 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             backlog = spark.read.parquet(state["backlog_path"])
         n_arrived = batch_df.count()
-        n_backlog = backlog.count()
+        n_backlog = state["backlog_n"]
         tokens = min(RATE_CAP, state["left"] + RATE_REFILL)
         admitted = min(n_backlog + n_arrived, tokens)
         state["left"] = tokens - admitted
+        state["backlog_n"] = n_backlog + n_arrived - admitted
         pool = backlog.unionByName(batch_df)
-        ranked = two_pass_rank(
-            pool, [F.col("ts"), F.col("event_id")], out_col="_rk"
-        ).localCheckpoint()  # one evaluation feeds admit agg + backlog
-        adm = ranked.filter(F.col("_rk") <= admitted)
-        new_backlog = ranked.filter(F.col("_rk") > admitted).drop("_rk")
+        # FIFO admission = the `admitted` smallest (ts, event_id) rows,
+        # and admitted <= RATE_CAP is a small constant — so a
+        # sort-limit (TakeOrderedAndProject: per-partition top-K +
+        # driver-side merge, NO exchange) replaces the per-batch
+        # two-pass global rank (range shuffle + localCheckpoint) of the
+        # whole pool (round 14, guide §2.4: remove shuffles outright).
+        # The backlog is then the pool rows strictly after the admitted
+        # boundary in (ts, event_id) order — one filtered pass, no
+        # rank column needed because (ts, event_id) is a total order.
+        if admitted > 0:
+            head = (
+                pool.orderBy("ts", "event_id")
+                .limit(admitted)
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+                    F.coalesce(F.sum("v"), F.lit(0))
+                    .cast("double")
+                    .alias("admitted_value"),
+                    F.max(F.struct("ts", "event_id")).alias("_b"),
+                )
+                .collect()[0]
+            )
+            n_admitted = head["n_admitted"]
+            admitted_value = head["admitted_value"]
+            bts, bev = head["_b"]["ts"], head["_b"]["event_id"]
+            # literal cast to the column's exact timestamp flavor
+            # (load_table may surface TIMESTAMP or TIMESTAMP_NTZ)
+            blit = F.lit(bts).cast(pool.schema["ts"].dataType)
+            new_backlog = pool.filter(
+                (F.col("ts") > blit)
+                | ((F.col("ts") == blit) & (F.col("event_id") > F.lit(bev)))
+            )
+        else:  # nothing admitted: the whole pool carries forward
+            n_admitted, admitted_value = 0, 0.0
+            new_backlog = pool
         backlog_path = os.path.join(base, f"backlog_v{batch_id}")
         new_backlog.write.mode("overwrite").parquet(backlog_path)
         state["backlog_path"] = backlog_path
-        audit = adm.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
-            F.coalesce(F.sum("v"), F.lit(0))
-            .cast("double")
-            .alias("admitted_value"),
-        ).select(
-            F.lit(batch_id + 1).cast("int").alias("chunk"),
-            F.lit(n_arrived).cast("bigint").alias("n_arrived"),
-            "n_admitted",
-            F.lit(n_backlog + n_arrived - admitted)
-            .cast("bigint")
-            .alias("n_deferred"),
-            "admitted_value",
+        audit = spark.createDataFrame(
+            [
+                (
+                    batch_id + 1,
+                    n_arrived,
+                    n_admitted,
+                    n_backlog + n_arrived - admitted,
+                    admitted_value,
+                )
+            ],
+            schema=(
+                "chunk int, n_arrived bigint, n_admitted bigint, "
+                "n_deferred bigint, admitted_value double"
+            ),
         )
         (
             audit.withColumn("batch_id", F.lit(batch_id))
@@ -2486,8 +2530,20 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_path = os.path.join(base_dir, f"state_v{batch_id}")
         new_state.write.mode("overwrite").parquet(state_path)
         state["path"] = state_path
-        counts = joined.filter(F.col("action") != "keep").groupBy().agg(
-            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("_n_ops"),
+        # ONE aggregate over the checkpointed join computes the op
+        # counts AND the post-batch table size/value mass — `keep` rows
+        # contribute _n = 0 and match no action bucket, and the
+        # post-state rows/values are exactly the keep/update/insert
+        # rows' carried-or-new val, so the former read-back aggregate
+        # over the just-written state parquet was a second full scan of
+        # state-sized data per batch computing already-known sums
+        # (round 14, guide §1.2).
+        surviving = F.col("action").isin("keep", "update", "insert")
+        new_val = F.when(F.col("action") == "keep", F.col("val")).when(
+            F.col("action").isin("update", "insert"), F.col("nval")
+        )
+        audit = joined.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_ops"),
             *[
                 F.coalesce(
                     F.sum((F.col("action") == a).cast("long")), F.lit(0)
@@ -2495,26 +2551,22 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias(f"n_{a}")
                 for a in ("insert", "update", "delete", "noop_delete")
-            ]
-        )
-        after = spark.read.parquet(state_path).agg(
-            F.count(F.lit(1)).cast("bigint").alias("rows_after"),
-            F.coalesce(F.sum("val"), F.lit(0))
+            ],
+            F.coalesce(F.sum(surviving.cast("long")), F.lit(0))
+            .cast("bigint")
+            .alias("rows_after"),
+            F.coalesce(F.sum(new_val), F.lit(0))
             .cast("double")
             .alias("value_after"),
-        )
-        audit = (
-            counts.crossJoin(after)
-            .select(
-                F.lit(batch_id + 1).cast("int").alias("chunk"),
-                F.col("_n_ops").alias("n_ops"),
-                "n_insert",
-                "n_update",
-                "n_delete",
-                F.col("n_noop_delete").alias("n_noop"),
-                "rows_after",
-                "value_after",
-            )
+        ).select(
+            F.lit(batch_id + 1).cast("int").alias("chunk"),
+            "n_ops",
+            "n_insert",
+            "n_update",
+            "n_delete",
+            F.col("n_noop_delete").alias("n_noop"),
+            "rows_after",
+            "value_after",
         )
         (
             audit.withColumn("batch_id", F.lit(batch_id))
