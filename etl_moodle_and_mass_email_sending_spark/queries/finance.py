@@ -892,7 +892,7 @@ register(
 
 
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.util import ntile_from_rank, two_pass_rank
+    from ..operators.util import ntile_from_rank, two_pass_rank_in_groups
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -902,17 +902,52 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("_freq"),
         F.sum(_dec(F.col("o_totalprice"))).alias("_mon"),
     )
-    scored = per_cust
-    for dim, col in (("r", "_rec"), ("f", "_freq"), ("m", "_mon")):
-        scored = two_pass_rank(
-            scored,
-            [F.col(col), F.col("o_custkey")],
-            out_col=f"_rk_{dim}",
-        )
-    # customer count = max dense rank of the (checkpointed) ranked
-    # frame — not a second scan of the orders rollup
-    tot = scored.agg(F.max("_rk_r").alias("_t"))
-    scored = scored.crossJoin(F.broadcast(tot))
+    # ONE grouped two-pass rank over the (dim, value)-exploded rollup
+    # replaces three CHAINED two_pass_rank passes (each paid its own
+    # range shuffle + sampling pass + eager localCheckpoint of the
+    # whole customer frame; round 14, guide §2.4). All three metrics
+    # cast losslessly into one DECIMAL(38,6) order key (_rec/_freq are
+    # bigint, _mon is a DECIMAL(_,2) sum), and ranks only ever compare
+    # within a dim group, so per-dim order — and therefore every
+    # ntile-5 score — is unchanged.
+    exploded = per_cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dim).alias("_dim"),
+                        F.col(col)
+                        .cast("decimal(38,6)")
+                        .alias("_val"),
+                    )
+                    for dim, col in (
+                        ("r", "_rec"),
+                        ("f", "_freq"),
+                        ("m", "_mon"),
+                    )
+                ]
+            )
+        ).alias("_dv"),
+    ).select("o_custkey", "_dv._dim", "_dv._val")
+    ranked = two_pass_rank_in_groups(
+        exploded,
+        "_dim",
+        [F.col("_val"), F.col("o_custkey")],
+        out_col="_rk",
+    )
+    scores = ranked.groupBy("o_custkey").agg(
+        *[
+            F.max(
+                F.when(F.col("_dim") == dim, F.col("_rk"))
+            ).alias(f"_rk_{dim}")
+            for dim in ("r", "f", "m")
+        ]
+    )
+    # customer count = max per-dim dense rank — not a second scan of
+    # the orders rollup
+    tot = scores.agg(F.max("_rk_r").alias("_t"))
+    scored = scores.crossJoin(F.broadcast(tot))
     for dim in ("r", "f", "m"):
         scored = scored.withColumn(
             f"{dim}_score",

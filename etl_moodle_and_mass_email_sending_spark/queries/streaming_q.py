@@ -1426,8 +1426,35 @@ def stream_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     partials = spark.read.parquet(out)
-    plan = ta._mixture_plan(docs, ta.MIX_TEMPERATURE, ta.MIX_MAX_EPOCHS)
-    ach = plan.withColumn("_a", F.col("epochs") * F.col("n_tokens"))
+    # The temperature plan needs only per-source n_tokens, and every
+    # document lands in exactly one micro-batch — so the plan arm
+    # assembles from the landed partials' token sums instead of
+    # re-running the token-split expression over the whole corpus a
+    # second time (round 14, guide §1.2; the arithmetic below is
+    # _mixture_plan's, fed by the identical integer token totals).
+    per_src = partials.groupBy("source").agg(
+        F.sum("toks").cast("bigint").alias("n_tokens")
+    )
+    powed = per_src.withColumn(
+        "_p",
+        F.pow(
+            F.col("n_tokens").cast("double"),
+            F.lit(1.0 / ta.MIX_TEMPERATURE),
+        ),
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("_p").alias("_ptot")
+    )
+    epochs = F.least(
+        F.try_divide(
+            (F.col("_p") / F.col("_ptot")) * F.col("_tot"),
+            F.col("n_tokens"),
+        ),
+        F.lit(float(ta.MIX_MAX_EPOCHS)),
+    )
+    ach = powed.crossJoin(F.broadcast(totals)).withColumn(
+        "_a", epochs * F.col("n_tokens")
+    )
     atot = ach.agg(F.sum("_a").alias("_at"))
     target = ach.crossJoin(F.broadcast(atot)).select(
         "source", (F.col("_a") / F.col("_at")).alias("_ts")

@@ -41,65 +41,12 @@ def _rounded(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def batch_sufficient_stats(batch_df: DataFrame) -> DataFrame:
-    """One micro-batch → per-event_type (n, Σr, Σr²) with exact
-    DECIMAL sums over round-6 values."""
-    d = F.col("r").cast("decimal(15,6)")
-    return (
-        _rounded(batch_df)
-        .select("event_type", d.alias("d"))
-        .groupBy("event_type")
-        .agg(
-            F.count("d").cast("bigint").alias("n"),
-            F.sum("d").cast("decimal(28,6)").alias("s"),
-            F.sum(F.col("d") * F.col("d"))
-            .cast("decimal(38,12)")
-            .alias("ss"),
-        )
-    )
-
-
 def prior_aggregate(partials: DataFrame) -> DataFrame:
     """Accumulated partials → per-event_type prior (pn, ps, pss)."""
     return partials.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("pn"),
         F.sum("s").cast("decimal(28,6)").alias("ps"),
         F.sum("ss").cast("decimal(38,12)").alias("pss"),
-    )
-
-
-def score_batch(batch_df: DataFrame, prior: DataFrame | None) -> DataFrame:
-    """Flag rows > SIGMA·σ from the prior mean; per-event_type counts.
-    ``prior`` None (first batch) → NULL anomaly counts."""
-    base = _rounded(batch_df)
-    if prior is None:
-        return base.groupBy("event_type").agg(
-            F.count("r").cast("bigint").alias("n_events"),
-            F.lit(None).cast("bigint").alias("n_anomalies"),
-        )
-    joined = base.join(F.broadcast(prior), "event_type", "left")
-    mean = F.col("ps").cast("double") / F.col("pn")
-    var = F.col("pss").cast("double") / F.col("pn") - mean * mean
-    std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    hit = F.when(
-        F.abs(F.col("r") - mean) > F.lit(SIGMA) * std, 1
-    ).otherwise(0)
-    return (
-        joined.groupBy("event_type")
-        .agg(
-            F.count("r").cast("bigint").alias("n_events"),
-            F.sum(hit).cast("bigint").alias("_hits"),
-            F.first("pn").alias("_pn"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            F.when(
-                F.col("_pn").isNull(), F.lit(None).cast("bigint")
-            )
-            .otherwise(F.col("_hits"))
-            .alias("n_anomalies"),
-        )
     )
 
 
@@ -131,8 +78,59 @@ def start_anomaly_stream(
                 F.col("batch_id") < batch_id
             )
             prior = prior_aggregate(partials)
+        # ONE pass over the batch computes the score counts AND the
+        # sufficient statistics (round 14, guide §1.2) — the split
+        # score_batch/batch_sufficient_stats form scanned and shuffled
+        # the batch twice per micro-batch for two aggregates over the
+        # same (event_type) keys. The combined |event_types|-row frame
+        # is checkpointed once and feeds both idempotent sinks.
+        base = _rounded(batch_df)
+        d = F.col("r").cast("decimal(15,6)")
+        stat_aggs = [
+            F.count("r").cast("bigint").alias("n_events"),
+            F.sum(d).cast("decimal(28,6)").alias("s"),
+            F.sum(d * d).cast("decimal(38,12)").alias("ss"),
+        ]
+        if prior is None:
+            combined = (
+                base.groupBy("event_type")
+                .agg(*stat_aggs)
+                .withColumn(
+                    "n_anomalies", F.lit(None).cast("bigint")
+                )
+                .localCheckpoint()
+            )
+        else:
+            joined = base.join(F.broadcast(prior), "event_type", "left")
+            mean = F.col("ps").cast("double") / F.col("pn")
+            var = F.col("pss").cast("double") / F.col("pn") - mean * mean
+            std = F.sqrt(F.greatest(var, F.lit(0.0)))
+            hit = F.when(
+                F.abs(F.col("r") - mean) > F.lit(SIGMA) * std, 1
+            ).otherwise(0)
+            combined = (
+                joined.groupBy("event_type")
+                .agg(
+                    *stat_aggs,
+                    F.sum(hit).cast("bigint").alias("_hits"),
+                    F.first("pn").alias("_pn"),
+                )
+                .select(
+                    "event_type",
+                    "n_events",
+                    "s",
+                    "ss",
+                    F.when(
+                        F.col("_pn").isNull(),
+                        F.lit(None).cast("bigint"),
+                    )
+                    .otherwise(F.col("_hits"))
+                    .alias("n_anomalies"),
+                )
+                .localCheckpoint()
+            )
         (
-            score_batch(batch_df, prior)
+            combined.select("event_type", "n_events", "n_anomalies")
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -140,7 +138,9 @@ def start_anomaly_stream(
             .parquet(flags_path)
         )
         (
-            batch_sufficient_stats(batch_df)
+            combined.select(
+                "event_type", F.col("n_events").alias("n"), "s", "ss"
+            )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
