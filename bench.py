@@ -350,18 +350,18 @@ def _sentinel_frames(spark):
     return {"cpu": cpu, "shuffle": shuffle}
 
 
-def _measure_sentinels(spark) -> dict:
-    """Median of 5 timed runs (after 1 warm-up) per sentinel, plus the
-    pinned reference medians and the per-sentinel drift ratios."""
+def _measure_sentinels(spark, runs: int = 5) -> dict:
+    """Median of `runs` timed runs (after 1 warm-up) per sentinel, plus
+    the pinned reference medians and the per-sentinel drift ratios."""
     out: dict = {}
     for name, df in _sentinel_frames(spark).items():
         df.write.format("noop").mode("overwrite").save()
         samples = []
-        for _ in range(5):
+        for _ in range(runs):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
-        med = sorted(samples)[2]
+        med = sorted(samples)[len(samples) // 2]
         ref = SENTINEL_REF[name]
         out[name] = med
         out[f"{name}_ref"] = ref
@@ -430,6 +430,9 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
             stream_spread[name] = [min(samples), max(samples)]
         total += t
         gc.collect()
+    # sweep-end sentinel probe (VERDICT r14 item 1: bracket the run so
+    # a mid-sweep contention window is detectable)
+    sent_end = _measure_sentinels(spark, runs=3)
     from etl_moodle_and_mass_email_sending_spark.operators.util import (
         staging_ledger,
     )
@@ -452,6 +455,7 @@ def _full_sweep(spark, qs, sf_dir: str, sf: str, sentinels: dict) -> str:
         # counts as a regression
         "stream_spread": stream_spread,
         "sentinels": sentinels,
+        "sentinels_end": sent_end,
         "queries": times,
         # staging ledger (VERDICT r12 item 2): session-staged builds
         # (staged_frame/staged_path keys) with the wall seconds their
@@ -613,8 +617,21 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         return sorted(samples)[len(samples) // 2], samples
 
+    # Sentinel BRACKETING (round 15, VERDICT r14 item 1): the round-14
+    # comparison run showed 28/34 untouched queries "regress" while the
+    # 8-core control and the plans said otherwise — a contention window
+    # that opened AFTER the single start-of-sweep sentinel probe is
+    # invisible by construction. The same fixed probes now re-run right
+    # after the printed comparison subset (drift_mid — brackets exactly
+    # the cross-round comparison measurements) and at sweep end
+    # (drift_end). All three drifts ship in the printed line; a
+    # comparison run only counts as clean when start and mid agree.
+    n_comparison = len([n for n in order if n in comparison_set])
+    sent_mid: dict = {}
+    sent_end: dict = {}
+
     total = 0.0
-    for name in order:
+    for i, name in enumerate(order):
         runs = (
             max(timed_runs, 5) if name in comparison_set else timed_runs
         )
@@ -645,6 +662,9 @@ def main() -> None:
         # checkpoint-heavy queries showed up as GC time in later ones).
         gc.collect()
         spark._jvm.System.gc()
+        if i == n_comparison - 1:
+            sent_mid = _measure_sentinels(spark, runs=3)
+    sent_end = _measure_sentinels(spark, runs=3)
 
     # The driver captures only the last ~2 KB of stdout; round 4's line
     # (medians + per-query spread) outgrew that and failed to parse
@@ -674,6 +694,12 @@ def main() -> None:
         # item 2): divide cross-round per-query ratios by `drift`
         # before indicting a query's code
         "sentinels": sentinels,
+        # sentinel BRACKETING (VERDICT r14 item 1): the same probes
+        # re-run right after the printed comparison subset and at
+        # sweep end; start-vs-mid agreement (within ~20%) certifies
+        # the comparison measurements were taken in a clean window
+        "sentinels_mid": sent_mid,
+        "sentinels_end": sent_end,
         # staging ledger (VERDICT r12 item 2): per staged_frame /
         # staged_path key, the wall seconds the FIRST build paid —
         # warm-read query entries (IVF/PQ lifecycle, receipt rollups)
@@ -710,6 +736,10 @@ def main() -> None:
             for k in ("cpu", "shuffle", "drift")
             if sentinels.get(k) is not None
         },
+        # bracketing drifts (VERDICT r14 item 1): mid brackets the
+        # comparison subset, end brackets the whole sweep
+        "drift_mid": sent_mid.get("drift"),
+        "drift_end": sent_end.get("drift"),
     }
     # stop() BEFORE the print: session teardown is exactly where the
     # benign accumulator-race / ContextCleaner stacks fire, and the
