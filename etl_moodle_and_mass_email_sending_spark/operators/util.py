@@ -21,6 +21,24 @@ from pyspark.sql.window import Window
 
 _SESSION_STAGE: dict[tuple, DataFrame] = {}
 
+# Per-key build locks (round 15): staged builds may now be reached from
+# driver thread pools (guide §2.6 — independent producer jobs overlap,
+# e.g. the ingest-receipts producers), so the check-then-build sequence
+# in staged_frame/staged_path must be atomic PER KEY: two threads asking
+# for the same key serialize (one builds, the other reuses), while
+# builds of different keys stay concurrent.
+_STAGE_LOCKS: dict[tuple, object] = {}
+_STAGE_LOCKS_GUARD = __import__("threading").Lock()
+
+
+def _stage_lock(full_key: tuple):
+    with _STAGE_LOCKS_GUARD:
+        lock = _STAGE_LOCKS.get(full_key)
+        if lock is None:
+            lock = __import__("threading").Lock()
+            _STAGE_LOCKS[full_key] = lock
+        return lock
+
 
 def _prune_session_stage() -> None:
     for k in list(_SESSION_STAGE):
@@ -64,14 +82,15 @@ def staged_frame(
 
     _prune_session_stage()
     full_key = (spark.sparkContext.applicationId, *key)
-    df = _SESSION_STAGE.get(full_key)
-    if df is None:
-        t0 = time.perf_counter()
-        df = build().localCheckpoint()
-        _STAGING_LEDGER[_ledger_key(key)] = round(
-            time.perf_counter() - t0, 3
-        )
-        _SESSION_STAGE[full_key] = df
+    with _stage_lock(full_key):
+        df = _SESSION_STAGE.get(full_key)
+        if df is None:
+            t0 = time.perf_counter()
+            df = build().localCheckpoint()
+            _STAGING_LEDGER[_ledger_key(key)] = round(
+                time.perf_counter() - t0, 3
+            )
+            _SESSION_STAGE[full_key] = df
     return df
 
 
@@ -142,14 +161,17 @@ def staged_path(
 
     _prune_session_paths()
     full_key = (spark.sparkContext.applicationId, *key)
-    hit = _SESSION_PATHS.get(full_key)
-    if hit is not None:
-        return hit[0]
-    path = scratch_dir(prefix)
-    t0 = time.perf_counter()
-    build(path)
-    _STAGING_LEDGER[_ledger_key(key)] = round(time.perf_counter() - t0, 3)
-    _SESSION_PATHS[full_key] = (path, spark)
+    with _stage_lock(full_key):
+        hit = _SESSION_PATHS.get(full_key)
+        if hit is not None:
+            return hit[0]
+        path = scratch_dir(prefix)
+        t0 = time.perf_counter()
+        build(path)
+        _STAGING_LEDGER[_ledger_key(key)] = round(
+            time.perf_counter() - t0, 3
+        )
+        _SESSION_PATHS[full_key] = (path, spark)
     return path
 
 
