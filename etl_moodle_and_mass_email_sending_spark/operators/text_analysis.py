@@ -4036,13 +4036,21 @@ def mixture_execute(
     corpus: DataFrame,
     temperature: float = MIX_TEMPERATURE,
     max_epochs: float = MIX_MAX_EPOCHS,
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """The emitted sample spine: (source, doc_id, n_toks, copy) — one
     row per emitted copy of each admitted document. ``corpus`` must
-    carry (doc_id, text, source)."""
+    carry (doc_id, text, source).
+
+    ``plan``: optionally a PRE-COMPUTED ``_mixture_plan`` frame over
+    the same (corpus, temperature, max_epochs) (round 15, guide §1.2 —
+    the plan is a full-corpus token pass; the registered queries
+    session-stage one plan and share it across every consumer that
+    needs the identical per-source totals)."""
     from .util import two_pass_running_sum_in_groups
 
-    plan = _mixture_plan(corpus, temperature, max_epochs)
+    if plan is None:
+        plan = _mixture_plan(corpus, temperature, max_epochs)
     hashed = corpus.select(
         "source",
         "doc_id",
@@ -4098,6 +4106,7 @@ def mixture_report(
     temperature: float = MIX_TEMPERATURE,
     max_epochs: float = MIX_MAX_EPOCHS,
     emitted: DataFrame | None = None,
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """(source, n_docs, n_full_epochs, target_tokens, n_rows_emitted,
     emitted_tokens, fill_rate): the achieved-vs-target receipt computed
@@ -4107,8 +4116,11 @@ def mixture_report(
     ``emitted``: optionally a pre-computed ``mixture_execute`` frame
     over the same corpus/params (round 12, VERDICT r11 item 4 — the
     registered queries session-stage one emitted spine and share it
-    across the three consumers)."""
-    plan = _mixture_plan(corpus, temperature, max_epochs)
+    across the three consumers). ``plan``: optionally a pre-computed
+    ``_mixture_plan`` frame over the same inputs (round 15 — skips
+    this call's own full-corpus token pass)."""
+    if plan is None:
+        plan = _mixture_plan(corpus, temperature, max_epochs)
     if emitted is None:
         emitted = mixture_execute(corpus, temperature, max_epochs)
     rolled = emitted.groupBy("source").agg(
@@ -5309,6 +5321,7 @@ def corpus_release(
     leakage: DataFrame | None = None,
     emitted: DataFrame | None = None,
     quality: DataFrame | None = None,
+    plan: DataFrame | None = None,
 ) -> DataFrame:
     """(section, key, n_units, n_tokens, metric) release receipt over
     (doc_id, text, source) — see the block comment for section
@@ -5320,9 +5333,13 @@ def corpus_release(
     text_split_leakage and llm_eval_guard), the mixture_execute
     emitted spine (O(corpus); also consumed by text_mixture_execute
     and rel_deletion_audit), and the (doc_id, quality) scores
-    (O(corpus); also a registered query of their own). The registered
-    queries session-stage each once and share them, instead of
-    re-deriving the gram fan-out / sampler / score scan per query."""
+    (O(corpus); also a registered query of their own). ``plan``:
+    optionally a pre-computed ``_mixture_plan`` frame (round 15,
+    VERDICT r14 item 5 — the plan's per-source token totals are a
+    full-corpus token pass; sharing the session-staged plan removes
+    that pass from this call). The registered queries session-stage
+    each once and share them, instead of re-deriving the gram
+    fan-out / sampler / score scan / plan totals per query."""
     from .util import ntile_from_rank, two_pass_rank, two_pass_running_sum
 
     # The emitted sample spine feeds THREE sections (source, shard,
@@ -5336,10 +5353,10 @@ def corpus_release(
     # blowup the r9 lesson bans. A caller holding a session-staged
     # spine (already checkpointed) passes it via ``emitted``.
     if emitted is None:
-        emitted = mixture_execute(corpus).localCheckpoint()
-    plan = _mixture_plan(
-        corpus, MIX_TEMPERATURE, MIX_MAX_EPOCHS
-    ).select(
+        emitted = mixture_execute(corpus, plan=plan).localCheckpoint()
+    if plan is None:
+        plan = _mixture_plan(corpus, MIX_TEMPERATURE, MIX_MAX_EPOCHS)
+    plan = plan.select(
         "source", "epochs", F.col("n_tokens").alias("n_tokens_src")
     )
     src = (
