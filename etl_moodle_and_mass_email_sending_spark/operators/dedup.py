@@ -307,6 +307,16 @@ def ngram_jaccard_pairs(
     sh = _spread(corpus).select(
         "doc_id", "lang", F.expr(_SPARK_SHINGLES).alias("sh")
     ).localCheckpoint()
+    if threshold <= 0:
+        # ADVICE r14 guard: the exploded impl can only materialize
+        # pairs sharing >= 1 shingle, so zero-intersection same-lang
+        # pairs (jaccard 0.0 — emitted by the block impl and by
+        # sql_ngram_jaccard_pairs) would silently vanish under a
+        # non-positive threshold. No registered caller uses one
+        # (NEAR_THRESHOLD = 0.5 everywhere), but route to the exact
+        # cross-join form rather than leaving the precondition in a
+        # comment.
+        impl = "block"
     if impl == "block":
         # bounded-sample path (lsh_recall's ~500-doc truth stratum):
         # the O(block²) array_intersect cross join beats the exploded
