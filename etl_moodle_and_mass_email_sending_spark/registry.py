@@ -28,7 +28,48 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 
 # The external correctness gate certifies exactly the first 50 registry
-# entries in iteration order. ROUND-14 ROTATION (VERDICT r13 items 1+6):
+# entries in iteration order. ROUND-15 ROTATION (VERDICT r14 item 2):
+#   (a) the 10 round-14 plan-rewritten query paths, never externally
+#       certified post-rewrite (only stream_state_ttl and
+#       rel_rfm_segments made the r14 window): stream_rate_limit,
+#       stream_cdc_apply, stream_anomaly, stream_mixture_monitor,
+#       rel_zorder_execute, rel_poisson_bootstrap, dedup_ngram_jaccard,
+#       sim_ivf_nprobe_sweep, sim_recall_at_k_sweep,
+#       sim_recall_after_recluster — each re-verified driver-sim green
+#       at sf0.001 AND sf0.01 this round (stream_rate_limit and
+#       rel_poisson_bootstrap changed AGAIN this round — head-buffer
+#       rewrite, overflow guard — so the window certifies the new
+#       code);
+#   (b) the 6 round-15 plan-changed names (standing policy):
+#       text_mixture_execute / llm_corpus_release / rel_deletion_audit
+#       (session-staged mixture plan), llm_ingest_health (thread-pool
+#       receipts build), sim_ann_recall (session-staged arms),
+#       rel_profile_table (flag-gated two-level distinct; default plan
+#       unchanged but the code path was restructured) — each
+#       driver-sim green at sf0.001 AND sf0.01 on the new code;
+#   (c) the 9 round-14 tail additions never externally certified:
+#       rel_cdc_merge, sim_index_tombstone, sim_spectral_health,
+#       text_bloom_decontaminate, rel_bitemporal_asof,
+#       sim_graph_ann_topk, text_watermark_detect, src_orc_documents,
+#       src_schema_evolution;
+#   (d) the 10 remaining r8-stale names (latest green == r8 in the
+#       union of CORRECTNESS_r01..r14): sim_pq_topk … text_zipf_fit;
+#   (e) the 13 round-14 window-free-sweep plan-changed names
+#       (standing policy: plan-changed names re-certify; listed in the
+#       round-14 notes below): rel_market_basket, rel_changepoint,
+#       rel_compaction_plan, rel_compaction_execute, text_burstiness,
+#       text_js_divergence, text_oov_rate, text_heaps_law,
+#       text_dsir_execute, ref_header_promotion, rel_kmv_setops,
+#       rel_event_paths, sim_dim_health;
+#   (f) 2 refresh slots for the oldest round-9 certifications
+#       (alphabetical head of the 49-name r9 cohort:
+#       dedup_cluster_quota, dedup_components; the remaining 47 drain
+#       from round 16).
+# After CORRECTNESS_r15 goes green, every plan in the registry matches
+# its last externally certified form and the staleness floor is r9
+# (47 names).
+# ROUND-14 ROTATION (kept for the ledger; superseded above;
+# VERDICT r13 items 1+6):
 #   (a) all 4 round-13 tail additions (stream_state_ttl, rel_scd2_asof,
 #       llm_release_diff, mm_keyframe_extract) — never externally
 #       certified; each driver-sim green at sf0.001 and sf0.01 when it
@@ -211,65 +252,64 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 # round-8 additions start life in the tail (standing policy: promote
 # only after a driver-sim green, rotate into the window next round).
 _WINDOW = [
-    # (a) round-13 tail additions, registration order — all driver-sim
-    # green at sf0.001+sf0.01 before promotion (builder r13, judge r13
-    # 4/4, and re-run at the top of round 14 after this round's
-    # ADVICE fixes to stream_state_ttl and mm_keyframe_extract)
-    "stream_state_ttl",
-    "rel_scd2_asof",
-    "llm_release_diff",
-    "mm_keyframe_extract",
-    # (b) the 5 round-7 stragglers (deferred from the r13 window)
-    "text_quality_score",
-    "text_source_mixture",
-    "text_stratified_sample",
-    "text_token_stats",
-    "text_tokenizer_fertility",
-    # (c) plan-changed re-certification (r13 prefix-offsets rewrite)
-    "ref_send_counter",
-    # (d) alphabetical head 40 of the 50-name round-8-stale cohort
-    # (latest green == r8 in the union of CORRECTNESS_r01..r13); the
-    # last 10 (sim_pq_topk … text_zipf_fit) rotate first in r15
-    "dedup_containment",
-    "dedup_fuzzy_match",
-    "dedup_keep_best",
-    "dedup_lang_purity",
-    "graph_jaccard_neighbors",
-    "graph_pagerank",
-    "graph_two_hop",
-    "mm_audio_energy",
-    "mm_payload_byte_stats",
-    "mm_phash_dedup",
-    "mm_sample_frames",
-    "mm_scene_changes",
-    "mm_silence_runs",
-    "rel_ab_conversion_lift",
-    "rel_asof_forward",
-    "rel_asof_tolerance",
-    "rel_chi_square",
-    "rel_cohort_ltv",
-    "rel_cube_documents",
-    "rel_data_quality",
-    "rel_event_lateness",
-    "rel_event_pmi",
-    "rel_event_transitions",
-    "rel_events_hourly",
-    "rel_events_json",
-    "rel_funnel_stages",
-    "rel_mad_outliers",
-    "rel_percentiles",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_rfm_segments",
-    "rel_scalar_subquery",
-    "rel_seasonality_index",
-    "rel_semi_anti",
-    "rel_sessionize",
-    "rel_skyline",
-    "rel_top_orders_per_customer",
-    "sim_ivfpq_topk",
-    "sim_lsh_bucket_stats",
-    "sim_pq_distortion",
+    # (a) round-14 plan-rewritten paths (VERDICT r14 item 2 head list);
+    # stream_rate_limit and rel_poisson_bootstrap changed again in
+    # round 15, so the window certifies the newest code
+    "stream_rate_limit",
+    "stream_cdc_apply",
+    "stream_anomaly",
+    "stream_mixture_monitor",
+    "rel_zorder_execute",
+    "rel_poisson_bootstrap",
+    "dedup_ngram_jaccard",
+    "sim_ivf_nprobe_sweep",
+    "sim_recall_at_k_sweep",
+    "sim_recall_after_recluster",
+    # (b) round-15 plan-changed names (standing policy)
+    "text_mixture_execute",
+    "llm_corpus_release",
+    "rel_deletion_audit",
+    "llm_ingest_health",
+    "sim_ann_recall",
+    "rel_profile_table",
+    # (c) round-14 tail additions, never externally certified
+    "rel_cdc_merge",
+    "sim_index_tombstone",
+    "sim_spectral_health",
+    "text_bloom_decontaminate",
+    "rel_bitemporal_asof",
+    "sim_graph_ann_topk",
+    "text_watermark_detect",
+    "src_orc_documents",
+    "src_schema_evolution",
+    # (d) the 10 remaining round-8-stale names
+    "sim_pq_topk",
+    "text_idf_drift",
+    "text_length_histogram",
+    "text_pmi_collocations",
+    "text_repetition",
+    "text_sequence_pack",
+    "text_top_terms",
+    "text_train_val_split",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    # (e) round-14 window-free-sweep plan-changed names
+    "rel_market_basket",
+    "rel_changepoint",
+    "rel_compaction_plan",
+    "rel_compaction_execute",
+    "text_burstiness",
+    "text_js_divergence",
+    "text_oov_rate",
+    "text_heaps_law",
+    "text_dsir_execute",
+    "ref_header_promotion",
+    "rel_kmv_setops",
+    "rel_event_paths",
+    "sim_dim_health",
+    # (f) oldest round-9 refreshes (alphabetical head; 47 remain)
+    "dedup_cluster_quota",
+    "dedup_components",
 ]
 
 
