@@ -4,10 +4,15 @@ The reference's Excel sheets carry 3 junk rows, the real header at row
 index 3, and data from row 4 — positional row addressing is part of the
 data model (SURVEY.md §1.1).
 
-Spark mapping: ``monotonically_increasing_id`` is NOT ordinally safe across
-partitions, so header promotion uses ``rdd.zipWithIndex`` (stable read
-order within a file scan) — acceptable because header promotion is a
-per-file boundary operation on small roster files, never a 100 TB path.
+Spark mapping (round 15, guide §4 — eliminate the Python boundary):
+header promotion used ``rdd.zipWithIndex``, which pickles EVERY row out
+to Python workers and back (two full row-format conversions). Row
+positions now come from the same arithmetic zipWithIndex applies, done
+in the JVM: a frozen ``monotonically_increasing_id`` encodes
+(partition << 33 | offset); a |partitions|-row cumulative-count frame
+(collected once, broadcast back — the repo's prefix-offsets idiom)
+turns that into the exact global position. No row crosses the Python
+boundary, and the plan is codegen'd end to end.
 Excel bytes are parsed by ``pd.read_excel`` when an engine wheel
 (openpyxl/xlrd) is importable, else by the repo's stdlib-only
 SpreadsheetML reader (:mod:`.xlsx_lite` — the format is public ECMA-376
@@ -38,15 +43,42 @@ def promote_header(
     df: DataFrame, header_row: int = 3, data_start: int = 4
 ) -> DataFrame:
     """Row ``header_row`` becomes the column names; rows < ``data_start``
-    are dropped (reference app.py:236–238)."""
+    are dropped (reference app.py:236–238).
+
+    Positions are zipWithIndex's arithmetic computed in the JVM (see the
+    module docstring): mid = partition << 33 | offset is FROZEN by an
+    eager localCheckpoint (mid is otherwise re-evaluated per action),
+    per-partition row counts collect to the driver (|partitions| rows,
+    bounded), and global position = cum_count_before(partition) +
+    offset via one broadcast join. Empty partitions simply don't appear
+    in the counts; partition order is zipWithIndex's (index-major).
+    """
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
-    indexed = df.rdd.zipWithIndex()
+    base = df.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    pid = F.shiftright(F.col("_mid"), 33)
+    off = F.col("_mid") % F.lit(1 << 33)
+    counts = base.groupBy(pid.alias("_p")).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).collect()
+    cum, offsets = 0, []
+    for r in sorted(counts, key=lambda r: r["_p"]):
+        offsets.append((r["_p"], cum))
+        cum += r["_n"]
+    offs = spark.createDataFrame(offsets, schema="_p long, _o long")
+    indexed = base.join(
+        F.broadcast(offs), pid == F.col("_p")
+    ).withColumn("_pos", off + F.col("_o"))
+    aux = ["_mid", "_p", "_o", "_pos"]
     header_vals = (
-        indexed.filter(lambda t: t[1] == header_row).map(lambda t: t[0]).first()
+        indexed.filter(F.col("_pos") == header_row).drop(*aux).first()
     )
     names = _dedupe_header_names(header_vals)
-    data = indexed.filter(lambda t: t[1] >= data_start).map(lambda t: t[0])
-    return spark.createDataFrame(data, schema=df.schema).toDF(*names)
+    data = indexed.filter(F.col("_pos") >= data_start).drop(*aux)
+    return data.toDF(*names)
 
 
 def read_participants_csv(
